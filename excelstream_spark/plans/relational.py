@@ -1,0 +1,644 @@
+"""Classic relational operator coverage (SURVEY.md §2.7).
+
+The reference has no relational layer; these queries demonstrate that the
+Spark build ships the full operator surface — scans, filters, hash/broadcast
+joins, semi/anti joins, partial+final aggregation, distinct, rollup/cube/
+grouping sets, window functions, set operations, sort/limit/top-k, pivot —
+each verified against a DuckDB oracle on the same parquet.
+
+Scale notes are inline: dimension joins broadcast (customer/supplier/part/
+nation/region are tiny relative to fact tables at any SF), fact-fact joins
+shuffle on their keys, and AQE handles skew/coalescing at runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from excelstream_spark.operators.asof import asof_join
+from excelstream_spark.plans.catalog import query
+from excelstream_spark.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Aggregation
+# --------------------------------------------------------------------------
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity)                                       AS sum_qty,
+               sum(l_extendedprice)                                  AS sum_base_price,
+               sum(l_extendedprice * (1 - l_discount))               AS sum_disc_price,
+               sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+               avg(l_quantity)                                       AS avg_qty,
+               avg(l_extendedprice)                                  AS avg_price,
+               avg(l_discount)                                       AS avg_disc,
+               count(*)                                              AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg",),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan + filter (pushed to parquet) + hash aggregate.
+
+    Partial aggregation happens map-side; only |groups| x |partitions| rows
+    shuffle, so this scales linearly to any SF.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).alias("sum_disc_price"),
+            F.sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_distinct_count",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+               CAST(count(*) AS BIGINT)                  AS n_orders,
+               sum(o_totalprice)                         AS total_price
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    tags=("agg",),
+)
+def agg_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation: Spark expands to a two-phase aggregate
+    (partial distinct map-side), no driver involvement."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("total_price"),
+        )
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(o_totalprice)        AS total
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg",),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: hierarchical subtotals in one shuffle (Expand operator)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("total"))
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity)          AS sum_qty,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("agg",),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over the two lineitem status dimensions."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+    tags=("agg",),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL API (same Catalyst plan)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins
+# --------------------------------------------------------------------------
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+        SELECT l.l_orderkey,
+               sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+               o.o_orderdate
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-03-15'
+          AND l.l_shipdate  > TIMESTAMP '1998-03-15'
+        GROUP BY l.l_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    tags=("join", "agg", "topk"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> broadcast join -> fact join
+    -> aggregate -> top-k (TakeOrderedAndProject, no full sort)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_region_revenue",
+    oracle="""
+        SELECT n.n_name,
+               sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+        FROM customer c
+        JOIN orders o   ON c.c_custkey   = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey  = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey   = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY n.n_name
+    """,
+    tags=("join", "agg"),
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way join.  All dimensions broadcast; the only
+    shuffle is lineitem x orders on orderkey."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 100000)
+    """,
+    tags=("join",),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join == EXISTS; emits each left row at most once without
+    materializing the right side's columns."""
+    cust = _t(spark, sf_dir, "customer")
+    big_orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return cust.join(
+        big_orders, cust.c_custkey == big_orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+@query(
+    "join_anti",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    """,
+    tags=("join",),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join == NOT EXISTS: customers with no order since 2000
+    (date-restricted so the result is non-empty in the test data —
+    an unrestricted NOT EXISTS matches zero customers there)."""
+    cust = _t(spark, sf_dir, "customer")
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_outer_coalesce",
+    oracle="""
+        SELECT c.c_custkey,
+               COALESCE(sum(o.o_totalprice), 0.0)                          AS spend,
+               CAST(count(o.o_orderkey) AS BIGINT)                          AS n_orders
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey
+    """,
+    tags=("join", "agg"),
+)
+def join_outer_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join + per-customer aggregate (null-safe totals)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.coalesce(F.sum("o_totalprice"), F.lit(0.0)).alias("spend"),
+            F.count("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "join_range",
+    oracle="""
+        SELECT o.o_orderkey,
+               CAST(count(l.l_orderkey) AS BIGINT) AS n_late_lines
+        FROM orders o
+        JOIN lineitem l
+          ON l.l_orderkey = o.o_orderkey
+         AND l.l_shipdate >  o.o_orderdate + INTERVAL 60 DAY
+         AND l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY
+        GROUP BY o.o_orderkey
+    """,
+    tags=("join", "range"),
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join expressed as equi-join + range residual: Catalyst keeps
+    the equi key for the shuffle and evaluates the band predicate post-join,
+    so this does NOT degenerate to a cartesian product at scale."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cond = (
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        & (li.l_shipdate <= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+    )
+    return (
+        orders.join(li, cond)
+        .groupBy("o_orderkey")
+        .agg(F.count("l_orderkey").alias("n_late_lines"))
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+        WITH ranked AS (
+          SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+                 row_number() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+          FROM events e
+          JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        )
+        SELECT event_id, user_id, ts, o_orderkey, o_orderdate
+        FROM ranked WHERE rn = 1
+    """,
+    tags=("join", "asof"),
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (latest order at-or-before each event, per user).
+
+    Implemented scale-first as union + window forward-fill (one shuffle on
+    the key, sort within partition) rather than the naive range-join +
+    dedup, which explodes quadratically per key.  See operators/asof.py.
+    """
+    events = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    return asof_join(
+        left=events,
+        right=orders,
+        left_time="ts",
+        right_time="o_orderdate",
+        left_by="user_id",
+        right_by="o_custkey",
+        right_values=["o_orderkey", "o_orderdate"],
+        tie_break="o_orderkey",
+        how="inner",
+    ).select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate")
+
+
+# --------------------------------------------------------------------------
+# Window functions
+# --------------------------------------------------------------------------
+
+@query(
+    "window_topn_per_group",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn
+        FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders
+        ) WHERE rn <= 3
+    """,
+    tags=("window",),
+)
+def window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer: row_number window (deterministic
+    tie-break on orderkey), filter rn<=3.  One shuffle on custkey."""
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@query(
+    "window_running_lag",
+    oracle="""
+        SELECT event_id, user_id, ts, value,
+               sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value,
+               lag(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id)      AS prev_value,
+               lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)      AS next_value
+        FROM events
+    """,
+    tags=("window",),
+)
+def window_running_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum + lag/lead over an event stream, per user."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.sum("value").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("running_value"),
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+    )
+
+
+@query(
+    "window_rank_dense",
+    oracle="""
+        SELECT p_brand, p_partkey, p_retailprice,
+               CAST(rank()       OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS INT) AS price_rank,
+               CAST(dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS INT) AS price_dense_rank,
+               CAST(ntile(4)     OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS INT) AS quartile
+        FROM part
+    """,
+    tags=("window",),
+)
+def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile over parts by brand."""
+    w = W.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc())
+    wt = W.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+    return _t(spark, sf_dir, "part").select(
+        "p_brand",
+        "p_partkey",
+        "p_retailprice",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+        F.ntile(4).over(wt).alias("quartile"),
+    )
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+        WITH flagged AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                           > INTERVAL 30 MINUTE
+                      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+        ), numbered AS (
+          SELECT user_id, ts, value,
+                 sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM flagged
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               min(ts) AS session_start, max(ts) AS session_end,
+               sum(value) AS session_value
+        FROM numbered
+        GROUP BY user_id, session_id
+    """,
+    tags=("window", "sessionize"),
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): the classic
+    lag -> flag -> cumulative-sum -> aggregate composition.  Batch analogue
+    of Structured Streaming's session_window (see streaming/)."""
+    gap_s = 30 * 60
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = _t(spark, sf_dir, "events")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > gap_s),
+            1,
+        ).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.sum("value").alias("session_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations / sort / pivot
+# --------------------------------------------------------------------------
+
+@query(
+    "setop_intersect_except",
+    oracle="""
+        WITH h1 AS (SELECT DISTINCT o_custkey FROM orders
+                    WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+             h2 AS (SELECT DISTINCT o_custkey FROM orders
+                    WHERE o_orderdate >= TIMESTAMP '1998-01-01')
+        SELECT o_custkey, 'both' AS bucket FROM (SELECT * FROM h1 INTERSECT SELECT * FROM h2)
+        UNION ALL
+        SELECT o_custkey, 'early_only' AS bucket FROM (SELECT * FROM h1 EXCEPT SELECT * FROM h2)
+    """,
+    tags=("setop",),
+)
+def setop_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL over customer activity halves."""
+    orders = _t(spark, sf_dir, "orders")
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    h1 = orders.filter(F.col("o_orderdate") < cutoff).select("o_custkey").distinct()
+    h2 = orders.filter(F.col("o_orderdate") >= cutoff).select("o_custkey").distinct()
+    both = h1.intersect(h2).withColumn("bucket", F.lit("both"))
+    early = h1.exceptAll(h2).withColumn("bucket", F.lit("early_only"))
+    return both.unionAll(early)
+
+
+@query(
+    "sort_topk",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_extendedprice
+        FROM lineitem
+        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        LIMIT 25
+    """,
+    tags=("sort", "topk"),
+)
+def sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject (per-partition heap
+    + driver merge of k rows), never a full sort at scale."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(25)
+    )
+
+
+@query(
+    "pivot_status",
+    oracle="""
+        SELECT o_orderpriority,
+               sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) AS status_o,
+               sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END) AS status_f,
+               sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END) AS status_p
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    tags=("pivot",),
+)
+def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with explicit value list (avoids the extra distinct scan).
+    Pivot columns are re-aliased to case-unambiguous names so the
+    column-sorted oracle compare is robust."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .sum("o_totalprice")
+        .withColumnsRenamed({"O": "status_o", "F": "status_f", "P": "status_p"})
+    )
+
+
+@query(
+    "events_hourly",
+    oracle="""
+        SELECT date_trunc('hour', ts) AS hour,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               sum(value)               AS total_value,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events
+        GROUP BY 1, 2
+    """,
+    tags=("agg", "time"),
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event rollup — the batch shape of the streaming windowed
+    aggregation in streaming/pipelines.py."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@query(
+    "json_extract_props",
+    oracle="""
+        SELECT event_type,
+               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(count(*) AS BIGINT)                               AS n
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("json",),
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access: JSON field extraction inside the JVM
+    (get_json_object), no Python involved."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

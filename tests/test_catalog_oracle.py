@@ -1,0 +1,30 @@
+"""Every catalog query with an oracle is hash-compared against DuckDB at
+sf0.001 — the local analogue of the driver's CORRECTNESS gate."""
+
+from __future__ import annotations
+
+import pytest
+
+import excelstream_spark.plans.relational  # noqa: F401
+import excelstream_spark.plans.extension  # noqa: F401
+from excelstream_spark.plans.catalog import CATALOG
+
+from .conftest import SF_DIR, assert_matches_oracle
+
+ORACLE_QUERIES = [name for name, spec in CATALOG.items() if spec.oracle is not None]
+ROWS_ONLY_QUERIES = [name for name, spec in CATALOG.items() if spec.oracle is None]
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_match(spark, duck, name):
+    spec = CATALOG[name]
+    df = spec.fn(spark, SF_DIR)
+    assert_matches_oracle(df, duck, spec.oracle)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_runs(spark, name):
+    spec = CATALOG[name]
+    df = spec.fn(spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
