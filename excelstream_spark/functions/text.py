@@ -1,0 +1,139 @@
+"""Text-analysis column functions for large-corpus pipelines.
+
+Everything here is a pure JVM-side column expression (codegen'd,
+vectorizable, no Python in the executor hot path).  Semantics are chosen
+to be ANSI-SQL-expressible so every derived metric can be oracle-checked
+against DuckDB with identical results (exact integer arithmetic; double
+division of the same integers).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny multilingual marker-word lists for the n-gram/stopword language
+#: heuristic.  Deliberately small and deterministic — language ID at corpus
+#: scale is a scoring heuristic, not a model.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "a"),
+    "de": ("der", "die", "und", "das", "ist", "nicht"),
+    "es": ("el", "la", "los", "que", "es", "y"),
+    "fr": ("le", "les", "des", "est", "une", "et"),
+}
+
+#: English stopwords used for the quality-score stopword ratio.
+STOPWORDS: tuple[str, ...] = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "from", "that", "this",
+)
+
+
+def normalized(col) -> Column:
+    """Lowercase + whitespace-collapse + trim: the canonical form used for
+    fingerprinting and shingling."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def tokens(col) -> Column:
+    """Whitespace tokens of the normalized text."""
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+def token_count(col) -> Column:
+    return F.size(tokens(col))
+
+
+def char_count(col) -> Column:
+    return F.length(col)
+
+
+def punct_count(col) -> Column:
+    """Count of sentence punctuation characters."""
+    return F.length(F.regexp_replace(col, r"[^.,;:!?]", ""))
+
+
+def stopword_count(col) -> Column:
+    stoplist = F.array(*[F.lit(w) for w in STOPWORDS])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(stoplist, t)))
+
+
+def stopword_ratio(col) -> Column:
+    return stopword_count(col) / token_count(col)
+
+
+def avg_token_length(col) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return total / F.size(toks)
+
+
+def fingerprint(col) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+    (md5 is identical across Spark / DuckDB / Python hashlib, so this is
+    the cross-engine dedup key.)"""
+    return F.md5(normalized(col))
+
+
+def shingles(col, k: int = 3) -> Column:
+    """Distinct k-token shingles of the normalized text (word n-grams).
+
+    Guarded for short documents: fewer than ``k`` tokens -> empty array
+    (Spark's ``sequence(1, n)`` would count DOWN for n < 1, unlike
+    SQL ``generate_series``)."""
+    t = tokens(col)
+
+    def make_shingle(i):  # i is 0-based start index
+        return F.concat_ws(" ", *[F.get(t, i + j) for j in range(k)])
+
+    return F.when(
+        F.size(t) >= k,
+        F.transform(F.sequence(F.lit(0), F.size(t) - k), make_shingle),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def distinct_shingles(col, k: int = 3) -> Column:
+    return F.array_distinct(shingles(col, k))
+
+
+def lang_scores(col) -> dict[str, Column]:
+    """Marker-token hit count per candidate language + CJK char count."""
+    toks = tokens(col)
+    scores: dict[str, Column] = {}
+    for lang, markers in LANG_MARKERS.items():
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        scores[lang] = F.size(F.filter(toks, lambda t: F.array_contains(marker_arr, t)))
+    scores["zh"] = F.length(F.regexp_replace(col, r"[^一-鿿]", ""))
+    return scores
+
+
+def lang_id(col) -> Column:
+    """Heuristic language ID: argmax of marker scores with a fixed
+    priority order (en > de > es > fr > zh) for ties; 'und' when no
+    marker hits at all."""
+    s = lang_scores(col)
+    best = F.greatest(*s.values())
+    expr = F.lit("und")
+    # reversed so the first language in priority order wins ties
+    for lang in reversed(["en", "de", "es", "fr", "zh"]):
+        expr = F.when((s[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_score(col) -> Column:
+    """Composite [0,1] quality score from length / punctuation / stopword
+    signals (a Gopher-rules-style heuristic, exact-arithmetic only):
+
+      0.4 * clamp(n_tokens / 50)            -- enough content
+    + 0.3 * clamp(stopword_ratio * 5)       -- natural-language-ness
+    + 0.3 * (1 - clamp(punct_ratio * 10))   -- not punctuation soup
+    """
+    nt = token_count(col).cast("double")
+    sr = stopword_ratio(col)
+    pr = punct_count(col) / char_count(col)
+    clamp = lambda c: F.least(F.lit(1.0), c)  # noqa: E731
+    return (
+        0.4 * clamp(nt / 50)
+        + 0.3 * clamp(sr * 5)
+        + 0.3 * (1 - clamp(pr * 10))
+    )

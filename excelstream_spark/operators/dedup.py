@@ -1,0 +1,314 @@
+"""Deduplication operators for large text corpora.
+
+Five strategies, each a pure DataFrame composition (no Python in the hot
+path) with its shuffle profile documented:
+
+==================  ========================================  =============
+strategy            mechanism                                 shuffles
+==================  ========================================  =============
+exact               fingerprint -> min-id per group           1 (groupBy fp)
+ngram_jaccard       shingle inverted index -> pair counting   2 (explode join,
+                                                              pair groupBy)
+minhash_lsh         minhash sigs -> band buckets -> verify    2 (band join,
+                                                              verify join)
+simhash             64-bit sign signature -> band candidates  1-2
+embedding_cosine    exact pairwise above threshold            1 (self join)
+==================  ========================================  =============
+
+At 100 TB the minhash-LSH path is the production one: signature
+computation is embarrassingly parallel, band bucketing shuffles only
+(doc_id, band_hash) pairs, and exact verification touches only candidate
+pairs (a tiny fraction of n^2).  The inverted-index jaccard path is kept
+both as the verification oracle shape and for medium corpora; its
+``max_shingle_df`` knob drops ultra-common shingles, which is what stops
+hot-key blowup on web-scale data.
+
+Reference parity note: the reference library has NO dedup operators (it is
+an I/O library; SURVEY.md §2.6) — these implement the BASELINE.json
+north-star extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from excelstream_spark.functions import text as TXT
+from excelstream_spark.functions import vectors as VEC
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one representative (min id) per exact-normalized-text group.
+
+    Fingerprint first (md5 of normalized text) so the shuffle key is a
+    32-byte hash, not the document body — at 100 TB the shuffle moves
+    ids + hashes only, never full texts.
+    """
+    fp = df.select(F.col(id_col), TXT.fingerprint(F.col(text_col)).alias("fp"))
+    w = W.partitionBy("fp").orderBy(id_col)
+    return (
+        fp.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "fp")
+    )
+
+
+def shingle_sets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """(id, sh: array<string>, n: int) — distinct k-shingle set per doc.
+    Documents with no shingles (fewer than k tokens) are dropped."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            TXT.distinct_shingles(F.col(text_col), k).alias("sh"),
+        )
+        .withColumn("n", F.size("sh"))
+        .filter(F.col("n") > 0)
+    )
+
+
+def dedup_ngram_jaccard(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact pairwise Jaccard over k-shingle sets via an inverted index.
+
+    Only documents sharing >= 1 shingle are ever paired (the inverted-index
+    join), so the complexity is sum over shingles of df(s)^2 — bounded by
+    ``max_shingle_df`` when set (drop shingles appearing in more than that
+    many docs; at web scale boilerplate shingles would otherwise create
+    quadratic hot keys).
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b,
+    jaccard = |A∩B| / |A∪B| >= threshold.
+    """
+    sets_ = shingle_sets(df, text_col, id_col, k)
+    ex = sets_.select("id", "n", F.explode("sh").alias("s"))
+    if max_shingle_df is not None:
+        keep = ex.groupBy("s").count().filter(F.col("count") <= max_shingle_df)
+        ex = ex.join(F.broadcast(keep.select("s")), "s")
+    a = ex.select(F.col("id").alias("doc_a"), F.col("n").alias("na"), "s")
+    b = ex.select(F.col("id").alias("doc_b"), F.col("n").alias("nb"), "s")
+    pairs = (
+        a.join(b, (a.s == b.s) & (a.doc_a < b.doc_b))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 128,
+) -> DataFrame:
+    """(id, sh, sig: array<bigint>) — minhash signature per document.
+
+    Hash family: sig[i] = min over shingles s of xxhash64(i, s) — one
+    64-bit hash per (permutation, shingle), all inside codegen.
+    """
+    sets_ = shingle_sets(df, text_col, id_col, k)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(F.transform(F.col("sh"), lambda s: F.xxhash64(i, s))),
+    )
+    return sets_.withColumn("sig", sig)
+
+
+def dedup_minhash_lsh(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+    threshold: float = 0.8,
+    verify_exact: bool = True,
+) -> DataFrame:
+    """MinHash + LSH banding + exact verification.
+
+    bands=32 x rows=4 makes P(candidate | jaccard=s) = 1-(1-s^4)^32:
+    ~0.87 at s=0.5, ~1-5e-8 at s=0.8 — so with threshold 0.8 the verified
+    output equals the exact-jaccard result with near-certainty, at a
+    fraction of the pair-enumeration cost.
+
+    Returns (doc_a, doc_b, jaccard[, est_jaccard]).
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, k, num_hashes).cache()
+
+    band_entries = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.hash(
+                            F.slice("sig", j * rows_per_band + 1, rows_per_band)
+                        ).alias("bh"),
+                    )
+                    for j in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "b.band", "b.bh")
+
+    lhs = band_entries.select(F.col("id").alias("doc_a"), "band", "bh")
+    rhs = band_entries.select(F.col("id").alias("doc_b"), "band", "bh")
+    candidates = (
+        lhs.join(rhs, ["band", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    sa = sigs.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("sig").alias("sig_b"))
+    joined = candidates.join(sa, "doc_a").join(sb, "doc_b")
+
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        )
+        / F.lit(num_hashes)
+    )
+    if not verify_exact:
+        return joined.select(
+            "doc_a", "doc_b", est.alias("est_jaccard")
+        ).filter(F.col("est_jaccard") >= threshold)
+
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        joined.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, simhash: bigint) — 64-bit SimHash over tokens.
+
+    bit b of the signature = sign of sum over tokens of ±1 depending on
+    bit b of xxhash64(token).  Pure nested higher-order expressions.
+    """
+    toks = F.array_distinct(TXT.tokens(F.col(text_col)))
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    # one aggregate per bit; bit masks are Python-side constants (bit 63 is
+    # the sign bit: Java longs wrap, the disjoint-bit sum is still an OR)
+    def _vote(mask_col):
+        return F.aggregate(
+            th,
+            F.lit(0),
+            lambda acc, h: acc + F.when(h.bitwiseAND(mask_col) != 0, 1).otherwise(-1),
+        )
+
+    terms = []
+    for b in range(64):
+        mask = -(1 << 63) if b == 63 else (1 << b)
+        mask_col = F.lit(mask).cast("bigint")
+        terms.append(
+            F.when(_vote(mask_col) > 0, mask_col).otherwise(F.lit(0).cast("bigint"))
+        )
+    simhash = terms[0]
+    for t in terms[1:]:
+        simhash = simhash + t
+    return df.select(F.col(id_col).alias("id"), simhash.alias("simhash"))
+
+
+def dedup_simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """SimHash near-dup candidates: 4 x 16-bit band blocking, then exact
+    Hamming filter.  Pigeonhole guarantees a shared band only for d <= 3;
+    above that recall is probabilistic (measured ~0.68 for d <= 7 pairs on
+    the synthetic corpus — acceptable for a candidate generator that is
+    O(n) per band; raise recall by adding rotated band tables, at
+    proportional shuffle cost).
+
+    Returns (doc_a, doc_b, hamming).
+    """
+    sigs = simhash_signatures(df, text_col, id_col)
+    bands = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), j * 16)
+                        .bitwiseAND(F.lit(0xFFFF).cast("bigint"))
+                        .alias("bh"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "simhash", "b.band", "b.bh")
+    lhs = bands.select(F.col("id").alias("doc_a"), F.col("simhash").alias("h_a"), "band", "bh")
+    rhs = bands.select(F.col("id").alias("doc_b"), F.col("simhash").alias("h_b"), "band", "bh")
+    return (
+        lhs.join(rhs, ["band", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", VEC.hamming64(F.col("h_a"), F.col("h_b")).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def dedup_embedding_cosine(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.45,
+) -> DataFrame:
+    """Exact cosine near-dup pairs above threshold.
+
+    This is the small/medium-corpus exact path (O(n^2) pairs): at 100 TB
+    use the LSH-bucketed variant in operators/similarity.py to generate
+    candidates first.  Norms are precomputed before the self-join so each
+    pair costs one dot product.
+    """
+    with_norm = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), VEC.norm(F.col(vec_col)).alias("nrm")
+    )
+    a = with_norm.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = with_norm.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    cos = VEC.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") > threshold)
+        .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim_r"))
+    )

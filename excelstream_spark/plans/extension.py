@@ -1,8 +1,321 @@
-"""Extension operator catalog entries: dedup, similarity search, text
-analysis, multimodal (BASELINE.json north-star ops).  Populated by the
-operator modules; importing this module registers them."""
+"""Extension operator catalog entries (BASELINE.json north star):
+dedup, similarity search, text analysis, multimodal columns.
+
+Every SQL-expressible op ships a DuckDB oracle; approximate ops
+(simhash banding, IVF probing) are rows-only here and recall-tested in
+tests/test_extension_ops.py.
+"""
 
 from __future__ import annotations
 
-# Registration happens at import time in each module.
-# (modules are added here as they are implemented)
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from excelstream_spark.functions import text as TXT
+from excelstream_spark.operators import dedup as DD
+from excelstream_spark.operators import multimodal as MM
+from excelstream_spark.operators import similarity as SIM
+from excelstream_spark.plans.catalog import query
+from excelstream_spark.tables import load_table
+
+# Shared SQL fragments for the oracles (kept in lockstep with
+# functions/text.py — the Spark and SQL forms are the same algorithm).
+_SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_SQL_TOKS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+_SQL_SHINGLES = f"""
+    SELECT doc_id,
+           list_distinct(
+             list_transform(generate_series(1, len(t) - 2),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+    FROM (SELECT doc_id, {_SQL_TOKS} AS t FROM documents)
+"""
+_SQL_JACCARD_PAIRS = f"""
+    WITH sets_ AS ({_SQL_SHINGLES}),
+    ex AS (SELECT doc_id, len(sh) n, unnest(sh) s FROM sets_ WHERE len(sh) > 0),
+    pairs AS (
+      SELECT a.doc_id doc_a, b.doc_id doc_b,
+             CAST(count(*) AS BIGINT) inter,
+             any_value(a.n) na, any_value(b.n) nb
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, inter * 1.0 / (na + nb - inter) AS jaccard
+    FROM pairs
+"""
+
+_STOPLIST_SQL = "(" + ", ".join(f"'{w}'" for w in TXT.STOPWORDS) + ")"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+@query(
+    "text_stats",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len({_SQL_TOKS}) AS INT)                               AS n_tokens,
+               CAST(length(text) AS INT)                                   AS n_chars_calc,
+               CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS INT) AS n_punct,
+               CAST(len(list_filter({_SQL_TOKS}, t -> t IN {_STOPLIST_SQL})) AS INT) AS n_stopwords,
+               list_sum(list_transform({_SQL_TOKS}, t -> length(t))) * 1.0
+                 / len({_SQL_TOKS})                                        AS avg_token_len
+        FROM documents
+    """,
+    tags=("text",),
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/char/punctuation/stopword statistics — all
+    JVM-side expressions, embarrassingly parallel (no shuffle)."""
+    t = F.col("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        TXT.token_count(t).alias("n_tokens"),
+        TXT.char_count(t).alias("n_chars_calc"),
+        TXT.punct_count(t).alias("n_punct"),
+        TXT.stopword_count(t).alias("n_stopwords"),
+        TXT.avg_token_length(t).alias("avg_token_len"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+        SELECT md5({_SQL_NORM}) AS fp,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               min(doc_id)              AS first_doc
+        FROM documents
+        GROUP BY 1
+    """,
+    tags=("text", "dedup"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5-of-normalized-text fingerprint groups (cross-engine dedup key)."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(TXT.fingerprint(F.col("text")).alias("fp"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
+    )
+
+
+_LANG_SQL_COUNTS = ", ".join(
+    f"len(list_filter({_SQL_TOKS}, t -> t IN ({', '.join(repr(m) for m in markers)}))) AS c_{lang}"
+    for lang, markers in TXT.LANG_MARKERS.items()
+)
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+        WITH scored AS (
+          SELECT doc_id, lang AS labeled_lang, {_LANG_SQL_COUNTS},
+                 length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS c_zh
+          FROM documents
+        )
+        SELECT doc_id, labeled_lang,
+               CASE WHEN c_en >= greatest(c_de, c_es, c_fr, c_zh) AND c_en > 0 THEN 'en'
+                    WHEN c_de >= greatest(c_es, c_fr, c_zh) AND c_de > 0 THEN 'de'
+                    WHEN c_es >= greatest(c_fr, c_zh) AND c_es > 0 THEN 'es'
+                    WHEN c_fr >= c_zh AND c_fr > 0 THEN 'fr'
+                    WHEN c_zh > 0 THEN 'zh'
+                    ELSE 'und' END AS predicted_lang
+        FROM scored
+    """,
+    tags=("text",),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language heuristic vs the labeled lang column."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        TXT.lang_id(F.col("text")).alias("predicted_lang"),
+    )
+
+
+@query(
+    "text_quality_filter",
+    oracle=f"""
+        WITH q AS (
+          SELECT doc_id, source,
+                 0.4 * least(1.0, len({_SQL_TOKS}) / 50.0)
+               + 0.3 * least(1.0, (len(list_filter({_SQL_TOKS}, t -> t IN {_STOPLIST_SQL}))
+                                   * 1.0 / len({_SQL_TOKS})) * 5)
+               + 0.3 * (1 - least(1.0, (length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                                        * 1.0 / length(text)) * 10)) AS quality
+          FROM documents
+        )
+        SELECT doc_id, source, quality, quality >= 0.5 AS keep
+        FROM q
+    """,
+    tags=("text",),
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score + keep/drop decision (training-data
+    filtering shape: score -> threshold -> partition-pruned write)."""
+    t = F.col("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        TXT.quality_score(t).alias("quality"),
+        (TXT.quality_score(t) >= 0.5).alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Dedup
+# --------------------------------------------------------------------------
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+        SELECT min(doc_id) AS doc_id, fp
+        FROM (SELECT doc_id, md5({_SQL_NORM}) AS fp FROM documents)
+        GROUP BY fp
+    """,
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized-text fingerprint, min-id representative."""
+    return DD.dedup_exact(_docs(spark, sf_dir))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"{_SQL_JACCARD_PAIRS} WHERE inter * 1.0 / (na + nb - inter) >= 0.5",
+    tags=("dedup",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard >= 0.5 near-dup pairs via inverted index."""
+    return DD.dedup_ngram_jaccard(_docs(spark, sf_dir), threshold=0.5)
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"{_SQL_JACCARD_PAIRS} WHERE inter * 1.0 / (na + nb - inter) >= 0.8",
+    tags=("dedup",),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(128) + LSH(32 bands) candidates, exact-verified at >= 0.8.
+
+    The oracle is the brute-force jaccard answer: with 32x4 banding the
+    probability of missing a 0.8-jaccard pair is ~5e-8, so LSH output ==
+    exact output (and the bench shows it at a fraction of the cost).
+    """
+    return DD.dedup_minhash_lsh(_docs(spark, sf_dir), threshold=0.8)
+
+
+@query("dedup_simhash", tags=("dedup",))  # approximate -> rows-only
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64-bit) banded near-dup candidates within Hamming <= 12.
+    Approximate by construction (banding recall < 1) — rows-only check;
+    recall vs ngram-jaccard asserted in unit tests."""
+    return DD.dedup_simhash(_docs(spark, sf_dir))
+
+
+@query(
+    "dedup_embedding",
+    oracle="""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim_r
+        FROM embeddings a
+        JOIN embeddings b
+          ON a.vec_id < b.vec_id
+         AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])) > 0.45
+    """,
+    tags=("dedup", "vector"),
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (> 0.45 on this corpus)."""
+    return DD.dedup_embedding_cosine(_emb(spark, sf_dir), threshold=0.45)
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+@query(
+    "sim_topk_bruteforce",
+    oracle="""
+        WITH scored AS (
+          SELECT q.vec_id query_id, c.vec_id neighbor_id,
+                 list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                        CAST(c.embedding AS DOUBLE[])) cos_sim,
+                 row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                   CAST(c.embedding AS DOUBLE[])) DESC,
+                            c.vec_id) rn
+          FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+          WHERE q.vec_id < 10
+        )
+        SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank,
+               round(cos_sim, 6) AS cos_sim_r
+        FROM scored WHERE rn <= 5
+    """,
+    tags=("similarity", "vector"),
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for query vectors (vec_id < 10):
+    broadcast queries x streamed corpus, per-query top-k window."""
+    emb = _emb(spark, sf_dir)
+    return SIM.cosine_topk_bruteforce(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@query("sim_ann_ivf", tags=("similarity", "vector"))  # approximate -> rows-only
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 (probe 3 of ~10 deterministic cells) —
+    rows-only; recall vs bruteforce asserted in unit tests."""
+    emb = _emb(spark, sf_dir)
+    return SIM.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+# --------------------------------------------------------------------------
+# Multimodal
+# --------------------------------------------------------------------------
+
+@query(
+    "multimodal_features",
+    oracle="""
+        SELECT doc_id,
+               'image/fake'                                        AS modality,
+               CAST(octet_length(encode(text)) AS INT)             AS byte_len,
+               md5(text)                                           AS content_md5,
+               CAST(octet_length(encode(text)) % 640 AS INT)       AS width,
+               CAST((octet_length(encode(text)) * 7) % 480 AS INT) AS height,
+               CAST(1 + octet_length(encode(text)) % 8 AS INT)     AS n_frames
+        FROM documents
+    """,
+    tags=("multimodal",),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction via Arrow-batched mapInPandas.
+    The decode is a deterministic stub (media libs absent) — the Spark
+    plumbing (binary column, metadata struct, batch iterator, schema) is
+    the real thing and the oracle checks it end-to-end."""
+    return MM.extract_features(MM.attach_payload(_docs(spark, sf_dir)))
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+        SELECT doc_id, CAST(f AS INT) AS frame_idx
+        FROM (SELECT doc_id,
+                     unnest(generate_series(0, octet_length(encode(text)) % 8)) AS f
+              FROM documents)
+        WHERE f % 2 = 0
+    """,
+    tags=("multimodal",),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-index sampling (every 2nd frame) over decoded n_frames."""
+    return MM.sample_frames(MM.attach_payload(_docs(spark, sf_dir)), every_n=2)

@@ -1,0 +1,96 @@
+"""Unit tests for operator semantics the oracle can't cover:
+approximate-op recall and as-of join edge cases."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from excelstream_spark.operators import dedup as DD
+from excelstream_spark.operators import similarity as SIM
+from excelstream_spark.operators.asof import asof_join
+from excelstream_spark.tables import load_table
+
+from .conftest import SF_DIR
+
+
+def test_asof_join_edges(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, dt.datetime(2024, 1, 5)),   # after both orders -> latest wins
+            (2, 10, dt.datetime(2024, 1, 2)),   # exactly at order time -> inclusive
+            (3, 10, dt.datetime(2023, 12, 1)),  # before any order -> unmatched
+            (4, 99, dt.datetime(2024, 1, 5)),   # key with no right rows
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 10, dt.datetime(2024, 1, 1)),
+            (101, 10, dt.datetime(2024, 1, 2)),
+            (102, 10, dt.datetime(2024, 1, 2)),  # same ts as 101 -> max id wins
+        ],
+        "o_id long, o_cust long, o_ts timestamp",
+    )
+    out = asof_join(
+        left=left, right=right,
+        left_time="ts", right_time="o_ts",
+        left_by="user_id", right_by="o_cust",
+        right_values=["o_id", "o_ts"], tie_break="o_id", how="left",
+    )
+    rows = {r["event_id"]: (r["o_id"], r["o_ts"]) for r in out.collect()}
+    assert rows[1] == (102, dt.datetime(2024, 1, 2))   # latest order, tie -> max id
+    assert rows[2] == (102, dt.datetime(2024, 1, 2))   # inclusive <=
+    assert rows[3] == (None, None)
+    assert rows[4] == (None, None)
+
+    inner = asof_join(
+        left=left, right=right,
+        left_time="ts", right_time="o_ts",
+        left_by="user_id", right_by="o_cust",
+        right_values=["o_id"], tie_break="o_id", how="inner",
+    )
+    assert {r["event_id"] for r in inner.collect()} == {1, 2}
+
+
+def test_simhash_recall_vs_jaccard(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    true_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in DD.dedup_ngram_jaccard(docs, threshold=0.9).collect()
+    }
+    sim_pairs = {
+        (r["doc_a"], r["doc_b"]) for r in DD.dedup_simhash(docs).collect()
+    }
+    if true_pairs:
+        recall = len(true_pairs & sim_pairs) / len(true_pairs)
+        assert recall >= 0.5, f"simhash recall {recall} over {len(true_pairs)} pairs"
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.cosine_topk_bruteforce(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.ivf_topk(emb, queries, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # probing 3 of ~10 cells: recall must beat the random-probe floor
+    assert recall >= 0.3, f"ivf recall {recall}"
+
+
+def test_minhash_estimates_track_jaccard(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    est = DD.dedup_minhash_lsh(docs, threshold=0.7, verify_exact=False)
+    exact = DD.dedup_ngram_jaccard(docs, threshold=0.7)
+    est_map = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in est.collect()}
+    ex_map = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in exact.collect()}
+    shared = set(est_map) & set(ex_map)
+    if shared:
+        errs = [abs(est_map[p] - ex_map[p]) for p in shared]
+        assert max(errs) < 0.25, f"minhash estimate error too large: {max(errs)}"
