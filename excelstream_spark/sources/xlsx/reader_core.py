@@ -1,0 +1,408 @@
+"""Streaming XLSX workbook reader — constant memory per worksheet.
+
+Counterpart of the reference's ``StreamingReader``
+(/root/reference/src/streaming_reader.rs:181-352): load the shared-string
+table eagerly, resolve sheet names through workbook.xml + its rels, then
+stream one worksheet's rows through a decompressing reader.  Here the
+row scan is ``xml.etree.ElementTree.iterparse`` over the ZIP member stream
+(C-accelerated, incremental, elements freed as consumed) instead of the
+reference's hand-rolled 32 KB chunk scanner — same constant-memory
+property, idiomatic Python.
+
+Improvements over the reference (documented as deliberate, SURVEY.md §1.3):
+- date detection consults the parsed styles.xml numFmt table (the
+  reference guesses from "has any style + integral value in range",
+  streaming_reader.rs:691-697)
+- schema inference is per-COLUMN over a sample, not per-cell
+- rich-text shared strings: all <t> runs concatenated (parity with
+  streaming_reader.rs:363-384)
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import re
+import zipfile
+from collections.abc import Iterator
+from xml.etree.ElementTree import iterparse
+
+from pyspark.sql import types as T
+
+from excelstream_spark.sources.xlsx import ooxml
+from excelstream_spark.sources.xlsx.dates import serial_to_datetime
+
+_NS = "{" + ooxml.XLSX_NS + "}"
+
+
+class ExcelError(str):
+    """Marker type for error cells (t="e"): behaves as its string payload
+    but lets schema inference classify the column as string."""
+
+
+class WorkbookReader:
+    def __init__(self, source: str | bytes):
+        """``source``: path, or raw xlsx bytes (for in-memory use)."""
+        import io
+
+        if isinstance(source, bytes):
+            source = io.BytesIO(source)
+        self._zip = zipfile.ZipFile(source, "r")
+        self._sst = self._load_shared_strings()
+        self._date_styles = self._load_date_styles()
+        self.sheets = self._load_sheet_info()  # name -> zip entry path
+
+    # -- workbook metadata -------------------------------------------------
+
+    def sheet_names(self) -> list[str]:
+        return list(self.sheets)
+
+    def _read_entry(self, name: str) -> bytes | None:
+        try:
+            return self._zip.read(name)
+        except KeyError:
+            return None
+
+    def _load_shared_strings(self) -> list[str]:
+        raw = self._read_entry("xl/sharedStrings.xml")
+        if not raw:
+            return []
+        strings: list[str] = []
+        import io
+
+        current: list[str] = []
+        for event, elem in iterparse(io.BytesIO(raw), events=("start", "end")):
+            tag = elem.tag.rsplit("}", 1)[-1]
+            if event == "start" and tag == "si":
+                current = []
+            elif event == "end":
+                if tag == "t":
+                    current.append(elem.text or "")
+                elif tag == "si":
+                    strings.append("".join(current))
+                    elem.clear()
+        return strings
+
+    def _load_date_styles(self) -> frozenset[int]:
+        """Indices into cellXfs whose numFmt renders as a date/datetime."""
+        raw = self._read_entry("xl/styles.xml")
+        if not raw:
+            return frozenset()
+        import io
+
+        custom_date_fmts: set[int] = set()
+        date_xfs: set[int] = set()
+        xf_index = 0
+        in_cell_xfs = False
+        for event, elem in iterparse(io.BytesIO(raw), events=("start", "end")):
+            tag = elem.tag.rsplit("}", 1)[-1]
+            if event == "start":
+                if tag == "cellXfs":
+                    in_cell_xfs = True
+                elif tag == "numFmt":
+                    fmt_id = int(elem.get("numFmtId", "-1"))
+                    if ooxml.format_code_is_date(elem.get("formatCode", "")):
+                        custom_date_fmts.add(fmt_id)
+            elif event == "end":
+                if tag == "cellXfs":
+                    in_cell_xfs = False
+                elif tag == "xf" and in_cell_xfs:
+                    fmt_id = int(elem.get("numFmtId", "0"))
+                    if fmt_id in ooxml.BUILTIN_DATE_NUMFMTS or fmt_id in custom_date_fmts:
+                        date_xfs.add(xf_index)
+                    xf_index += 1
+        return frozenset(date_xfs)
+
+    def _load_sheet_info(self) -> dict[str, str]:
+        """sheet name -> worksheet entry path, via workbook.xml + rels
+        (reference load_sheet_info, streaming_reader.rs:422-514)."""
+        raw = self._read_entry("xl/workbook.xml")
+        if raw is None:
+            raise ValueError("not an xlsx workbook: missing xl/workbook.xml")
+        import io
+
+        rid_of_sheet: dict[str, str] = {}
+        for _, elem in iterparse(io.BytesIO(raw), events=("end",)):
+            if elem.tag.rsplit("}", 1)[-1] == "sheet":
+                rid = (
+                    elem.get(
+                        "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}id"
+                    )
+                    or elem.get("id")
+                )
+                rid_of_sheet[elem.get("name")] = rid
+        target_of_rid: dict[str, str] = {}
+        rels_raw = self._read_entry("xl/_rels/workbook.xml.rels")
+        if rels_raw:
+            for _, elem in iterparse(io.BytesIO(rels_raw), events=("end",)):
+                if elem.tag.rsplit("}", 1)[-1] == "Relationship":
+                    target = elem.get("Target", "")
+                    if not target.startswith("/"):
+                        target = "xl/" + target
+                    else:
+                        target = target.lstrip("/")
+                    target_of_rid[elem.get("Id")] = target
+        out: dict[str, str] = {}
+        for name, rid in rid_of_sheet.items():
+            path = target_of_rid.get(rid)
+            if path is None:  # fall back to conventional numbering
+                path = f"xl/worksheets/sheet{len(out) + 1}.xml"
+            out[name] = path
+        return out
+
+    # -- row streaming -----------------------------------------------------
+
+    def iter_rows(self, sheet: str | int = 0) -> Iterator[list]:
+        """Stream one sheet's rows as lists of typed Python values
+        (str | int | float | bool | datetime | ExcelError | None), gaps
+        filled with None (reference parse_row gap-filling,
+        streaming_reader.rs:630-633)."""
+        if isinstance(sheet, int):
+            try:
+                sheet = list(self.sheets)[sheet]
+            except IndexError:
+                raise ValueError(f"sheet index {sheet} out of range") from None
+        entry = self.sheets.get(sheet)
+        if entry is None:
+            raise ValueError(
+                f"sheet {sheet!r} not found; available: {list(self.sheets)}"
+            )
+        with self._zip.open(entry) as stream:
+            row: list = []
+            value_parts: list[str] = []
+            cell_type = None
+            cell_style = None
+            cell_col = 0
+            in_value = False
+            is_text_run = False
+            for event, elem in iterparse(stream, events=("start", "end")):
+                tag = elem.tag.rsplit("}", 1)[-1]
+                if event == "start":
+                    if tag == "c":
+                        ref = elem.get("r")
+                        cell_col = (
+                            ooxml.parse_cell_ref(ref)[1] if ref else len(row)
+                        )
+                        cell_type = elem.get("t")
+                        cell_style = elem.get("s")
+                        value_parts = []
+                    elif tag == "row":
+                        row = []
+                elif event == "end":
+                    if tag in ("v", "t"):
+                        if elem.text is not None:
+                            value_parts.append(elem.text)
+                        in_value = tag == "v"
+                        is_text_run = is_text_run or tag == "t"
+                    elif tag == "c":
+                        while len(row) < cell_col:
+                            row.append(None)
+                        row.append(
+                            self._typed_value(
+                                "".join(value_parts), cell_type, cell_style,
+                                had_text_run=is_text_run,
+                            )
+                        )
+                        value_parts = []
+                        is_text_run = False
+                        elem.clear()
+                    elif tag == "row":
+                        yield row
+                        elem.clear()
+
+    def _typed_value(self, raw: str, t: str | None, s: str | None, had_text_run: bool):
+        """Cell typing rules (reference parse_row, streaming_reader.rs:636-717,
+        with real numFmt-based date detection instead of style sniffing)."""
+        if t == "s":  # shared string
+            try:
+                return self._sst[int(raw)]
+            except (ValueError, IndexError):
+                return raw
+        if t == "inlineStr" or t == "str":
+            return raw
+        if t == "b":
+            return raw.strip() == "1"
+        if t == "e":
+            return ExcelError(raw)
+        if raw == "":
+            return raw if had_text_run else None
+        # untyped <v>: number, possibly a date by style
+        try:
+            num = float(raw)
+        except ValueError:
+            return raw
+        if s is not None:
+            try:
+                if int(s) in self._date_styles:
+                    converted = serial_to_datetime(num)
+                    if converted is not None:
+                        return converted
+            except ValueError:
+                pass
+        if num.is_integer() and "." not in raw and "e" not in raw.lower():
+            return int(raw)
+        return num
+
+    def dimensions(self, sheet: str | int = 0) -> tuple[int, int]:
+        """(n_rows, max_cols) by full scan (reference S6)."""
+        n_rows = 0
+        max_cols = 0
+        for row in self.iter_rows(sheet):
+            n_rows += 1
+            max_cols = max(max_cols, len(row))
+        return n_rows, max_cols
+
+    def close(self) -> None:
+        self._zip.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+# -- schema inference ------------------------------------------------------
+
+_SAFE_NAME_RE = re.compile(r"[^0-9a-zA-Z_]")
+
+
+def _merge_type(acc: str | None, value) -> str | None:
+    """Per-column type lattice: long < double; bool / timestamp / string
+    stand alone; any conflict -> string."""
+    if value is None:
+        return acc
+    if isinstance(value, bool):
+        new = "boolean"
+    elif isinstance(value, int):
+        new = "bigint"
+    elif isinstance(value, float):
+        new = "double"
+    elif isinstance(value, (dt.datetime, dt.date)):
+        new = "timestamp"
+    else:
+        new = "string"
+    if acc is None or acc == new:
+        return new
+    if {acc, new} == {"bigint", "double"}:
+        return "double"
+    return "string"
+
+
+def infer_schema(
+    rows: list[list],
+    header: bool = True,
+    infer_types: bool = True,
+) -> T.StructType:
+    """Infer a StructType from sampled rows (per-column lattice — a
+    deliberate improvement over the reference's per-cell typing)."""
+    if not rows:
+        return T.StructType([T.StructField("_c0", T.StringType())])
+    width = max(len(r) for r in rows)
+    if header and rows:
+        names = [
+            str(v) if v is not None else f"_c{i}"
+            for i, v in enumerate(rows[0] + [None] * (width - len(rows[0])))
+        ]
+        data = rows[1:]
+        seen: dict[str, int] = {}
+        for i, name in enumerate(names):  # disambiguate duplicate headers
+            if name in seen:
+                seen[name] += 1
+                names[i] = f"{name}_{seen[name]}"
+            else:
+                seen[name] = 0
+    else:
+        names = [f"_c{i}" for i in range(width)]
+        data = rows
+    fields = []
+    for ci in range(width):
+        acc: str | None = None
+        if infer_types:
+            for r in data:
+                if ci < len(r):
+                    acc = _merge_type(acc, r[ci])
+                    if acc == "string":
+                        break
+        fields.append(T.StructField(names[ci], _parse_type(acc or "string")))
+    return T.StructType(fields)
+
+
+def _parse_type(name: str) -> T.DataType:
+    return {
+        "bigint": T.LongType(),
+        "double": T.DoubleType(),
+        "boolean": T.BooleanType(),
+        # Excel cells carry no timezone -> NTZ (matches Spark 4's NTZ
+        # inference for unannotated parquet timestamps, so round-tripped
+        # tables keep their schema)
+        "timestamp": T.TimestampNTZType(),
+        "string": T.StringType(),
+    }[name]
+
+
+def coerce_row(row: list, schema: T.StructType) -> tuple:
+    """Pad/truncate + cast a typed-value row onto the declared schema
+    (lenient casts: reference CellValue::as_* semantics, types.rs:101-152)."""
+    out = []
+    n = len(schema.fields)
+    for ci in range(n):
+        v = row[ci] if ci < len(row) else None
+        out.append(_coerce(v, schema.fields[ci].dataType))
+    return tuple(out)
+
+
+_TRUE_WORDS = {"true", "yes", "1", "y", "t"}
+_FALSE_WORDS = {"false", "no", "0", "n", "f"}
+
+
+def _coerce(v, dtype: T.DataType):
+    if v is None:
+        return None
+    if isinstance(dtype, T.StringType):
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, dt.datetime):
+            return v.isoformat(sep=" ")
+        return str(v)
+    if isinstance(dtype, T.LongType) or isinstance(dtype, T.IntegerType):
+        if isinstance(v, bool):
+            return int(v)
+        if isinstance(v, (int, float)):
+            return int(v)
+        try:
+            return int(float(str(v).strip()))
+        except ValueError:
+            return None
+    if isinstance(dtype, T.DoubleType) or isinstance(dtype, T.FloatType):
+        if isinstance(v, (int, float)):
+            return float(v)
+        try:
+            return float(str(v).strip())
+        except ValueError:
+            return None
+    if isinstance(dtype, T.BooleanType):
+        if isinstance(v, bool):
+            return v
+        if isinstance(v, (int, float)):
+            return v != 0
+        w = str(v).strip().lower()
+        if w in _TRUE_WORDS:
+            return True
+        if w in _FALSE_WORDS:
+            return False
+        return None
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        if isinstance(v, dt.datetime):
+            return v
+        if isinstance(v, dt.date):
+            return dt.datetime(v.year, v.month, v.day)
+        if isinstance(v, (int, float)):
+            return serial_to_datetime(float(v))
+        try:
+            return dt.datetime.fromisoformat(str(v).strip())
+        except ValueError:
+            return None
+    if isinstance(dtype, T.DateType):
+        ts = _coerce(v, T.TimestampType())
+        return ts.date() if ts is not None else None
+    return v

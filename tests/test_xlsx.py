@@ -1,0 +1,262 @@
+"""XLSX source/sink tests — ports of the reference's round-trip suite
+(FIXTURES.md F1-F8 / reference tests/integration_test.rs) plus the
+Spark-specific surface (partitioned writes, schema inference, options)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import zipfile
+
+import pytest
+
+from pyspark.sql import functions as F, types as T
+
+from excelstream_spark.sources.xlsx import register_xlsx
+from excelstream_spark.sources.xlsx.dates import (
+    datetime_to_serial,
+    serial_to_datetime,
+)
+from excelstream_spark.sources.xlsx import ooxml
+from excelstream_spark.sources.xlsx.reader_core import WorkbookReader
+from excelstream_spark.sources.xlsx.writer_core import WorkbookWriter
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    register_xlsx(spark)
+
+
+# --- F8: serial-date vectors ---------------------------------------------
+
+DATE_VECTORS = {
+    1.0: "1900-01-01",
+    59.0: "1900-02-28",
+    60.0: "1900-02-28",  # fictitious leap day renders as 02-28
+    61.0: "1900-03-01",
+    25569.0: "1970-01-01",
+    36526.0: "2000-01-01",
+    43890.0: "2020-02-29",
+    44562.0: "2022-01-01",
+    45217.0: "2023-10-18",
+    73051.0: "2100-01-01",
+}
+
+
+def test_serial_date_vectors():
+    for serial, expected in DATE_VECTORS.items():
+        assert serial_to_datetime(serial).date().isoformat() == expected
+    for frac, hms in [(0.5, (12, 0, 0)), (0.25, (6, 0, 0)), (0.75, (18, 0, 0))]:
+        got = serial_to_datetime(44562.0 + frac)
+        assert (got.hour, got.minute, got.second) == hms
+    assert serial_to_datetime(0.5) is None       # below range
+    assert serial_to_datetime(2958466.5) is None  # above range
+
+
+def test_serial_inverse_roundtrip():
+    for serial in [1.0, 59.0, 61.0, 25569.0, 44562.75, 73051.0]:
+        assert abs(datetime_to_serial(serial_to_datetime(serial)) - serial) < 1e-9
+
+
+def test_serial_column_expressions(spark):
+    serials = [s for s in DATE_VECTORS if s != 60.0]  # 60 is non-invertible
+    df = spark.createDataFrame([(s,) for s in serials], "serial double")
+    from excelstream_spark.sources.xlsx.dates import (
+        excel_serial_to_timestamp,
+        timestamp_to_excel_serial,
+    )
+    out = df.select(
+        "serial",
+        excel_serial_to_timestamp(F.col("serial")).alias("ts"),
+    ).withColumn("back", timestamp_to_excel_serial(F.col("ts")))
+    for row in out.collect():
+        assert row["ts"].date().isoformat() == DATE_VECTORS[row["serial"]]
+        assert abs(row["back"] - row["serial"]) < 1e-9
+
+
+# --- F2: typed row round-trip --------------------------------------------
+
+def test_typed_roundtrip(spark, tmp_path):
+    schema = T.StructType([
+        T.StructField("name", T.StringType()),
+        T.StructField("age", T.LongType()),
+        T.StructField("amount", T.DoubleType()),
+        T.StructField("active", T.BooleanType()),
+        T.StructField("joined", T.TimestampNTZType()),
+        T.StructField("note", T.StringType()),
+    ])
+    rows = [
+        ("Alice", 30, 1234.56, True, dt.datetime(2023, 1, 1, 12, 0, 0), None),
+        ("Bob", -1, -0.5, False, dt.datetime(1995, 6, 15, 23, 59, 59), ""),
+        (None, None, None, None, None, "x"),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    out = str(tmp_path / "typed")
+    df.coalesce(1).write.mode("overwrite").format("xlsx").save(out)
+    back = spark.read.format("xlsx").load(out)
+    assert [f.dataType for f in back.schema.fields] == [
+        f.dataType for f in schema.fields
+    ]
+    got = sorted([tuple(r) for r in back.collect()], key=repr)
+    want = sorted(rows, key=repr)
+    assert got == want
+
+
+# --- F4: special chars / unicode -----------------------------------------
+
+def test_special_chars_roundtrip(spark, tmp_path):
+    rows = [
+        ("Text with <xml> tags",),
+        ('Quote: "Hello"',),
+        ("Ampersand: & Apostrophe: '",),
+        ("Emoji: 😀🎉 Ñoño ∑∏∫ €£¥ ID бизнес-аккаунта",),
+        ("A" * 10_000,),
+        ("tab\tand\nnewline",),
+    ]
+    df = spark.createDataFrame(rows, "s string")
+    out = str(tmp_path / "special")
+    df.coalesce(1).write.mode("overwrite").format("xlsx").save(out)
+    got = {r["s"] for r in spark.read.format("xlsx").load(out).collect()}
+    assert got == {r[0] for r in rows}
+
+
+# --- F3: 1000-row stream + partitioned write ------------------------------
+
+def test_partitioned_stream_roundtrip(spark, tmp_path):
+    df = spark.range(1000).select(
+        F.col("id").alias("ID"),
+        F.concat(F.lit("Name_"), F.col("id")).alias("Name"),
+        (F.col("id") * 100).alias("Value"),
+    )
+    out = str(tmp_path / "stream")
+    df.repartition(8).write.mode("overwrite").format("xlsx").save(out)
+    back = spark.read.format("xlsx").load(out)
+    assert back.count() == 1000
+    assert back.agg(F.sum("Value")).first()[0] == sum(i * 100 for i in range(1000))
+
+
+# --- F5: multi-sheet ------------------------------------------------------
+
+def test_multi_sheet_workbook(tmp_path):
+    p = str(tmp_path / "multi.xlsx")
+    with WorkbookWriter(p) as wb:
+        wb.add_sheet("Sales")
+        wb.write_row(["Jan", 1000])
+        wb.add_sheet("Данные")
+        wb.write_row(["я", 2])
+        wb.add_sheet("数据")
+        wb.write_row(["中", 3])
+    with WorkbookReader(p) as rb:
+        assert rb.sheet_names() == ["Sales", "Данные", "数据"]
+        assert list(rb.iter_rows("数据")) == [["中", 3]]
+
+
+def test_sheet_selection_options(spark, tmp_path):
+    p = str(tmp_path / "sheets.xlsx")
+    with WorkbookWriter(p) as wb:
+        wb.add_sheet("A")
+        wb.write_row(["col"])
+        wb.write_row(["a"])
+        wb.add_sheet("B")
+        wb.write_row(["col"])
+        wb.write_row(["b1"])
+        wb.write_row(["b2"])
+    assert spark.read.format("xlsx").option("sheetName", "B").load(p).count() == 2
+    assert spark.read.format("xlsx").option("sheetIndex", 1).load(p).count() == 2
+    assert spark.read.format("xlsx").load(p).count() == 1
+
+
+# --- writer options -------------------------------------------------------
+
+def test_compression_levels(spark, tmp_path):
+    df = spark.range(2000).select(F.concat(F.lit("v" * 50), F.col("id")).alias("s"))
+    sizes = {}
+    for level in (0, 1, 9):
+        out = str(tmp_path / f"c{level}")
+        df.coalesce(1).write.mode("overwrite").format("xlsx").option("compression", level).save(out)
+        part = next(f for f in (tmp_path / f"c{level}").iterdir() if f.suffix == ".xlsx")
+        sizes[level] = part.stat().st_size
+        assert spark.read.format("xlsx").load(out).count() == 2000
+    assert sizes[0] > sizes[1] > 0
+    assert sizes[9] <= sizes[1]
+
+
+def test_shared_strings_mode(spark, tmp_path):
+    df = spark.createDataFrame([("dup",)] * 100 + [("uniq",)], "s string")
+    out = str(tmp_path / "sst")
+    df.coalesce(1).write.mode("overwrite").format("xlsx").option("useSharedStrings", True).save(out)
+    part = next(f for f in (tmp_path / "sst").iterdir() if f.suffix == ".xlsx")
+    sst = zipfile.ZipFile(part).read("xl/sharedStrings.xml").decode()
+    assert 'uniqueCount="3"' in sst  # header + dup + uniq
+    assert spark.read.format("xlsx").load(out).count() == 101
+
+
+def test_sheet_protection_and_password_hash(spark, tmp_path):
+    out = str(tmp_path / "prot")
+    spark.createDataFrame([("x",)], "s string").coalesce(1).write.mode("overwrite").format("xlsx").option("sheetProtectPassword", "test123").save(out)
+    part = next(f for f in (tmp_path / "prot").iterdir() if f.suffix == ".xlsx")
+    sheet = zipfile.ZipFile(part).read("xl/worksheets/sheet1.xml").decode()
+    assert f'password="{ooxml.password_hash("test123")}"' in sheet
+    assert len(ooxml.password_hash("abc")) == 4
+
+
+def test_single_file_mode_rejects_multi_partition(spark, tmp_path):
+    df = spark.range(10).repartition(2)
+    with pytest.raises(Exception):
+        df.write.mode("overwrite").format("xlsx").option("singleFile", True).save(
+            str(tmp_path / "bad.xlsx")
+        )
+
+
+def test_header_false_positional_columns(spark, tmp_path):
+    out = str(tmp_path / "nohdr")
+    spark.createDataFrame([(1, "a")], "x long, s string").coalesce(1).write.mode("overwrite").format("xlsx").option("header", False).save(out)
+    back = spark.read.format("xlsx").option("header", False).load(out)
+    assert back.columns == ["_c0", "_c1"]
+    assert back.count() == 1
+
+
+# --- inference / coercion -------------------------------------------------
+
+def test_mixed_int_float_promotes_to_double(spark, tmp_path):
+    p = str(tmp_path / "mix.xlsx")
+    with WorkbookWriter(p) as wb:
+        wb.add_sheet("S")
+        wb.write_row(["n"])
+        wb.write_row([1])
+        wb.write_row([2.5])
+    back = spark.read.format("xlsx").load(p)
+    assert dict(back.dtypes)["n"] == "double"
+    assert {r["n"] for r in back.collect()} == {1.0, 2.5}
+
+
+def test_user_schema_lenient_casts(spark, tmp_path):
+    p = str(tmp_path / "casts.xlsx")
+    with WorkbookWriter(p) as wb:
+        wb.add_sheet("S")
+        wb.write_row(["i", "b", "f"])
+        wb.write_row(["42", "yes", "3.5"])
+        wb.write_row(["oops", "no", "x"])
+    schema = "i long, b boolean, f double"
+    back = spark.read.format("xlsx").schema(schema).load(p)
+    rows = sorted([tuple(r) for r in back.collect()], key=repr)
+    assert rows == sorted([(42, True, 3.5), (None, False, None)], key=repr)
+
+
+def test_excel_row_ceiling_autosplit(tmp_path):
+    p = str(tmp_path / "big.xlsx")
+    from excelstream_spark.sources.xlsx import writer_core
+
+    old = writer_core.EXCEL_MAX_ROWS
+    writer_core.EXCEL_MAX_ROWS = 100  # shrink the ceiling for the test
+    try:
+        with WorkbookWriter(p) as wb:
+            wb.add_sheet("S")
+            for i in range(250):
+                wb.write_row([i])
+    finally:
+        writer_core.EXCEL_MAX_ROWS = old
+    with WorkbookReader(p) as rb:
+        names = rb.sheet_names()
+        assert len(names) == 3  # 100 + 100 + 50
+        total = sum(len(list(rb.iter_rows(s))) for s in names)
+        assert total == 250
