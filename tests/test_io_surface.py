@@ -1,0 +1,152 @@
+"""Cloud/HTTP/converter/append/streaming surface tests."""
+
+from __future__ import annotations
+
+import gzip
+import io
+import zipfile
+
+from pyspark.sql import functions as F
+
+from excelstream_spark.sources import converters, http
+from excelstream_spark.sources.cloud import (
+    ReplicateStats,
+    configure_s3,
+    plan_strategy,
+)
+from excelstream_spark.sources.xlsx import register_xlsx
+from excelstream_spark.sources.xlsx.reader_core import WorkbookReader
+from excelstream_spark.streaming import (
+    events_stream,
+    hourly_windowed_counts,
+    run_available_now,
+    sessionized_windows,
+)
+from excelstream_spark.tables import load_table, table_path
+
+from .conftest import SF_DIR
+
+
+def test_configure_s3_sets_hadoop_confs(spark):
+    configure_s3(
+        spark,
+        access_key="AK",
+        secret_key="SK",
+        endpoint="http://minio:9000",
+        region="us-east-1",
+        path_style_access=True,
+    )
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    assert conf.get("fs.s3a.access.key") == "AK"
+    assert conf.get("fs.s3a.endpoint") == "http://minio:9000"
+    assert conf.get("fs.s3a.path.style.access") == "true"
+    assert conf.get("fs.s3a.fast.upload") == "true"
+
+
+def test_replicate_strategy_planning():
+    assert plan_strategy(None, None, "us-east-1", "us-east-1") == "server_side"
+    assert plan_strategy("a", "b", None, None) == "streaming"
+    assert plan_strategy(None, None, "us-east-1", "eu-west-1") == "streaming"
+    stats = ReplicateStats(bytes_transferred=10 * 1024 * 1024, seconds=2.0)
+    assert stats.mb_per_sec == 5.0
+
+
+def test_http_xlsx_bytes(spark):
+    df = load_table(spark, SF_DIR, "nation")
+    data = http.dataframe_to_xlsx_bytes(df, sheet_name="Nations")
+    wb = WorkbookReader(data)
+    assert wb.sheet_names() == ["Nations"]
+    rows = list(wb.iter_rows("Nations"))
+    assert rows[0] == ["n_nationkey", "n_name", "n_regionkey"]
+    assert len(rows) == 1 + df.count()
+    headers = http.http_response_headers("x.xlsx", http.XLSX_CONTENT_TYPE)
+    assert "attachment" in headers["Content-Disposition"]
+
+
+def test_http_csv_bytes_gzip(spark):
+    df = load_table(spark, SF_DIR, "region")
+    data = http.dataframe_to_csv_bytes(df, gzip_compress=True)
+    text = gzip.decompress(data).decode()
+    assert text.splitlines()[0] == "r_regionkey,r_name"
+    assert len(text.splitlines()) == 1 + df.count()
+
+
+def test_http_max_rows_guard(spark):
+    df = load_table(spark, SF_DIR, "customer")
+    try:
+        http.dataframe_to_xlsx_bytes(df, max_rows=5)
+        raise AssertionError("expected ResultTooLargeError")
+    except http.ResultTooLargeError as e:
+        assert "presigned" in str(e)
+
+
+def test_parquet_excel_parquet_cycle(spark, tmp_path):
+    src = table_path(SF_DIR, "supplier")
+    x = str(tmp_path / "sup_xlsx")
+    p = str(tmp_path / "sup_parquet")
+    converters.parquet_to_excel(spark, src, x)
+    converters.excel_to_parquet(spark, x, p)
+    orig = spark.read.parquet(src)
+    back = spark.read.parquet(p)
+    assert back.count() == orig.count()
+    assert set(back.columns) == set(orig.columns)
+    assert (
+        back.agg(F.sum("s_acctbal")).first()[0] == orig.agg(F.sum("s_acctbal")).first()[0]
+    )
+
+
+def test_append_to_workbook(spark, tmp_path):
+    register_xlsx(spark)
+    p = str(tmp_path / "wb.xlsx")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    df1.coalesce(1).write.mode("overwrite").format("xlsx").option(
+        "singleFile", True
+    ).save(p)
+    df2 = spark.createDataFrame([(3, "c")], "id long, s string")
+    converters.append_to_workbook(spark, df2, p)
+    back = spark.read.format("xlsx").load(p)
+    assert sorted(r["id"] for r in back.collect()) == [1, 2, 3]
+
+
+def test_write_sheets_multi_table(spark, tmp_path):
+    p = str(tmp_path / "multi.xlsx")
+    converters.write_sheets(
+        {
+            "Regions": load_table(spark, SF_DIR, "region"),
+            "Nations": load_table(spark, SF_DIR, "nation"),
+        },
+        p,
+    )
+    with WorkbookReader(p) as wb:
+        assert wb.sheet_names() == ["Regions", "Nations"]
+        assert len(list(wb.iter_rows("Nations"))) == 26  # header + 25
+
+
+def test_streaming_hourly_matches_batch(spark):
+    stream = events_stream(spark, table_path(SF_DIR, "events"))
+    assert stream.isStreaming
+    result = run_available_now(
+        hourly_windowed_counts(stream), "hourly_test", output_mode="complete"
+    )
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    got = {
+        (str(r["hour"]), r["event_type"]): r["n_events"] for r in result.collect()
+    }
+    want = {
+        (str(r["hour"]), r["event_type"]): r["n_events"] for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_streaming_sessionize_runs(spark):
+    stream = events_stream(spark, table_path(SF_DIR, "events"))
+    result = run_available_now(
+        sessionized_windows(stream), "sessions_test", output_mode="complete"
+    )
+    rows = result.collect()
+    assert len(rows) > 0
+    assert all(r["session_end"] >= r["session_start"] for r in rows)
