@@ -35,6 +35,8 @@ from pyspark.sql import functions as F
 
 from excelstream_spark.functions import text as TXT
 from excelstream_spark.functions import vectors as VEC
+from excelstream_spark.operators import vectorized as VZ
+from excelstream_spark.partitioning import fan_out
 
 
 def dedup_exact(
@@ -62,14 +64,24 @@ def shingle_sets(
     k: int = 3,
 ) -> DataFrame:
     """(id, sh: array<string>, n: int) — distinct k-shingle set per doc.
-    Documents with no shingles (fewer than k tokens) are dropped."""
+    Documents with no shingles (fewer than k tokens) are dropped.
+    Plan shape matters here (measured 5x+ at sf0.1):
+
+    * the short-doc filter is expressed on the CHEAP token count, before
+      shingling — a filter on the shingle array itself gets pushed below
+      the repartition by Catalyst and re-evaluates the whole (unshared)
+      shingle expression per row on the unfanned input;
+    * tokens are materialized into their own projection before the
+      shingle transform (functions/text.py:shingles_from_tokens);
+    * the input is fanned out to full parallelism (no-op at scale).
+
+    ``size(tokens) >= k`` guarantees >= 1 shingle, so no post-filter is
+    needed."""
+    df = fan_out(df.filter(F.size(TXT.tokens(F.col(text_col))) >= k))
     return (
-        df.select(
-            F.col(id_col).alias("id"),
-            TXT.distinct_shingles(F.col(text_col), k).alias("sh"),
-        )
+        df.select(F.col(id_col).alias("id"), TXT.tokens(F.col(text_col)).alias("t"))
+        .select("id", F.array_distinct(TXT.shingles_from_tokens(F.col("t"), k)).alias("sh"))
         .withColumn("n", F.size("sh"))
-        .filter(F.col("n") > 0)
     )
 
 
@@ -93,7 +105,10 @@ def dedup_ngram_jaccard(
     jaccard = |A∩B| / |A∪B| >= threshold.
     """
     sets_ = shingle_sets(df, text_col, id_col, k)
-    ex = sets_.select("id", "n", F.explode("sh").alias("s"))
+    # persisted: both sides of the inverted-index self-join read this —
+    # without it the whole shingle pipeline executes twice (at 100 TB the
+    # equivalent is materializing the posting list to storage once).
+    ex = sets_.select("id", "n", F.explode("sh").alias("s")).persist()
     if max_shingle_df is not None:
         keep = ex.groupBy("s").count().filter(F.col("count") <= max_shingle_df)
         ex = ex.join(F.broadcast(keep.select("s")), "s")
@@ -125,15 +140,31 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sh, sig: array<bigint>) — minhash signature per document.
 
-    Hash family: sig[i] = min over shingles s of xxhash64(i, s) — one
-    64-bit hash per (permutation, shingle), all inside codegen.
+    Execution shape: explode shingles to (id, h) rows, then ONE hash
+    aggregation with num_hashes ``min(xxhash64(i, h))`` columns — every
+    per-row expression a codegen'd scalar, so the whole O(docs x
+    shingles x hashes) loop stays in HashAggregate codegen.  (Folding
+    ``collect_set(sh)`` into the same aggregation was tried and is 2x
+    WORSE: a typed-imperative aggregate downgrades the operator to
+    ObjectHashAggregate, de-codegening all 128 mins.)  The shingle set
+    is persisted and joined back instead, so shingling runs exactly
+    once; at 100 TB the persist is the posting-list materialization any
+    minhash pipeline does.
     """
-    sets_ = shingle_sets(df, text_col, id_col, k)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(F.transform(F.col("sh"), lambda s: F.xxhash64(i, s))),
+    sets_ = shingle_sets(df, text_col, id_col, k).persist()
+    ex = sets_.select("id", F.explode("sh").alias("s")).withColumn(
+        "h", F.xxhash64("s")
     )
-    return sets_.withColumn("sig", sig)
+    mins = ex.groupBy("id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"_m{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    sigs = mins.select(
+        "id", F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("sig")
+    )
+    return sets_.join(sigs, "id").select("id", "sh", "n", "sig")
 
 
 def dedup_minhash_lsh(
@@ -219,6 +250,7 @@ def simhash_signatures(
     bit b of the signature = sign of sum over tokens of ±1 depending on
     bit b of xxhash64(token).  Pure nested higher-order expressions.
     """
+    df = fan_out(df)
     toks = F.array_distinct(TXT.tokens(F.col(text_col)))
     th = F.transform(toks, lambda t: F.xxhash64(t))
     # one aggregate per bit; bit masks are Python-side constants (bit 63 is
@@ -295,20 +327,16 @@ def dedup_embedding_cosine(
 ) -> DataFrame:
     """Exact cosine near-dup pairs above threshold.
 
-    This is the small/medium-corpus exact path (O(n^2) pairs): at 100 TB
-    use the LSH-bucketed variant in operators/similarity.py to generate
-    candidates first.  Norms are precomputed before the self-join so each
-    pair costs one dot product.
+    Streamed-matmul self-join (operators/vectorized.py): one copy of the
+    corpus is collected + broadcast as the reference matrix, the other
+    streams through Arrow-batched BLAS, emitting only above-threshold
+    (id_a < id_b) pairs.  The broadcast copy bounds this exact path to
+    ~1M x 64-dim per executor; beyond that, generate candidates with the
+    LSH/IVF operators in operators/similarity.py first.  Scores are
+    rounded to 6 decimals (absorbs BLAS-vs-serial summation-order ulps;
+    the oracle rounds identically).
     """
-    with_norm = emb.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), VEC.norm(F.col(vec_col)).alias("nrm")
+    pairs = VZ.pairs_above_threshold(
+        emb, None, vec_col=vec_col, id_col=id_col, threshold=threshold, upper_triangle=True
     )
-    a = with_norm.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
-    b = with_norm.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
-    cos = VEC.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", cos)
-        .filter(F.col("cos_sim") > threshold)
-        .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim_r"))
-    )
+    return pairs.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim_r"))

@@ -2,37 +2,35 @@
 
 Three tiers:
 
-1. ``cosine_topk_bruteforce`` — exact top-k, JVM-side expressions.  The
-   baseline and the oracle-checkable path.  Cost: |queries| x |corpus|
-   dot products; right answer when the query set is small (broadcast the
-   queries, stream the corpus — scales to any corpus size).
-2. ``ivf_topk`` — IVF-style approximate search: partition the corpus into
-   Voronoi cells around deterministic seed centroids, search only the
-   ``n_probe`` cells nearest the query.  The 100 TB path: candidate set
-   shrinks by ~|cells|/n_probe, everything stays a DataFrame join.
-3. ``lsh_bucket_candidates`` — random-hyperplane LSH bucketing shared with
-   dedup; candidate generation without any pairwise pass.
+1. ``cosine_topk_bruteforce`` — exact top-k: broadcast the (small) query
+   matrix, stream the corpus through Arrow-batched BLAS matmuls
+   (operators/vectorized.py), per-partition top-k, one tiny global
+   merge.  Scales to any corpus size; the oracle-checked path.
+2. ``ivf_topk`` — IVF approximate search: assign corpus vectors to
+   Voronoi cells around deterministic seed centroids (one streamed
+   matmul), shuffle once by cell, then probe only the ``n_probe`` cells
+   nearest each query with a per-cell cogrouped matmul.  The 100 TB
+   path: per-query work shrinks by ~n_probe/|cells| and the index build
+   is one pass + one shuffle.
+3. ``lsh_bucket_candidates`` — random-hyperplane LSH bucketing shared
+   with dedup; candidate generation without any pairwise pass.
 
-numpy/Pandas-UDF scoring is deliberately NOT used on the oracle-checked
-path: numpy's pairwise summation changes float results vs left-to-right
-aggregation; determinism wins here and `zip_with`+`aggregate` is already
-codegen'd.
+Float note: BLAS summation order differs from a serial fold by O(1 ulp);
+all published scores are rounded to 6 decimals, which absorbs it (the
+DuckDB oracles round identically).
 """
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
-from excelstream_spark.functions import vectors as VEC
-
-
-def _with_norm(emb: DataFrame, vec_col: str, id_col: str) -> DataFrame:
-    return emb.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        VEC.norm(F.col(vec_col)).alias("nrm"),
-    )
+from excelstream_spark.operators import vectorized as VZ
 
 
 def cosine_topk_bruteforce(
@@ -44,31 +42,31 @@ def cosine_topk_bruteforce(
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
-    The query side is broadcast (small by construction); the corpus
-    streams through executors — one shuffle for the per-query top-k
-    window.  Self-matches (same id) are excluded.
+    Query side broadcast (small by construction); corpus streams through
+    executors; one shuffle of partition-local winners for the global
+    merge.  Self-matches excluded.  Ties break by ascending neighbor id.
 
     Returns (query_id, neighbor_id, rank, cos_sim_r).
     """
-    c = _with_norm(corpus, vec_col, id_col)
-    q = _with_norm(queries, vec_col, id_col).select(
-        F.col("id").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    top = VZ.topk_against_broadcast(
+        corpus, queries, vec_col=vec_col, id_col=id_col, k=k, exclude_self=True
     )
-    cos = VEC.dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("id") != F.col("qid"))
-        .select(
-            F.col("qid").alias("query_id"),
-            F.col("id").alias("neighbor_id"),
-            cos.alias("cos_sim"),
-        )
+    return top.select(
+        "query_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_sim_r")
     )
-    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_sim_r"))
+
+
+def seed_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_every: int = 50,
+) -> DataFrame:
+    """Deterministic IVF seeds: every ``centroid_every``-th vector by id.
+    (A trained k-means via pyspark.ml drops in here unchanged; seeded
+    centroids keep the operator deterministic for testing.)"""
+    return corpus.filter((F.col(id_col) % centroid_every) == 0).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
     )
 
 
@@ -78,27 +76,13 @@ def assign_ivf_cells(
     id_col: str = "vec_id",
     centroid_every: int = 50,
 ) -> tuple[DataFrame, DataFrame]:
-    """Deterministic IVF index: every ``centroid_every``-th vector (by id)
-    seeds a cell; each corpus vector joins its nearest centroid.
-
-    (A trained k-means via pyspark.ml would drop in here unchanged; seeded
-    centroids keep the operator deterministic for testing.)
-
-    Returns (centroids(cid, cv), assigned(id, v, nrm, cid)).
-    """
-    c = _with_norm(corpus, vec_col, id_col)
-    centroids = c.filter((F.col("id") % centroid_every) == 0).select(
-        F.col("id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
-    )
-    cos = VEC.dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
-    w = W.partitionBy("id").orderBy(F.col("cell_sim").desc(), F.col("cid"))
-    assigned = (
-        c.crossJoin(F.broadcast(centroids))
-        .withColumn("cell_sim", cos)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("id", "v", "nrm", "cid")
-    )
+    """IVF index build: nearest-centroid assignment as ONE streamed matmul
+    against the broadcast centroid matrix (no crossJoin, no n x cells
+    shuffle).  Returns (centroids(cid, cv), assigned(id, v, cid))."""
+    centroids = seed_centroids(corpus, vec_col, id_col, centroid_every)
+    assigned = VZ.nearest_against_broadcast(
+        corpus, centroids, vec_col=vec_col, id_col=id_col, n_nearest=1, carry_vec=True
+    ).select("id", F.col("v"), "cid")
     return centroids, assigned
 
 
@@ -111,40 +95,70 @@ def ivf_topk(
     centroid_every: int = 50,
     n_probe: int = 3,
 ) -> DataFrame:
-    """Approximate top-k: probe only the n_probe nearest IVF cells per
-    query.  At scale the assigned corpus is partitioned by cell (cluster
-    pruning — each query touches n_probe/|cells| of the data).
+    """Approximate top-k: probe the ``n_probe`` nearest IVF cells per
+    query; score each probed cell with a cogrouped per-cell matmul (the
+    shuffle key is the cell id — at scale the index lives pre-partitioned
+    by cell, so probing touches n_probe/|cells| of the data).
 
     Returns (query_id, neighbor_id, rank, cos_sim_r) — approximate, so
     rows-only checked (recall vs bruteforce asserted in unit tests).
     """
     centroids, assigned = assign_ivf_cells(corpus, vec_col, id_col, centroid_every)
-    q = _with_norm(queries, vec_col, id_col).select(
-        F.col("id").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    probes = VZ.nearest_against_broadcast(
+        queries, centroids, vec_col=vec_col, id_col=id_col, n_nearest=n_probe, carry_vec=True
+    ).select(F.col("id").alias("qid"), F.col("v").alias("qv"), "cid")
+
+    out_schema = StructType(
+        [
+            StructField("query_id", corpus.schema[id_col].dataType),
+            StructField("neighbor_id", corpus.schema[id_col].dataType),
+            StructField("cos_sim", DoubleType()),
+        ]
     )
-    qcos = VEC.dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
-    wq = W.partitionBy("qid").orderBy(F.col("c_sim").desc(), F.col("cid"))
-    probes = (
-        q.crossJoin(F.broadcast(centroids))
-        .withColumn("c_sim", qcos)
-        .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= n_probe)
-        .select("qid", "qv", "qn", "cid")
-    )
-    cos = VEC.dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
-    w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("id"))
-    return (
-        probes.join(assigned, "cid")
-        .filter(F.col("id") != F.col("qid"))
-        .withColumn("cos_sim", cos)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("qid").alias("query_id"),
-            F.col("id").alias("neighbor_id"),
-            "rank",
-            F.round("cos_sim", 6).alias("cos_sim_r"),
+
+    def score_cell(probes_pdf: pd.DataFrame, members_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(probes_pdf) == 0 or len(members_pdf) == 0:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cos_sim": []})
+        Q = np.stack([np.asarray(v, dtype=np.float64) for v in probes_pdf["qv"]])
+        C = np.stack([np.asarray(v, dtype=np.float64) for v in members_pdf["v"]])
+        qids = probes_pdf["qid"].to_numpy()
+        cids = members_pdf["id"].to_numpy()
+        qn = np.linalg.norm(Q, axis=1)
+        cn = np.linalg.norm(C, axis=1)
+        qn[qn == 0.0] = 1.0
+        cn[cn == 0.0] = 1.0
+        S = (C / cn[:, None]) @ (Q / qn[:, None]).T  # members x queries
+        S[cids[:, None] == qids[None, :]] = -np.inf
+        kk = min(k, S.shape[0])
+        out = []
+        for j in range(len(qids)):
+            col = S[:, j]
+            if S.shape[0] > kk:
+                part = np.argpartition(-col, kk - 1)[:kk]
+                cand = np.nonzero(col >= col[part].min())[0]
+            else:
+                cand = np.arange(S.shape[0])
+            order = cand[np.lexsort((cids[cand], -col[cand]))][:kk]
+            order = order[col[order] > -np.inf]
+            out.append(
+                pd.DataFrame(
+                    {"query_id": qids[j], "neighbor_id": cids[order], "cos_sim": col[order]}
+                )
+            )
+        return pd.concat(out) if out else pd.DataFrame(
+            {"query_id": [], "neighbor_id": [], "cos_sim": []}
         )
+
+    per_cell = (
+        probes.groupBy("cid")
+        .cogroup(assigned.groupBy("cid"))
+        .applyInPandas(score_cell, out_schema)
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        per_cell.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_sim_r"))
     )
 
 
