@@ -15,6 +15,13 @@ target path as one workbook — the Excel-openable mode.
 
 Options (read):  sheetName | sheetIndex, header (default true),
   inferSchema (default true), samplingRows (default 200)
+
+The reader implements ``pushFilters`` (Spark 4.1 Python Data Source
+filter pushdown): comparison / null / IN / string-match predicates are
+evaluated during row parsing, so filtered-out rows never cross the
+Arrow boundary — the xlsx analogue of parquet PushedFilters.  Requires
+``spark.sql.python.filterPushdown.enabled=true`` (set by our session
+factory).
 Options (write): sheetName, header (default true), compression (0-9,
   default 6), useSharedStrings, sheetProtectPassword, singleFile,
   maxRowsPerSheet (default 1,048,576 -> auto-split)
@@ -30,7 +37,20 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceWriter,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
     InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+    Not,
+    StringContains,
+    StringEndsWith,
+    StringStartsWith,
     WriterCommitMessage,
 )
 from pyspark.sql import types as T
@@ -67,6 +87,86 @@ def _list_xlsx_files(path: str) -> list[str]:
     if not files:
         raise FileNotFoundError(path)
     return files
+
+
+#: Filter classes the xlsx reader can evaluate worker-side.  Pushing these
+#: into the scan avoids materializing + Arrow-shipping rows Spark would
+#: immediately drop — the xlsx analogue of parquet PushedFilters (SURVEY §4:
+#: "optional niceties (a)/(b)").  Evaluation uses SQL three-valued logic so
+#: accepted filters are EXACTLY as strict as Spark's own post-scan filter.
+_COMPARISONS = {
+    EqualTo: lambda a, b: a == b,
+    GreaterThan: lambda a, b: a > b,
+    GreaterThanOrEqual: lambda a, b: a >= b,
+    LessThan: lambda a, b: a < b,
+    LessThanOrEqual: lambda a, b: a <= b,
+}
+
+
+def _compile_filter(flt: Filter, col_idx: dict[str, int]):
+    """-> row-predicate returning True/False/None (SQL unknown), or None
+    if the filter is not supported and must be left to Spark."""
+    if isinstance(flt, Not):
+        inner = _compile_filter(flt.child, col_idx)
+        if inner is None:
+            return None
+        return lambda row: (lambda v: None if v is None else not v)(inner(row))
+
+    attr = getattr(flt, "attribute", None)
+    if attr is None or len(attr) != 1 or attr[0] not in col_idx:
+        return None
+    i = col_idx[attr[0]]
+
+    if isinstance(flt, IsNull):
+        return lambda row: row[i] is None
+    if isinstance(flt, IsNotNull):
+        return lambda row: row[i] is not None
+
+    if type(flt) in _COMPARISONS:
+        op, val = _COMPARISONS[type(flt)], flt.value
+        if val is None:
+            return None
+
+        def cmp(row, op=op, val=val):
+            v = row[i]
+            if v is None:
+                return None
+            try:
+                return op(v, val)
+            except TypeError:  # incomparable types: let Spark decide
+                return None
+
+        return cmp
+
+    if isinstance(flt, In):
+        vals = tuple(v for v in flt.value if v is not None)
+        has_null = len(vals) != len(flt.value)
+        def contains(row):
+            v = row[i]
+            if v is None:
+                return None
+            if v in vals:
+                return True
+            return None if has_null else False
+        return contains
+
+    if isinstance(flt, (StringStartsWith, StringEndsWith, StringContains)):
+        val = flt.value
+        fn = {
+            StringStartsWith: str.startswith,
+            StringEndsWith: str.endswith,
+            StringContains: str.__contains__,
+        }[type(flt)]
+        def strpred(row):
+            v = row[i]
+            if v is None:
+                return None
+            if not isinstance(v, str):
+                return None
+            return fn(v, val)
+        return strpred
+
+    return None
 
 
 class XlsxPartition(InputPartition):
@@ -120,6 +220,19 @@ class XlsxReader(DataSourceReader):
         self.sheet_name = options.get("sheetname")
         self.sheet_index = options.get("sheetindex")
         self.all_sheets = _truthy(options.get("allsheets"), False)
+        self._predicates = []
+
+    def pushFilters(self, filters):
+        """Accept every filter we can evaluate exactly; yield the rest back
+        to Spark.  (Spark removes accepted filters from its post-scan
+        Filter, so acceptance is a correctness contract, not a hint.)"""
+        col_idx = {f.name: i for i, f in enumerate(self.schema_.fields)}
+        for flt in filters:
+            pred = _compile_filter(flt, col_idx)
+            if pred is None:
+                yield flt
+            else:
+                self._predicates.append(pred)
 
     def partitions(self):
         parts = []
@@ -138,13 +251,16 @@ class XlsxReader(DataSourceReader):
         return parts
 
     def read(self, partition: XlsxPartition):
+        preds = self._predicates
         with WorkbookReader(partition.file) as wb:
             first = self.header
             for row in wb.iter_rows(partition.sheet):
                 if first:
                     first = False
                     continue
-                yield coerce_row(row, self.schema_)
+                out = coerce_row(row, self.schema_)
+                if all(p(out) is True for p in preds):
+                    yield out
 
 
 class XlsxCommitMessage(WriterCommitMessage):

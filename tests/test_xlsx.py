@@ -20,6 +20,8 @@ from excelstream_spark.sources.xlsx import ooxml
 from excelstream_spark.sources.xlsx.reader_core import WorkbookReader
 from excelstream_spark.sources.xlsx.writer_core import WorkbookWriter
 
+from .conftest import SF_DIR
+
 
 @pytest.fixture(scope="module", autouse=True)
 def _register(spark):
@@ -260,3 +262,50 @@ def test_excel_row_ceiling_autosplit(tmp_path):
         assert len(names) == 3  # 100 + 100 + 50
         total = sum(len(list(rb.iter_rows(s))) for s in names)
         assert total == 250
+
+
+def test_filter_pushdown_matches_post_scan(spark, tmp_path):
+    """Accepted pushFilters must be EXACTLY as strict as Spark's own
+    filter (acceptance removes the post-scan Filter) — compare xlsx-with-
+    pushdown against the parquet original for every supported shape."""
+    from pyspark.sql import functions as F
+
+    src = spark.read.parquet(f"{SF_DIR}/orders.parquet").limit(500)
+    p = str(tmp_path / "orders_x")
+    src.write.format("xlsx").mode("overwrite").save(p)
+    df = spark.read.format("xlsx").load(p)
+
+    cases = [
+        lambda t: t.filter(F.col("o_orderstatus") == "O"),
+        lambda t: t.filter(~(F.col("o_orderstatus") == "O")),
+        lambda t: t.filter(F.col("o_orderpriority").isin("1-URGENT", "nope")),
+        lambda t: t.filter(F.col("o_orderpriority").contains("URG")),
+        lambda t: t.filter(F.col("o_orderpriority").startswith("2")),
+        lambda t: t.filter(F.col("o_totalprice") > 100000),
+        lambda t: t.filter(F.col("o_orderdate") > "1995-06-01"),
+        lambda t: t.filter(F.col("o_totalprice").isNotNull()),
+        # mixed pushable + residual expression
+        lambda t: t.filter((F.col("o_totalprice") > 100000) & (F.length("o_orderpriority") > 3)),
+    ]
+    for i, fn in enumerate(cases):
+        assert fn(df).count() == fn(src).count(), f"case {i} diverged"
+
+
+def test_push_filters_residual_split(spark):
+    """Unsupported filters must be yielded back to Spark untouched."""
+    from pyspark.sql.datasource import EqualTo, IsNotNull, StringStartsWith
+    from pyspark.sql import types as T
+    from excelstream_spark.sources.xlsx.datasource import XlsxReader
+
+    schema = T.StructType(
+        [T.StructField("a", T.LongType()), T.StructField("s", T.StringType())]
+    )
+    r = XlsxReader(schema, {"path": "/nonexistent"})
+    f_ok = [EqualTo(("a",), 1), IsNotNull(("s",)), StringStartsWith(("s",), "x")]
+    f_bad = [EqualTo(("nope",), 1), EqualTo(("a", "nested"), 2)]
+    residual = list(r.pushFilters(f_ok + f_bad))
+    assert residual == f_bad
+    assert len(r._predicates) == 3
+    # three-valued logic: NULL input -> filtered out, not inverted
+    assert r._predicates[0]((None, "xy")) is None
+    assert r._predicates[2]((1, "xy")) is True
