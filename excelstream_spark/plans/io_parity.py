@@ -97,3 +97,58 @@ def excel_serial_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     s = d.withColumn("serial", timestamp_to_excel_serial(F.col("ts")))
     return s.withColumn("back_ts", excel_serial_to_timestamp(F.col("serial")))
+
+
+@query(
+    "lenient_casts",
+    oracle="""
+        WITH src AS (
+          SELECT event_id,
+                 CAST(value AS VARCHAR)        AS s_num,
+                 json_extract_string(props, 'k') AS s_int,
+                 CASE event_id % 6
+                   WHEN 0 THEN 'true' WHEN 1 THEN 'YES' WHEN 2 THEN '1'
+                   WHEN 3 THEN 'No'  WHEN 4 THEN '0'   ELSE event_type
+                 END AS s_bool
+          FROM events
+        )
+        SELECT event_id,
+               CASE WHEN regexp_matches(s_num, '^[+-]?[0-9]+$')
+                    THEN TRY_CAST(s_num AS BIGINT) END  AS num_as_long,
+               TRY_CAST(s_num AS DOUBLE)                AS num_as_double,
+               CASE WHEN regexp_matches(s_int, '^[+-]?[0-9]+$')
+                    THEN TRY_CAST(s_int AS BIGINT) END  AS k_as_long,
+               CAST(CASE WHEN lower(s_bool) IN ('true','yes','1') THEN true
+                         WHEN lower(s_bool) IN ('false','no','0') THEN false
+                    END AS VARCHAR)                     AS flag_as_bool
+        FROM src
+    """,
+    tags=("functions", "casts"),
+)
+def lenient_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference F5 lenient-cast parity (types.rs:101-152) applied to
+    data-derived strings: decimal strings reject as_i64 (strict integer
+    parse) but pass as_f64; the as_bool word list (true/yes/1/false/no/0,
+    case-insensitive) and nothing else."""
+    from excelstream_spark.functions import casts as C
+
+    ev = load_table(spark, sf_dir, "events")
+    src = ev.select(
+        "event_id",
+        F.col("value").cast("string").alias("s_num"),
+        F.get_json_object("props", "$.k").alias("s_int"),
+        F.when(F.col("event_id") % 6 == 0, F.lit("true"))
+        .when(F.col("event_id") % 6 == 1, F.lit("YES"))
+        .when(F.col("event_id") % 6 == 2, F.lit("1"))
+        .when(F.col("event_id") % 6 == 3, F.lit("No"))
+        .when(F.col("event_id") % 6 == 4, F.lit("0"))
+        .otherwise(F.col("event_type"))
+        .alias("s_bool"),
+    )
+    return src.select(
+        "event_id",
+        C.lenient_long("s_num").alias("num_as_long"),
+        C.lenient_double("s_num").alias("num_as_double"),
+        C.lenient_long("s_int").alias("k_as_long"),
+        C.lenient_bool("s_bool").cast("string").alias("flag_as_bool"),
+    )

@@ -24,7 +24,10 @@ Arrow boundary — the xlsx analogue of parquet PushedFilters.  Requires
 factory).
 Options (write): sheetName, header (default true), compression (0-9,
   default 6), useSharedStrings, sheetProtectPassword, singleFile,
-  maxRowsPerSheet (default 1,048,576 -> auto-split)
+  maxRowsPerSheet (default 1,048,576 -> auto-split),
+  columnWidths ("20,12,8" positional, blank to skip a column),
+  rowHeight (points) — widths/heights actually emitted, unlike the
+  reference's no-op stubs (writer.rs:375-412)
 """
 
 from __future__ import annotations
@@ -282,6 +285,13 @@ class XlsxWriter(DataSourceWriter):
         self.use_sst = _truthy(options.get("usesharedstrings"), False)
         self.protect = options.get("sheetprotectpassword")
         self.single_file = _truthy(options.get("singlefile"), False)
+        # real width/height support (reference K8 declares-but-no-ops these)
+        cw = options.get("columnwidths")
+        self.col_widths = (
+            [float(w) if w.strip() else None for w in cw.split(",")] if cw else None
+        )
+        rh = options.get("rowheight")
+        self.row_height = float(rh) if rh else None
         # driver-side setup: Spark's planner has already handled the
         # overwrite/errorifexists decision before constructing the writer
         if self.single_file:
@@ -318,6 +328,8 @@ class XlsxWriter(DataSourceWriter):
             compression=self.compression,
             use_shared_strings=self.use_sst,
             protect_password=self.protect,
+            col_widths=self.col_widths,
+            row_height=self.row_height,
         ) as wb:
             wb.add_sheet(self.sheet_name)
             if self.header:

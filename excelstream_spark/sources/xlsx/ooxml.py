@@ -52,11 +52,17 @@ _CTRL_RE = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f]")  # keep \t\n\r
 
 
 def esc(text: str) -> str:
-    """Escape the five XML entities and strip control chars Excel rejects."""
+    """Escape the five XML entities and strip control chars Excel rejects.
+
+    Bare ``\\r`` is written as ``&#13;`` — XML 1.0 parsers normalize
+    literal CR (and CRLF) to LF on read, so only the numeric reference
+    round-trips it losslessly (found by the hypothesis round-trip test)."""
     text = _CTRL_RE.sub("", text)
     for ch, rep in _ESC.items():
         if ch in text:
             text = text.replace(ch, rep)
+    if "\r" in text:
+        text = text.replace("\r", "&#13;")
     return text
 
 

@@ -29,6 +29,7 @@ import zipfile
 
 from excelstream_spark.sources.xlsx import ooxml
 from excelstream_spark.sources.xlsx.dates import datetime_to_serial
+from excelstream_spark.sources.xlsx.reader_core import ExcelError
 
 EXCEL_MAX_ROWS = 1_048_576
 
@@ -78,6 +79,8 @@ class WorkbookWriter:
         use_shared_strings: bool = False,
         protect_password: str | None = None,
         auto_split: bool = True,
+        col_widths: list[float] | None = None,
+        row_height: float | None = None,
     ):
         if isinstance(compression, str):
             compression = int(compression)
@@ -90,6 +93,11 @@ class WorkbookWriter:
         self._sst = SharedStrings() if use_shared_strings else None
         self._protect = protect_password
         self._auto_split = auto_split
+        # real column-width / row-height support — the reference declares
+        # these APIs but no-ops them (writer.rs:375-412, SURVEY K8); we
+        # emit actual <cols> entries and ht= attributes.
+        self._col_widths = list(col_widths) if col_widths else None
+        self._row_height = row_height
         self._sheet_names: list[str] = []
         self._sheet_stream = None
         self._row_index = 0  # 1-based Excel row number of the NEXT row
@@ -110,10 +118,19 @@ class WorkbookWriter:
         # open by NAME so the member inherits the archive's deflate settings
         # (a bare ZipInfo would silently default to ZIP_STORED)
         self._sheet_stream = self._zip.open(entry, "w")
-        self._sheet_stream.write(
-            b'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
-            b'<worksheet xmlns="' + ooxml.XLSX_NS.encode() + b'"><sheetData>'
+        head = (
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+            f'<worksheet xmlns="{ooxml.XLSX_NS}">'
         )
+        if self._col_widths:
+            cols = "".join(
+                f'<col min="{i + 1}" max="{i + 1}" width="{w:g}" customWidth="1"/>'
+                for i, w in enumerate(self._col_widths)
+                if w is not None
+            )
+            head += f"<cols>{cols}</cols>"
+        head += "<sheetData>"
+        self._sheet_stream.write(head.encode())
         self._row_index = 1
 
     def _end_sheet(self) -> None:
@@ -132,11 +149,12 @@ class WorkbookWriter:
 
     # -- row writing -------------------------------------------------------
 
-    def write_row(self, values, styles=None) -> None:
+    def write_row(self, values, styles=None, height: float | None = None) -> None:
         """Append one row of typed Python values.
 
         ``styles``: None, a single style index/name applied to every cell,
-        or a per-cell list.
+        or a per-cell list.  ``height``: row height in points (overrides
+        the writer-level default).
         """
         if self._sheet_stream is None:
             self.add_sheet()
@@ -151,7 +169,14 @@ class WorkbookWriter:
         buf = self._buf
         buf.clear()
         r = self._row_index
-        buf += b'<row r="%d">' % r
+        if height is None:
+            height = self._row_height
+        if height is not None:
+            buf += b'<row r="%d" ht="%s" customHeight="1">' % (
+                r, f"{height:g}".encode(),
+            )
+        else:
+            buf += b'<row r="%d">' % r
         if isinstance(styles, (int, str)):
             styles = [styles] * len(values)
         for ci, value in enumerate(values):
@@ -173,7 +198,11 @@ class WorkbookWriter:
             style = ooxml.STYLE_NAMES[style]
         s_attr = b' s="%d"' % style if style else b""
 
-        if isinstance(value, bool):  # before int: bool is an int subclass
+        if isinstance(value, ExcelError):  # before str: ExcelError subclasses str
+            buf += b'<c r="%s"%s t="e"><v>%s</v></c>' % (
+                ref, s_attr, ooxml.esc(str(value)).encode(),
+            )
+        elif isinstance(value, bool):  # before int: bool is an int subclass
             buf += b'<c r="%s"%s t="b"><v>%s</v></c>' % (
                 ref, s_attr, b"1" if value else b"0",
             )

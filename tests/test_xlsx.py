@@ -309,3 +309,94 @@ def test_push_filters_residual_split(spark):
     # three-valued logic: NULL input -> filtered out, not inverted
     assert r._predicates[0]((None, "xy")) is None
     assert r._predicates[2]((1, "xy")) is True
+
+
+def test_column_widths_and_row_height(spark, tmp_path):
+    """K8 exceed-reference: widths/heights actually land in the XML."""
+    p = str(tmp_path / "wh")
+    src = spark.range(3).select(F.col("id"), (F.col("id") * 2).alias("x"))
+    (
+        src.coalesce(1).write.format("xlsx").mode("overwrite")
+        .option("columnWidths", "22.5,9")
+        .option("rowHeight", "18")
+        .save(p)
+    )
+    import glob as g
+
+    xml = None
+    with zipfile.ZipFile(g.glob(f"{p}/part-*.xlsx")[0]) as z:
+        xml = z.read("xl/worksheets/sheet1.xml").decode()
+    assert '<col min="1" max="1" width="22.5" customWidth="1"/>' in xml
+    assert '<col min="2" max="2" width="9" customWidth="1"/>' in xml
+    assert 'ht="18" customHeight="1"' in xml
+    # still a readable workbook
+    assert spark.read.format("xlsx").load(p).count() == 3
+
+
+def test_error_cell_roundtrip(tmp_path):
+    """K3 Error variant: t="e" cells survive write->read as ExcelError."""
+    from excelstream_spark.sources.xlsx.reader_core import ExcelError
+
+    p = str(tmp_path / "err.xlsx")
+    with WorkbookWriter(p) as wb:
+        wb.add_sheet("S")
+        wb.write_row(["v", ExcelError("#DIV/0!"), 3])
+    with WorkbookReader(p) as rb:
+        row = next(iter(rb.iter_rows("S")))
+    assert row[0] == "v" and row[2] == 3
+    assert isinstance(row[1], ExcelError) and str(row[1]) == "#DIV/0!"
+    with zipfile.ZipFile(p) as z:
+        assert 't="e"' in z.read("xl/worksheets/sheet1.xml").decode()
+
+
+def test_property_roundtrip_typed_cells(tmp_path):
+    """Property-based write->read equality over the full CellValue domain
+    (SURVEY §5 plan): strings incl. XML entities/unicode/whitespace, ints,
+    floats, bools, datetimes, None gaps."""
+    from hypothesis import given, settings, strategies as st
+
+    cell = st.one_of(
+        st.none(),
+        st.integers(min_value=-(2**53), max_value=2**53),
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+        st.booleans(),
+        # control chars (except \t\n\r) are STRIPPED on write — reference F3
+        # parity (XML 1.0 cannot encode them); generate without them so the
+        # round-trip is exact
+        st.text(
+            max_size=40,
+            alphabet=st.characters(
+                exclude_categories=("Cs", "Cc"), include_characters="\t\n\r"
+            ),
+        ).filter(lambda s: not s.startswith("=")),
+        st.datetimes(
+            min_value=dt.datetime(1901, 1, 1), max_value=dt.datetime(2200, 1, 1)
+        ).map(lambda d: d.replace(microsecond=(d.microsecond // 1000) * 1000)),
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(rows=st.lists(st.lists(cell, min_size=1, max_size=6), min_size=1, max_size=8))
+    def run(rows):
+        p = str(tmp_path / "prop.xlsx")
+        with WorkbookWriter(p) as wb:
+            wb.add_sheet("S")
+            for r in rows:
+                wb.write_row(r)
+        with WorkbookReader(p) as rb:
+            back = list(rb.iter_rows("S"))
+        assert len(back) == len(rows)
+        for orig, got in zip(rows, back):
+            # trailing Nones are not materialized as cells — pad back
+            got = got + [None] * (len(orig) - len(got))
+            for o, g in zip(orig, got):
+                if isinstance(o, float):
+                    assert g == o or (g is not None and abs(g - o) < 1e-9 * max(1, abs(o)))
+                elif isinstance(o, dt.datetime):
+                    assert abs((g - o).total_seconds()) < 0.001
+                elif o == "" or (isinstance(o, str) and o.strip("\r\n\t ") == "" and o):
+                    # lone whitespace strings survive via xml:space="preserve"
+                    assert g == o
+                else:
+                    assert g == o, f"{o!r} -> {g!r}"
+
+    run()
