@@ -100,6 +100,10 @@ def run_available_now(
     now (micro-batch catch-up semantics) into an in-memory table; returns
     the materialized result.  In production replace the memory sink with
     parquet/kafka and keep the checkpoint dir stable for exactly-once."""
+    if timeout_sec <= 0:
+        # validate BEFORE .start(): awaitTermination rejects non-positive
+        # timeouts, which would leak an already-running query
+        raise ValueError(f"timeout_sec must be positive, got {timeout_sec}")
     checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="esspark_ckpt_")
     query = (
         result.writeStream.format("memory")
@@ -110,5 +114,14 @@ def run_available_now(
         .start()
     )
     query.awaitTermination(timeout_sec)
+    if query.isActive:
+        # a partial table is worse than an error: stop and say so
+        query.stop()
+        raise TimeoutError(
+            f"streaming query {query_name!r} still active after "
+            f"{timeout_sec}s (availableNow should terminate; a "
+            "processing-time timeout in a stateful operator keeps the "
+            "query alive — prefer event-time timeouts)"
+        )
     spark = result.sparkSession
     return spark.table(query_name)

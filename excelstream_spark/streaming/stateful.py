@@ -1,0 +1,183 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+The training-data shapes Structured Streaming does not ship as built-ins:
+
+* ``streaming_dedup`` — exactly-once-per-key emission across micro-
+  batches: the first event per key passes, replays/duplicates are
+  dropped, and per-key state expires at an EVENT-TIME TTL past the
+  watermark so state stays bounded on unbounded key spaces.  This is the
+  streaming twin of the batch ``dedup_exact`` operator — the pattern a
+  100 TB ingest pipeline uses to suppress re-delivered documents.
+* ``user_activity_tracker`` — per-key running aggregates (count / sum /
+  first-seen / last-seen) re-emitted on every batch the key appears in;
+  the incremental-feature-store shape.
+
+Both operators keep state per GROUP KEY, shuffled by Spark's state-store
+partitioning — at scale state is distributed across executors and
+checkpointed; nothing accumulates on the driver.
+
+Reference parity note: the reference has no event-time/stateful
+processing at all (SURVEY.md §2.7 — its "streaming" is constant-memory
+file I/O); this module is part of the extension surface.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+DEDUP_OUTPUT = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+_DEDUP_STATE = StructType([StructField("seen", LongType())])
+
+#: event-time TTLs (ms): how far past the watermark a key's state lives
+_DEDUP_TTL_MS = 6 * 3_600_000
+_TRACKER_TTL_MS = 24 * 3_600_000
+
+
+def _dedup_fn(
+    key: Tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        # idle key: drop the state, emit nothing (a later replay of this
+        # key will pass again — TTL is the dedup horizon, bounded state)
+        state.remove()
+        return
+    first_batch = not state.exists
+    if first_batch:
+        state.update((1,))
+    # event-time TTL: the dedup horizon advances with the WATERMARK, so it
+    # is deterministic under replay/reprocessing — and (unlike a
+    # processing-time timeout) an availableNow catch-up run terminates
+    # instead of spinning empty batches until wall-clock TTLs fire.
+    state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + _DEDUP_TTL_MS)
+    if first_batch:
+        # emit ONE representative row for the key: the lowest event_id of
+        # the first batch it appears in (deterministic under replays)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        rep = pdf.sort_values("event_id").head(1).copy()
+        rep["key"] = str(key[0])
+        yield rep[["key", "event_id", "ts", "user_id", "event_type", "value"]]
+    else:
+        for _ in pdfs:  # must drain the iterator
+            pass
+
+
+def streaming_dedup(
+    events: DataFrame,
+    key_col: str = "event_id",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Drop duplicate events by ``key_col`` across micro-batches.
+
+    Emits each key's representative row exactly once (first batch the
+    key is seen); subsequent deliveries are suppressed while the key's
+    state lives.  State expires 6 event-time hours past the watermark —
+    the dedup horizon.  At scale: state is hash-partitioned by key
+    across the cluster's state stores; the shuffle carries only the key
+    column plus the candidate rows.
+    """
+    keyed = events.withWatermark("ts", watermark).withColumn(
+        "_k", F.col(key_col).cast("string")
+    )
+    return keyed.groupBy("_k").applyInPandasWithState(
+        _dedup_fn,
+        outputStructType=DEDUP_OUTPUT,
+        stateStructType=_DEDUP_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+TRACKER_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("first_seen", TimestampType()),
+        StructField("last_seen", TimestampType()),
+    ]
+)
+
+_TRACKER_STATE = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+        StructField("first_us", LongType()),
+        StructField("last_us", LongType()),
+    ]
+)
+
+
+def _tracker_fn(
+    key: Tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        state.remove()
+        return
+    n, total, first_us, last_us = (
+        state.get if state.exists else (0, 0.0, None, None)
+    )
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        ts_us = (pdf["ts"].astype("int64") // 1000).astype("int64")
+        lo, hi = int(ts_us.min()), int(ts_us.max())
+        first_us = lo if first_us is None else min(first_us, lo)
+        last_us = hi if last_us is None else max(last_us, hi)
+    state.update((n, total, first_us, last_us))
+    # watermark-based TTL bounds state size; see _dedup_fn for rationale
+    state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + _TRACKER_TTL_MS)
+    yield pd.DataFrame(
+        {
+            "user_id": [int(key[0])],
+            "n_events": [n],
+            "total_value": [total],
+            "first_seen": [pd.Timestamp(first_us, unit="us")],
+            "last_seen": [pd.Timestamp(last_us, unit="us")],
+        }
+    )
+
+
+def user_activity_tracker(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Running per-user aggregates updated each micro-batch the user is
+    active in (update-mode output).  The incremental-feature-store shape:
+    downstream sinks upsert on user_id."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _tracker_fn,
+            outputStructType=TRACKER_OUTPUT,
+            stateStructType=_TRACKER_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
