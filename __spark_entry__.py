@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import excelstream_spark.plans.relational  # noqa: F401,E402
 import excelstream_spark.plans.extension  # noqa: F401,E402
 import excelstream_spark.plans.io_parity  # noqa: F401,E402
+import excelstream_spark.plans.streaming_ops  # noqa: F401,E402
 from excelstream_spark.plans.catalog import oracle_queries, spark_queries  # noqa: E402
 
 

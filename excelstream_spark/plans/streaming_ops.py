@@ -1,0 +1,72 @@
+"""Streaming catalog entries: the stateful operators driven to completion
+with Trigger.AvailableNow so the driver's batch-shaped oracle gate can
+hash-check them.
+
+``streaming_dedup_replay`` is deliberately adversarial: the events table
+is delivered TWICE across two micro-batches (same file, maxFilesPerTrigger
+=1).  A correct cross-batch stateful dedup emits each event exactly once,
+so the result equals a plain SELECT over the batch table — which is the
+oracle.  An implementation without cross-batch state would emit 2x rows
+and fail the row-count check; one with broken key routing would fail the
+value hash.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from excelstream_spark.plans.catalog import query
+from excelstream_spark.streaming import stateful as ST
+from excelstream_spark.streaming.pipelines import EVENTS_SCHEMA, run_available_now
+from excelstream_spark.tables import table_path
+
+
+def _replayed_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = os.path.abspath(table_path(sf_dir, "events"))
+    d = tempfile.mkdtemp(prefix="esspark_replay_")
+    os.symlink(src, os.path.join(d, "batch1.parquet"))
+    os.symlink(src, os.path.join(d, "batch2.parquet"))
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+@query(
+    "streaming_dedup_replay",
+    oracle="""
+        SELECT CAST(event_id AS VARCHAR) AS key, event_id, ts,
+               user_id, event_type, value
+        FROM events
+    """,
+    tags=("streaming", "stateful", "dedup"),
+)
+def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch streaming dedup under exact redelivery: 2x delivered,
+    1x emitted, hash-equal to the batch table."""
+    stream = _replayed_events_stream(spark, sf_dir)
+    return run_available_now(
+        ST.streaming_dedup(stream),
+        f"sdr_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+
+
+@query("streaming_user_tracker", tags=("streaming", "stateful"))
+def streaming_user_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user aggregates over replayed micro-batches (update
+    mode emits one row per user per active batch — monotone history, so
+    rows-only here; final-value equality is asserted in unit tests)."""
+    stream = _replayed_events_stream(spark, sf_dir)
+    return run_available_now(
+        ST.user_activity_tracker(stream),
+        f"sut_{uuid.uuid4().hex[:8]}",
+        output_mode="update",
+    )
