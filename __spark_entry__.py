@@ -21,6 +21,7 @@ import excelstream_spark.plans.relational  # noqa: F401,E402
 import excelstream_spark.plans.extension  # noqa: F401,E402
 import excelstream_spark.plans.io_parity  # noqa: F401,E402
 import excelstream_spark.plans.streaming_ops  # noqa: F401,E402
+import excelstream_spark.plans.scale  # noqa: F401,E402
 from excelstream_spark.plans.catalog import oracle_queries, spark_queries  # noqa: E402
 
 

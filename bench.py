@@ -55,6 +55,7 @@ def main() -> None:
     import excelstream_spark.plans.extension  # noqa: F401
     import excelstream_spark.plans.io_parity  # noqa: F401
     import excelstream_spark.plans.streaming_ops  # noqa: F401
+    import excelstream_spark.plans.scale  # noqa: F401
     from excelstream_spark.plans.catalog import CATALOG
     from excelstream_spark.session import get_spark
     from excelstream_spark.sources.xlsx import register_xlsx

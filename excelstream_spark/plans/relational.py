@@ -642,3 +642,178 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Subquery shapes (decorrelated the Spark way)
+# --------------------------------------------------------------------------
+
+@query(
+    "corr_above_nation_avg",
+    oracle="""
+        SELECT c_custkey, c_nationkey, c_acctbal
+        FROM customer c
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+    tags=("subquery",),
+)
+def corr_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated aggregate subquery, decorrelated as a window average —
+    one shuffle on the correlation key instead of a per-row subquery
+    (what Catalyst's decorrelation produces from the SQL form too)."""
+    c = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey")
+    return (
+        c.withColumn("nat_avg", F.avg("c_acctbal").over(w))
+        .filter(F.col("c_acctbal") > F.col("nat_avg"))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+    )
+
+
+@query(
+    "exists_not_exists",
+    oracle="""
+        SELECT c_custkey FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    """,
+    tags=("subquery", "join"),
+)
+def exists_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / NOT EXISTS as left-semi + left-anti joins — the physical
+    plan SQL EXISTS lowers to; both sides shuffle on o_custkey once."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    has_f = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k"))
+    has_p = o.filter(F.col("o_orderstatus") == "P").select(F.col("o_custkey").alias("k"))
+    return (
+        c.join(has_f, c.c_custkey == has_f.k, "leftsemi")
+        .join(has_p, F.col("c_custkey") == has_p.k, "leftanti")
+        .select("c_custkey")
+    )
+
+
+@query(
+    "scalar_subquery_threshold",
+    oracle="""
+        SELECT s_suppkey, s_name, s_acctbal
+        FROM supplier
+        WHERE s_acctbal > (SELECT avg(s_acctbal) * 1.5 FROM supplier)
+    """,
+    tags=("subquery",),
+)
+def scalar_subquery_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar aggregate subquery: the 1-row aggregate is broadcast and
+    cross-joined — no driver collect, the threshold never leaves the
+    cluster."""
+    s = _t(spark, sf_dir, "supplier")
+    thresh = s.agg((F.avg("s_acctbal") * 1.5).alias("_thr"))
+    return (
+        s.crossJoin(F.broadcast(thresh))
+        .filter(F.col("s_acctbal") > F.col("_thr"))
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+# --------------------------------------------------------------------------
+# More TPC-H-shaped joins/aggregations
+# --------------------------------------------------------------------------
+
+@query(
+    "q13_order_count_distribution",
+    oracle="""
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM (
+          SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+          FROM customer c
+          LEFT JOIN orders o
+            ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey
+        )
+        GROUP BY c_count
+    """,
+    tags=("join", "agg"),
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer join with a join-time residual predicate,
+    then a two-level aggregation (per-customer count -> histogram).
+    count(col) ignores the NULLs the outer join introduces — the exact
+    semantic the oracle checks."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q14_promo_share",
+    oracle="""
+        SELECT 100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                     / sum(l_extendedprice * (1 - l_discount)) AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1996-01-01'
+    """,
+    tags=("join", "agg"),
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation over a fact-dim join.
+    part broadcasts (tiny vs lineitem at any SF); the date filter pushes
+    to the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1996-01-01")
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev)
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "q8_region_yearly_revenue",
+    oracle="""
+        SELECT r_name, CAST(year(o_orderdate) AS INT) AS yr,
+               sum(l_extendedprice * (1 - l_discount)) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name, yr
+    """,
+    tags=("join", "agg"),
+)
+def q8_region_yearly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-way join: the one fact-fact join (lineitem x orders) shuffles
+    on orderkey; customer/nation/region broadcast.  The aggregation is
+    partial map-side before the final group shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(F.sum(rev).alias("revenue"))
+    )

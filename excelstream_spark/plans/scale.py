@@ -1,0 +1,72 @@
+"""Scale-technique catalog entries: skew mitigation proven correct.
+
+Salting changes the physical distribution, never the result — so each
+entry's oracle is the PLAIN (unsalted) SQL equivalent; a hash match
+certifies the rewrite is semantics-preserving.  ``event_type`` is the
+deliberately skewed key: a handful of values over the whole events
+table, the classic hot-key join shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from excelstream_spark.operators.skew import salted_join, salted_two_phase_agg
+from excelstream_spark.plans.catalog import query
+from excelstream_spark.tables import load_table
+
+
+@query(
+    "skew_salted_join",
+    oracle="""
+        SELECT e.event_id, e.event_type, e.value, t.type_avg
+        FROM events e
+        JOIN (SELECT event_type, avg(value) AS type_avg
+              FROM events GROUP BY event_type) t
+          ON e.event_type = t.event_type
+    """,
+    tags=("scale", "skew", "join"),
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key join via salting: every event joins its type's average —
+    5-ish distinct keys over the whole fact table, the worst-case skew.
+    The salted rewrite spreads each hot key over 8 reducers; the oracle
+    is the plain join, proving identical results."""
+    ev = load_table(spark, sf_dir, "events")
+    type_stats = ev.groupBy("event_type").agg(F.avg("value").alias("type_avg"))
+    joined = salted_join(
+        ev.select("event_id", "event_type", "value"),
+        type_stats,
+        on="event_type",
+        n_salts=8,
+    )
+    return joined.select("event_id", "event_type", "value", "type_avg")
+
+
+@query(
+    "skew_salted_agg",
+    oracle="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               sum(value)               AS total_value,
+               max(value)               AS max_value
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("scale", "skew", "agg"),
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over the skewed key; results equal
+    the direct groupBy (oracle)."""
+    ev = load_table(spark, sf_dir, "events")
+    return salted_two_phase_agg(
+        ev.select("event_type", "value"),
+        key="event_type",
+        agg_exprs={
+            "n_events": ("count", None),
+            "total_value": ("sum", "value"),
+            "max_value": ("max", "value"),
+        },
+        n_salts=16,
+    )

@@ -9,6 +9,7 @@ import excelstream_spark.plans.relational  # noqa: F401
 import excelstream_spark.plans.extension  # noqa: F401
 import excelstream_spark.plans.io_parity  # noqa: F401
 import excelstream_spark.plans.streaming_ops  # noqa: F401
+import excelstream_spark.plans.scale  # noqa: F401
 from excelstream_spark.plans.catalog import CATALOG
 
 from .conftest import SF_DIR, assert_matches_oracle

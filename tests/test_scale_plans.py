@@ -1,0 +1,121 @@
+"""Physical-plan assertions: the properties that matter at 100 TB,
+checked on the actual executed plans (not just results).
+
+- dimension joins BROADCAST (no shuffle of the fact table for dims)
+- filters reach the parquet scan as PushedFilters
+- bucketed fact-fact joins run with NO shuffle exchange
+- salted rewrites match their unsalted oracles (results, via catalog)
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from excelstream_spark.operators.skew import salted_join, salted_two_phase_agg
+from excelstream_spark.tables import load_table
+
+from .conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dimension_joins_broadcast(spark):
+    """q5-shaped join: every dim side must be a BroadcastHashJoin; the
+    lineitem fact table must never shuffle for a dim."""
+    li = load_table(spark, SF_DIR, "lineitem")
+    o = load_table(spark, SF_DIR, "orders")
+    c = load_table(spark, SF_DIR, "customer")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.sum("l_extendedprice").alias("rev"))
+    )
+    joined.collect()
+    plan = _plan(joined)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    li = load_table(spark, SF_DIR, "lineitem").filter(
+        F.col("l_quantity") > 30
+    ).select("l_orderkey", "l_quantity")
+    plan = _plan(li)
+    assert re.search(r"PushedFilters: \[.*GreaterThan\(l_quantity", plan), plan[:500]
+    # column pruning: ReadSchema carries only the selected columns
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "l_orderkey", "l_quantity"
+    }, plan[:500]
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Fact-fact join over tables bucketed on the join key: zero shuffle
+    exchanges in the plan — the co-located-join strategy for repeated
+    joins at scale."""
+    import shutil
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    o = load_table(spark, SF_DIR, "orders")
+    try:
+        (
+            li.write.mode("overwrite")
+            .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+            .saveAsTable("li_bkt")
+        )
+        (
+            o.write.mode("overwrite")
+            .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .saveAsTable("o_bkt")
+        )
+        lb, ob = spark.table("li_bkt"), spark.table("o_bkt")
+        joined = lb.join(ob, lb.l_orderkey == ob.o_orderkey).select(
+            "l_orderkey", "o_totalprice", "l_quantity"
+        )
+        n = joined.count()
+        assert n == li.join(o, li.l_orderkey == o.o_orderkey).count()
+        plan = _plan(joined)
+        # AQE may leave a reused exchange marker; what must be absent is
+        # a shuffle on the join keys
+        assert "Exchange hashpartitioning" not in plan, plan[:800]
+    finally:
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        for t in ("li_bkt", "o_bkt"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(warehouse.removeprefix("file:"), ignore_errors=True)
+
+
+def test_salted_join_matches_plain(spark):
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "event_type", "value")
+    dim = ev.groupBy("event_type").agg(F.avg("value").alias("avg_v"))
+    plain = ev.join(dim, "event_type")
+    salted = salted_join(ev, dim, on="event_type", n_salts=8)
+    assert salted.count() == plain.count()
+    a = sorted(salted.select("event_id", "avg_v").collect())
+    b = sorted(plain.select("event_id", "avg_v").collect())
+    assert a == b
+
+
+def test_salted_join_left_outer_keeps_unmatched(spark):
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "event_type")
+    dim = (
+        ev.groupBy("event_type").count()
+        .filter(F.col("event_type") == "click")
+        .select("event_type", F.col("count").alias("n"))
+    )
+    out = salted_join(ev, dim, on="event_type", n_salts=4, how="left")
+    assert out.count() == ev.count()  # outer semantics survive salting
+    assert out.filter(F.col("n").isNull()).count() == ev.filter(
+        F.col("event_type") != "click"
+    ).count()
+
+
+def test_salted_agg_rejects_non_reaggregable(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    with pytest.raises(ValueError, match="re-aggregable"):
+        salted_two_phase_agg(ev, "event_type", {"a": ("avg", "value")})
