@@ -147,3 +147,16 @@ def quality_score(col) -> Column:
         + 0.3 * clamp(sr * 5)
         + 0.3 * (1 - clamp(pr * 10))
     )
+
+
+#: BPE-ish piece pattern: alpha runs, digit runs, single non-space symbol —
+#: the coarse pre-tokenization GPT-style BPE applies before merges.  Kept to
+#: constructs with identical semantics in Java regex (Spark) and RE2
+#: (DuckDB) so counts oracle-match across engines.
+BPE_PIECE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_piece_count(col) -> Column:
+    """Number of BPE-style pre-token pieces (proxy for LLM token count —
+    the budget metric a training-data pipeline filters on)."""
+    return F.regexp_count(col, F.lit(BPE_PIECE_PATTERN))

@@ -319,3 +319,30 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-index sampling (every 2nd frame) over decoded n_frames."""
     return MM.sample_frames(MM.attach_payload(_docs(spark, sf_dir)), every_n=2)
+
+
+@query(
+    "text_token_pieces",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len({_SQL_TOKS}) AS INT) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                    AS INT)                  AS n_bpe_pieces,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) * 1.0
+                 / len({_SQL_TOKS})          AS pieces_per_token
+        FROM documents
+    """,
+    tags=("text",),
+)
+def text_token_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways (whitespace + BPE-ish regex pieces): the
+    LLM-budget metric; pure codegen'd regexp_count, no Python."""
+    t = F.col("text")
+    ws = TXT.token_count(t)
+    bpe = TXT.bpe_piece_count(t)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        ws.alias("n_ws_tokens"),
+        bpe.alias("n_bpe_pieces"),
+        (bpe * 1.0 / ws).alias("pieces_per_token"),
+    )
