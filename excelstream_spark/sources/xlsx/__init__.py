@@ -18,10 +18,25 @@ from excelstream_spark.sources.xlsx.datasource import XlsxDataSource, register_x
 from excelstream_spark.sources.xlsx.reader_core import WorkbookReader, infer_schema
 from excelstream_spark.sources.xlsx.writer_core import WorkbookWriter
 
+
+def sheet_names(path: str) -> list[str]:
+    """List worksheet names of a workbook (reference S5 sheet_names)."""
+    with WorkbookReader(path) as wb:
+        return wb.sheet_names()
+
+
+def dimensions(path: str, sheet: str | int = 0) -> tuple[int, int]:
+    """(n_rows, max_cols) of one sheet by full scan (reference S6)."""
+    with WorkbookReader(path) as wb:
+        return wb.dimensions(sheet)
+
+
 __all__ = [
     "XlsxDataSource",
     "register_xlsx",
     "WorkbookReader",
     "WorkbookWriter",
     "infer_schema",
+    "sheet_names",
+    "dimensions",
 ]
