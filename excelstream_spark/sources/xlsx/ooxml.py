@@ -51,12 +51,19 @@ _ESC = {"&": "&amp;", "<": "&lt;", ">": "&gt;", '"': "&quot;", "'": "&apos;"}
 _CTRL_RE = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f]")  # keep \t\n\r
 
 
+#: single C-level scan deciding whether esc() has any work to do at all —
+#: the overwhelmingly common clean-string case skips all substitutions
+_NEEDS_ESC_RE = re.compile(r"[&<>\"'\x00-\x1f]")
+
+
 def esc(text: str) -> str:
     """Escape the five XML entities and strip control chars Excel rejects.
 
     Bare ``\\r`` is written as ``&#13;`` — XML 1.0 parsers normalize
     literal CR (and CRLF) to LF on read, so only the numeric reference
     round-trips it losslessly (found by the hypothesis round-trip test)."""
+    if _NEEDS_ESC_RE.search(text) is None:
+        return text
     text = _CTRL_RE.sub("", text)
     for ch, rep in _ESC.items():
         if ch in text:

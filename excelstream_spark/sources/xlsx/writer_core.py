@@ -33,6 +33,16 @@ from excelstream_spark.sources.xlsx.reader_core import ExcelError
 
 EXCEL_MAX_ROWS = 1_048_576
 
+#: memoized column-letter byte strings — col_letter() is on the per-cell
+#: hot path (profiled at ~16% of write time before caching)
+_COL_BYTES: list[bytes] = [ooxml.col_letter(i).encode() for i in range(64)]
+
+
+def _col_bytes(ci: int) -> bytes:
+    while ci >= len(_COL_BYTES):
+        _COL_BYTES.append(ooxml.col_letter(len(_COL_BYTES)).encode())
+    return _COL_BYTES[ci]
+
 #: SST uniqueness cap — beyond this, fall back to inline strings (bounded
 #: memory like the reference's 100K cap, shared_strings.rs:21).
 SST_UNIQUE_CAP = 100_000
@@ -193,7 +203,7 @@ class WorkbookWriter:
         self.write_row([str(n) for n in names], styles=ooxml.STYLE_HEADER)
 
     def _cell_xml(self, buf: bytearray, row: int, ci: int, value, style) -> None:
-        ref = f"{ooxml.col_letter(ci)}{row}".encode()
+        ref = _col_bytes(ci) + b"%d" % row
         if isinstance(style, str):
             style = ooxml.STYLE_NAMES[style]
         s_attr = b' s="%d"' % style if style else b""
