@@ -70,3 +70,32 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         n_salts=16,
     )
+
+
+@query(
+    "join_interval_binned",
+    oracle="""
+        SELECT c.c_custkey, s.s_suppkey, c.c_acctbal, s.s_acctbal
+        FROM customer c
+        JOIN supplier s
+          ON c.c_acctbal >= s.s_acctbal - 50.0
+         AND c.c_acctbal <= s.s_acctbal + 50.0
+    """,
+    tags=("scale", "join", "range"),
+)
+def join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PURE interval join (no equi key: every customer vs every supplier
+    within +-50 acctbal) rewritten as a binned equi-join — Catalyst alone
+    would plan a BroadcastNestedLoopJoin here.  Oracle is the plain
+    BETWEEN join, proving the rewrite is exact."""
+    from excelstream_spark.operators.rangejoin import binned_interval_join
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_acctbal",
+        (F.col("s_acctbal") - 50.0).alias("lo"),
+        (F.col("s_acctbal") + 50.0).alias("hi"),
+    )
+    out = binned_interval_join(c, s, "c_acctbal", "lo", "hi", bin_width=100.0)
+    return out.select("c_custkey", "s_suppkey", "c_acctbal", "s_acctbal")

@@ -119,3 +119,32 @@ def test_salted_agg_rejects_non_reaggregable(spark):
     ev = load_table(spark, SF_DIR, "events")
     with pytest.raises(ValueError, match="re-aggregable"):
         salted_two_phase_agg(ev, "event_type", {"a": ("avg", "value")})
+
+
+def test_binned_interval_join_is_equi_join(spark):
+    """The binned rewrite must (a) match the nested-loop result exactly
+    and (b) plan as a hash/sort-merge equi-join, not BNLJ."""
+    from excelstream_spark.operators.rangejoin import binned_interval_join
+
+    c = load_table(spark, SF_DIR, "customer").select("c_custkey", "c_acctbal")
+    s = load_table(spark, SF_DIR, "supplier").select(
+        "s_suppkey",
+        (F.col("s_acctbal") - 50.0).alias("lo"),
+        (F.col("s_acctbal") + 50.0).alias("hi"),
+    )
+    binned = binned_interval_join(c, s, "c_acctbal", "lo", "hi", bin_width=100.0)
+    plain = c.join(
+        s, (F.col("c_acctbal") >= F.col("lo")) & (F.col("c_acctbal") <= F.col("hi"))
+    )
+    a = sorted(binned.select("c_custkey", "s_suppkey").collect())
+    b = sorted(plain.select("c_custkey", "s_suppkey").collect())
+    assert a == b and len(a) > 0
+    plan = _plan(binned)
+    assert "NestedLoop" not in plan, plan[:600]
+
+    # negative-value bins and tiny widths stay exact
+    tiny = binned_interval_join(c, s, "c_acctbal", "lo", "hi", bin_width=7.3)
+    assert sorted(tiny.select("c_custkey", "s_suppkey").collect()) == b
+
+    with pytest.raises(ValueError, match="bin_width"):
+        binned_interval_join(c, s, "c_acctbal", "lo", "hi", bin_width=0)
