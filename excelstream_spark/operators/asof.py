@@ -45,44 +45,76 @@ def asof_join(
     right_values: Sequence[str],
     tie_break: str | None = None,
     how: str = "left",
+    direction: str = "backward",
+    tolerance=None,
 ) -> DataFrame:
     """Attach the latest ``right_values`` (as of ``left_time``) to each left row.
 
     how='left' keeps unmatched left rows (right values null);
     how='inner' drops them.
+
+    direction='backward' (default): most recent right row with
+    time <= left time.  direction='forward': earliest right row with
+    time >= left time.
+
+    ``tolerance`` bounds the time gap (pandas merge_asof semantics):
+    a number for numeric time columns, or a Spark interval string
+    (e.g. ``"30 days"``) for timestamps; matches farther away than the
+    tolerance are treated as no-match.
     """
     if how not in ("left", "inner"):
         raise ValueError(f"asof_join: how must be 'left' or 'inner', got {how!r}")
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"asof_join: direction must be 'backward' or 'forward', got {direction!r}"
+        )
     right_payload = list(right_values)
     _PAYLOAD = "__asof_payload"
+    _RTIME = "__asof_rtime"
 
     left_cols = left.columns
+    rt = dict(right.dtypes)[right_time]
     # Payload travels as ONE struct so the forward-fill always yields a
     # consistent snapshot of a single right row (filling columns
-    # independently could mix rows when a payload value is null).
+    # independently could mix rows when a payload value is null); the
+    # right row's own time rides along for the tolerance check.
     r = right.select(
         F.col(right_by).alias(_KEY),
         F.col(right_time).alias(_TIME),
         F.lit(0).alias(_SIDE),
-        F.struct(*[F.col(c) for c in right_payload]).alias(_PAYLOAD),
+        F.struct(
+            F.col(right_time).alias(_RTIME),
+            *[F.col(c) for c in right_payload],
+        ).alias(_PAYLOAD),
         *[
             F.lit(None).cast(t).alias(c)
             for c, t in left.dtypes
         ],
     )
+    payload_type = (
+        "struct<"
+        + ",".join(
+            [f"{_RTIME}:{rt}"]
+            + [f"{c}:{dict(right.dtypes)[c]}" for c in right_payload]
+        )
+        + ">"
+    )
     l = left.select(
         F.col(left_by).alias(_KEY),
         F.col(left_time).alias(_TIME),
         F.lit(1).alias(_SIDE),
-        F.lit(None).cast(
-            "struct<" + ",".join(f"{c}:{dict(right.dtypes)[c]}" for c in right_payload) + ">"
-        ).alias(_PAYLOAD),
+        F.lit(None).cast(payload_type).alias(_PAYLOAD),
         *left_cols,
     )
 
     unioned = l.unionByName(r)
 
-    order = [F.col(_TIME).asc(), F.col(_SIDE).asc()]
+    # backward: scan time ascending, fill from the most recent earlier
+    # right row.  forward: scan time DESCENDING — the fill then carries
+    # the nearest later right row.  Either way right rows sort before
+    # left rows at equal time (inclusive match).
+    time_order = F.col(_TIME).asc() if direction == "backward" else F.col(_TIME).desc()
+    order = [time_order, F.col(_SIDE).asc()]
     if tie_break is not None:
         # among equal-time right rows the greatest tie_break sorts last and
         # therefore wins the forward fill (deterministic)
@@ -96,6 +128,24 @@ def asof_join(
     filled = unioned.withColumn(_PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(w))
 
     out = filled.filter(F.col(_SIDE) == 1)
+    if tolerance is not None:
+        gap_hi = (
+            F.col(_PAYLOAD)[_RTIME] + F.expr(f"INTERVAL {tolerance}")
+            if isinstance(tolerance, str)
+            else F.col(_PAYLOAD)[_RTIME] + F.lit(tolerance)
+        )
+        within = (
+            F.col(_TIME) <= gap_hi
+            if direction == "backward"
+            else F.col(_TIME) >= (
+                F.col(_PAYLOAD)[_RTIME] - F.expr(f"INTERVAL {tolerance}")
+                if isinstance(tolerance, str)
+                else F.col(_PAYLOAD)[_RTIME] - F.lit(tolerance)
+            )
+        )
+        out = out.withColumn(
+            _PAYLOAD, F.when(within, F.col(_PAYLOAD))  # else NULL: out of range
+        )
     if how == "inner":
         out = out.filter(F.col(_PAYLOAD).isNotNull())
     return out.select(

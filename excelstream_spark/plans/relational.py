@@ -817,3 +817,52 @@ def q8_region_yearly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", F.year("o_orderdate").cast("int").alias("yr"))
         .agg(F.sum(rev).alias("revenue"))
     )
+
+
+@query(
+    "join_asof_forward_tolerance",
+    oracle="""
+        WITH ranked AS (
+          SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+                 e.event_id, e.ts,
+                 row_number() OVER (
+                   PARTITION BY o.o_orderkey
+                   ORDER BY e.ts ASC, e.event_id DESC) AS rn
+          FROM orders o
+          JOIN events e
+            ON e.user_id = o.o_custkey
+           AND e.ts >= o.o_orderdate
+        )
+        SELECT o2.o_orderkey, o2.o_custkey, o2.o_orderdate,
+               CASE WHEN r.ts <= o2.o_orderdate + INTERVAL 11000 DAY
+                    THEN r.event_id END AS event_id,
+               CASE WHEN r.ts <= o2.o_orderdate + INTERVAL 11000 DAY
+                    THEN r.ts END       AS ts
+        FROM orders o2
+        LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
+          ON r.o_orderkey = o2.o_orderkey
+    """,
+    tags=("join", "asof"),
+)
+def join_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with tolerance: each order attaches the
+    EARLIEST event at-or-after it from the same customer, nulled when
+    the gap exceeds 11000 days — both the direction and the tolerance
+    produce a mixed matched/unmatched result on this data.  Same
+    single-shuffle union+window plan as the backward variant (pandas
+    merge_asof parity, quadratic-blowup-free)."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    ev = _t(spark, sf_dir, "events")
+    return asof_join(
+        o,
+        ev,
+        left_time="o_orderdate",
+        right_time="ts",
+        left_by="o_custkey",
+        right_by="user_id",
+        right_values=["event_id", "ts"],
+        tie_break="event_id",
+        how="left",
+        direction="forward",
+        tolerance="11000 DAY",
+    )
