@@ -33,7 +33,6 @@ from excelstream_spark.sources.xlsx.dates import serial_to_datetime
 
 _NS = "{" + ooxml.XLSX_NS + "}"
 
-
 class ExcelError(str):
     """Marker type for error cells (t="e"): behaves as its string payload
     but lets schema inference classify the column as string."""
@@ -166,48 +165,53 @@ class WorkbookReader:
             raise ValueError(
                 f"sheet {sheet!r} not found; available: {list(self.sheets)}"
             )
+        # End-events on <row> only: per-cell work happens via C-level
+        # child traversal of the completed row element instead of Python-
+        # level event dispatch per <c>/<v>/<t> (2x on the profile).  The
+        # column-letter cache exploits that refs repeat every row.
+        row_tag = _NS + "row"
+        c_tag = _NS + "c"
+        v_tag = _NS + "v"
+        t_tag = _NS + "t"
+        col_cache: dict[str, int] = {}
+        typed = self._typed_value
         with self._zip.open(entry) as stream:
-            row: list = []
-            value_parts: list[str] = []
-            cell_type = None
-            cell_style = None
-            cell_col = 0
-            in_value = False
-            is_text_run = False
-            for event, elem in iterparse(stream, events=("start", "end")):
-                tag = elem.tag.rsplit("}", 1)[-1]
-                if event == "start":
-                    if tag == "c":
-                        ref = elem.get("r")
-                        cell_col = (
-                            ooxml.parse_cell_ref(ref)[1] if ref else len(row)
+            for _event, elem in iterparse(stream, events=("end",)):
+                if elem.tag != row_tag:
+                    continue
+                row: list = []
+                for c in elem:
+                    if c.tag != c_tag:
+                        continue
+                    ref = c.get("r")
+                    if ref is None:
+                        cell_col = len(row)
+                    else:
+                        letters = ref.rstrip("0123456789")
+                        cell_col = col_cache.get(letters)
+                        if cell_col is None:
+                            cell_col = ooxml.letter_to_index(letters)
+                            col_cache[letters] = cell_col
+                    value_parts = []
+                    is_text_run = False
+                    for child in c.iter():
+                        if child.tag == v_tag:
+                            if child.text is not None:
+                                value_parts.append(child.text)
+                        elif child.tag == t_tag:
+                            is_text_run = True
+                            if child.text is not None:
+                                value_parts.append(child.text)
+                    while len(row) < cell_col:
+                        row.append(None)
+                    row.append(
+                        typed(
+                            "".join(value_parts), c.get("t"), c.get("s"),
+                            had_text_run=is_text_run,
                         )
-                        cell_type = elem.get("t")
-                        cell_style = elem.get("s")
-                        value_parts = []
-                    elif tag == "row":
-                        row = []
-                elif event == "end":
-                    if tag in ("v", "t"):
-                        if elem.text is not None:
-                            value_parts.append(elem.text)
-                        in_value = tag == "v"
-                        is_text_run = is_text_run or tag == "t"
-                    elif tag == "c":
-                        while len(row) < cell_col:
-                            row.append(None)
-                        row.append(
-                            self._typed_value(
-                                "".join(value_parts), cell_type, cell_style,
-                                had_text_run=is_text_run,
-                            )
-                        )
-                        value_parts = []
-                        is_text_run = False
-                        elem.clear()
-                    elif tag == "row":
-                        yield row
-                        elem.clear()
+                    )
+                yield row
+                elem.clear()
 
     def _typed_value(self, raw: str, t: str | None, s: str | None, had_text_run: bool):
         """Cell typing rules (reference parse_row, streaming_reader.rs:636-717,
