@@ -866,3 +866,41 @@ def join_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         direction="forward",
         tolerance="11000 DAY",
     )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+        SELECT event_type,
+               quantile_cont(value, 0.5)  AS p50,
+               quantile_cont(value, 0.95) AS p95,
+               quantile_cont(value, 0.99) AS p99
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("agg",),
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group: Spark ``percentile`` and
+    DuckDB ``quantile_cont`` share the same linear-interpolation
+    definition, so this is hash-exact.  (At 100 TB switch to
+    ``approx_percentile`` — same call shape, sketch-based, one pass.)"""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.95).alias("p95"),
+        F.percentile("value", 0.99).alias("p99"),
+    )
+
+
+@query("agg_approx_sketches", tags=("agg", "approx"))  # approximate -> rows-only
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based aggregates (HLL++ distinct count, t-digest-style
+    percentile): the one-pass 100 TB forms of the exact queries above —
+    approximate by construction, so rows-only here; error bounds are
+    asserted against exact answers in tests/test_scale_plans.py."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.approx_percentile("value", 0.95, 10000).alias("approx_p95"),
+    )

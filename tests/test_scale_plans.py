@@ -148,3 +148,31 @@ def test_binned_interval_join_is_equi_join(spark):
 
     with pytest.raises(ValueError, match="bin_width"):
         binned_interval_join(c, s, "c_acctbal", "lo", "hi", bin_width=0)
+
+
+def test_approx_sketches_within_error_bounds(spark):
+    """HLL++ rsd=2% and approx_percentile accuracy=10000 must land within
+    their documented error envelopes vs the exact answers."""
+    ev = load_table(spark, SF_DIR, "events")
+    approx = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("au"),
+            F.approx_percentile("value", 0.95, 10000).alias("ap"),
+        )
+        .collect()
+    }
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("u"),
+            F.percentile("value", 0.95).alias("p"),
+        )
+        .collect()
+    }
+    for et, e in exact.items():
+        a = approx[et]
+        assert abs(a["au"] - e["u"]) <= max(3, 0.06 * e["u"]), (et, a["au"], e["u"])
+        assert abs(a["ap"] - e["p"]) <= max(0.5, 0.05 * abs(e["p"])), (et, a["ap"], e["p"])
