@@ -904,3 +904,138 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
         F.approx_percentile("value", 0.95, 10000).alias("approx_p95"),
     )
+
+
+@query(
+    "window_frames_ntile",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               sum(o_totalprice) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend,
+               avg(o_totalprice) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)         AS avg_last3,
+               ntile(4) OVER (
+                 PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS price_quartile,
+               round(percent_rank() OVER (
+                 PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey), 9) AS pct_rank
+        FROM orders
+    """,
+    tags=("window",),
+)
+def window_frames_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame shapes: unbounded running sum, sliding 3-row average,
+    ntile quartiles, percent_rank — one shuffle on the partition key for
+    all four (same window spec reused)."""
+    o = _t(spark, sf_dir, "orders")
+    wt = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wp = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.sum("o_totalprice").over(wt.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("running_spend"),
+        F.avg("o_totalprice").over(wt.rowsBetween(-2, W.currentRow)).alias("avg_last3"),
+        F.ntile(4).over(wp).alias("price_quartile"),
+        F.round(F.percent_rank().over(wp), 9).alias("pct_rank"),
+    )
+
+
+@query(
+    "events_time_buckets",
+    oracle="""
+        SELECT date_trunc('day', ts)                          AS day_b,
+               time_bucket(INTERVAL 15 MINUTE, ts)            AS bucket_15m,
+               event_type,
+               CAST(count(*) AS BIGINT)                       AS n,
+               sum(value)                                     AS total_value
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
+    tags=("agg", "time"),
+)
+def events_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time bucketing: 15-minute buckets nested in days
+    (timescale time_bucket semantics via timestamp arithmetic — epoch
+    floor-division, identical across engines)."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.timestamp_seconds(
+        (F.unix_timestamp("ts") / 900).cast("bigint") * 900
+    )
+    return (
+        ev.groupBy(
+            F.date_trunc("day", "ts").alias("day_b"),
+            bucket.alias("bucket_15m"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+    )
+
+
+@query(
+    "string_functions",
+    oracle="""
+        SELECT p_partkey,
+               upper(p_name)                                   AS name_upper,
+               substring(p_name, 1, 4)                         AS name_prefix,
+               replace(p_name, ' ', '_')                       AS name_snake,
+               CAST(length(p_name) AS INT)                     AS name_len,
+               CAST(levenshtein(p_name, p_brand) AS INT)       AS dist_to_brand,
+               CAST(position('e' IN p_name) AS INT)            AS first_e,
+               lpad(CAST(p_size AS VARCHAR), 3, '0')           AS size_padded
+        FROM part
+        WHERE p_name LIKE '%o%' AND regexp_matches(p_name, '^[a-z]')
+    """,
+    tags=("functions", "string"),
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-function coverage incl. levenshtein — identical
+    classic-DP semantics in both engines."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_name").like("%o%") & F.col("p_name").rlike("^[a-z]"))
+        .select(
+            "p_partkey",
+            F.upper("p_name").alias("name_upper"),
+            F.substring("p_name", 1, 4).alias("name_prefix"),
+            F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+            F.length("p_name").alias("name_len"),
+            F.levenshtein("p_name", "p_brand").alias("dist_to_brand"),
+            F.instr("p_name", "e").alias("first_e"),
+            F.lpad(F.col("p_size").cast("string"), 3, "0").alias("size_padded"),
+        )
+    )
+
+
+@query(
+    "null_semantics",
+    oracle="""
+        WITH j AS (
+          SELECT c.c_custkey, c.c_acctbal, o.o_totalprice
+          FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        )
+        SELECT CAST(count(*) AS BIGINT)                      AS n_rows,
+               CAST(count(o_totalprice) AS BIGINT)           AS n_priced,
+               CAST(count(DISTINCT o_totalprice) AS BIGINT)  AS n_distinct_price,
+               sum(coalesce(o_totalprice, 0.0))              AS total_coalesced,
+               CAST(count(nullif(c_acctbal > 0, false)) AS BIGINT) AS n_positive_bal
+        FROM j
+    """,
+    tags=("agg", "null"),
+)
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL null semantics end-to-end: count(*) vs count(col) vs
+    count(distinct col) over outer-join nulls, coalesce, nullif."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    j = c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_acctbal", "o_totalprice"
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_totalprice").alias("n_priced"),
+        F.countDistinct("o_totalprice").alias("n_distinct_price"),
+        F.sum(F.coalesce("o_totalprice", F.lit(0.0))).alias("total_coalesced"),
+        F.count(F.nullif(F.col("c_acctbal") > 0, F.lit(False))).alias("n_positive_bal"),
+    )
