@@ -1039,3 +1039,66 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.coalesce("o_totalprice", F.lit(0.0))).alias("total_coalesced"),
         F.count(F.nullif(F.col("c_acctbal") > 0, F.lit(False))).alias("n_positive_bal"),
     )
+
+
+@query(
+    "agg_arrays",
+    oracle="""
+        SELECT event_type,
+               list_sort(list(DISTINCT user_id))                    AS users_sorted,
+               (list_sort(list(value)) )[1:5]                       AS smallest5,
+               CAST(len(list(DISTINCT user_id)) AS INT)             AS n_users
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("agg", "array"),
+)
+def agg_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation + array functions: collect_set/sort_array/slice
+    — engine-identical once sorted (collection order is undefined in
+    both, so sorting is part of the contract)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sort_array(F.collect_set("user_id")).alias("users_sorted"),
+        F.slice(F.sort_array(F.collect_list("value")), 1, 5).alias("smallest5"),
+        F.size(F.collect_set("user_id")).alias("n_users"),
+    )
+
+
+@query(
+    "date_math_functions",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS INT)                     AS yr,
+               CAST(month(o_orderdate) AS INT)                    AS mo,
+               CAST(dayofweek(o_orderdate) + 1 AS INT)            AS dow,  -- duckdb 0=Sun, spark 1=Sun
+               CAST(o_orderdate + INTERVAL 90 DAY AS TIMESTAMP)   AS due_date,
+               CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS days_since_95,
+               round(sqrt(o_totalprice), 6)                       AS price_sqrt,
+               round(ln(o_totalprice + 1), 6)                     AS price_ln,
+               round(pow(o_totalprice, 0.25), 6)                  AS price_qrt,
+               CAST(sign(o_totalprice - 100000) AS DOUBLE)        AS above_100k
+        FROM orders
+        WHERE o_orderkey % 7 = 0
+    """,
+    tags=("functions", "date", "math"),
+)
+def date_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date extraction/arithmetic + math scalar coverage (year/month/dow,
+    interval add, datediff, sqrt/ln/pow/sign) — rounded to 6 decimals
+    where transcendental libm implementations could differ in the last
+    ulp."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    day = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")).alias("due_date"),
+        F.datediff(day, F.lit("1995-01-01").cast("date")).cast("bigint").alias("days_since_95"),
+        F.round(F.sqrt("o_totalprice"), 6).alias("price_sqrt"),
+        F.round(F.log(F.col("o_totalprice") + 1), 6).alias("price_ln"),
+        F.round(F.pow("o_totalprice", F.lit(0.25)), 6).alias("price_qrt"),
+        F.signum(F.col("o_totalprice") - 100000).alias("above_100k"),
+    )
