@@ -354,6 +354,13 @@ class XlsxWriter(DataSourceWriter):
 
 def register_xlsx(spark) -> None:
     """Idempotently register the xlsx format on this session."""
+    # the reader implements pushFilters(), which Spark REJECTS (hard
+    # error, not a fallback) unless this conf is on — set it here so a
+    # caller-provided bare session works, not just our get_spark ones
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass
     try:
         spark.dataSource.register(XlsxDataSource)
     except Exception as e:  # already registered is fine

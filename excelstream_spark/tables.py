@@ -50,9 +50,28 @@ def _nanos_timestamp_columns(path: str) -> list[str]:
         return []
 
 
+#: Runtime SQL confs every catalog query depends on.  Set defensively on
+#: whatever session the caller provides (the round driver builds its own
+#: bare SparkSession — without these, events' TIMESTAMP(NANOS) fails to
+#: read and timestamps render in local time instead of UTC).
+_REQUIRED_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    for k, v in _REQUIRED_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on this build: get_spark sessions already have it
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
 
+    ensure_session_confs(spark)
     path = table_path(sf_dir, name)
     df = spark.read.parquet(path)
     for col in _nanos_timestamp_columns(path):
