@@ -1102,3 +1102,64 @@ def date_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.pow("o_totalprice", F.lit(0.25)), 6).alias("price_qrt"),
         F.signum(F.col("o_totalprice") - 100000).alias("above_100k"),
     )
+
+
+@query(
+    "unpivot_metrics",
+    oracle="""
+        SELECT o_orderkey, metric, val
+        FROM (SELECT o_orderkey, o_totalprice,
+                     CAST(year(o_orderdate) AS DOUBLE) AS order_year
+              FROM orders WHERE o_orderkey % 11 = 0)
+        UNPIVOT (val FOR metric IN (o_totalprice, order_year))
+    """,
+    tags=("reshape",),
+)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long unpivot (melt): the inverse of pivot_status, one output
+    row per (row, metric) — no shuffle, pure projection explosion."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 11 == 0).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.year("o_orderdate").cast("double").alias("order_year"),
+    )
+    return o.unpivot(
+        "o_orderkey", ["o_totalprice", "order_year"], "metric", "val"
+    )
+
+
+@query(
+    "q19_disjunctive_predicates",
+    oracle="""
+        SELECT sum(l_extendedprice * (1 - l_discount)) AS revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity >= 5 AND l_quantity <= 25)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+               AND l_quantity >= 10 AND l_quantity <= 40)
+           OR (p_type = 'PROMO' AND l_discount > 0.05)
+    """,
+    tags=("join", "predicate"),
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive multi-table predicates — the join
+    stays a single broadcast hash join with the OR tree as a residual
+    (no union-of-three-joins blowup)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(5, 25)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 40)
+        )
+        | ((F.col("p_type") == "PROMO") & (F.col("l_discount") > 0.05))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.filter(cond).agg(F.sum(rev).alias("revenue"))

@@ -16,6 +16,12 @@ target path as one workbook — the Excel-openable mode.
 Options (read):  sheetName | sheetIndex, header (default true),
   inferSchema (default true), samplingRows (default 200)
 
+The source also implements a STREAM reader: ``spark.readStream
+.format("xlsx")`` watches a directory and processes each new workbook
+exactly once (offsets = the processed-file set, checkpointed).  Note
+Spark's PythonMicroBatchStream executes availableNow as a single batch
+per run — incremental pickup across restarts is exact either way.
+
 The reader implements ``pushFilters`` (Spark 4.1 Python Data Source
 filter pushdown): comparison / null / IN / string-match predicates are
 evaluated during row parsing, so filtered-out rows never cross the
@@ -39,6 +45,7 @@ import uuid
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     EqualTo,
     Filter,
@@ -210,6 +217,9 @@ class XlsxDataSource(DataSource):
     def reader(self, schema: T.StructType) -> "XlsxReader":
         return XlsxReader(schema, self.options)
 
+    def streamReader(self, schema: T.StructType) -> "XlsxStreamReader":
+        return XlsxStreamReader(schema, self.options)
+
     def writer(self, schema: T.StructType, overwrite: bool) -> "XlsxWriter":
         return XlsxWriter(schema, self.options, overwrite)
 
@@ -255,15 +265,96 @@ class XlsxReader(DataSourceReader):
 
     def read(self, partition: XlsxPartition):
         preds = self._predicates
+        n_fields = len(self.schema_.fields)
+        with WorkbookReader(partition.file) as wb:
+            first = self.header
+            remap: list[int | None] | None = None
+            for row in wb.iter_rows(partition.sheet):
+                if first:
+                    first = False
+                    # realign THIS sheet's columns to the global schema by
+                    # header name — sheets/files whose column order differs
+                    # from the schema-inference sheet would otherwise be
+                    # coerced positionally and silently mis-typed.  Identity
+                    # mappings (the common case) skip the remap entirely.
+                    names = [str(v).strip().lower() if v is not None else "" for v in row]
+                    pos = {n: i for i, n in reversed(list(enumerate(names)))}
+                    mapping = [
+                        pos.get(f.name.strip().lower()) for f in self.schema_.fields
+                    ]
+                    # only remap when EVERY schema field resolves to a header
+                    # (user-supplied schemas with custom names stay positional)
+                    if None not in mapping and mapping != list(range(n_fields)):
+                        remap = mapping
+                    continue
+                if remap is not None:
+                    row = [
+                        row[i] if i is not None and i < len(row) else None
+                        for i in remap
+                    ]
+                out = coerce_row(row, self.schema_)
+                if all(p(out) is True for p in preds):
+                    yield out
+
+
+class XlsxStreamReader(DataSourceStreamReader):
+    """Micro-batch file-source semantics for workbooks: each trigger picks
+    up .xlsx files that appeared since the last committed offset; one
+    partition per NEW (file, sheet).  A workbook must be written atomically
+    (rename into the watched directory) — the same contract as Spark's
+    built-in file sources.
+
+    Offsets are {"seen": sorted [file, ...]} — the full processed set, so
+    recovery from any checkpointed offset pair is exact regardless of
+    listing order or file mtimes.  (An offset grows with file count; at
+    very high file cardinality compact upstream or use archiving, as with
+    the built-in file source's own file log.)
+    """
+
+    def __init__(self, schema: T.StructType, options):
+        self.schema_ = schema
+        self.options = options
+        self.path = options.get("path")
+        self.header = _truthy(options.get("header"), True)
+        self.sheet_name = options.get("sheetname")
+        self.sheet_index = options.get("sheetindex")
+
+    def _current_files(self) -> list[str]:
+        try:
+            return _list_xlsx_files(self.path)
+        except FileNotFoundError:
+            return []
+
+    def initialOffset(self) -> dict:
+        return {"seen": []}
+
+    def latestOffset(self) -> dict:
+        return {"seen": self._current_files()}
+
+    def partitions(self, start: dict, end: dict):
+        new_files = sorted(set(end.get("seen", [])) - set(start.get("seen", [])))
+        parts = []
+        for f in new_files:
+            if self.sheet_name:
+                parts.append(XlsxPartition(f, self.sheet_name))
+            else:
+                with WorkbookReader(f) as wb:
+                    names = wb.sheet_names()
+                    idx = int(self.sheet_index) if self.sheet_index else 0
+                    parts.append(XlsxPartition(f, names[idx]))
+        return parts
+
+    def read(self, partition: XlsxPartition):
         with WorkbookReader(partition.file) as wb:
             first = self.header
             for row in wb.iter_rows(partition.sheet):
                 if first:
                     first = False
                     continue
-                out = coerce_row(row, self.schema_)
-                if all(p(out) is True for p in preds):
-                    yield out
+                yield coerce_row(row, self.schema_)
+
+    def commit(self, end: dict) -> None:
+        pass  # progress is fully encoded in the checkpointed offset
 
 
 class XlsxCommitMessage(WriterCommitMessage):

@@ -64,3 +64,42 @@ def test_user_activity_tracker_running_totals(spark, replayed_stream):
     assert (abs(m["total_value"] - 2 * m["tv"]) < 1e-6).all()
     # first/last seen are sane
     assert (latest["first_seen"] <= latest["last_seen"]).all()
+
+
+def test_xlsx_streaming_source_incremental(spark, tmp_path):
+    """readStream.format('xlsx'): files appearing between runs are picked
+    up exactly once; reruns without new files add nothing."""
+    import os
+
+    from excelstream_spark.sources.xlsx import WorkbookWriter, register_xlsx
+
+    register_xlsx(spark)
+    watch = str(tmp_path / "watch")
+    os.makedirs(watch)
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    def write_wb(path, rows):
+        tmp = path + ".tmp"
+        with WorkbookWriter(tmp) as wb:
+            wb.add_sheet("S")
+            wb.write_row(["id", "v"])
+            for r in rows:
+                wb.write_row(r)
+        os.rename(tmp, path)  # atomic appearance, file-source contract
+
+    def run_once():
+        st = spark.readStream.format("xlsx").schema("id long, v string").load(watch)
+        q = (
+            st.writeStream.format("parquet").outputMode("append")
+            .option("checkpointLocation", ckpt).option("path", out)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+        return sorted(tuple(r) for r in spark.read.parquet(out).collect())
+
+    write_wb(f"{watch}/a.xlsx", [[1, "a1"], [2, "a2"]])
+    assert run_once() == [(1, "a1"), (2, "a2")]
+    write_wb(f"{watch}/b.xlsx", [[3, "b1"]])
+    assert run_once() == [(1, "a1"), (2, "a2"), (3, "b1")]
+    assert run_once() == [(1, "a1"), (2, "a2"), (3, "b1")]  # idempotent

@@ -400,3 +400,31 @@ def test_property_roundtrip_typed_cells(tmp_path):
                     assert g == o, f"{o!r} -> {g!r}"
 
     run()
+
+
+def test_all_sheets_header_realignment(spark, tmp_path):
+    """Sheets whose column ORDER differs are realigned by header name,
+    not silently mis-typed positionally."""
+    p = str(tmp_path / "re.xlsx")
+    with WorkbookWriter(p) as wb:
+        wb.add_sheet("A")
+        wb.write_row(["id", "name", "score"])
+        wb.write_row([1, "alpha", 9.5])
+        wb.add_sheet("B")  # same columns, shuffled order
+        wb.write_row(["score", "id", "name"])
+        wb.write_row([7.25, 2, "beta"])
+    df = spark.read.format("xlsx").option("allSheets", True).load(p)
+    rows = sorted([tuple(r) for r in df.collect()])
+    assert rows == [(1, "alpha", 9.5), (2, "beta", 7.25)], rows
+
+
+def test_user_schema_stays_positional(spark, tmp_path):
+    """A user schema with names that don't appear in the header keeps the
+    positional mapping (no all-null regression)."""
+    p = str(tmp_path / "pos.xlsx")
+    with WorkbookWriter(p) as wb:
+        wb.add_sheet("S")
+        wb.write_row(["colA", "colB"])
+        wb.write_row([5, "x"])
+    df = spark.read.format("xlsx").schema("a long, b string").load(p)
+    assert [tuple(r) for r in df.collect()] == [(5, "x")]
