@@ -33,7 +33,9 @@ Options (write): sheetName, header (default true), compression (0-9,
   maxRowsPerSheet (default 1,048,576 -> auto-split),
   columnWidths ("20,12,8" positional, blank to skip a column),
   rowHeight (points) — widths/heights actually emitted, unlike the
-  reference's no-op stubs (writer.rs:375-412)
+  reference's no-op stubs (writer.rs:375-412),
+  columnStyles ("currency,,percent" positional style names from the
+  fixed style table — reference K4 write_row_styled semantics)
 """
 
 from __future__ import annotations
@@ -383,6 +385,23 @@ class XlsxWriter(DataSourceWriter):
         )
         rh = options.get("rowheight")
         self.row_height = float(rh) if rh else None
+        # per-column cell styles by name (reference K4 write_row_styled):
+        # option("columnStyles", "currency,,percent") — blank = default
+        cs = options.get("columnstyles")
+        if cs:
+            from excelstream_spark.sources.xlsx import ooxml
+
+            self.col_styles = []
+            for s in cs.split(","):
+                s = s.strip().lower()
+                if s and s not in ooxml.STYLE_NAMES:
+                    raise ValueError(
+                        f"unknown columnStyles entry {s!r}; valid: "
+                        f"{sorted(ooxml.STYLE_NAMES)}"
+                    )
+                self.col_styles.append(ooxml.STYLE_NAMES[s] if s else None)
+        else:
+            self.col_styles = None
         # driver-side setup: Spark's planner has already handled the
         # overwrite/errorifexists decision before constructing the writer
         if self.single_file:
@@ -426,7 +445,7 @@ class XlsxWriter(DataSourceWriter):
             if self.header:
                 wb.write_header(names)
             for row in iterator:
-                wb.write_row(list(row))
+                wb.write_row(list(row), styles=self.col_styles)
                 n += 1
         return XlsxCommitMessage(file=target, rows=n)
 

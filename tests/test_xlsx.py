@@ -428,3 +428,35 @@ def test_user_schema_stays_positional(spark, tmp_path):
         wb.write_row([5, "x"])
     df = spark.read.format("xlsx").schema("a long, b string").load(p)
     assert [tuple(r) for r in df.collect()] == [(5, "x")]
+
+
+def test_column_styles_option(spark, tmp_path):
+    """K4 parity at the Spark surface: per-column style indices land on
+    data cells (header keeps its own style)."""
+    p = str(tmp_path / "styles")
+    df = spark.createDataFrame([(1500.5, 0.25, "note")], "amt double, pct double, s string")
+    (
+        df.coalesce(1).write.format("xlsx").mode("overwrite")
+        .option("columnStyles", "currency,percent,")
+        .save(p)
+    )
+    import glob as g
+
+    xml = zipfile.ZipFile(g.glob(f"{p}/part-*.xlsx")[0]).read(
+        "xl/worksheets/sheet1.xml"
+    ).decode()
+    from excelstream_spark.sources.xlsx import ooxml
+
+    assert f's="{ooxml.STYLE_CURRENCY}"' in xml
+    assert f's="{ooxml.STYLE_PERCENT}"' in xml
+    # readable and values intact
+    assert [tuple(r) for r in spark.read.format("xlsx").load(p).collect()] == [
+        (1500.5, 0.25, "note")
+    ]
+    # bad style name -> clear error naming valid choices
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="columnStyles"):
+        df.coalesce(1).write.format("xlsx").mode("overwrite").option(
+            "columnStyles", "sparkly"
+        ).save(str(tmp_path / "bad"))
