@@ -65,23 +65,52 @@ def shingle_sets(
 ) -> DataFrame:
     """(id, sh: array<string>, n: int) — distinct k-shingle set per doc.
     Documents with no shingles (fewer than k tokens) are dropped.
-    Plan shape matters here (measured 5x+ at sf0.1):
+    Execution shape (every alternative measured at sf0.1):
 
-    * the short-doc filter is expressed on the CHEAP token count, before
-      shingling — a filter on the shingle array itself gets pushed below
-      the repartition by Catalyst and re-evaluates the whole (unshared)
-      shingle expression per row on the unfanned input;
-    * tokens are materialized into their own projection before the
-      shingle transform (functions/text.py:shingles_from_tokens);
-    * the input is fanned out to full parallelism (no-op at scale).
+    * the short-doc filter is expressed on the CHEAP token count and
+      pushes to the scan (a filter on the shingle array itself gets
+      pushed below the repartition and re-evaluates the whole unshared
+      shingle expression single-threaded);
+    * shingles come from ``posexplode(tokens)`` + ``lead()`` windows —
+      every expression codegen'd; 2.2x faster than the higher-order
+      ``transform`` formulation, whose lambda is interpreted per element
+      (see functions/text.py:shingles_from_tokens, kept for expression-
+      level use);
+    * ``distinct`` on the exploded (id, shingle) rows = array_distinct;
+      the array shape is rebuilt only at the end for consumers that
+      need it (set intersection in LSH verification).
 
     ``size(tokens) >= k`` guarantees >= 1 shingle, so no post-filter is
     needed."""
-    df = fan_out(df.filter(F.size(TXT.tokens(F.col(text_col))) >= k))
+    rows = shingle_rows(df, text_col, id_col, k)
     return (
-        df.select(F.col(id_col).alias("id"), TXT.tokens(F.col(text_col)).alias("t"))
-        .select("id", F.array_distinct(TXT.shingles_from_tokens(F.col("t"), k)).alias("sh"))
+        rows.groupBy("id")
+        .agg(F.collect_list("s").alias("sh"))
         .withColumn("n", F.size("sh"))
+    )
+
+
+def shingle_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Distinct (id, s) shingle ROWS — the pre-array form most consumers
+    actually want (they explode the array right back).  See shingle_sets
+    for the plan-shape rationale."""
+    df = fan_out(df.filter(F.size(TXT.tokens(F.col(text_col))) >= k))
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(TXT.tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    w = W.partitionBy("id").orderBy("pos")
+    leads = [F.lead("tok", j).over(w).alias(f"_t{j}") for j in range(1, k)]
+    return (
+        ex.select("id", "tok", *leads)
+        .filter(F.col(f"_t{k - 1}").isNotNull())
+        .select("id", F.concat_ws(" ", "tok", *[f"_t{j}" for j in range(1, k)]).alias("s"))
+        .distinct()
     )
 
 
@@ -104,11 +133,12 @@ def dedup_ngram_jaccard(
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b,
     jaccard = |A∩B| / |A∪B| >= threshold.
     """
-    sets_ = shingle_sets(df, text_col, id_col, k)
+    rows = shingle_rows(df, text_col, id_col, k)
+    counts = rows.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     # persisted: both sides of the inverted-index self-join read this —
     # without it the whole shingle pipeline executes twice (at 100 TB the
     # equivalent is materializing the posting list to storage once).
-    ex = sets_.select("id", "n", F.explode("sh").alias("s")).persist()
+    ex = rows.join(counts, "id").select("id", "n", "s").persist()
     if max_shingle_df is not None:
         keep = ex.groupBy("s").count().filter(F.col("count") <= max_shingle_df)
         ex = ex.join(F.broadcast(keep.select("s")), "s")
@@ -146,15 +176,14 @@ def minhash_signatures(
     shingles x hashes) loop stays in HashAggregate codegen.  (Folding
     ``collect_set(sh)`` into the same aggregation was tried and is 2x
     WORSE: a typed-imperative aggregate downgrades the operator to
-    ObjectHashAggregate, de-codegening all 128 mins.)  The shingle set
-    is persisted and joined back instead, so shingling runs exactly
-    once; at 100 TB the persist is the posting-list materialization any
-    minhash pipeline does.
+    ObjectHashAggregate, de-codegening all 128 mins.)  The distinct
+    shingle ROWS are persisted and consumed by both the min-aggregation
+    and the array rebuild, so shingling runs exactly once; at 100 TB the
+    persist is the posting-list materialization any minhash pipeline
+    does.
     """
-    sets_ = shingle_sets(df, text_col, id_col, k).persist()
-    ex = sets_.select("id", F.explode("sh").alias("s")).withColumn(
-        "h", F.xxhash64("s")
-    )
+    rows = shingle_rows(df, text_col, id_col, k).persist()
+    ex = rows.withColumn("h", F.xxhash64("s"))
     mins = ex.groupBy("id").agg(
         *[
             F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"_m{i}")
@@ -163,6 +192,11 @@ def minhash_signatures(
     )
     sigs = mins.select(
         "id", F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("sig")
+    )
+    sets_ = (
+        rows.groupBy("id")
+        .agg(F.collect_list("s").alias("sh"))
+        .withColumn("n", F.size("sh"))
     )
     return sets_.join(sigs, "id").select("id", "sh", "n", "sig")
 
