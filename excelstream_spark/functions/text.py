@@ -1,5 +1,8 @@
 """Text-analysis column functions for large-corpus pipelines.
 
+Reference parity: the reference has no text analysis (SURVEY.md §2.6);
+this implements the BASELINE.json extension surface.
+
 Everything here is a pure JVM-side column expression (codegen'd,
 vectorizable, no Python in the executor hot path).  Semantics are chosen
 to be ANSI-SQL-expressible so every derived metric can be oracle-checked

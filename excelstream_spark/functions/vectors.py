@@ -1,14 +1,20 @@
 """Vector math over ``array<float>`` embedding columns — JVM-side only.
 
-Dot products / norms are expressed with ``zip_with`` + ``aggregate`` so the
-summation order is the array order: left-to-right double accumulation.
-This matches DuckDB's ``list_cosine_similarity(CAST(x AS DOUBLE[]), ...)``
-bit-for-bit, which is what lets cosine results be oracle-checked exactly.
+Column-expression forms of dot/cosine/hamming.  Two dot variants:
 
-For throughput-critical approximate paths (IVF/LSH candidate scoring) a
-numpy Pandas UDF is faster, but numpy's pairwise summation changes the
-floating-point result — keep those variants rows-only (see
-operators/similarity.py).
+* ``dot(a, b)`` — ``zip_with`` + ``aggregate``: left-to-right double
+  accumulation, bit-identical to DuckDB's ``list_cosine_similarity`` on
+  DOUBLE[] casts (the exact-oracle path), but the lambda is interpreted.
+* ``dot(a, b, dim)`` — unrolled ``element_at`` chain: same fold order,
+  codegen'd, ~2x faster when the width is known.
+
+For BULK scoring (all-pairs, top-k, centroid assignment) use
+operators/vectorized.py instead — Arrow-batched BLAS matmuls are 10-30x
+faster than either expression form; these stay for per-row expression
+contexts (hamming distance on simhash, ad-hoc column math).
+
+Reference parity: the reference has no vector operations (SURVEY.md
+§2.6); this is BASELINE.json extension surface.
 """
 
 from __future__ import annotations

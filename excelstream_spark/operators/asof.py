@@ -1,6 +1,10 @@
 """As-of join (point-in-time join): for each left row, attach the most
 recent right row whose time is <= the left row's time, per key.
 
+Reference parity: the reference (an I/O library, SURVEY.md §2.7) has no
+joins at all; this is extension surface, shaped after kdb/pandas
+merge_asof semantics.
+
 Scale design
 ------------
 The naive formulation — range join (``r.time <= l.time``) followed by a

@@ -1,5 +1,8 @@
 """Binned range join: the scale path for PURE interval joins.
 
+Reference parity: the reference has no joins (SURVEY.md §2.7); this is
+extension surface.
+
 A join with no equality component — ``point BETWEEN lo AND hi`` —
 gives Catalyst nothing to hash or sort on, so it plans a
 BroadcastNestedLoopJoin: O(|points| x |intervals|) comparisons, and at

@@ -1,5 +1,8 @@
 """Skew-mitigation operators.
 
+Reference parity: no relational layer exists in the reference
+(SURVEY.md §2.7); these are the 100 TB extension surface.
+
 AQE's skew-join handling (on by default in our session) splits oversized
 sort-merge partitions at runtime, but two cases still need explicit
 salting at 100 TB:
