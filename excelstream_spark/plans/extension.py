@@ -346,3 +346,73 @@ def text_token_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe.alias("n_bpe_pieces"),
         (bpe * 1.0 / ws).alias("pieces_per_token"),
     )
+
+
+@query(
+    "training_corpus_pipeline",
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, text, lang, {_SQL_TOKS} AS t FROM documents
+        ),
+        quality AS (
+          SELECT doc_id, text, lang FROM toks
+          WHERE len(t) >= 10
+            AND len(list_filter(t, x -> x IN {_STOPLIST_SQL})) * 1.0 / len(t) >= 0.05
+        ),
+        lang_kept AS (SELECT * FROM quality WHERE lang IN ('en', 'de')),
+        exact_rep AS (
+          SELECT min(doc_id) AS doc_id
+          FROM lang_kept
+          GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+        ),
+        survivors AS (
+          SELECT l.doc_id, l.text, l.lang FROM lang_kept l
+          JOIN exact_rep r ON l.doc_id = r.doc_id
+        ),
+        sets_ AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(generate_series(1, len(t) - 2),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+          FROM (SELECT doc_id, {_SQL_TOKS} AS t
+                FROM survivors)
+        ),
+        ex AS (SELECT doc_id, len(sh) n, unnest(sh) s FROM sets_ WHERE len(sh) > 0),
+        near_dups AS (
+          SELECT DISTINCT b.doc_id
+          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id, a.n, b.n
+          HAVING count(*) * 1.0 / (any_value(a.n) + any_value(b.n) - count(*)) >= 0.8
+        )
+        SELECT s.doc_id, s.lang
+        FROM survivors s
+        WHERE s.doc_id NOT IN (SELECT doc_id FROM near_dups)
+    """,
+    tags=("pipeline", "dedup", "text"),
+)
+def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data cleaning pipeline in one plan:
+
+    1. quality gate: >= 10 tokens and >= 5% stopwords (natural language),
+    2. language filter: keep en/de,
+    3. exact dedup: one representative (min doc_id) per normalized-text
+       fingerprint,
+    4. near-dedup: drop the HIGHER doc_id of every >= 0.8-jaccard pair
+       (minhash-LSH candidates + exact verification).
+
+    Every stage is a DataFrame transform on the previous one — a single
+    lazy plan, shuffling only fingerprints, shingle hashes, and ids.  The
+    oracle replays the same four stages in SQL, with brute-force jaccard
+    standing in for LSH (recall ~1 at 0.8, see dedup_minhash_lsh).
+    """
+    docs = _docs(spark, sf_dir)
+    toks = TXT.tokens(F.col("text"))
+    quality = docs.filter(
+        (F.size(toks) >= 10) & (TXT.stopword_ratio(F.col("text")) >= 0.05)
+    )
+    lang_kept = quality.filter(F.col("lang").isin("en", "de"))
+    reps = DD.dedup_exact(lang_kept)  # (doc_id, fp) min-id per group
+    survivors = lang_kept.join(reps.select("doc_id"), "doc_id")
+    near = DD.dedup_minhash_lsh(survivors, threshold=0.8).select(
+        F.col("doc_b").alias("doc_id")
+    ).distinct()
+    return survivors.join(near, "doc_id", "left_anti").select("doc_id", "lang")
