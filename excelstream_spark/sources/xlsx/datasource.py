@@ -23,11 +23,14 @@ Spark's PythonMicroBatchStream executes availableNow as a single batch
 per run — incremental pickup across restarts is exact either way.
 
 The reader implements ``pushFilters`` (Spark 4.1 Python Data Source
-filter pushdown): comparison / null / IN / string-match predicates are
-evaluated during row parsing, so filtered-out rows never cross the
-Arrow boundary — the xlsx analogue of parquet PushedFilters.  Requires
-``spark.sql.python.filterPushdown.enabled=true`` (set by our session
-factory).
+filter pushdown): with ``option("pushdown", true)``, comparison / null /
+IN / string-match predicates are evaluated during row parsing, so
+filtered-out rows never cross the Arrow boundary — the xlsx analogue of
+parquet PushedFilters.  OPT-IN because Spark's planner can reuse a
+cached filtered scan for a later filterless query on the same DataFrame
+(see XlsxReader.pushFilters); enable it for write-once-read-once ETL
+frames.  Requires ``spark.sql.python.filterPushdown.enabled=true`` (set
+by register_xlsx).
 Options (write): sheetName, header (default true), compression (0-9,
   default 6), useSharedStrings, sheetProtectPassword, singleFile,
   maxRowsPerSheet (default 1,048,576 -> auto-split),
@@ -182,9 +185,38 @@ def _compile_filter(flt: Filter, col_idx: dict[str, int]):
 
 
 class XlsxPartition(InputPartition):
-    def __init__(self, file: str, sheet: str):
+    def __init__(self, file: str, sheet: str, predicates=None):
         self.file = file
         self.sheet = sheet
+        self.predicates = predicates or []
+
+
+def _to_arrow_schema(schema: T.StructType):
+    """Spark schema -> pyarrow schema for RecordBatch-yielding readers."""
+    import pyarrow as pa
+
+    mapping = {
+        T.LongType(): pa.int64(),
+        T.IntegerType(): pa.int32(),
+        T.DoubleType(): pa.float64(),
+        T.FloatType(): pa.float32(),
+        T.BooleanType(): pa.bool_(),
+        T.StringType(): pa.string(),
+        T.DateType(): pa.date32(),
+        T.TimestampNTZType(): pa.timestamp("us"),
+        T.TimestampType(): pa.timestamp("us", tz="UTC"),
+        T.BinaryType(): pa.binary(),
+    }
+    fields = []
+    for f in schema.fields:
+        pa_t = mapping.get(f.dataType)
+        if pa_t is None:
+            raise ValueError(
+                f"xlsx arrow reader: unsupported column type {f.dataType} "
+                f"for {f.name!r}; set arrowBatches=false"
+            )
+        fields.append(pa.field(f.name, pa_t, nullable=True))
+    return pa.schema(fields)
 
 
 class XlsxDataSource(DataSource):
@@ -235,12 +267,33 @@ class XlsxReader(DataSourceReader):
         self.sheet_name = options.get("sheetname")
         self.sheet_index = options.get("sheetindex")
         self.all_sheets = _truthy(options.get("allsheets"), False)
+        # OPT-IN: Spark's Python-datasource planning caches the worker's
+        # scan blob per relation and can reuse a FILTERED scan for a later
+        # filterless query on the same DataFrame (observed on 4.1.2: an
+        # unfiltered count returning the previous query's filtered count).
+        # Pushdown is therefore only armed when the user asks for it —
+        # safe for write-once-read-once ETL frames, where it saves the
+        # Arrow transfer of every dropped row.
+        self.pushdown = _truthy(options.get("pushdown"), False)
         self._predicates = []
 
     def pushFilters(self, filters):
         """Accept every filter we can evaluate exactly; yield the rest back
         to Spark.  (Spark removes accepted filters from its post-scan
-        Filter, so acceptance is a correctness contract, not a hint.)"""
+        Filter, so acceptance is a correctness contract, not a hint.)
+
+        Lifecycle: Spark reuses ONE reader instance across every query on
+        the same DataFrame, calling pushFilters only for plans that have
+        filters, then partitions(), then pickling the lot for executors.
+        Predicate state must therefore bind to the SCAN, not the reader:
+        pushFilters stages them, partitions() moves them into the
+        partition objects and clears the staging — otherwise one query's
+        filters leak into the next (observed: an unfiltered count on the
+        same DataFrame returning the previous query's filtered count)."""
+        self._predicates = []
+        if not self.pushdown:
+            yield from filters
+            return
         col_idx = {f.name: i for i, f in enumerate(self.schema_.fields)}
         for flt in filters:
             pred = _compile_filter(flt, col_idx)
@@ -250,23 +303,54 @@ class XlsxReader(DataSourceReader):
                 self._predicates.append(pred)
 
     def partitions(self):
+        preds, self._predicates = self._predicates, []  # bind to this scan
         parts = []
         for f in _list_xlsx_files(self.path):
             if self.sheet_name:
-                parts.append(XlsxPartition(f, self.sheet_name))
+                parts.append(XlsxPartition(f, self.sheet_name, preds))
             elif self.all_sheets:
                 with WorkbookReader(f) as wb:
                     for s in wb.sheet_names():
-                        parts.append(XlsxPartition(f, s))
+                        parts.append(XlsxPartition(f, s, preds))
             else:
                 with WorkbookReader(f) as wb:
                     names = wb.sheet_names()
                     idx = int(self.sheet_index) if self.sheet_index else 0
-                    parts.append(XlsxPartition(f, names[idx]))
+                    parts.append(XlsxPartition(f, names[idx], preds))
         return parts
 
     def read(self, partition: XlsxPartition):
-        preds = self._predicates
+        """Yields pyarrow RecordBatches (columnar transfer into the JVM —
+        measurably faster than per-row pickling); set arrowBatches=false
+        to fall back to tuple rows."""
+        if not _truthy(self.options.get("arrowbatches"), True):
+            yield from self._read_rows(partition)
+            return
+        import pyarrow as pa
+
+        pa_schema = _to_arrow_schema(self.schema_)
+        batch_size = int(self.options.get("arrowbatchsize", 4096))
+        cols: list[list] = [[] for _ in self.schema_.fields]
+        n = 0
+        for out in self._read_rows(partition):
+            for i, v in enumerate(out):
+                cols[i].append(v)
+            n += 1
+            if n >= batch_size:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(c, type=f.type) for c, f in zip(cols, pa_schema)],
+                    schema=pa_schema,
+                )
+                cols = [[] for _ in self.schema_.fields]
+                n = 0
+        if n:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(c, type=f.type) for c, f in zip(cols, pa_schema)],
+                schema=pa_schema,
+            )
+
+    def _read_rows(self, partition: XlsxPartition):
+        preds = partition.predicates
         n_fields = len(self.schema_.fields)
         with WorkbookReader(partition.file) as wb:
             first = self.header

@@ -273,7 +273,10 @@ def test_filter_pushdown_matches_post_scan(spark, tmp_path):
     src = spark.read.parquet(f"{SF_DIR}/orders.parquet").limit(500)
     p = str(tmp_path / "orders_x")
     src.write.format("xlsx").mode("overwrite").save(p)
-    df = spark.read.format("xlsx").load(p)
+    # pushdown is OPT-IN (see datasource.py); a FRESH frame per filter
+    # below sidesteps Spark's cached-scan reuse, which is the supported
+    # usage pattern for the option
+    df = spark.read.format("xlsx").option("pushdown", True).load(p)
 
     cases = [
         lambda t: t.filter(F.col("o_orderstatus") == "O"),
@@ -288,7 +291,8 @@ def test_filter_pushdown_matches_post_scan(spark, tmp_path):
         lambda t: t.filter((F.col("o_totalprice") > 100000) & (F.length("o_orderpriority") > 3)),
     ]
     for i, fn in enumerate(cases):
-        assert fn(df).count() == fn(src).count(), f"case {i} diverged"
+        fresh = spark.read.format("xlsx").option("pushdown", True).load(p)
+        assert fn(fresh).count() == fn(src).count(), f"case {i} diverged"
 
 
 def test_push_filters_residual_split(spark):
@@ -300,7 +304,7 @@ def test_push_filters_residual_split(spark):
     schema = T.StructType(
         [T.StructField("a", T.LongType()), T.StructField("s", T.StringType())]
     )
-    r = XlsxReader(schema, {"path": "/nonexistent"})
+    r = XlsxReader(schema, {"path": "/nonexistent", "pushdown": "true"})
     f_ok = [EqualTo(("a",), 1), IsNotNull(("s",)), StringStartsWith(("s",), "x")]
     f_bad = [EqualTo(("nope",), 1), EqualTo(("a", "nested"), 2)]
     residual = list(r.pushFilters(f_ok + f_bad))
@@ -460,3 +464,19 @@ def test_column_styles_option(spark, tmp_path):
         df.coalesce(1).write.format("xlsx").mode("overwrite").option(
             "columnStyles", "sparkly"
         ).save(str(tmp_path / "bad"))
+
+
+def test_no_pushdown_no_cross_query_leak(spark, tmp_path):
+    """Regression: with default options, interleaving filtered and
+    unfiltered queries on the SAME DataFrame must never leak one query's
+    filters into another (Spark's python-datasource planner reuses the
+    cached scan blob — the reason pushdown is opt-in)."""
+    src = spark.read.parquet(f"{SF_DIR}/orders.parquet").limit(400)
+    p = str(tmp_path / "leak_x")
+    src.write.format("xlsx").mode("overwrite").save(p)
+    df = spark.read.format("xlsx").load(p)
+    n_all = df.count()
+    n_o = df.filter(F.col("o_orderstatus") == "O").count()
+    assert df.count() == n_all  # the leak made this return n_o
+    assert n_o == src.filter(F.col("o_orderstatus") == "O").count()
+    assert df.count() == n_all
