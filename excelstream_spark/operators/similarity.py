@@ -107,7 +107,19 @@ def ivf_topk(
     probes = VZ.nearest_against_broadcast(
         queries, centroids, vec_col=vec_col, id_col=id_col, n_nearest=n_probe, carry_vec=True
     ).select(F.col("id").alias("qid"), F.col("v").alias("qv"), "cid")
+    return _score_probed_cells(corpus, probes, assigned, id_col, k)
 
+
+def _score_probed_cells(
+    corpus: DataFrame,
+    probes: DataFrame,
+    assigned: DataFrame,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Cogrouped per-cell matmul scoring shared by the seeded and trained
+    IVF variants: probes(qid, qv, cid) x assigned(id, v, cid) -> global
+    top-k per query."""
     out_schema = StructType(
         [
             StructField("query_id", corpus.schema[id_col].dataType),
@@ -166,32 +178,121 @@ def lsh_bucket_candidates(
     corpus: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_planes: int = 16,
+    n_planes: int = 4,
+    n_tables: int = 8,
     dim: int = 64,
 ) -> DataFrame:
-    """Random-hyperplane LSH bucket per vector: bit i of the bucket key is
-    the sign of <v, h_i> where h_i is a deterministic pseudo-random
-    hyperplane derived from xxhash64(plane, dim) — no stored model, fully
-    reproducible across runs/engines.
+    """Multi-table random-hyperplane LSH: ``n_tables`` independent hash
+    tables of ``n_planes`` sign bits each; two vectors are candidates if
+    they share a bucket in ANY table.  Banding is what makes recall
+    usable: one r-bit table catches a cos=0.45 pair with prob
+    (1-theta/pi)^r ≈ 0.18 at r=4, but any-of-8 tables ≈ 0.80 — the same
+    OR-amplification minhash-LSH uses.  Hyperplanes derive from
+    xxhash64(table, plane, dim) — no stored model, reproducible across
+    runs/engines.
 
-    Returns (id, bucket) — join on bucket for near-dup candidates.
+    Returns (id, table, bucket) — join on (table, bucket), dedupe pairs.
     """
-    # plane weights in [-0.5, 0.5): (xxhash64(i, d) mod 1000)/1000 - 0.5
-    def plane_dot(i: int):
+    # plane weights in [-0.5, 0.5): (xxhash64(t, i, d) mod 1000)/1000 - 0.5
+    def plane_dot(t: int, i: int):
         prods = F.zip_with(
             F.col("v"),
             F.array(*[
-                (F.pmod(F.xxhash64(F.lit(i), F.lit(d)), F.lit(1000)) / 1000.0 - 0.5)
+                (
+                    F.pmod(F.xxhash64(F.lit(t), F.lit(i), F.lit(d)), F.lit(1000))
+                    / 1000.0
+                    - 0.5
+                )
                 for d in range(dim)
             ]),
             lambda x, w: x.cast("double") * w,
         )
         return F.aggregate(prods, F.lit(0.0), lambda acc, p: acc + p)
 
-    bucket = F.lit(0).cast("bigint")
-    for i in range(n_planes):
-        bucket = bucket + F.when(plane_dot(i) > 0, F.lit(1 << i).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
+    entries = []
+    for t in range(n_tables):
+        bucket = F.lit(0).cast("bigint")
+        for i in range(n_planes):
+            bucket = bucket + F.when(
+                plane_dot(t, i) > 0, F.lit(1 << i).cast("bigint")
+            ).otherwise(F.lit(0).cast("bigint"))
+        entries.append(F.struct(F.lit(t).alias("table"), bucket.alias("bucket")))
     c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    return c.select("id", bucket.alias("bucket"))
+    return c.select("id", F.explode(F.array(*entries)).alias("e")).select(
+        "id", "e.table", "e.bucket"
+    )
+
+
+def lsh_candidate_pairs(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 4,
+    n_tables: int = 8,
+) -> DataFrame:
+    """Distinct (id_a, id_b) candidate pairs from any shared LSH bucket —
+    the no-pairwise-pass candidate generator for embedding dedup."""
+    buckets = lsh_bucket_candidates(corpus, vec_col, id_col, n_planes, n_tables)
+    a = buckets.select(F.col("id").alias("id_a"), "table", "bucket")
+    b = buckets.select(F.col("id").alias("id_b"), "table", "bucket")
+    return (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    seed: int = 42,
+    max_iter: int = 10,
+) -> DataFrame:
+    """TRAINED IVF centroids via pyspark.ml KMeans (the production
+    replacement for the deterministic seeds in ``seed_centroids`` —
+    same (cid, cv) contract, drops into assign_ivf_cells/ivf_topk).
+
+    Training cost is one cached pass over the corpus per iteration,
+    distributed by Spark ML; at 100 TB train on a sample
+    (``corpus.sample(0.001)``) — centroid quality converges long before
+    full-data training pays off.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    fx = corpus.select(
+        F.col(id_col).alias("id"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(fx)
+    centers = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    spark = corpus.sparkSession
+    return spark.createDataFrame(centers, "cid int, cv array<double>")
+
+
+def ivf_topk_trained(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_cells: int = 10,
+    n_probe: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN over TRAINED k-means cells: same probe/score pipeline as
+    ``ivf_topk``, with learned centroids instead of seeded ones
+    (higher recall per probe on clustered data)."""
+    centroids = kmeans_centroids(corpus, vec_col, id_col, k=n_cells, seed=seed)
+    assigned = VZ.nearest_against_broadcast(
+        corpus, centroids, vec_col=vec_col, id_col=id_col, n_nearest=1, carry_vec=True
+    ).select("id", "v", "cid")
+    probes = VZ.nearest_against_broadcast(
+        queries, centroids, vec_col=vec_col, id_col=id_col, n_nearest=n_probe, carry_vec=True
+    ).select(F.col("id").alias("qid"), F.col("v").alias("qv"), "cid")
+    return _score_probed_cells(corpus, probes, assigned, id_col, k)

@@ -416,3 +416,27 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_b").alias("doc_id")
     ).distinct()
     return survivors.join(near, "doc_id", "left_anti").select("doc_id", "lang")
+
+
+@query("dedup_embedding_lsh", tags=("dedup", "vector"))  # candidate-gen -> rows-only
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed embedding near-dup: hyperplane buckets generate
+    candidates WITHOUT any pairwise pass (the 100 TB path replacing the
+    exact all-pairs dedup_embedding), then candidates verify exactly.
+    Approximate recall by construction -> rows-only; recall vs the exact
+    pairs is asserted in tests/test_extension_ops.py."""
+    emb = _emb(spark, sf_dir)
+    cand = SIM.lsh_candidate_pairs(emb, n_planes=4, n_tables=8)
+    pairs = DD.dedup_embedding_cosine(emb, threshold=0.45)
+    return cand.join(pairs, ["id_a", "id_b"]).select("id_a", "id_b", "cos_sim_r")
+
+
+@query("sim_ann_ivf_trained", tags=("similarity", "vector", "ml"))  # rows-only
+def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over TRAINED pyspark.ml k-means cells (vs the seeded-cell
+    sim_ann_ivf) — rows-only; recall vs bruteforce asserted in unit
+    tests."""
+    emb = _emb(spark, sf_dir)
+    return SIM.ivf_topk_trained(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_cells=8, n_probe=3
+    )

@@ -94,3 +94,40 @@ def test_minhash_estimates_track_jaccard(spark):
     if shared:
         errs = [abs(est_map[p] - ex_map[p]) for p in shared]
         assert max(errs) < 0.25, f"minhash estimate error too large: {max(errs)}"
+
+
+def test_embedding_lsh_recall_vs_exact(spark):
+    """Banded LSH candidates must recover a healthy share of the exact
+    >0.45-cosine pairs: any-of-8 tables of 4 planes => per-pair recall
+    ~1-(1-0.18)^8 ~ 0.8 at cos 0.45 (a single 8-plane table would be
+    ~3% — banding IS the recall mechanism)."""
+    from excelstream_spark.operators import dedup as DD, similarity as SIM
+    from excelstream_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = DD.dedup_embedding_cosine(emb, threshold=0.45).select("id_a", "id_b")
+    n_exact = exact.count()
+    cand = SIM.lsh_candidate_pairs(emb, n_planes=4, n_tables=8)
+    hit = exact.join(cand, ["id_a", "id_b"]).count()
+    assert n_exact > 0
+    assert hit / n_exact >= 0.5, f"LSH recall {hit}/{n_exact}"
+
+
+def test_ivf_trained_recall_vs_bruteforce(spark):
+    from excelstream_spark.operators import similarity as SIM
+    from excelstream_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.cosine_topk_bruteforce(emb, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.ivf_topk_trained(emb, q, k=5, n_cells=8, n_probe=3).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"trained-IVF recall {recall:.2f}"
