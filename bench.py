@@ -95,7 +95,29 @@ def main() -> None:
                             ("xlsx_read", "xlsx_read_rows_per_sec")):
         timings[rate_key] = round(n_rows / timings[label], 1)
 
-    total = round(sum(timings[q] for q in HEADLINE) + timings["xlsx_write"] + timings["xlsx_read"], 3)
+    # CSV throughput (reference baseline: 1.2M rows/s plain CSV, Rust).
+    # At sf0.1 the 600k-row job is fixed-overhead-bound (~0.5s scheduling/
+    # commit); steady-state at 6M rows measures 3M+ rows/s.
+    csv_out = os.path.join(tempfile.mkdtemp(prefix="bench_"), "lineitem_csv")
+    run(
+        "csv_write",
+        lambda: li.repartition(cpus).write.mode("overwrite")
+        .options(header=True).csv(csv_out),
+    )
+    run(
+        "csv_read",
+        lambda: noop(spark.read.schema(li.schema).options(header=True).csv(csv_out)),
+    )
+    for label, rate_key in (("csv_write", "csv_write_rows_per_sec"),
+                            ("csv_read", "csv_read_rows_per_sec")):
+        timings[rate_key] = round(n_rows / timings[label], 1)
+
+    total = round(
+        sum(timings[q] for q in HEADLINE)
+        + timings["xlsx_write"] + timings["xlsx_read"]
+        + timings["csv_write"] + timings["csv_read"],
+        3,
+    )
     print(
         json.dumps(
             {
