@@ -134,11 +134,13 @@ def dedup_ngram_jaccard(
     jaccard = |A∩B| / |A∪B| >= threshold.
     """
     rows = shingle_rows(df, text_col, id_col, k)
-    counts = rows.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    # persisted: both sides of the inverted-index self-join read this —
-    # without it the whole shingle pipeline executes twice (at 100 TB the
-    # equivalent is materializing the posting list to storage once).
-    ex = rows.join(counts, "id").select("id", "n", "s").persist()
+    # per-doc set size via a count window (no join against a second scan
+    # of the shingle pipeline); persisted because BOTH sides of the
+    # inverted-index self-join read it — at 100 TB the equivalent is
+    # materializing the posting list to storage once.
+    ex = rows.withColumn(
+        "n", F.count(F.lit(1)).over(W.partitionBy("id"))
+    ).persist()
     if max_shingle_df is not None:
         keep = ex.groupBy("s").count().filter(F.col("count") <= max_shingle_df)
         ex = ex.join(F.broadcast(keep.select("s")), "s")

@@ -178,18 +178,25 @@ def lsh_bucket_candidates(
     corpus: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_planes: int = 4,
-    n_tables: int = 8,
+    n_planes: int = 8,
+    n_tables: int = 16,
     dim: int = 64,
 ) -> DataFrame:
     """Multi-table random-hyperplane LSH: ``n_tables`` independent hash
     tables of ``n_planes`` sign bits each; two vectors are candidates if
-    they share a bucket in ANY table.  Banding is what makes recall
-    usable: one r-bit table catches a cos=0.45 pair with prob
-    (1-theta/pi)^r ≈ 0.18 at r=4, but any-of-8 tables ≈ 0.80 — the same
-    OR-amplification minhash-LSH uses.  Hyperplanes derive from
-    xxhash64(table, plane, dim) — no stored model, reproducible across
-    runs/engines.
+    they share a bucket in ANY table (the same OR-amplification
+    minhash-LSH uses).  Hyperplanes derive from xxhash64(table, plane,
+    dim) — no stored model, reproducible across runs/engines.
+
+    CHOOSE r = n_planes FOR YOUR SIMILARITY THRESHOLD — it controls
+    precision, and too-small r silently goes quadratic: a random pair
+    collides in one r-bit table with prob 0.5^r, so at r=4/L=8 about
+    40% of ALL n^2 pairs become candidates.  The defaults (r=8, L=16)
+    target HIGH-similarity near-dup (cos >= ~0.85: per-table ~0.2,
+    any-of-16 ~97% recall, random-pair rate ~6%).  For looser
+    thresholds (cos ~ 0.45) hyperplane LSH is intrinsically weak —
+    r=4/L=8 reaches ~80% recall only by letting the candidate set grow
+    toward quadratic; prefer the IVF route there.
 
     Returns (id, table, bucket) — join on (table, bucket), dedupe pairs.
     """
@@ -227,11 +234,13 @@ def lsh_candidate_pairs(
     corpus: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_planes: int = 4,
-    n_tables: int = 8,
+    n_planes: int = 8,
+    n_tables: int = 16,
 ) -> DataFrame:
     """Distinct (id_a, id_b) candidate pairs from any shared LSH bucket —
-    the no-pairwise-pass candidate generator for embedding dedup."""
+    the no-pairwise-pass candidate generator for HIGH-similarity
+    embedding dedup (see lsh_bucket_candidates for the r/L precision
+    trade-off; small r degrades toward all-pairs)."""
     buckets = lsh_bucket_candidates(corpus, vec_col, id_col, n_planes, n_tables)
     a = buckets.select(F.col("id").alias("id_a"), "table", "bucket")
     b = buckets.select(F.col("id").alias("id_b"), "table", "bucket")

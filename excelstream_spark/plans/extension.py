@@ -421,10 +421,12 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("dedup_embedding_lsh", tags=("dedup", "vector"))  # candidate-gen -> rows-only
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed embedding near-dup: hyperplane buckets generate
-    candidates WITHOUT any pairwise pass (the 100 TB path replacing the
-    exact all-pairs dedup_embedding), then candidates verify exactly.
-    Approximate recall by construction -> rows-only; recall vs the exact
-    pairs is asserted in tests/test_extension_ops.py."""
+    candidates without a pairwise pass, then candidates verify exactly.
+    r=4/L=8 here targets this corpus's LOW 0.45-cos threshold, trading
+    candidate-set size for recall (~0.9 measured); at scale use the
+    defaults (r=8, L=16) with a high-similarity threshold — see
+    lsh_bucket_candidates for the precision math.  Approximate ->
+    rows-only; recall asserted in tests/test_extension_ops.py."""
     emb = _emb(spark, sf_dir)
     cand = SIM.lsh_candidate_pairs(emb, n_planes=4, n_tables=8)
     pairs = DD.dedup_embedding_cosine(emb, threshold=0.45)

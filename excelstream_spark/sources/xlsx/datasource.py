@@ -404,6 +404,7 @@ class XlsxStreamReader(DataSourceStreamReader):
         self.header = _truthy(options.get("header"), True)
         self.sheet_name = options.get("sheetname")
         self.sheet_index = options.get("sheetindex")
+        self.all_sheets = _truthy(options.get("allsheets"), False)
 
     def _current_files(self) -> list[str]:
         try:
@@ -423,6 +424,10 @@ class XlsxStreamReader(DataSourceStreamReader):
         for f in new_files:
             if self.sheet_name:
                 parts.append(XlsxPartition(f, self.sheet_name))
+            elif self.all_sheets:
+                with WorkbookReader(f) as wb:
+                    for s in wb.sheet_names():
+                        parts.append(XlsxPartition(f, s))
             else:
                 with WorkbookReader(f) as wb:
                     names = wb.sheet_names()

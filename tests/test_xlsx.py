@@ -273,11 +273,6 @@ def test_filter_pushdown_matches_post_scan(spark, tmp_path):
     src = spark.read.parquet(f"{SF_DIR}/orders.parquet").limit(500)
     p = str(tmp_path / "orders_x")
     src.write.format("xlsx").mode("overwrite").save(p)
-    # pushdown is OPT-IN (see datasource.py); a FRESH frame per filter
-    # below sidesteps Spark's cached-scan reuse, which is the supported
-    # usage pattern for the option
-    df = spark.read.format("xlsx").option("pushdown", True).load(p)
-
     cases = [
         lambda t: t.filter(F.col("o_orderstatus") == "O"),
         lambda t: t.filter(~(F.col("o_orderstatus") == "O")),
@@ -290,6 +285,8 @@ def test_filter_pushdown_matches_post_scan(spark, tmp_path):
         # mixed pushable + residual expression
         lambda t: t.filter((F.col("o_totalprice") > 100000) & (F.length("o_orderpriority") > 3)),
     ]
+    # pushdown is OPT-IN (see datasource.py); a FRESH frame per filter
+    # sidesteps Spark's cached-scan reuse — the supported usage pattern
     for i, fn in enumerate(cases):
         fresh = spark.read.format("xlsx").option("pushdown", True).load(p)
         assert fn(fresh).count() == fn(src).count(), f"case {i} diverged"
