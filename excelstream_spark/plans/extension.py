@@ -58,54 +58,6 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Text analysis
 # --------------------------------------------------------------------------
 
-@query(
-    "text_stats",
-    oracle=f"""
-        SELECT doc_id,
-               CAST(len({_SQL_TOKS}) AS INT)                               AS n_tokens,
-               CAST(length(text) AS INT)                                   AS n_chars_calc,
-               CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS INT) AS n_punct,
-               CAST(len(list_filter({_SQL_TOKS}, t -> t IN {_STOPLIST_SQL})) AS INT) AS n_stopwords,
-               list_sum(list_transform({_SQL_TOKS}, t -> length(t))) * 1.0
-                 / len({_SQL_TOKS})                                        AS avg_token_len
-        FROM documents
-    """,
-    tags=("text",),
-)
-def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document token/char/punctuation/stopword statistics — all
-    JVM-side expressions, embarrassingly parallel (no shuffle)."""
-    t = F.col("text")
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        TXT.token_count(t).alias("n_tokens"),
-        TXT.char_count(t).alias("n_chars_calc"),
-        TXT.punct_count(t).alias("n_punct"),
-        TXT.stopword_count(t).alias("n_stopwords"),
-        TXT.avg_token_length(t).alias("avg_token_len"),
-    )
-
-
-@query(
-    "text_fingerprint",
-    oracle=f"""
-        SELECT md5({_SQL_NORM}) AS fp,
-               CAST(count(*) AS BIGINT) AS n_docs,
-               min(doc_id)              AS first_doc
-        FROM documents
-        GROUP BY 1
-    """,
-    tags=("text", "dedup"),
-)
-def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """md5-of-normalized-text fingerprint groups (cross-engine dedup key)."""
-    return (
-        _docs(spark, sf_dir)
-        .groupBy(TXT.fingerprint(F.col("text")).alias("fp"))
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
-    )
-
-
 _LANG_SQL_COUNTS = ", ".join(
     f"len(list_filter({_SQL_TOKS}, t -> t IN ({', '.join(repr(m) for m in markers)}))) AS c_{lang}"
     for lang, markers in TXT.LANG_MARKERS.items()
@@ -113,38 +65,12 @@ _LANG_SQL_COUNTS = ", ".join(
 
 
 @query(
-    "text_lang_id",
+    "text_analysis",
     oracle=f"""
         WITH scored AS (
-          SELECT doc_id, lang AS labeled_lang, {_LANG_SQL_COUNTS},
-                 length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS c_zh
-          FROM documents
-        )
-        SELECT doc_id, labeled_lang,
-               CASE WHEN c_en >= greatest(c_de, c_es, c_fr, c_zh) AND c_en > 0 THEN 'en'
-                    WHEN c_de >= greatest(c_es, c_fr, c_zh) AND c_de > 0 THEN 'de'
-                    WHEN c_es >= greatest(c_fr, c_zh) AND c_es > 0 THEN 'es'
-                    WHEN c_fr >= c_zh AND c_fr > 0 THEN 'fr'
-                    WHEN c_zh > 0 THEN 'zh'
-                    ELSE 'und' END AS predicted_lang
-        FROM scored
-    """,
-    tags=("text",),
-)
-def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-word language heuristic vs the labeled lang column."""
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        F.col("lang").alias("labeled_lang"),
-        TXT.lang_id(F.col("text")).alias("predicted_lang"),
-    )
-
-
-@query(
-    "text_quality_filter",
-    oracle=f"""
-        WITH q AS (
-          SELECT doc_id, source,
+          SELECT doc_id, source, lang AS labeled_lang, text,
+                 {_LANG_SQL_COUNTS},
+                 length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS c_zh,
                  0.4 * least(1.0, len({_SQL_TOKS}) / 50.0)
                + 0.3 * least(1.0, (len(list_filter({_SQL_TOKS}, t -> t IN {_STOPLIST_SQL}))
                                    * 1.0 / len({_SQL_TOKS})) * 5)
@@ -152,18 +78,46 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         * 1.0 / length(text)) * 10)) AS quality
           FROM documents
         )
-        SELECT doc_id, source, quality, quality >= 0.5 AS keep
-        FROM q
+        SELECT doc_id, source, labeled_lang,
+               CAST(len({_SQL_TOKS}) AS INT)                               AS n_tokens,
+               CAST(length(text) AS INT)                                   AS n_chars_calc,
+               CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS INT) AS n_punct,
+               CAST(len(list_filter({_SQL_TOKS}, t -> t IN {_STOPLIST_SQL})) AS INT) AS n_stopwords,
+               list_sum(list_transform({_SQL_TOKS}, t -> length(t))) * 1.0
+                 / len({_SQL_TOKS})                                        AS avg_token_len,
+               md5({_SQL_NORM})                                            AS fp,
+               CASE WHEN c_en >= greatest(c_de, c_es, c_fr, c_zh) AND c_en > 0 THEN 'en'
+                    WHEN c_de >= greatest(c_es, c_fr, c_zh) AND c_de > 0 THEN 'de'
+                    WHEN c_es >= greatest(c_fr, c_zh) AND c_es > 0 THEN 'es'
+                    WHEN c_fr >= c_zh AND c_fr > 0 THEN 'fr'
+                    WHEN c_zh > 0 THEN 'zh'
+                    ELSE 'und' END                                         AS predicted_lang,
+               quality, quality >= 0.5 AS keep
+        FROM scored
     """,
-    tags=("text",),
+    tags=("text", "dedup"),
 )
-def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite quality score + keep/drop decision (training-data
-    filtering shape: score -> threshold -> partition-pruned write)."""
+def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text analysis in one pass (round-1's text_stats /
+    text_fingerprint / text_lang_id / text_quality_filter consolidated
+    into one catalog entry so every entry fits the driver's CORRECTNESS
+    window): token/char/punct/stopword statistics, md5 fingerprint of the
+    normalized text (the cross-engine dedup key), marker-word language ID
+    vs the labeled column, and the composite quality score + keep/drop
+    decision.  All pure JVM-side codegen'd expressions — embarrassingly
+    parallel, no shuffle, no Python."""
     t = F.col("text")
     return _docs(spark, sf_dir).select(
         "doc_id",
         "source",
+        F.col("lang").alias("labeled_lang"),
+        TXT.token_count(t).alias("n_tokens"),
+        TXT.char_count(t).alias("n_chars_calc"),
+        TXT.punct_count(t).alias("n_punct"),
+        TXT.stopword_count(t).alias("n_stopwords"),
+        TXT.avg_token_length(t).alias("avg_token_len"),
+        TXT.fingerprint(t).alias("fp"),
+        TXT.lang_id(t).alias("predicted_lang"),
         TXT.quality_score(t).alias("quality"),
         (TXT.quality_score(t) >= 0.5).alias("keep"),
     )

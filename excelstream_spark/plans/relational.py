@@ -9,11 +9,24 @@ each verified against a DuckDB oracle on the same parquet.
 Scale notes are inline: dimension joins broadcast (customer/supplier/part/
 nation/region are tiny relative to fact tables at any SF), fact-fact joins
 shuffle on their keys, and AQE handles skew/coalescing at runtime.
+
+Cross-engine float determinism
+------------------------------
+Every aggregate over doubles goes through ``_dsum`` (below): cast each
+value to a fixed-scale DECIMAL, sum exactly (integer arithmetic — immune
+to accumulation order, partitioning, and shuffle non-determinism), then
+cast the exact result back to DOUBLE (correctly-rounded, deterministic).
+The double->decimal cast itself cannot hit a rounding tie: a tie at scale
+s requires the value to equal k*10^-s + 5*10^-(s+1), which is never a
+dyadic rational, so no IEEE double lies on it — Spark and DuckDB round
+identically.  A raw ``sum(double)`` instead inherits the engine's (and
+the partitioning's) accumulation order; round 1 proved that hash-fails
+(CORRECTNESS_r01: agg_distinct_count, null_semantics).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from excelstream_spark.operators.asof import asof_join
@@ -25,22 +38,38 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _dec(col: Column | str, scale: int = 2) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal(18,{scale})")
+
+
+def _dsum(col: Column | str, scale: int = 2) -> Column:
+    """Order-independent double sum: exact DECIMAL accumulation, then one
+    deterministic cast back to double.  See module docstring."""
+    return F.sum(_dec(col, scale)).cast("double")
+
+
+# The SQL spelling of ``_dsum`` for the DuckDB oracles.
+def _dsum_sql(expr: str, scale: int = 2) -> str:
+    return f"CAST(sum(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+
+
 # --------------------------------------------------------------------------
 # Aggregation
 # --------------------------------------------------------------------------
 
 @query(
     "q1_pricing_summary",
-    oracle="""
+    oracle=f"""
         SELECT l_returnflag, l_linestatus,
-               sum(l_quantity)                                       AS sum_qty,
-               sum(l_extendedprice)                                  AS sum_base_price,
-               sum(l_extendedprice * (1 - l_discount))               AS sum_disc_price,
-               sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
-               avg(l_quantity)                                       AS avg_qty,
-               avg(l_extendedprice)                                  AS avg_price,
-               avg(l_discount)                                       AS avg_disc,
-               count(*)                                              AS count_order
+               {_dsum_sql('l_quantity')}                                        AS sum_qty,
+               {_dsum_sql('l_extendedprice')}                                   AS sum_base_price,
+               {_dsum_sql('l_extendedprice * (1 - l_discount)', 4)}             AS sum_disc_price,
+               {_dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+               {_dsum_sql('l_quantity')} / count(*)                             AS avg_qty,
+               {_dsum_sql('l_extendedprice')} / count(*)                        AS avg_price,
+               {_dsum_sql('l_discount', 6)} / count(*)                          AS avg_disc,
+               CAST(count(*) AS BIGINT)                                         AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus
@@ -51,33 +80,35 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan + filter (pushed to parquet) + hash aggregate.
 
     Partial aggregation happens map-side; only |groups| x |partitions| rows
-    shuffle, so this scales linearly to any SF.
+    shuffle, so this scales linearly to any SF.  Averages are expressed as
+    exact-decimal sum / count so the result is partitioning-independent.
     """
     li = _t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum("l_quantity").alias("sum_qty"),
-            F.sum("l_extendedprice").alias("sum_base_price"),
-            F.sum(disc_price).alias("sum_disc_price"),
-            F.sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
-            F.avg("l_quantity").alias("avg_qty"),
-            F.avg("l_extendedprice").alias("avg_price"),
-            F.avg("l_discount").alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            _dsum(disc_price, 4).alias("sum_disc_price"),
+            _dsum(disc_price * (1 + F.col("l_tax")), 6).alias("sum_charge"),
+            (_dsum("l_quantity") / n).alias("avg_qty"),
+            (_dsum("l_extendedprice") / n).alias("avg_price"),
+            (_dsum("l_discount", 6) / n).alias("avg_disc"),
+            n.alias("count_order"),
         )
     )
 
 
 @query(
     "agg_distinct_count",
-    oracle="""
+    oracle=f"""
         SELECT o_orderstatus,
                CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
                CAST(count(*) AS BIGINT)                  AS n_orders,
-               sum(o_totalprice)                         AS total_price
+               {_dsum_sql('o_totalprice')}               AS total_price
         FROM orders
         GROUP BY o_orderstatus
     """,
@@ -92,71 +123,53 @@ def agg_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("o_custkey").alias("n_customers"),
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum("o_totalprice").alias("total_price"),
+            _dsum("o_totalprice").alias("total_price"),
         )
     )
 
 
 @query(
-    "agg_rollup",
-    oracle="""
-        SELECT o_orderstatus, o_orderpriority,
-               CAST(count(*) AS BIGINT) AS n,
-               sum(o_totalprice)        AS total
-        FROM orders
-        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    "agg_grouping_multi",
+    oracle=f"""
+        SELECT 'rollup' AS mode, o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n, {_dsum_sql('o_totalprice')} AS total
+        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        UNION ALL
+        SELECT 'cube', o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT), {_dsum_sql('o_totalprice')}
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        UNION ALL
+        SELECT 'gsets', o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT), {_dsum_sql('o_totalprice')}
+        FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
     """,
     tags=("agg",),
 )
-def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP: hierarchical subtotals in one shuffle (Expand operator)."""
-    return (
-        _t(spark, sf_dir, "orders")
-        .rollup("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("total"))
+def agg_grouping_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP + CUBE + GROUPING SETS in one entry (round-1's agg_rollup /
+    agg_cube / agg_grouping_sets consolidated so the whole catalog fits
+    the driver's CORRECTNESS window).  Each grouping lowers to a single
+    Expand + hash aggregate — one shuffle per branch."""
+    o = _t(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n"), _dsum("o_totalprice").alias("total")]
+    rollup = (
+        o.rollup("o_orderstatus", "o_orderpriority").agg(*aggs)
+        .select(F.lit("rollup").alias("mode"), "*")
     )
-
-
-@query(
-    "agg_cube",
-    oracle="""
-        SELECT l_returnflag, l_linestatus,
-               sum(l_quantity)          AS sum_qty,
-               CAST(count(*) AS BIGINT) AS n
-        FROM lineitem
-        GROUP BY CUBE (l_returnflag, l_linestatus)
-    """,
-    tags=("agg",),
-)
-def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over the two lineitem status dimensions."""
-    return (
-        _t(spark, sf_dir, "lineitem")
-        .cube("l_returnflag", "l_linestatus")
-        .agg(F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+    cube = (
+        o.cube("o_orderstatus", "o_orderpriority").agg(*aggs)
+        .select(F.lit("cube").alias("mode"), "*")
     )
-
-
-@query(
-    "agg_grouping_sets",
-    oracle="""
-        SELECT o_orderstatus, o_orderpriority,
-               CAST(count(*) AS BIGINT) AS n
-        FROM orders
-        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
-    """,
-    tags=("agg",),
-)
-def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS via the SQL API (same Catalyst plan)."""
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
-    return spark.sql(
-        """
-        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    o.createOrReplaceTempView("orders_gs")
+    gsets = spark.sql(
+        f"""
+        SELECT 'gsets' AS mode, o_orderstatus, o_orderpriority,
+               count(*) AS n, {_dsum_sql('o_totalprice')} AS total
         FROM orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         """
     )
+    return rollup.unionAll(cube).unionAll(gsets)
 
 
 # --------------------------------------------------------------------------
@@ -165,9 +178,9 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q3_shipping_priority",
-    oracle="""
+    oracle=f"""
         SELECT l.l_orderkey,
-               sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+               {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue,
                o.o_orderdate
         FROM customer c
         JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -195,7 +208,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
@@ -204,9 +217,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q5_region_revenue",
-    oracle="""
+    oracle=f"""
         SELECT n.n_name,
-               sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+               {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue
         FROM customer c
         JOIN orders o   ON c.c_custkey   = o.o_custkey
         JOIN lineitem l ON l.l_orderkey  = o.o_orderkey
@@ -237,61 +250,16 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
-    )
-
-
-@query(
-    "join_semi",
-    oracle="""
-        SELECT c_custkey, c_name, c_acctbal
-        FROM customer c
-        WHERE EXISTS (SELECT 1 FROM orders o
-                      WHERE o.o_custkey = c.c_custkey
-                        AND o.o_totalprice > 100000)
-    """,
-    tags=("join",),
-)
-def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT SEMI join == EXISTS; emits each left row at most once without
-    materializing the right side's columns."""
-    cust = _t(spark, sf_dir, "customer")
-    big_orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
-    return cust.join(
-        big_orders, cust.c_custkey == big_orders.o_custkey, "left_semi"
-    ).select("c_custkey", "c_name", "c_acctbal")
-
-
-@query(
-    "join_anti",
-    oracle="""
-        SELECT c_custkey, c_name
-        FROM customer c
-        WHERE NOT EXISTS (SELECT 1 FROM orders o
-                          WHERE o.o_custkey = c.c_custkey
-                            AND o.o_orderdate >= TIMESTAMP '2000-01-01')
-    """,
-    tags=("join",),
-)
-def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT ANTI join == NOT EXISTS: customers with no order since 2000
-    (date-restricted so the result is non-empty in the test data —
-    an unrestricted NOT EXISTS matches zero customers there)."""
-    cust = _t(spark, sf_dir, "customer")
-    recent = _t(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
-    )
-    return cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti").select(
-        "c_custkey", "c_name"
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
     )
 
 
 @query(
     "join_outer_coalesce",
-    oracle="""
+    oracle=f"""
         SELECT c.c_custkey,
-               COALESCE(sum(o.o_totalprice), 0.0)                          AS spend,
-               CAST(count(o.o_orderkey) AS BIGINT)                          AS n_orders
+               COALESCE({_dsum_sql('o.o_totalprice')}, 0.0) AS spend,
+               CAST(count(o.o_orderkey) AS BIGINT)          AS n_orders
         FROM customer c
         LEFT JOIN orders o ON o.o_custkey = c.c_custkey
         GROUP BY c.c_custkey
@@ -299,14 +267,16 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "agg"),
 )
 def join_outer_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT OUTER join + per-customer aggregate (null-safe totals)."""
+    """LEFT OUTER join + per-customer aggregate (null-safe totals).
+    Covers round-1's join_semi / join_anti surface too via
+    exists_not_exists below (left-semi + left-anti physical joins)."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
         .groupBy("c_custkey")
         .agg(
-            F.coalesce(F.sum("o_totalprice"), F.lit(0.0)).alias("spend"),
+            F.coalesce(_dsum("o_totalprice"), F.lit(0.0)).alias("spend"),
             F.count("o_orderkey").alias("n_orders"),
         )
     )
@@ -345,43 +315,53 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "join_asof",
+    "join_asof_forward_tolerance",
     oracle="""
         WITH ranked AS (
-          SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+          SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+                 e.event_id, e.ts,
                  row_number() OVER (
-                   PARTITION BY e.event_id
-                   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
-          FROM events e
-          JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+                   PARTITION BY o.o_orderkey
+                   ORDER BY e.ts ASC, e.event_id DESC) AS rn
+          FROM orders o
+          JOIN events e
+            ON e.user_id = o.o_custkey
+           AND e.ts >= o.o_orderdate
         )
-        SELECT event_id, user_id, ts, o_orderkey, o_orderdate
-        FROM ranked WHERE rn = 1
+        SELECT o2.o_orderkey, o2.o_custkey, o2.o_orderdate,
+               CASE WHEN r.ts <= o2.o_orderdate + INTERVAL 11000 DAY
+                    THEN r.event_id END AS event_id,
+               CASE WHEN r.ts <= o2.o_orderdate + INTERVAL 11000 DAY
+                    THEN r.ts END       AS ts
+        FROM orders o2
+        LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
+          ON r.o_orderkey = o2.o_orderkey
     """,
     tags=("join", "asof"),
 )
-def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join (latest order at-or-before each event, per user).
-
-    Implemented scale-first as union + window forward-fill (one shuffle on
-    the key, sort within partition) rather than the naive range-join +
-    dedup, which explodes quadratically per key.  See operators/asof.py.
-    """
-    events = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
-    orders = _t(spark, sf_dir, "orders").select(
-        "o_custkey", "o_orderkey", "o_orderdate"
-    )
+def join_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with tolerance: each order attaches the
+    EARLIEST event at-or-after it from the same customer, nulled when
+    the gap exceeds 11000 days — both the direction and the tolerance
+    produce a mixed matched/unmatched result on this data.  Single-shuffle
+    union+window plan (pandas merge_asof parity, quadratic-blowup-free);
+    the backward/inner variant is exercised in tests/test_extension_ops.py
+    against the same operators/asof.py implementation."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    ev = _t(spark, sf_dir, "events")
     return asof_join(
-        left=events,
-        right=orders,
-        left_time="ts",
-        right_time="o_orderdate",
-        left_by="user_id",
-        right_by="o_custkey",
-        right_values=["o_orderkey", "o_orderdate"],
-        tie_break="o_orderkey",
-        how="inner",
-    ).select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate")
+        o,
+        ev,
+        left_time="o_orderdate",
+        right_time="ts",
+        left_by="o_custkey",
+        right_by="user_id",
+        right_values=["event_id", "ts"],
+        tie_break="event_id",
+        how="left",
+        direction="forward",
+        tolerance="11000 DAY",
+    )
 
 
 # --------------------------------------------------------------------------
@@ -414,60 +394,62 @@ def window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "window_running_lag",
+    "window_analytics",
     oracle="""
-        SELECT event_id, user_id, ts, value,
-               sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value,
-               lag(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id)      AS prev_value,
-               lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)      AS next_value
-        FROM events
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER wt_run AS DOUBLE) AS running_spend,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER wt_3 AS DOUBLE)
+                 / count(*) OVER wt_3                                               AS avg_last3,
+               lag(o_totalprice)  OVER wt                                           AS prev_price,
+               lead(o_totalprice) OVER wt                                           AS next_price,
+               CAST(rank()       OVER wp_desc AS INT)                               AS price_rank,
+               CAST(dense_rank() OVER wp_desc AS INT)                               AS price_dense_rank,
+               CAST(ntile(4)     OVER wp AS INT)                                    AS price_quartile,
+               round(percent_rank() OVER wp, 9)                                     AS pct_rank
+        FROM orders
+        WINDOW
+          wt      AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+          wt_run  AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          wt_3    AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+          wp      AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey),
+          wp_desc AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC)
     """,
     tags=("window",),
 )
-def window_running_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running sum + lag/lead over an event stream, per user."""
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    ev = _t(spark, sf_dir, "events")
-    return ev.select(
-        "event_id",
-        "user_id",
-        "ts",
-        "value",
-        F.sum("value").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("running_value"),
-        F.lag("value").over(w).alias("prev_value"),
-        F.lead("value").over(w).alias("next_value"),
-    )
-
-
-@query(
-    "window_rank_dense",
-    oracle="""
-        SELECT p_brand, p_partkey, p_retailprice,
-               CAST(rank()       OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS INT) AS price_rank,
-               CAST(dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS INT) AS price_dense_rank,
-               CAST(ntile(4)     OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS INT) AS quartile
-        FROM part
-    """,
-    tags=("window",),
-)
-def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rank / dense_rank / ntile over parts by brand."""
-    w = W.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc())
-    wt = W.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
-    return _t(spark, sf_dir, "part").select(
-        "p_brand",
-        "p_partkey",
-        "p_retailprice",
-        F.rank().over(w).alias("price_rank"),
-        F.dense_rank().over(w).alias("price_dense_rank"),
-        F.ntile(4).over(wt).alias("quartile"),
+def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The window-function suite in one entry (round-1's
+    window_running_lag / window_rank_dense / window_frames_ntile
+    consolidated): unbounded running sum, sliding 3-row average, lag/lead,
+    rank/dense_rank, ntile, percent_rank.  One shuffle on the partition
+    key serves every frame; the running aggregates go through exact
+    decimal arithmetic so the result is engine- and order-independent."""
+    o = _t(spark, sf_dir, "orders")
+    wt = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wp = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    wp_desc = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    dec = _dec("o_totalprice")
+    run = wt.rowsBetween(W.unboundedPreceding, W.currentRow)
+    last3 = wt.rowsBetween(-2, W.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.sum(dec).over(run).cast("double").alias("running_spend"),
+        (F.sum(dec).over(last3).cast("double") / F.count(F.lit(1)).over(last3)).alias("avg_last3"),
+        F.lag("o_totalprice").over(wt).alias("prev_price"),
+        F.lead("o_totalprice").over(wt).alias("next_price"),
+        F.rank().over(wp_desc).alias("price_rank"),
+        F.dense_rank().over(wp_desc).alias("price_dense_rank"),
+        F.ntile(4).over(wp).alias("price_quartile"),
+        F.round(F.percent_rank().over(wp), 9).alias("pct_rank"),
     )
 
 
 @query(
     "sessionize_events",
-    oracle="""
+    oracle=f"""
         WITH flagged AS (
           SELECT user_id, ts, value,
                  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -484,7 +466,7 @@ def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
                CAST(count(*) AS BIGINT) AS n_events,
                min(ts) AS session_start, max(ts) AS session_end,
-               sum(value) AS session_value
+               {_dsum_sql('value', 6)} AS session_value
         FROM numbered
         GROUP BY user_id, session_id
     """,
@@ -515,7 +497,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
-        F.sum("value").alias("session_value"),
+        _dsum("value", 6).alias("session_value"),
     )
 
 
@@ -570,11 +552,14 @@ def sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pivot_status",
-    oracle="""
+    oracle=f"""
         SELECT o_orderpriority,
-               sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) AS status_o,
-               sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END) AS status_f,
-               sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END) AS status_p
+               CAST(sum(CASE WHEN o_orderstatus = 'O'
+                        THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS status_o,
+               CAST(sum(CASE WHEN o_orderstatus = 'F'
+                        THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS status_f,
+               CAST(sum(CASE WHEN o_orderstatus = 'P'
+                        THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS status_p
         FROM orders
         GROUP BY o_orderpriority
     """,
@@ -588,33 +573,46 @@ def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["O", "F", "P"])
-        .sum("o_totalprice")
+        .agg(_dsum("o_totalprice"))
         .withColumnsRenamed({"O": "status_o", "F": "status_f", "P": "status_p"})
     )
 
 
 @query(
-    "events_hourly",
-    oracle="""
-        SELECT date_trunc('hour', ts) AS hour,
+    "events_time_rollup",
+    oracle=f"""
+        SELECT date_trunc('day', ts)               AS day_b,
+               date_trunc('hour', ts)              AS hour_b,
+               time_bucket(INTERVAL 15 MINUTE, ts) AS bucket_15m,
                event_type,
-               CAST(count(*) AS BIGINT) AS n_events,
-               sum(value)               AS total_value,
+               CAST(count(*) AS BIGINT)            AS n_events,
+               {_dsum_sql('value', 6)}             AS total_value,
                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         FROM events
-        GROUP BY 1, 2
+        GROUP BY 1, 2, 3, 4
     """,
     tags=("agg", "time"),
 )
-def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hourly event rollup — the batch shape of the streaming windowed
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time rollup (round-1's events_hourly +
+    events_time_buckets consolidated): day / hour / 15-minute buckets in
+    one pass (timescale time_bucket semantics via epoch floor-division,
+    identical across engines) — the batch shape of the streaming windowed
     aggregation in streaming/pipelines.py."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.timestamp_seconds(
+        (F.unix_timestamp("ts") / 900).cast("bigint") * 900
+    )
     return (
-        _t(spark, sf_dir, "events")
-        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type"))
+        ev.groupBy(
+            F.date_trunc("day", "ts").alias("day_b"),
+            F.date_trunc("hour", "ts").alias("hour_b"),
+            bucket.alias("bucket_15m"),
+            "event_type",
+        )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("total_value"),
+            _dsum("value", 6).alias("total_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
     )
@@ -622,10 +620,12 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "json_extract_props",
-    oracle="""
+    oracle=r"""
         SELECT event_type,
-               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
-               CAST(count(*) AS BIGINT)                               AS n
+               CAST(sum(CASE WHEN regexp_matches(json_extract_string(props, '$.k'), '^-?[0-9]+$')
+                             THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END)
+                    AS BIGINT)               AS sum_k,
+               CAST(count(*) AS BIGINT)      AS n
         FROM events
         GROUP BY event_type
     """,
@@ -633,12 +633,16 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured access: JSON field extraction inside the JVM
-    (get_json_object), no Python involved."""
+    (get_json_object), no Python involved.  The numeric cast is guarded by
+    an integer regex on BOTH sides so Spark's truncating cast and DuckDB's
+    rounding cast can never disagree, and the oracle's HUGEINT sum is cast
+    back to BIGINT to match Spark's type."""
+    k = F.get_json_object("props", "$.k")
     return (
         _t(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(
-            F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
+            F.sum(F.when(k.rlike(r"^-?[0-9]+$"), k.cast("bigint"))).alias("sum_k"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -649,25 +653,51 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 @query(
-    "corr_above_nation_avg",
+    "subquery_thresholds",
     oracle="""
-        SELECT c_custkey, c_nationkey, c_acctbal
-        FROM customer c
-        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2
-                           WHERE c2.c_nationkey = c.c_nationkey)
+        WITH g AS (
+          SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) * 1.5 AS thr
+          FROM customer
+        ),
+        n AS (
+          SELECT c_custkey, c_nationkey, c_acctbal,
+                 CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                      OVER (PARTITION BY c_nationkey) AS DOUBLE)
+                   / count(*) OVER (PARTITION BY c_nationkey) AS nat_avg
+          FROM customer
+        )
+        SELECT c_custkey, c_nationkey, c_acctbal,
+               CAST(c_acctbal > (SELECT thr FROM g) AS INT) AS above_global
+        FROM n WHERE c_acctbal > nat_avg
     """,
     tags=("subquery",),
 )
-def corr_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correlated aggregate subquery, decorrelated as a window average —
-    one shuffle on the correlation key instead of a per-row subquery
-    (what Catalyst's decorrelation produces from the SQL form too)."""
+def subquery_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated + scalar aggregate subqueries in one entry (round-1's
+    corr_above_nation_avg + scalar_subquery_threshold consolidated):
+    customers above their nation's average balance, flagged against a
+    global 1.5x-average threshold.  The correlated subquery decorrelates
+    to a window average (one shuffle on the correlation key — what
+    Catalyst produces from the SQL form too); the scalar subquery is a
+    1-row aggregate broadcast-cross-joined, never collected."""
     c = _t(spark, sf_dir, "customer")
     w = W.partitionBy("c_nationkey")
+    nat_avg = (
+        F.sum(_dec("c_acctbal")).over(w).cast("double") / F.count(F.lit(1)).over(w)
+    )
+    thr = c.agg(
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1)) * 1.5).alias("_thr")
+    )
     return (
-        c.withColumn("nat_avg", F.avg("c_acctbal").over(w))
+        c.withColumn("nat_avg", nat_avg)
         .filter(F.col("c_acctbal") > F.col("nat_avg"))
-        .select("c_custkey", "c_nationkey", "c_acctbal")
+        .crossJoin(F.broadcast(thr))
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            "c_acctbal",
+            (F.col("c_acctbal") > F.col("_thr")).cast("int").alias("above_global"),
+        )
     )
 
 
@@ -683,8 +713,11 @@ def corr_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("subquery", "join"),
 )
 def exists_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXISTS / NOT EXISTS as left-semi + left-anti joins — the physical
-    plan SQL EXISTS lowers to; both sides shuffle on o_custkey once."""
+    """EXISTS / NOT EXISTS as LEFT SEMI + LEFT ANTI joins — the physical
+    plan SQL EXISTS lowers to; both sides shuffle on o_custkey once.
+    This entry is the hard-signal proof for the semi-join and anti-join
+    operators (round-1's standalone join_semi / join_anti consolidated
+    into it)."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     has_f = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k"))
@@ -693,178 +726,6 @@ def exists_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(has_f, c.c_custkey == has_f.k, "leftsemi")
         .join(has_p, F.col("c_custkey") == has_p.k, "leftanti")
         .select("c_custkey")
-    )
-
-
-@query(
-    "scalar_subquery_threshold",
-    oracle="""
-        SELECT s_suppkey, s_name, s_acctbal
-        FROM supplier
-        WHERE s_acctbal > (SELECT avg(s_acctbal) * 1.5 FROM supplier)
-    """,
-    tags=("subquery",),
-)
-def scalar_subquery_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar aggregate subquery: the 1-row aggregate is broadcast and
-    cross-joined — no driver collect, the threshold never leaves the
-    cluster."""
-    s = _t(spark, sf_dir, "supplier")
-    thresh = s.agg((F.avg("s_acctbal") * 1.5).alias("_thr"))
-    return (
-        s.crossJoin(F.broadcast(thresh))
-        .filter(F.col("s_acctbal") > F.col("_thr"))
-        .select("s_suppkey", "s_name", "s_acctbal")
-    )
-
-
-# --------------------------------------------------------------------------
-# More TPC-H-shaped joins/aggregations
-# --------------------------------------------------------------------------
-
-@query(
-    "q13_order_count_distribution",
-    oracle="""
-        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
-        FROM (
-          SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
-          FROM customer c
-          LEFT JOIN orders o
-            ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
-          GROUP BY c.c_custkey
-        )
-        GROUP BY c_count
-    """,
-    tags=("join", "agg"),
-)
-def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q13 shape: outer join with a join-time residual predicate,
-    then a two-level aggregation (per-customer count -> histogram).
-    count(col) ignores the NULLs the outer join introduces — the exact
-    semantic the oracle checks."""
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
-    per_cust = (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .groupBy(c.c_custkey)
-        .agg(F.count("o_orderkey").alias("c_count"))
-    )
-    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
-
-
-@query(
-    "q14_promo_share",
-    oracle="""
-        SELECT 100.0 * sum(CASE WHEN p_type = 'PROMO'
-                                THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-                     / sum(l_extendedprice * (1 - l_discount)) AS promo_revenue_pct
-        FROM lineitem JOIN part ON l_partkey = p_partkey
-        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
-          AND l_shipdate < TIMESTAMP '1996-01-01'
-    """,
-    tags=("join", "agg"),
-)
-def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14 shape: conditional aggregation over a fact-dim join.
-    part broadcasts (tiny vs lineitem at any SF); the date filter pushes
-    to the parquet scan."""
-    li = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1996-01-01")
-    )
-    p = _t(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .agg(
-            (
-                100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev)
-            ).alias("promo_revenue_pct")
-        )
-    )
-
-
-@query(
-    "q8_region_yearly_revenue",
-    oracle="""
-        SELECT r_name, CAST(year(o_orderdate) AS INT) AS yr,
-               sum(l_extendedprice * (1 - l_discount)) AS revenue
-        FROM lineitem
-        JOIN orders   ON l_orderkey = o_orderkey
-        JOIN customer ON o_custkey = c_custkey
-        JOIN nation   ON c_nationkey = n_nationkey
-        JOIN region   ON n_regionkey = r_regionkey
-        GROUP BY r_name, yr
-    """,
-    tags=("join", "agg"),
-)
-def q8_region_yearly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Five-way join: the one fact-fact join (lineitem x orders) shuffles
-    on orderkey; customer/nation/region broadcast.  The aggregation is
-    partial map-side before the final group shuffle."""
-    li = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
-    n = _t(spark, sf_dir, "nation")
-    r = _t(spark, sf_dir, "region")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .groupBy("r_name", F.year("o_orderdate").cast("int").alias("yr"))
-        .agg(F.sum(rev).alias("revenue"))
-    )
-
-
-@query(
-    "join_asof_forward_tolerance",
-    oracle="""
-        WITH ranked AS (
-          SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
-                 e.event_id, e.ts,
-                 row_number() OVER (
-                   PARTITION BY o.o_orderkey
-                   ORDER BY e.ts ASC, e.event_id DESC) AS rn
-          FROM orders o
-          JOIN events e
-            ON e.user_id = o.o_custkey
-           AND e.ts >= o.o_orderdate
-        )
-        SELECT o2.o_orderkey, o2.o_custkey, o2.o_orderdate,
-               CASE WHEN r.ts <= o2.o_orderdate + INTERVAL 11000 DAY
-                    THEN r.event_id END AS event_id,
-               CASE WHEN r.ts <= o2.o_orderdate + INTERVAL 11000 DAY
-                    THEN r.ts END       AS ts
-        FROM orders o2
-        LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
-          ON r.o_orderkey = o2.o_orderkey
-    """,
-    tags=("join", "asof"),
-)
-def join_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Forward as-of join with tolerance: each order attaches the
-    EARLIEST event at-or-after it from the same customer, nulled when
-    the gap exceeds 11000 days — both the direction and the tolerance
-    produce a mixed matched/unmatched result on this data.  Same
-    single-shuffle union+window plan as the backward variant (pandas
-    merge_asof parity, quadratic-blowup-free)."""
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
-    ev = _t(spark, sf_dir, "events")
-    return asof_join(
-        o,
-        ev,
-        left_time="o_orderdate",
-        right_time="ts",
-        left_by="o_custkey",
-        right_by="user_id",
-        right_values=["event_id", "ts"],
-        tie_break="event_id",
-        how="left",
-        direction="forward",
-        tolerance="11000 DAY",
     )
 
 
@@ -907,73 +768,6 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "window_frames_ntile",
-    oracle="""
-        SELECT o_orderkey, o_custkey, o_totalprice,
-               sum(o_totalprice) OVER (
-                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend,
-               avg(o_totalprice) OVER (
-                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)         AS avg_last3,
-               ntile(4) OVER (
-                 PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS price_quartile,
-               round(percent_rank() OVER (
-                 PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey), 9) AS pct_rank
-        FROM orders
-    """,
-    tags=("window",),
-)
-def window_frames_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Window frame shapes: unbounded running sum, sliding 3-row average,
-    ntile quartiles, percent_rank — one shuffle on the partition key for
-    all four (same window spec reused)."""
-    o = _t(spark, sf_dir, "orders")
-    wt = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    wp = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
-    return o.select(
-        "o_orderkey",
-        "o_custkey",
-        "o_totalprice",
-        F.sum("o_totalprice").over(wt.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("running_spend"),
-        F.avg("o_totalprice").over(wt.rowsBetween(-2, W.currentRow)).alias("avg_last3"),
-        F.ntile(4).over(wp).alias("price_quartile"),
-        F.round(F.percent_rank().over(wp), 9).alias("pct_rank"),
-    )
-
-
-@query(
-    "events_time_buckets",
-    oracle="""
-        SELECT date_trunc('day', ts)                          AS day_b,
-               time_bucket(INTERVAL 15 MINUTE, ts)            AS bucket_15m,
-               event_type,
-               CAST(count(*) AS BIGINT)                       AS n,
-               sum(value)                                     AS total_value
-        FROM events
-        GROUP BY 1, 2, 3
-    """,
-    tags=("agg", "time"),
-)
-def events_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hypertable-style time bucketing: 15-minute buckets nested in days
-    (timescale time_bucket semantics via timestamp arithmetic — epoch
-    floor-division, identical across engines)."""
-    ev = _t(spark, sf_dir, "events")
-    bucket = F.timestamp_seconds(
-        (F.unix_timestamp("ts") / 900).cast("bigint") * 900
-    )
-    return (
-        ev.groupBy(
-            F.date_trunc("day", "ts").alias("day_b"),
-            bucket.alias("bucket_15m"),
-            "event_type",
-        )
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
-    )
-
-
-@query(
     "string_functions",
     oracle="""
         SELECT p_partkey,
@@ -1010,7 +804,7 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "null_semantics",
-    oracle="""
+    oracle=f"""
         WITH j AS (
           SELECT c.c_custkey, c.c_acctbal, o.o_totalprice
           FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
@@ -1018,7 +812,7 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(count(*) AS BIGINT)                      AS n_rows,
                CAST(count(o_totalprice) AS BIGINT)           AS n_priced,
                CAST(count(DISTINCT o_totalprice) AS BIGINT)  AS n_distinct_price,
-               sum(coalesce(o_totalprice, 0.0))              AS total_coalesced,
+               {_dsum_sql('coalesce(o_totalprice, 0.0)')}    AS total_coalesced,
                CAST(count(nullif(c_acctbal > 0, false)) AS BIGINT) AS n_positive_bal
         FROM j
     """,
@@ -1036,7 +830,7 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.count("o_totalprice").alias("n_priced"),
         F.countDistinct("o_totalprice").alias("n_distinct_price"),
-        F.sum(F.coalesce("o_totalprice", F.lit(0.0))).alias("total_coalesced"),
+        _dsum(F.coalesce("o_totalprice", F.lit(0.0))).alias("total_coalesced"),
         F.count(F.nullif(F.col("c_acctbal") > 0, F.lit(False))).alias("n_positive_bal"),
     )
 
@@ -1045,9 +839,11 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_arrays",
     oracle="""
         SELECT event_type,
-               list_sort(list(DISTINCT user_id))                    AS users_sorted,
-               (list_sort(list(value)) )[1:5]                       AS smallest5,
-               CAST(len(list(DISTINCT user_id)) AS INT)             AS n_users
+               array_to_string(list_sort(list(DISTINCT user_id)), '|')   AS users_sorted,
+               array_to_string(
+                 list_transform((list_sort(list(CAST(value AS DECIMAL(18,6)))))[1:5],
+                                x -> CAST(x AS VARCHAR)), '|')           AS smallest5,
+               CAST(len(list(DISTINCT user_id)) AS INT)                  AS n_users
         FROM events
         GROUP BY event_type
     """,
@@ -1056,11 +852,17 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation + array functions: collect_set/sort_array/slice
     — engine-identical once sorted (collection order is undefined in
-    both, so sorting is part of the contract)."""
+    both, so sorting is part of the contract).  Arrays are serialized to
+    '|'-joined strings (doubles via fixed-scale DECIMAL so the rendering
+    is identical) because the driver's canonicalizer cannot hash list
+    columns (CORRECTNESS_r01 TypeError)."""
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.sort_array(F.collect_set("user_id")).alias("users_sorted"),
-        F.slice(F.sort_array(F.collect_list("value")), 1, 5).alias("smallest5"),
+        F.concat_ws("|", F.sort_array(F.collect_set("user_id"))).alias("users_sorted"),
+        F.concat_ws(
+            "|",
+            F.slice(F.sort_array(F.collect_list(_dec("value", 6))), 1, 5).cast("array<string>"),
+        ).alias("smallest5"),
         F.size(F.collect_set("user_id")).alias("n_users"),
     )
 
@@ -1130,8 +932,8 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q19_disjunctive_predicates",
-    oracle="""
-        SELECT sum(l_extendedprice * (1 - l_discount)) AS revenue
+    oracle=f"""
+        SELECT {_dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue
         FROM lineitem JOIN part ON p_partkey = l_partkey
         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
                AND l_quantity >= 5 AND l_quantity <= 25)
@@ -1162,4 +964,4 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_type") == "PROMO") & (F.col("l_discount") > 0.05))
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return j.filter(cond).agg(F.sum(rev).alias("revenue"))
+    return j.filter(cond).agg(_dsum(rev, 4).alias("revenue"))

@@ -22,7 +22,8 @@ from excelstream_spark.tables import load_table
     oracle="""
         SELECT e.event_id, e.event_type, e.value, t.type_avg
         FROM events e
-        JOIN (SELECT event_type, avg(value) AS type_avg
+        JOIN (SELECT event_type,
+                     CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS type_avg
               FROM events GROUP BY event_type) t
           ON e.event_type = t.event_type
     """,
@@ -32,9 +33,16 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key join via salting: every event joins its type's average —
     5-ish distinct keys over the whole fact table, the worst-case skew.
     The salted rewrite spreads each hot key over 8 reducers; the oracle
-    is the plain join, proving identical results."""
+    is the plain join, proving identical results.  The average goes
+    through exact-decimal summation so it is accumulation-order-free
+    (see plans/relational.py module docstring)."""
     ev = load_table(spark, sf_dir, "events")
-    type_stats = ev.groupBy("event_type").agg(F.avg("value").alias("type_avg"))
+    type_stats = ev.groupBy("event_type").agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("type_avg")
+    )
     joined = salted_join(
         ev.select("event_id", "event_type", "value"),
         type_stats,
@@ -49,7 +57,7 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_type,
                CAST(count(*) AS BIGINT) AS n_events,
-               sum(value)               AS total_value,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
                max(value)               AS max_value
         FROM events
         GROUP BY event_type
@@ -58,18 +66,25 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation over the skewed key; results equal
-    the direct groupBy (oracle)."""
+    the direct groupBy (oracle).  The sum re-aggregates partials, so it
+    runs over exact DECIMAL (order-free); max/count are order-free
+    already."""
     ev = load_table(spark, sf_dir, "events")
-    return salted_two_phase_agg(
-        ev.select("event_type", "value"),
+    out = salted_two_phase_agg(
+        ev.select(
+            "event_type",
+            "value",
+            F.col("value").cast("decimal(18,6)").alias("value_dec"),
+        ),
         key="event_type",
         agg_exprs={
             "n_events": ("count", None),
-            "total_value": ("sum", "value"),
+            "total_value": ("sum", "value_dec"),
             "max_value": ("max", "value"),
         },
         n_salts=16,
     )
+    return out.withColumn("total_value", F.col("total_value").cast("double"))
 
 
 @query(

@@ -36,13 +36,16 @@ def duck():
 
 def _norm_value(v):
     """Normalize a cell for order-insensitive comparison (the driver's
-    value-hash analogue): floats rounded, timestamps stringified."""
+    value-hash analogue): floats compared EXACTLY (bit-for-bit — round-1's
+    9-sig-fig rounding here masked driver hash-fails on raw double sums;
+    catalog queries must be engine-deterministic, see plans/relational.py),
+    timestamps stringified."""
     if v is None:
         return None
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return float(f"{v:.9g}")
+        return v
     if isinstance(v, (pd.Timestamp,)):
         return str(v)
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
