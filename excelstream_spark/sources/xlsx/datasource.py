@@ -14,7 +14,10 @@ Write path (reference K1-K8): each partition streams one part-workbook
 target path as one workbook — the Excel-openable mode.
 
 Options (read):  sheetName | sheetIndex, header (default true),
-  inferSchema (default true), samplingRows (default 200)
+  inferSchema (default true), samplingRows (default 200),
+  batchReader (default true — columnar regex+Arrow scan with exact
+  per-chunk fallback; false forces the per-cell row reader),
+  arrowBatches (default true), arrowBatchSize (row-reader batching)
 
 The source also implements a STREAM reader: ``spark.readStream
 .format("xlsx")`` watches a directory and processes each new workbook
@@ -193,30 +196,9 @@ class XlsxPartition(InputPartition):
 
 def _to_arrow_schema(schema: T.StructType):
     """Spark schema -> pyarrow schema for RecordBatch-yielding readers."""
-    import pyarrow as pa
+    from excelstream_spark.sources.xlsx.batch_scan import to_arrow_schema
 
-    mapping = {
-        T.LongType(): pa.int64(),
-        T.IntegerType(): pa.int32(),
-        T.DoubleType(): pa.float64(),
-        T.FloatType(): pa.float32(),
-        T.BooleanType(): pa.bool_(),
-        T.StringType(): pa.string(),
-        T.DateType(): pa.date32(),
-        T.TimestampNTZType(): pa.timestamp("us"),
-        T.TimestampType(): pa.timestamp("us", tz="UTC"),
-        T.BinaryType(): pa.binary(),
-    }
-    fields = []
-    for f in schema.fields:
-        pa_t = mapping.get(f.dataType)
-        if pa_t is None:
-            raise ValueError(
-                f"xlsx arrow reader: unsupported column type {f.dataType} "
-                f"for {f.name!r}; set arrowBatches=false"
-            )
-        fields.append(pa.field(f.name, pa_t, nullable=True))
-    return pa.schema(fields)
+    return to_arrow_schema(schema)
 
 
 class XlsxDataSource(DataSource):
@@ -322,11 +304,39 @@ class XlsxReader(DataSourceReader):
     def read(self, partition: XlsxPartition):
         """Yields pyarrow RecordBatches (columnar transfer into the JVM —
         measurably faster than per-row pickling); set arrowBatches=false
-        to fall back to tuple rows."""
+        to fall back to tuple rows.
+
+        Default fast path: the columnar batch scanner (batch_scan.py) —
+        regex cell extraction + per-column vectorized typing, ~4x the
+        per-cell row reader — with chunk-level fallback to exact per-cell
+        semantics.  ``batchReader=false`` forces the row reader (also used
+        automatically when pushed predicates need per-row evaluation)."""
         if not _truthy(self.options.get("arrowbatches"), True):
             yield from self._read_rows(partition)
             return
         import pyarrow as pa
+
+        if not partition.predicates and _truthy(self.options.get("batchreader"), True):
+            from excelstream_spark.sources.xlsx.batch_scan import BatchSheetReader
+
+            yielded = False
+            try:
+                with WorkbookReader(partition.file) as wb:
+                    reader = BatchSheetReader(
+                        wb, partition.sheet, self.schema_, self.header
+                    )
+                    for batch in reader.batches():
+                        yielded = True
+                        yield batch
+                if yielded:
+                    return
+                # zero rows: re-verify with the row reader (cheap when the
+                # sheet is truly empty; catches scanner-invisible layouts
+                # such as namespace-prefixed worksheets)
+            except Exception:
+                if yielded:
+                    raise
+                # pre-yield failure: fall through to the exact row reader
 
         pa_schema = _to_arrow_schema(self.schema_)
         batch_size = int(self.options.get("arrowbatchsize", 4096))

@@ -148,13 +148,18 @@ class WorkbookReader:
             out[name] = path
         return out
 
-    # -- row streaming -----------------------------------------------------
+    # -- accessors shared with the columnar batch scanner --------------------
 
-    def iter_rows(self, sheet: str | int = 0) -> Iterator[list]:
-        """Stream one sheet's rows as lists of typed Python values
-        (str | int | float | bool | datetime | ExcelError | None), gaps
-        filled with None (reference parse_row gap-filling,
-        streaming_reader.rs:630-633)."""
+    @property
+    def sst(self) -> list[str]:
+        return self._sst
+
+    @property
+    def date_styles(self) -> frozenset[int]:
+        return self._date_styles
+
+    def resolve_sheet(self, sheet: str | int = 0) -> str:
+        """Sheet name or index -> worksheet ZIP entry path."""
         if isinstance(sheet, int):
             try:
                 sheet = list(self.sheets)[sheet]
@@ -165,6 +170,23 @@ class WorkbookReader:
             raise ValueError(
                 f"sheet {sheet!r} not found; available: {list(self.sheets)}"
             )
+        return entry
+
+    def open_entry(self, entry: str):
+        """Open a ZIP member as a decompressing binary stream."""
+        return self._zip.open(entry)
+
+    def typed_value(self, raw: str, t: str | None, s: str | None, had_text_run: bool = False):
+        return self._typed_value(raw, t, s, had_text_run=had_text_run)
+
+    # -- row streaming -----------------------------------------------------
+
+    def iter_rows(self, sheet: str | int = 0) -> Iterator[list]:
+        """Stream one sheet's rows as lists of typed Python values
+        (str | int | float | bool | datetime | ExcelError | None), gaps
+        filled with None (reference parse_row gap-filling,
+        streaming_reader.rs:630-633)."""
+        entry = self.resolve_sheet(sheet)
         # End-events on <row> only: per-cell work happens via C-level
         # child traversal of the completed row element instead of Python-
         # level event dispatch per <c>/<v>/<t> (2x on the profile).  The

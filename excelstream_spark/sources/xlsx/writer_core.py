@@ -191,6 +191,10 @@ class WorkbookWriter:
             styles = [styles] * len(values)
         for ci, value in enumerate(values):
             if value is None:
+                # explicit empty cell (valid OOXML) instead of a gap: keeps
+                # every row rectangular so the columnar batch scanner
+                # (batch_scan.py) never falls back on null-bearing data
+                buf += b'<c r="%s%d"/>' % (_col_bytes(ci), r)
                 continue
             style = styles[ci] if styles is not None and ci < len(styles) else None
             self._cell_xml(buf, r, ci, value, style)

@@ -477,3 +477,167 @@ def test_no_pushdown_no_cross_query_leak(spark, tmp_path):
     assert df.count() == n_all  # the leak made this return n_o
     assert n_o == src.filter(F.col("o_orderstatus") == "O").count()
     assert df.count() == n_all
+
+
+# --- columnar batch scanner vs row reader (batch_scan.py) ------------------
+
+def _rows_via_row_reader(path, sheet, schema, header):
+    from excelstream_spark.sources.xlsx.datasource import XlsxPartition, XlsxReader
+
+    r = XlsxReader(schema, {"path": path, "header": str(header).lower()})
+    return [tuple(row) for row in r._read_rows(XlsxPartition(path, sheet))]
+
+
+def _rows_via_batch(path, sheet, schema, header):
+    from excelstream_spark.sources.xlsx.batch_scan import BatchSheetReader
+
+    out = []
+    with WorkbookReader(path) as wb:
+        for batch in BatchSheetReader(wb, sheet, schema, header).batches():
+            cols = batch.to_pydict()
+            out.extend(zip(*(cols[n] for n in batch.schema.names)))
+    return [tuple(r) for r in out]
+
+
+def test_batch_reader_matches_row_reader(tmp_path):
+    """The fast columnar scanner is a pure optimization: byte-identical
+    results vs the per-cell row reader on writer-generated workbooks
+    (typed cells, nulls incl. whole-null rows, entities, both string
+    modes)."""
+    schema = T.StructType([
+        T.StructField("name", T.StringType()),
+        T.StructField("age", T.LongType()),
+        T.StructField("amount", T.DoubleType()),
+        T.StructField("active", T.BooleanType()),
+        T.StructField("joined", T.TimestampNTZType()),
+    ])
+    rows = [
+        ['a<b>&"c\'d', 30, 1234.56, True, dt.datetime(2023, 1, 1, 12, 0, 0)],
+        ["line1\nline2\ttab", -1, -0.5, False, dt.datetime(1900, 2, 15)],
+        [None, None, None, None, None],
+        ["dup", 7, 0.0, True, dt.datetime(1900, 2, 28)],
+        ["dup", None, 2.5, None, dt.datetime(2100, 12, 31, 23, 59, 59, 250000)],
+    ]
+    for use_sst in (False, True):
+        p = str(tmp_path / f"eq_{use_sst}.xlsx")
+        with WorkbookWriter(p, use_shared_strings=use_sst) as wb:
+            wb.add_sheet("S")
+            wb.write_header([f.name for f in schema.fields])
+            for r in rows:
+                wb.write_row(list(r))
+        a = _rows_via_row_reader(p, "S", schema, header=True)
+        b = _rows_via_batch(p, "S", schema, header=True)
+        assert len(a) == len(rows)
+        assert b == a, f"use_sst={use_sst}"
+
+
+def _craft_xlsx(path, sheet_xml, sst_items=None, date_xf=False):
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr(
+            "xl/workbook.xml",
+            f'<workbook xmlns="{ns}"><sheets>'
+            '<sheet name="S" sheetId="1"/></sheets></workbook>',
+        )
+        if sst_items:
+            z.writestr(
+                "xl/sharedStrings.xml",
+                f'<sst xmlns="{ns}">' + "".join(sst_items) + "</sst>",
+            )
+        if date_xf:  # xf index 1 -> builtin date numFmt 14
+            z.writestr(
+                "xl/styles.xml",
+                f'<styleSheet xmlns="{ns}"><cellXfs count="2">'
+                '<xf numFmtId="0"/><xf numFmtId="14"/></cellXfs></styleSheet>',
+            )
+        z.writestr(
+            "xl/worksheets/sheet1.xml",
+            f'<worksheet xmlns="{ns}"><sheetData>' + sheet_xml
+            + "</sheetData></worksheet>",
+        )
+
+
+def test_batch_reader_fast_path_semantics(tmp_path, monkeypatch):
+    """Rectangular third-party-shaped XML stays on the vectorized path
+    (no ET fallback) and still types t="n" cells, date styles, shared /
+    rich-text / inline strings, and mixed-kind columns correctly."""
+    from excelstream_spark.sources.xlsx import batch_scan
+
+    p = str(tmp_path / "fast.xlsx")
+    _craft_xlsx(
+        p,
+        '<row r="1"><c r="A1" t="n"><v>10</v></c>'
+        '<c r="B1" s="1" t="n"><v>25569</v></c>'
+        '<c r="C1" t="s"><v>0</v></c></row>'
+        '<row r="2"><c r="A2"><v>11</v></c>'
+        '<c r="B2" s="1"><v>44562.25</v></c>'
+        '<c r="C2" t="inlineStr"><is><t>a&#10;b&quot;c</t></is></c></row>',
+        sst_items=["<si><t>hello</t></si>",
+                   "<si><r><t>rich</t></r><r><t> text</t></r></si>"],
+        date_xf=True,
+    )
+    schema = T.StructType([
+        T.StructField("a", T.LongType()),
+        T.StructField("b", T.TimestampNTZType()),
+        T.StructField("c", T.StringType()),
+    ])
+    expected = _rows_via_row_reader(p, "S", schema, header=False)
+    monkeypatch.setattr(
+        batch_scan.BatchSheetReader, "_rows_via_et",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("ET fallback used")),
+    )
+    got = _rows_via_batch(p, "S", schema, header=False)
+    assert got == expected
+    assert got[0] == (10, dt.datetime(1970, 1, 1), "hello")
+    assert got[1] == (11, dt.datetime(2022, 1, 1, 6, 0, 0), 'a\nb"c')
+
+
+def test_batch_reader_fallback_equivalence(tmp_path):
+    """Shapes the regex scanner cannot prove (ragged rows, reversed
+    attribute order, formulas, empty/self-closed rows) fall back per
+    chunk and still match the row reader exactly."""
+    p = str(tmp_path / "gnarly.xlsx")
+    _craft_xlsx(
+        p,
+        '<row r="1"><c r="A1"><v>1</v></c><c r="B1" t="s"><v>0</v></c>'
+        '<c r="C1" s="1"><v>44562.5</v></c></row>'
+        '<row r="2"><c r="A2"><v>2</v></c><c r="C2" s="1"><v>60</v></c></row>'
+        '<row r="3"><c t="s" r="A3"><v>1</v></c>'
+        '<c r="B3" t="inlineStr"><is><t>x&#9;y</t></is></c></row>'
+        '<row r="4"><c r="A4"><f>SUM(1,2)</f><v>3</v></c>'
+        '<c r="B4" t="b"><v>1</v></c></row>'
+        '<row r="5"/>',
+        sst_items=["<si><t>hello</t></si>", "<si><t>world</t></si>"],
+        date_xf=True,
+    )
+    schema = T.StructType([
+        T.StructField("a", T.LongType()),
+        T.StructField("b", T.StringType()),
+        T.StructField("c", T.TimestampNTZType()),
+    ])
+    expected = _rows_via_row_reader(p, "S", schema, header=False)
+    got = _rows_via_batch(p, "S", schema, header=False)
+    assert got == expected
+    assert len(got) == 5
+    assert got[1] == (2, None, dt.datetime(1900, 2, 28))  # leap-bug serial 60
+    assert got[4] == (None, None, None)  # self-closed <row/>
+
+
+def test_batch_reader_spark_surface(spark, tmp_path):
+    """spark.read xlsx: batchReader default and =false agree."""
+    schema = "s string, n long, d double, t timestamp_ntz"
+    df = spark.createDataFrame(
+        [("a&b", 1, 1.5, dt.datetime(2020, 5, 17, 1, 2, 3)),
+         (None, None, None, None),
+         ('q"r\'s', -3, 2.25, dt.datetime(1999, 12, 31))],
+        schema,
+    )
+    out = str(tmp_path / "surface")
+    df.coalesce(1).write.mode("overwrite").format("xlsx").save(out)
+    fast = sorted([tuple(r) for r in
+                   spark.read.format("xlsx").load(out).collect()], key=repr)
+    slow = sorted([tuple(r) for r in
+                   spark.read.format("xlsx").option("batchReader", "false")
+                   .load(out).collect()], key=repr)
+    assert fast == slow
+    assert len(fast) == 3
