@@ -43,7 +43,18 @@ def salted_join(
     xxhash64, so the result is reproducible).  The small side is
     replicated ``n_salts`` times via an exploded sequence — keep it
     small-side-sized (that's the point: small x n_salts << big).
+
+    Only big-side-preserving join types are allowed: with the small side
+    replicated per salt, 'right'/'full' would surface every unmatched
+    small-side row once per salt bucket (spurious null-extended
+    duplicates).  Flip the operands (the salted side must be the big
+    one) or pre-aggregate instead.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "semi", "left_anti", "anti"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, got {how!r}: "
+            "right/full would duplicate unmatched small-side rows per salt"
+        )
     if salt_source is None:
         salt_source = F.xxhash64(*[F.col(c) for c in big.columns])
     big_s = big.withColumn("_salt", F.pmod(salt_source, F.lit(n_salts)).cast("int"))

@@ -477,6 +477,11 @@ class XlsxWriter(DataSourceWriter):
         self.use_sst = _truthy(options.get("usesharedstrings"), False)
         self.protect = options.get("sheetprotectpassword")
         self.single_file = _truthy(options.get("singlefile"), False)
+        from excelstream_spark.sources.xlsx.writer_core import EXCEL_MAX_ROWS
+
+        self.max_rows_per_sheet = int(
+            options.get("maxrowspersheet", EXCEL_MAX_ROWS)
+        )
         # real width/height support (reference K8 declares-but-no-ops these)
         cw = options.get("columnwidths")
         self.col_widths = (
@@ -525,7 +530,10 @@ class XlsxWriter(DataSourceWriter):
                     "singleFile=true requires exactly one partition — "
                     "coalesce(1) / repartition(1) before writing"
                 )
-            target = self.path
+            # write to a temp sibling; commit() renames atomically so a
+            # mid-write task failure or retry never leaves a truncated
+            # workbook at the destination
+            target = f"{self.path}.__tmp-{uuid.uuid4().hex[:8]}"
         else:
             target = os.path.join(
                 self.path, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.xlsx"
@@ -539,6 +547,7 @@ class XlsxWriter(DataSourceWriter):
             protect_password=self.protect,
             col_widths=self.col_widths,
             row_height=self.row_height,
+            max_rows_per_sheet=self.max_rows_per_sheet,
         ) as wb:
             wb.add_sheet(self.sheet_name)
             if self.header:
@@ -549,7 +558,11 @@ class XlsxWriter(DataSourceWriter):
         return XlsxCommitMessage(file=target, rows=n)
 
     def commit(self, messages) -> None:
-        if not self.single_file:
+        if self.single_file:
+            for m in messages:
+                if m is not None:
+                    os.replace(m.file, self.path)  # atomic publish
+        else:
             success = os.path.join(self.path, "_SUCCESS")
             with open(success, "w") as f:
                 total = sum(m.rows for m in messages if m is not None)
@@ -557,7 +570,7 @@ class XlsxWriter(DataSourceWriter):
 
     def abort(self, messages) -> None:
         for m in messages:
-            if m is not None and not self.single_file and os.path.exists(m.file):
+            if m is not None and os.path.exists(m.file):
                 os.remove(m.file)
 
 

@@ -21,6 +21,7 @@ Improvements over the reference (documented as deliberate, SURVEY.md §1.3):
 from __future__ import annotations
 
 import datetime as dt
+import functools
 import re
 import zipfile
 from collections.abc import Iterator
@@ -40,15 +41,26 @@ class ExcelError(str):
 
 class WorkbookReader:
     def __init__(self, source: str | bytes):
-        """``source``: path, or raw xlsx bytes (for in-memory use)."""
+        """``source``: path, or raw xlsx bytes (for in-memory use).
+
+        Only workbook.xml(+rels) is parsed eagerly; the shared-string
+        table and styles load lazily on first row access, so driver-side
+        planning (``partitions()`` enumerating sheets across many part
+        files) never pays O(SST bytes) per workbook."""
         import io
 
         if isinstance(source, bytes):
             source = io.BytesIO(source)
         self._zip = zipfile.ZipFile(source, "r")
-        self._sst = self._load_shared_strings()
-        self._date_styles = self._load_date_styles()
         self.sheets = self._load_sheet_info()  # name -> zip entry path
+
+    @functools.cached_property
+    def _sst(self) -> list[str]:
+        return self._load_shared_strings()
+
+    @functools.cached_property
+    def _date_styles(self) -> frozenset[int]:
+        return self._load_date_styles()
 
     # -- workbook metadata -------------------------------------------------
 

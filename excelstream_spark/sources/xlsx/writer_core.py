@@ -91,6 +91,7 @@ class WorkbookWriter:
         auto_split: bool = True,
         col_widths: list[float] | None = None,
         row_height: float | None = None,
+        max_rows_per_sheet: int = EXCEL_MAX_ROWS,
     ):
         if isinstance(compression, str):
             compression = int(compression)
@@ -103,6 +104,18 @@ class WorkbookWriter:
         self._sst = SharedStrings() if use_shared_strings else None
         self._protect = protect_password
         self._auto_split = auto_split
+        max_rows_per_sheet = int(max_rows_per_sheet)
+        if not 1 <= max_rows_per_sheet <= EXCEL_MAX_ROWS:
+            raise ValueError(
+                f"max_rows_per_sheet must be 1..{EXCEL_MAX_ROWS}, "
+                f"got {max_rows_per_sheet}"
+            )
+        self._max_rows = max_rows_per_sheet
+        #: header row re-emitted at the top of every auto-split sheet so
+        #: each sheet stays self-describing (an allSheets read with
+        #: header=true would otherwise swallow the first data row of
+        #: every continuation sheet)
+        self._split_header: list | None = None
         # real column-width / row-height support — the reference declares
         # these APIs but no-ops them (writer.rs:375-412, SURVEY K8); we
         # emit actual <cols> entries and ht= attributes.
@@ -168,13 +181,15 @@ class WorkbookWriter:
         """
         if self._sheet_stream is None:
             self.add_sheet()
-        if self._row_index > EXCEL_MAX_ROWS:
+        if self._row_index > self._max_rows:
             if not self._auto_split:
                 raise ValueError(
-                    f"sheet full ({EXCEL_MAX_ROWS} rows); enable auto_split "
+                    f"sheet full ({self._max_rows} rows); enable auto_split "
                     "or add_sheet() manually"
                 )
             self.add_sheet()
+            if self._split_header is not None:
+                self.write_row(list(self._split_header), styles=ooxml.STYLE_HEADER)
 
         buf = self._buf
         buf.clear()
@@ -203,8 +218,11 @@ class WorkbookWriter:
         self._row_index += 1
 
     def write_header(self, names) -> None:
-        """Bold header row (reference K4 ``write_header_bold``)."""
-        self.write_row([str(n) for n in names], styles=ooxml.STYLE_HEADER)
+        """Bold header row (reference K4 ``write_header_bold``); repeated
+        automatically at the top of every auto-split continuation sheet."""
+        names = [str(n) for n in names]
+        self._split_header = names
+        self.write_row(names, styles=ooxml.STYLE_HEADER)
 
     def _cell_xml(self, buf: bytearray, row: int, ci: int, value, style) -> None:
         ref = _col_bytes(ci) + b"%d" % row

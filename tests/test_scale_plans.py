@@ -176,3 +176,17 @@ def test_approx_sketches_within_error_bounds(spark):
         a = approx[et]
         assert abs(a["au"] - e["u"]) <= max(3, 0.06 * e["u"]), (et, a["au"], e["u"])
         assert abs(a["ap"] - e["p"]) <= max(0.5, 0.05 * abs(e["p"])), (et, a["ap"], e["p"])
+
+
+def test_salted_join_rejects_small_side_preserving_types(spark):
+    """right/full would emit unmatched small-side rows once per salt
+    bucket; the operator refuses them up front."""
+    import pytest
+    from excelstream_spark.operators.skew import salted_join
+
+    big = spark.range(10).withColumnRenamed("id", "k")
+    small = spark.range(3).withColumnRenamed("id", "k")
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(big, small, "k", n_salts=4, how=how)
+    assert salted_join(big, small, "k", n_salts=4, how="left").count() == 10

@@ -246,22 +246,64 @@ def test_user_schema_lenient_casts(spark, tmp_path):
 
 def test_excel_row_ceiling_autosplit(tmp_path):
     p = str(tmp_path / "big.xlsx")
-    from excelstream_spark.sources.xlsx import writer_core
-
-    old = writer_core.EXCEL_MAX_ROWS
-    writer_core.EXCEL_MAX_ROWS = 100  # shrink the ceiling for the test
-    try:
-        with WorkbookWriter(p) as wb:
-            wb.add_sheet("S")
-            for i in range(250):
-                wb.write_row([i])
-    finally:
-        writer_core.EXCEL_MAX_ROWS = old
+    with WorkbookWriter(p, max_rows_per_sheet=100) as wb:
+        wb.add_sheet("S")
+        for i in range(250):
+            wb.write_row([i])
     with WorkbookReader(p) as rb:
         names = rb.sheet_names()
         assert len(names) == 3  # 100 + 100 + 50
         total = sum(len(list(rb.iter_rows(s))) for s in names)
         assert total == 250
+
+
+def test_max_rows_per_sheet_option_roundtrip(spark, tmp_path):
+    """maxRowsPerSheet is honored by the sink, continuation sheets repeat
+    the header, and an allSheets read reassembles every row exactly."""
+    df = spark.range(17).select(
+        F.col("id"), (F.col("id") * 2).cast("long").alias("dbl")
+    )
+    out = str(tmp_path / "split.xlsx")
+    (df.coalesce(1).write.mode("overwrite").format("xlsx")
+     .option("singleFile", True).option("maxRowsPerSheet", 5).save(out))
+    with WorkbookReader(out) as rb:
+        names = rb.sheet_names()
+        # 5-row sheets, header repeated on each continuation sheet:
+        # s1: hdr+4, then hdr+4 per sheet -> ceil((17+1)/... ) = 5 sheets
+        assert len(names) == 5
+        first_rows = [next(iter(rb.iter_rows(s))) for s in names]
+    assert all(r == ["id", "dbl"] for r in first_rows)  # self-describing
+    back = spark.read.format("xlsx").option("allSheets", True).load(out)
+    got = sorted((r["id"], r["dbl"]) for r in back.collect())
+    assert got == [(i, 2 * i) for i in range(17)]
+
+
+def test_single_file_write_is_atomic(spark, tmp_path):
+    """singleFile publishes via temp + rename: no *.__tmp-* litter on
+    success and the destination only ever appears complete."""
+    import glob as g
+
+    out = str(tmp_path / "atomic.xlsx")
+    spark.range(5).coalesce(1).write.mode("overwrite").format("xlsx").option(
+        "singleFile", True
+    ).save(out)
+    assert g.glob(str(tmp_path / "*.__tmp-*")) == []
+    assert spark.read.format("xlsx").load(out).count() == 5
+
+
+def test_workbook_reader_lazy_sst(tmp_path):
+    """Driver-side planning (sheet_names) must not load sharedStrings —
+    partitions() over many part files stays metadata-only."""
+    p = str(tmp_path / "lazy.xlsx")
+    with WorkbookWriter(p, use_shared_strings=True) as wb:
+        wb.add_sheet("S")
+        wb.write_row(["hello", "world"])
+    with WorkbookReader(p) as rb:
+        assert rb.sheet_names() == ["S"]
+        assert "_sst" not in rb.__dict__  # cached_property untriggered
+        row = next(iter(rb.iter_rows("S")))
+        assert row == ["hello", "world"]
+        assert "_sst" in rb.__dict__
 
 
 def test_filter_pushdown_matches_post_scan(spark, tmp_path):
