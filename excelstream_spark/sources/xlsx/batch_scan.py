@@ -140,11 +140,19 @@ class BatchSheetReader:
     """Reads one worksheet as pyarrow RecordBatches against a declared
     Spark schema, with reader_core-identical semantics."""
 
-    def __init__(self, wb, sheet: str | int, schema: T.StructType, header: bool):
+    def __init__(
+        self,
+        wb,
+        sheet: str | int,
+        schema: T.StructType,
+        header: bool,
+        schema_mode: str = "realign",
+    ):
         self.wb = wb
         self.sheet = sheet
         self.schema = schema
         self.header = header
+        self.schema_mode = schema_mode
         self.pa_schema = to_arrow_schema(schema)
         self._kind_cache: dict[str, _Kind] = {}
         self._col_of: dict[str, int] = {}
@@ -475,16 +483,13 @@ class BatchSheetReader:
 
     def _resolve_remap(self, header_vals: list) -> None:
         """Match datasource._read_rows: realign this sheet's columns to
-        the global schema by header name; identity (the common case) and
-        unresolvable headers keep positional order."""
-        names = [str(v).strip().lower() if v is not None else "" for v in header_vals]
-        pos = {n: i for i, n in reversed(list(enumerate(names)))}
-        mapping = [pos.get(f.name.strip().lower()) for f in self.schema.fields]
-        n_fields = len(self.schema.fields)
-        if None not in mapping and mapping != list(range(n_fields)):
-            self._remap = mapping
-        else:
-            self._remap = None
+        the global schema by header name, under the same sheetSchemaMode
+        policy (reader_core.resolve_header_remap)."""
+        from excelstream_spark.sources.xlsx.reader_core import resolve_header_remap
+
+        self._remap = resolve_header_remap(
+            header_vals, self.schema, self.schema_mode
+        )
 
     def _source_index(self, field_index: int) -> int | None:
         if self._remap is None:

@@ -15,6 +15,10 @@ target path as one workbook — the Excel-openable mode.
 
 Options (read):  sheetName | sheetIndex, header (default true),
   inferSchema (default true), samplingRows (default 200),
+  sheetSchemaMode (realign | union | strict, default realign — policy
+  for sheets whose headers don't match the schema: realign by name when
+  fully resolvable, union-by-name with null-fill + widened inference,
+  or fail fast; see reader_core.resolve_header_remap),
   batchReader (default true — columnar regex+Arrow scan with exact
   per-chunk fallback; false forces the per-cell row reader),
   arrowBatches (default true), arrowBatchSize (row-reader batching)
@@ -77,6 +81,8 @@ from excelstream_spark.sources.xlsx.reader_core import (
     WorkbookReader,
     coerce_row,
     infer_schema,
+    merge_schemas,
+    resolve_header_remap,
 )
 from excelstream_spark.sources.xlsx.writer_core import WorkbookWriter
 
@@ -211,17 +217,29 @@ class XlsxDataSource(DataSource):
         if path is None:
             raise ValueError("xlsx source requires a path")
         files = _list_xlsx_files(path)
-        sheet = self._pick_sheet
         n_sample = int(self.options.get("samplingrows", 200))
         header = _truthy(self.options.get("header"), True)
         infer = _truthy(self.options.get("inferschema"), True)
-        with WorkbookReader(files[0]) as wb:
+        mode = self.options.get("sheetschemamode", "realign").lower()
+        all_sheets = _truthy(self.options.get("allsheets"), False)
+
+        def sample_sheet(wb, s):
             sample = []
-            for row in wb.iter_rows(sheet(wb)):
+            for row in wb.iter_rows(s):
                 sample.append(row)
                 if len(sample) >= n_sample:
                     break
-        return infer_schema(sample, header=header, infer_types=infer)
+            return infer_schema(sample, header=header, infer_types=infer)
+
+        with WorkbookReader(files[0]) as wb:
+            if all_sheets and mode == "union":
+                # union-by-name across the FIRST file's sheets (driver-side
+                # inference stays O(one file); later files realign by
+                # header at read time)
+                return merge_schemas(
+                    [sample_sheet(wb, s) for s in wb.sheet_names()]
+                )
+            return sample_sheet(wb, self._pick_sheet(wb))
 
     def _pick_sheet(self, wb: WorkbookReader) -> str:
         name = self.options.get("sheetname")
@@ -323,7 +341,13 @@ class XlsxReader(DataSourceReader):
             try:
                 with WorkbookReader(partition.file) as wb:
                     reader = BatchSheetReader(
-                        wb, partition.sheet, self.schema_, self.header
+                        wb,
+                        partition.sheet,
+                        self.schema_,
+                        self.header,
+                        schema_mode=self.options.get(
+                            "sheetschemamode", "realign"
+                        ).lower(),
                     )
                     for batch in reader.batches():
                         yielded = True
@@ -361,7 +385,7 @@ class XlsxReader(DataSourceReader):
 
     def _read_rows(self, partition: XlsxPartition):
         preds = partition.predicates
-        n_fields = len(self.schema_.fields)
+        mode = self.options.get("sheetschemamode", "realign").lower()
         with WorkbookReader(partition.file) as wb:
             first = self.header
             remap: list[int | None] | None = None
@@ -371,17 +395,9 @@ class XlsxReader(DataSourceReader):
                     # realign THIS sheet's columns to the global schema by
                     # header name — sheets/files whose column order differs
                     # from the schema-inference sheet would otherwise be
-                    # coerced positionally and silently mis-typed.  Identity
-                    # mappings (the common case) skip the remap entirely.
-                    names = [str(v).strip().lower() if v is not None else "" for v in row]
-                    pos = {n: i for i, n in reversed(list(enumerate(names)))}
-                    mapping = [
-                        pos.get(f.name.strip().lower()) for f in self.schema_.fields
-                    ]
-                    # only remap when EVERY schema field resolves to a header
-                    # (user-supplied schemas with custom names stay positional)
-                    if None not in mapping and mapping != list(range(n_fields)):
-                        remap = mapping
+                    # coerced positionally and silently mis-typed (policy
+                    # per sheetSchemaMode; see resolve_header_remap)
+                    remap = resolve_header_remap(row, self.schema_, mode)
                     continue
                 if remap is not None:
                     row = [

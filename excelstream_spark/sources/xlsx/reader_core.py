@@ -299,6 +299,73 @@ class WorkbookReader:
         self.close()
 
 
+# -- header realignment ----------------------------------------------------
+
+
+def resolve_header_remap(
+    header_vals: list, schema: T.StructType, mode: str = "realign"
+) -> list[int | None] | None:
+    """Map schema fields -> source column indices by header name; None
+    means identity/positional (the common case — no per-row remap cost).
+
+    ``mode`` is the sheetSchemaMode read option:
+
+    * ``realign`` (default): remap only when EVERY schema field resolves
+      to a header — sheets with unknown/missing headers stay positional
+      (historic behavior; user-supplied schemas with custom names are
+      never broken by a stray header match).
+    * ``union``: remap when ANY field resolves; unresolved fields read as
+      null (pairs with union-by-name schema inference for workbooks whose
+      sheets carry different column sets).
+    * ``strict``: raise unless the header name set equals the schema name
+      set exactly — the fail-fast guard against silent coercion.
+    """
+    names = [str(v).strip().lower() if v is not None else "" for v in header_vals]
+    pos = {n: i for i, n in reversed(list(enumerate(names)))}
+    fields = schema.fields
+    mapping = [pos.get(f.name.strip().lower()) for f in fields]
+    identity = list(range(len(fields)))
+    if mode == "strict":
+        want = {f.name.strip().lower() for f in fields}
+        have = {n for n in names if n}
+        if want != have:
+            raise ValueError(
+                "sheetSchemaMode=strict: sheet header does not match the "
+                f"schema (missing={sorted(want - have)}, "
+                f"unexpected={sorted(have - want)})"
+            )
+    elif mode == "union":
+        if all(m is None for m in mapping):
+            return None  # nothing matched (headerless/user schema): positional
+        return mapping if mapping != identity else None
+    elif mode != "realign":
+        raise ValueError(
+            f"unknown sheetSchemaMode {mode!r}; use realign | union | strict"
+        )
+    if None not in mapping and mapping != identity:
+        return mapping
+    return None
+
+
+def merge_schemas(schemas: list[T.StructType]) -> T.StructType:
+    """Union-by-name with widening (long<double; any conflict -> string),
+    column order = first appearance across sheets."""
+    order: list[str] = []
+    types: dict[str, T.DataType] = {}
+    for sch in schemas:
+        for f in sch.fields:
+            if f.name not in types:
+                order.append(f.name)
+                types[f.name] = f.dataType
+            elif types[f.name] != f.dataType:
+                pair = {types[f.name], f.dataType}
+                if pair == {T.LongType(), T.DoubleType()}:
+                    types[f.name] = T.DoubleType()
+                else:
+                    types[f.name] = T.StringType()
+    return T.StructType([T.StructField(n, types[n]) for n in order])
+
+
 # -- schema inference ------------------------------------------------------
 
 _SAFE_NAME_RE = re.compile(r"[^0-9a-zA-Z_]")

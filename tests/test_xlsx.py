@@ -683,3 +683,55 @@ def test_batch_reader_spark_surface(spark, tmp_path):
                    .load(out).collect()], key=repr)
     assert fast == slow
     assert len(fast) == 3
+
+
+# --- sheetSchemaMode policies ---------------------------------------------
+
+def _mismatched_workbook(tmp_path):
+    p = str(tmp_path / "mismatch.xlsx")
+    with WorkbookWriter(p) as wb:
+        wb.add_sheet("A")
+        wb.write_row(["id", "name"])
+        wb.write_row([1, "alpha"])
+        wb.add_sheet("B")  # overlapping but different column set
+        wb.write_row(["name", "extra"])
+        wb.write_row(["beta", 9.5])
+    return p
+
+
+def test_all_sheets_union_mode(spark, tmp_path):
+    """sheetSchemaMode=union: schema is the by-name union across sheets;
+    columns a sheet lacks read as null instead of silent mis-typing."""
+    p = _mismatched_workbook(tmp_path)
+    df = (spark.read.format("xlsx").option("allSheets", True)
+          .option("sheetSchemaMode", "union").load(p))
+    assert [f.name for f in df.schema.fields] == ["id", "name", "extra"]
+    rows = sorted([tuple(r) for r in df.collect()], key=repr)
+    assert rows == sorted([(1, "alpha", None), (None, "beta", 9.5)], key=repr)
+
+
+def test_all_sheets_strict_mode_fails_fast(spark, tmp_path):
+    """sheetSchemaMode=strict: mismatched sheet headers raise instead of
+    silently coercing."""
+    p = _mismatched_workbook(tmp_path)
+    with pytest.raises(Exception, match="sheetSchemaMode=strict"):
+        (spark.read.format("xlsx").option("allSheets", True)
+         .option("sheetSchemaMode", "strict").load(p).collect())
+
+
+def test_union_mode_type_widening(tmp_path, spark):
+    """Union inference widens long|double -> double and conflicts -> string."""
+    p = str(tmp_path / "widen.xlsx")
+    with WorkbookWriter(p) as wb:
+        wb.add_sheet("A")
+        wb.write_row(["v", "w"])
+        wb.write_row([1, "x"])
+        wb.add_sheet("B")
+        wb.write_row(["v", "w"])
+        wb.write_row([2.5, 7])
+    df = (spark.read.format("xlsx").option("allSheets", True)
+          .option("sheetSchemaMode", "union").load(p))
+    kinds = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert kinds == {"v": "double", "w": "string"}
+    rows = sorted([tuple(r) for r in df.collect()])
+    assert rows == [(1.0, "x"), (2.5, "7")]
