@@ -372,6 +372,145 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.join(near, "doc_id", "left_anti").select("doc_id", "lang")
 
 
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\+\d{9,15}"
+#: deterministic PII injected into a DERIVED column on both engines — the
+#: synthetic corpus contains none, and redaction must be verified against
+#: non-zero counts
+_SQL_AUG = (
+    "text || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id || "
+    "'@example.com from 10.0.' || (doc_id % 256) || '.1 call +15551234567' "
+    "ELSE '' END"
+)
+
+
+@query(
+    "corpus_governance",
+    oracle=f"""
+        WITH pii AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(a, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+                 CAST(len(regexp_extract_all(a, '{_PII_IP}')) AS BIGINT) AS n_ips,
+                 CAST(len(regexp_extract_all(a, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+                 CAST(length(regexp_replace(regexp_replace(regexp_replace(
+                      a, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                      '{_PII_IP}', '<IP>', 'g'),
+                      '{_PII_PHONE}', '<PHONE>', 'g')) AS BIGINT) AS redacted_len
+          FROM (SELECT doc_id, {_SQL_AUG} AS a FROM documents)
+        ),
+        toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+        rep AS (
+          SELECT doc_id,
+                 round(1.0 - len(list_distinct(sh)) * 1.0 / len(sh), 6) AS rep3_ratio_r
+          FROM (SELECT doc_id,
+                       list_transform(generate_series(1, len(t) - 2),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS sh
+                FROM toks WHERE len(t) >= 3)
+        ),
+        g8 AS (
+          SELECT doc_id,
+                 unnest(list_distinct(
+                   list_transform(generate_series(1, len(t) - 7),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                       || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6]
+                       || ' ' || t[i+7]))) AS s
+          FROM toks WHERE len(t) >= 8
+        ),
+        contam AS (
+          SELECT DISTINCT d.doc_id
+          FROM g8 d JOIN g8 b ON d.s = b.s
+          WHERE b.doc_id % 13 = 0 AND d.doc_id % 13 <> 0
+        )
+        SELECT p.doc_id, p.n_emails, p.n_ips, p.n_phones, p.redacted_len,
+               r.rep3_ratio_r,
+               CAST(CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+                 AS contaminated
+        FROM pii p
+        JOIN rep r USING (doc_id)
+        LEFT JOIN contam c USING (doc_id)
+    """,
+    tags=("pipeline", "text", "governance"),
+)
+def corpus_governance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-governance pass for a training-data pipeline, one plan:
+
+    1. PII redaction: email / IPv4 / intl-phone regexes counted and
+       replaced (codegen'd regexp_count/regexp_replace; no shuffle).
+       The synthetic corpus has no PII, so a deterministic PII suffix is
+       injected into a derived column for doc_id % 7 == 0 on BOTH
+       engines — the counts verified are non-zero.
+    2. Repetition filter signal (Gopher-style): fraction of duplicate
+       3-grams per doc, from the hashed shingle rows (distinct count via
+       one groupBy; total = n_tokens - 2).
+    3. Benchmark decontamination: docs sharing any 8-gram with the
+       benchmark slice (doc_id % 13 == 0) are flagged.  The benchmark's
+       hashed 8-gram set is BROADCAST (benchmark sets are tiny vs the
+       corpus), so contamination is a map-side semi-join — no corpus
+       shuffle at 100 TB.
+    """
+    docs = _docs(spark, sf_dir)
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com from 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".1 call +15551234567"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, F.lit(_PII_EMAIL), F.lit("<EMAIL>")),
+            F.lit(_PII_IP),
+            F.lit("<IP>"),
+        ),
+        F.lit(_PII_PHONE),
+        F.lit("<PHONE>"),
+    )
+    pii = docs.select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(_PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(aug, F.lit(_PII_IP)).cast("long").alias("n_ips"),
+        F.regexp_count(aug, F.lit(_PII_PHONE)).cast("long").alias("n_phones"),
+        F.length(redacted).cast("long").alias("redacted_len"),
+        F.size(TXT.tokens(F.col("text"))).alias("ntok"),
+    )
+    n_dist3 = (
+        DD.shingle_rows(docs, k=3)
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_dist"))
+    )
+    rep = (
+        pii.filter(F.col("ntok") >= 3)
+        .join(n_dist3, pii.doc_id == n_dist3.id)
+        .select(
+            "doc_id", "n_emails", "n_ips", "n_phones", "redacted_len",
+            F.round(
+                1.0 - F.col("n_dist") / (F.col("ntok") - 2), 6
+            ).alias("rep3_ratio_r"),
+        )
+    )
+    g8 = DD.shingle_rows(docs, k=8)
+    bench_grams = g8.filter(F.col("id") % 13 == 0).select("s").distinct()
+    contam = (
+        g8.filter(F.col("id") % 13 != 0)
+        .join(F.broadcast(bench_grams), "s")
+        .select(F.col("id").alias("doc_id"))
+        .distinct()
+        .withColumn("hit", F.lit(1).cast("long"))
+    )
+    return rep.join(contam, "doc_id", "left").select(
+        "doc_id", "n_emails", "n_ips", "n_phones", "redacted_len",
+        "rep3_ratio_r",
+        F.coalesce(F.col("hit"), F.lit(0).cast("long")).alias("contaminated"),
+    )
+
+
 @query("dedup_embedding_lsh", tags=("dedup", "vector"))  # candidate-gen -> rows-only
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed embedding near-dup: hyperplane buckets generate
