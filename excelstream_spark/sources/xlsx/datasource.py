@@ -56,6 +56,7 @@ import uuid
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     DataSourceWriter,
@@ -255,6 +256,18 @@ class XlsxDataSource(DataSource):
         return XlsxStreamReader(schema, self.options)
 
     def writer(self, schema: T.StructType, overwrite: bool) -> "XlsxWriter":
+        from excelstream_spark.sources.xlsx.batch_write import vectorizable
+
+        # columnar write path (batch_write.py): Arrow batches in, numpy-
+        # vectorized XML out.  Row path when the schema has non-scalar
+        # columns, for shared-strings mode (stateful dedup), or on
+        # batchWriter=false.
+        if (
+            _truthy(self.options.get("batchwriter"), True)
+            and not _truthy(self.options.get("usesharedstrings"), False)
+            and vectorizable(schema)
+        ):
+            return XlsxArrowWriter(schema, self.options, overwrite)
         return XlsxWriter(schema, self.options, overwrite)
 
 
@@ -535,7 +548,7 @@ class XlsxWriter(DataSourceWriter):
                     os.remove(f)
             os.makedirs(self.path, exist_ok=True)
 
-    def write(self, iterator) -> XlsxCommitMessage:
+    def _target_path(self) -> str:
         from pyspark import TaskContext
 
         ctx = TaskContext.get()
@@ -549,14 +562,11 @@ class XlsxWriter(DataSourceWriter):
             # write to a temp sibling; commit() renames atomically so a
             # mid-write task failure or retry never leaves a truncated
             # workbook at the destination
-            target = f"{self.path}.__tmp-{uuid.uuid4().hex[:8]}"
-        else:
-            target = os.path.join(
-                self.path, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.xlsx"
-            )
-        names = [f.name for f in self.schema_.fields]
-        n = 0
-        with WorkbookWriter(
+            return f"{self.path}.__tmp-{uuid.uuid4().hex[:8]}"
+        return os.path.join(self.path, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.xlsx")
+
+    def _open_workbook(self, target: str) -> WorkbookWriter:
+        wb = WorkbookWriter(
             target,
             compression=self.compression,
             use_shared_strings=self.use_sst,
@@ -564,10 +574,16 @@ class XlsxWriter(DataSourceWriter):
             col_widths=self.col_widths,
             row_height=self.row_height,
             max_rows_per_sheet=self.max_rows_per_sheet,
-        ) as wb:
-            wb.add_sheet(self.sheet_name)
-            if self.header:
-                wb.write_header(names)
+        )
+        wb.add_sheet(self.sheet_name)
+        if self.header:
+            wb.write_header([f.name for f in self.schema_.fields])
+        return wb
+
+    def write(self, iterator) -> XlsxCommitMessage:
+        target = self._target_path()
+        n = 0
+        with self._open_workbook(target) as wb:
             for row in iterator:
                 wb.write_row(list(row), styles=self.col_styles)
                 n += 1
@@ -588,6 +604,42 @@ class XlsxWriter(DataSourceWriter):
         for m in messages:
             if m is not None and os.path.exists(m.file):
                 os.remove(m.file)
+
+
+class XlsxArrowWriter(XlsxWriter, DataSourceArrowWriter):
+    """Columnar sink: Spark ships Arrow RecordBatches to the worker (no
+    per-row pickling) and batch_write.py serializes each batch with numpy
+    — same workbook bytes as the row path for every scalar schema.
+    Auto-split at maxRowsPerSheet is preserved by slicing batches at the
+    sheet boundary."""
+
+    def write(self, iterator) -> XlsxCommitMessage:
+        from excelstream_spark.sources.xlsx.batch_write import batch_to_rows_xml
+
+        style_list = None
+        if self.col_styles is not None:
+            style_list = self.col_styles
+        target = self._target_path()
+        n = 0
+        with self._open_workbook(target) as wb:
+            for batch in iterator:
+                offset = 0
+                while offset < batch.num_rows:
+                    if wb.rows_remaining() <= 0:
+                        wb.advance_sheet_for_split()
+                    take = min(wb.rows_remaining(), batch.num_rows - offset)
+                    chunk = batch.slice(offset, take)
+                    xml = batch_to_rows_xml(
+                        chunk,
+                        self.schema_,
+                        wb.next_row_index,
+                        col_styles=style_list,
+                        row_height=self.row_height,
+                    )
+                    wb.write_rows_xml(xml, take)
+                    offset += take
+                    n += take
+        return XlsxCommitMessage(file=target, rows=n)
 
 
 def register_xlsx(spark) -> None:

@@ -182,14 +182,7 @@ class WorkbookWriter:
         if self._sheet_stream is None:
             self.add_sheet()
         if self._row_index > self._max_rows:
-            if not self._auto_split:
-                raise ValueError(
-                    f"sheet full ({self._max_rows} rows); enable auto_split "
-                    "or add_sheet() manually"
-                )
-            self.add_sheet()
-            if self._split_header is not None:
-                self.write_row(list(self._split_header), styles=ooxml.STYLE_HEADER)
+            self.advance_sheet_for_split()
 
         buf = self._buf
         buf.clear()
@@ -216,6 +209,44 @@ class WorkbookWriter:
         buf += b"</row>"
         self._sheet_stream.write(bytes(buf))
         self._row_index += 1
+
+    def advance_sheet_for_split(self) -> None:
+        """Roll to the next auto-split sheet (or raise if auto_split off),
+        re-emitting the header row so each sheet stays self-describing."""
+        if not self._auto_split:
+            raise ValueError(
+                f"sheet full ({self._max_rows} rows); enable auto_split "
+                "or add_sheet() manually"
+            )
+        self.add_sheet()
+        if self._split_header is not None:
+            self.write_row(list(self._split_header), styles=ooxml.STYLE_HEADER)
+
+    # -- columnar path (batch_write.py) ------------------------------------
+
+    @property
+    def next_row_index(self) -> int:
+        """1-based Excel row number the next written row will get."""
+        if self._sheet_stream is None:
+            self.add_sheet()
+        return self._row_index
+
+    def rows_remaining(self) -> int:
+        """Rows the current sheet can still take before auto-split."""
+        if self._sheet_stream is None:
+            self.add_sheet()
+        return self._max_rows - self._row_index + 1
+
+    def write_rows_xml(self, xml: bytes, n_rows: int) -> None:
+        """Append ``n_rows`` pre-serialized ``<row>`` elements (produced by
+        batch_write.batch_to_rows_xml with ``start_row=next_row_index``).
+        Caller must respect rows_remaining() / advance_sheet_for_split()."""
+        if self._sheet_stream is None:
+            self.add_sheet()
+        if n_rows > self.rows_remaining():
+            raise ValueError("write_rows_xml exceeds sheet capacity")
+        self._sheet_stream.write(xml)
+        self._row_index += n_rows
 
     def write_header(self, names) -> None:
         """Bold header row (reference K4 ``write_header_bold``); repeated

@@ -735,3 +735,155 @@ def test_union_mode_type_widening(tmp_path, spark):
     assert kinds == {"v": "double", "w": "string"}
     rows = sorted([tuple(r) for r in df.collect()])
     assert rows == [(1.0, "x"), (2.5, "7")]
+
+
+# --- columnar batch writer (batch_write.py) -------------------------------
+
+
+def _nasty_rows_and_batch():
+    """Fixture covering every vectorized type + the per-row special paths:
+    escaping, formulas, control chars, leap-bug dates, NaN/inf, decimals,
+    float32 widening, all-null rows."""
+    import decimal
+    import pyarrow as pa
+
+    schema = T.StructType([
+        T.StructField("s", T.StringType()),
+        T.StructField("i", T.LongType()),
+        T.StructField("f", T.DoubleType()),
+        T.StructField("b", T.BooleanType()),
+        T.StructField("d", T.DateType()),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("dec", T.DecimalType(10, 2)),
+        T.StructField("f32", T.FloatType()),
+    ])
+    rows = [
+        ["plain", 42, 1.5, True, dt.date(2024, 2, 29),
+         dt.datetime(2024, 2, 29, 13, 45, 30, 123456),
+         decimal.Decimal("12.34"), 0.25],
+        ["a&b<c>\"'", -7, 0.1, False, dt.date(1900, 2, 28),
+         dt.datetime(1900, 1, 1), decimal.Decimal("-5.00"), 1e10],
+        [None, None, None, None, None, None, None, None],
+        ["=SUM(A1:A2)", 2 ** 62, float("nan"), True, dt.date(1899, 12, 31),
+         dt.datetime(1969, 12, 31, 23, 59, 59), decimal.Decimal("0.01"),
+         float("inf")],
+        ["ctrl\x01char\rline", 0, float("inf"), False, dt.date(9999, 12, 31),
+         dt.datetime(2024, 1, 1), decimal.Decimal("999.99"), -0.0],
+        ["tab\tand\nnl", 1, -2.5e-8, True, dt.date(1970, 1, 1),
+         dt.datetime(2024, 6, 15, 6, 0), decimal.Decimal("1.10"), 3.5],
+    ]
+    pa_schema = pa.schema([
+        pa.field("s", pa.string()), pa.field("i", pa.int64()),
+        pa.field("f", pa.float64()), pa.field("b", pa.bool_()),
+        pa.field("d", pa.date32()), pa.field("ts", pa.timestamp("us")),
+        pa.field("dec", pa.decimal128(10, 2)), pa.field("f32", pa.float32()),
+    ])
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array(c, type=f.type) for c, f in zip(zip(*rows), pa_schema)],
+        schema=pa_schema,
+    )
+    return schema, rows, batch
+
+
+def test_batch_writer_bytes_identical_to_row_writer():
+    """batch_to_rows_xml produces byte-for-byte the row writer's XML for
+    every scalar type, including the special-string and null paths."""
+    import io
+
+    from excelstream_spark.sources.xlsx.batch_write import batch_to_rows_xml
+
+    schema, rows, batch = _nasty_rows_and_batch()
+    b1, b2 = io.BytesIO(), io.BytesIO()
+    with WorkbookWriter(b1) as wb:
+        wb.add_sheet("S")
+        for r in rows:
+            wb.write_row(list(r))
+    with WorkbookWriter(b2) as wb:
+        wb.add_sheet("S")
+        wb.write_rows_xml(
+            batch_to_rows_xml(batch, schema, wb.next_row_index), batch.num_rows
+        )
+    x1 = zipfile.ZipFile(b1).read("xl/worksheets/sheet1.xml")
+    x2 = zipfile.ZipFile(b2).read("xl/worksheets/sheet1.xml")
+    assert x1 == x2
+
+
+def test_batch_writer_float_repr_parity():
+    """ndarray.astype('U') must format float64 exactly like Python repr()
+    — the guarantee the vectorized <v> text relies on."""
+    import random
+
+    import numpy as np
+
+    vals = [0.1, 2.0, 1e-9, 1e16, 1.5e-5, float("nan"), float("inf"),
+            -0.0, 3.141592653589793, 2.2250738585072014e-308]
+    rng = random.Random(42)
+    vals += [rng.uniform(-1e12, 1e12) for _ in range(5000)]
+    vals += [rng.random() for _ in range(5000)]
+    formatted = np.array(vals, dtype=np.float64).astype("U32")
+    assert all(repr(v) == s for v, s in zip(vals, formatted))
+
+
+def test_arrow_writer_spark_roundtrip_matches_row_writer(spark, tmp_path):
+    """format('xlsx') default (Arrow batch write) and batchWriter=false
+    (row write) produce equal data; read-back equals the source."""
+    df = spark.createDataFrame(
+        [(i, f"name{i}" + ("&<>" if i % 7 == 0 else ""),
+          i * 1.25, i % 2 == 0,
+          dt.datetime(2024, 1, 1) + dt.timedelta(hours=i))
+         for i in range(500)],
+        "id long, name string, x double, flag boolean, ts timestamp_ntz",
+    )
+    a, b = str(tmp_path / "arrow"), str(tmp_path / "rows")
+    df.repartition(2).write.format("xlsx").mode("overwrite").save(a)
+    df.repartition(2).write.format("xlsx").option("batchWriter", "false").mode("overwrite").save(b)
+    da = spark.read.format("xlsx").load(a)
+    db = spark.read.format("xlsx").load(b)
+    assert da.schema == db.schema
+    assert da.exceptAll(db).count() == 0 and db.exceptAll(da).count() == 0
+    assert da.exceptAll(df).count() == 0 and df.exceptAll(da).count() == 0
+
+
+def test_arrow_writer_autosplit_at_max_rows(spark, tmp_path):
+    """The Arrow write path slices batches at the maxRowsPerSheet boundary
+    (continuation sheets carry the re-emitted header)."""
+    out = str(tmp_path / "split")
+    df = spark.range(250).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    )
+    (df.coalesce(1).write.format("xlsx").mode("overwrite")
+     .option("maxRowsPerSheet", 100).save(out))
+    import glob as g
+
+    [f] = g.glob(out + "/part-*.xlsx")
+    with WorkbookReader(f) as wb:
+        names = wb.sheet_names()
+        assert len(names) == 3  # 99+99+52 data rows + header each
+        counts = [sum(1 for _ in wb.iter_rows(s)) for s in names]
+    assert counts == [100, 100, 53]
+    back = (spark.read.format("xlsx").option("allSheets", True).load(out))
+    assert back.count() == 250
+    assert back.agg(F.sum("id")).collect()[0][0] == sum(range(250))
+
+
+def test_arrow_writer_column_styles_and_height(spark, tmp_path):
+    """columnStyles / rowHeight options render identically on both write
+    paths."""
+    out_a = str(tmp_path / "a")
+    out_b = str(tmp_path / "b")
+    df = spark.createDataFrame(
+        [(1.5, "x"), (2.5, "y")], "amount double, label string"
+    )
+    for out, bw in ((out_a, "true"), (out_b, "false")):
+        (df.coalesce(1).write.format("xlsx").mode("overwrite")
+         .option("batchWriter", bw)
+         .option("columnStyles", "currency,")
+         .option("rowHeight", "18").save(out))
+    import glob as g
+
+    [fa] = g.glob(out_a + "/part-*.xlsx")
+    [fb] = g.glob(out_b + "/part-*.xlsx")
+    xa = zipfile.ZipFile(fa).read("xl/worksheets/sheet1.xml")
+    xb = zipfile.ZipFile(fb).read("xl/worksheets/sheet1.xml")
+    assert xa == xb
+    assert b'ht="18"' in xa and b's="' in xa
