@@ -147,19 +147,23 @@ class BatchSheetReader:
         schema: T.StructType,
         header: bool,
         schema_mode: str = "realign",
+        limit: int | None = None,
+        init_remap: list[int | None] | None = None,
     ):
         self.wb = wb
         self.sheet = sheet
         self.schema = schema
         self.header = header
         self.schema_mode = schema_mode
+        self.limit = limit
         self.pa_schema = to_arrow_schema(schema)
         self._kind_cache: dict[str, _Kind] = {}
         self._col_of: dict[str, int] = {}
         self._sst_pa: pa.Array | None = None
         #: source-column index for each schema field (None until the
-        #: header row resolves it; identity when headers match positions)
-        self._remap: list[int | None] | None = None
+        #: header row resolves it; identity when headers match positions).
+        #: init_remap pre-resolves headerless columns-pruned reads.
+        self._remap: list[int | None] | None = init_remap
 
     # -- metadata ----------------------------------------------------------
 
@@ -189,12 +193,24 @@ class BatchSheetReader:
     def batches(self):
         entry = self.wb.resolve_sheet(self.sheet)
         first = True
+        remaining = self.limit
+        # small-limit reads shouldn't decompress 8 MB for 5 rows: start
+        # with a chunk sized to the limit and let the iterator grow back
+        chunk_bytes = 8 << 20
+        if remaining is not None:
+            chunk_bytes = min(chunk_bytes, max(64 << 10, remaining * 512))
         with self.wb.open_entry(entry) as fh:
-            for text in _iter_xml_chunks(fh):
+            for text in _iter_xml_chunks(fh, chunk_bytes):
                 batch = self._chunk_to_batch(text, skip_header=first and self.header)
                 first = False
-                if batch is not None and batch.num_rows:
-                    yield batch
+                if batch is None or not batch.num_rows:
+                    continue
+                if remaining is not None:
+                    if batch.num_rows >= remaining:
+                        yield batch.slice(0, remaining)
+                        return
+                    remaining -= batch.num_rows
+                yield batch
 
     # -- per-chunk ---------------------------------------------------------
 

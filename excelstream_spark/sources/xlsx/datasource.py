@@ -21,7 +21,11 @@ Options (read):  sheetName | sheetIndex, header (default true),
   or fail fast; see reader_core.resolve_header_remap),
   batchReader (default true — columnar regex+Arrow scan with exact
   per-chunk fallback; false forces the per-cell row reader),
-  arrowBatches (default true), arrowBatchSize (row-reader batching)
+  arrowBatches (default true), arrowBatchSize (row-reader batching),
+  columns ("a,b" — prune the scan to the named columns; Spark 4.1's
+  Python DS API has no pruneColumns hook, so pruning is an explicit
+  option), limitRows (N — each partition stops scanning after N data
+  rows; the early-stop analogue of limit pushdown for df.limit(N))
 
 The source also implements a STREAM reader: ``spark.readStream
 .format("xlsx")`` watches a directory and processes each new workbook
@@ -52,6 +56,7 @@ from __future__ import annotations
 
 import glob
 import os
+import re
 import uuid
 
 from pyspark.sql.datasource import (
@@ -194,6 +199,42 @@ def _compile_filter(flt: Filter, col_idx: dict[str, int]):
     return None
 
 
+def _prune_schema(schema: T.StructType, columns: str | None) -> T.StructType:
+    """column-pruned scan via option("columns", "a,b"): only the named
+    columns survive inference, in the requested order, and the scan never
+    converts the others.  Spark 4.1's Python Data Source API has no
+    pruneColumns/pushLimit hooks (only pushFilters), so pruning and limit
+    are explicit options rather than planner-driven — the xlsx analogue
+    of parquet ReadSchema pruning (SURVEY §4 niceties a/b)."""
+    if not columns:
+        return schema
+    want = [c.strip() for c in columns.split(",") if c.strip()]
+    by_name = {f.name: f for f in schema.fields}
+    missing = [c for c in want if c not in by_name]
+    if missing:
+        raise ValueError(
+            f"columns option names unknown columns {missing}; "
+            f"available: {[f.name for f in schema.fields]}"
+        )
+    return T.StructType([by_name[c] for c in want])
+
+
+_POSITIONAL_NAME_RE = re.compile(r"_c(\d+)")
+
+
+def _positional_remap(schema: T.StructType) -> list[int | None] | None:
+    """For headerless pruned reads the schema names are the inferred
+    ``_cN`` positionals — recover each field's source column index from
+    its name (no header row exists to realign by)."""
+    idx: list[int | None] = []
+    for f in schema.fields:
+        m = _POSITIONAL_NAME_RE.fullmatch(f.name)
+        if not m:
+            return None
+        idx.append(int(m.group(1)))
+    return idx if idx != list(range(len(idx))) else None
+
+
 class XlsxPartition(InputPartition):
     def __init__(self, file: str, sheet: str, predicates=None):
         self.file = file
@@ -237,10 +278,12 @@ class XlsxDataSource(DataSource):
                 # union-by-name across the FIRST file's sheets (driver-side
                 # inference stays O(one file); later files realign by
                 # header at read time)
-                return merge_schemas(
+                schema = merge_schemas(
                     [sample_sheet(wb, s) for s in wb.sheet_names()]
                 )
-            return sample_sheet(wb, self._pick_sheet(wb))
+            else:
+                schema = sample_sheet(wb, self._pick_sheet(wb))
+        return _prune_schema(schema, self.options.get("columns"))
 
     def _pick_sheet(self, wb: WorkbookReader) -> str:
         name = self.options.get("sheetname")
@@ -289,6 +332,17 @@ class XlsxReader(DataSourceReader):
         # Arrow transfer of every dropped row.
         self.pushdown = _truthy(options.get("pushdown"), False)
         self._predicates = []
+        lim = options.get("limitrows")
+        #: per-partition row cap (option("limitRows", N)): each partition
+        #: stops SCANNING after N data rows — a sound upper bound for
+        #: df.limit(N), which Spark still applies exactly post-scan
+        self.limit = int(lim) if lim is not None else None
+        #: with columns-pruned headerless reads, field names are _cN
+        #: positionals; recover source indices from them
+        self._init_remap = (
+            _positional_remap(schema) if options.get("columns") and not self.header
+            else None
+        )
 
     def pushFilters(self, filters):
         """Accept every filter we can evaluate exactly; yield the rest back
@@ -361,6 +415,8 @@ class XlsxReader(DataSourceReader):
                         schema_mode=self.options.get(
                             "sheetschemamode", "realign"
                         ).lower(),
+                        limit=self.limit,
+                        init_remap=self._init_remap,
                     )
                     for batch in reader.batches():
                         yielded = True
@@ -399,9 +455,10 @@ class XlsxReader(DataSourceReader):
     def _read_rows(self, partition: XlsxPartition):
         preds = partition.predicates
         mode = self.options.get("sheetschemamode", "realign").lower()
+        n_out = 0
         with WorkbookReader(partition.file) as wb:
             first = self.header
-            remap: list[int | None] | None = None
+            remap = self._init_remap
             for row in wb.iter_rows(partition.sheet):
                 if first:
                     first = False
@@ -420,6 +477,9 @@ class XlsxReader(DataSourceReader):
                 out = coerce_row(row, self.schema_)
                 if all(p(out) is True for p in preds):
                     yield out
+                    n_out += 1
+                    if self.limit is not None and n_out >= self.limit:
+                        return
 
 
 class XlsxStreamReader(DataSourceStreamReader):

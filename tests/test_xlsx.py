@@ -887,3 +887,51 @@ def test_arrow_writer_column_styles_and_height(spark, tmp_path):
     xb = zipfile.ZipFile(fb).read("xl/worksheets/sheet1.xml")
     assert xa == xb
     assert b'ht="18"' in xa and b's="' in xa
+
+
+# --- columns pruning + limitRows early-stop -------------------------------
+
+
+def test_columns_pruning_option(spark, tmp_path):
+    """option('columns') narrows the schema and realigns by header name,
+    independent of requested order."""
+    out = str(tmp_path / "prune")
+    df = spark.createDataFrame(
+        [(1, "a", 1.5, True), (2, "b", 2.5, False)],
+        "k long, name string, x double, flag boolean",
+    )
+    df.coalesce(1).write.format("xlsx").mode("overwrite").save(out)
+    got = (spark.read.format("xlsx").option("columns", "x,k").load(out))
+    assert [f.name for f in got.schema.fields] == ["x", "k"]
+    assert sorted(tuple(r) for r in got.collect()) == [(1.5, 1), (2.5, 2)]
+    with pytest.raises(Exception, match="unknown columns"):
+        spark.read.format("xlsx").option("columns", "nope").load(out).collect()
+
+
+def test_columns_pruning_headerless(spark, tmp_path):
+    """Headerless pruned reads recover source positions from the _cN
+    names (no header row to realign by)."""
+    p = str(tmp_path / "nohdr.xlsx")
+    with WorkbookWriter(p) as wb:
+        wb.add_sheet("S")
+        for i in range(5):
+            wb.write_row([i, f"s{i}", i * 10])
+    got = (spark.read.format("xlsx").option("header", "false")
+           .option("columns", "_c2,_c0").load(p))
+    assert sorted(tuple(r) for r in got.collect()) == [
+        (0, 0), (10, 1), (20, 2), (30, 3), (40, 4)]
+
+
+def test_limit_rows_early_stop(spark, tmp_path):
+    """limitRows stops each partition's scan after N rows — on both the
+    batch scanner and the row reader."""
+    out = str(tmp_path / "lim")
+    spark.range(10000).select(
+        F.col("id"), (F.col("id") % 7).alias("m")
+    ).coalesce(1).write.format("xlsx").mode("overwrite").save(out)
+    for batch in ("true", "false"):
+        got = (spark.read.format("xlsx").option("limitRows", 5)
+               .option("batchReader", batch).load(out))
+        rows = got.collect()
+        assert len(rows) == 5
+        assert sorted(r.id for r in rows) == [0, 1, 2, 3, 4]
