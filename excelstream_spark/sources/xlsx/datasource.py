@@ -491,9 +491,15 @@ class XlsxStreamReader(DataSourceStreamReader):
 
     Offsets are {"seen": sorted [file, ...]} — the full processed set, so
     recovery from any checkpointed offset pair is exact regardless of
-    listing order or file mtimes.  (An offset grows with file count; at
-    very high file cardinality compact upstream or use archiving, as with
-    the built-in file source's own file log.)
+    listing order or file mtimes.  An offset therefore grows with total
+    file count; option("maxFileAgeSec", N) switches to COMPACTED offsets
+    {"mark": max mtime, "recent": [files with mtime >= mark - N]} that
+    stay bounded by the arrival rate x window instead — the semantics of
+    the built-in file source's maxFileAge: a file landing with an mtime
+    older than the age window is assumed already processed and skipped,
+    so pick N comfortably above the pipeline's maximum delivery delay.
+    Both offset formats are accepted on restart (enabling compaction on
+    an existing checkpoint is safe).
     """
 
     def __init__(self, schema: T.StructType, options):
@@ -504,6 +510,8 @@ class XlsxStreamReader(DataSourceStreamReader):
         self.sheet_name = options.get("sheetname")
         self.sheet_index = options.get("sheetindex")
         self.all_sheets = _truthy(options.get("allsheets"), False)
+        age = options.get("maxfileagesec")
+        self.max_age = float(age) if age is not None else None
 
     def _current_files(self) -> list[str]:
         try:
@@ -512,13 +520,31 @@ class XlsxStreamReader(DataSourceStreamReader):
             return []
 
     def initialOffset(self) -> dict:
+        if self.max_age is not None:
+            return {"mark": 0.0, "recent": []}
         return {"seen": []}
 
     def latestOffset(self) -> dict:
-        return {"seen": self._current_files()}
+        files = self._current_files()
+        if self.max_age is None:
+            return {"seen": files}
+        pairs = []
+        for f in files:
+            try:
+                pairs.append((f, os.path.getmtime(f)))
+            except OSError:  # raced deletion between list and stat
+                pass
+        mark = max((m for _, m in pairs), default=0.0)
+        return {
+            "mark": mark,
+            "recent": sorted(f for f, m in pairs if m >= mark - self.max_age),
+        }
 
     def partitions(self, start: dict, end: dict):
-        new_files = sorted(set(end.get("seen", [])) - set(start.get("seen", [])))
+        processed = set(start.get("seen") or start.get("recent") or [])
+        new_files = sorted(
+            set(end.get("seen") or end.get("recent") or []) - processed
+        )
         parts = []
         for f in new_files:
             if self.sheet_name:

@@ -103,3 +103,58 @@ def test_xlsx_streaming_source_incremental(spark, tmp_path):
     write_wb(f"{watch}/b.xlsx", [[3, "b1"]])
     assert run_once() == [(1, "a1"), (2, "a2"), (3, "b1")]
     assert run_once() == [(1, "a1"), (2, "a2"), (3, "b1")]  # idempotent
+
+
+def test_xlsx_streaming_offset_compaction(tmp_path):
+    """maxFileAgeSec keeps offsets bounded: files older than the age
+    window drop out of 'recent' while new arrivals are still detected
+    exactly once (unit-level, no Spark query needed)."""
+    import os
+    import time
+
+    from pyspark.sql import types as T
+
+    from excelstream_spark.sources.xlsx import WorkbookWriter
+    from excelstream_spark.sources.xlsx.datasource import XlsxStreamReader
+
+    watch = str(tmp_path / "watch")
+    os.makedirs(watch)
+
+    def write_wb(name, mtime=None):
+        p = f"{watch}/{name}"
+        with WorkbookWriter(p) as wb:
+            wb.add_sheet("S")
+            wb.write_row(["id"])
+            wb.write_row([1])
+        if mtime is not None:
+            os.utime(p, (mtime, mtime))
+        return p
+
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    rdr = XlsxStreamReader(schema, {"path": watch, "maxfileagesec": "100"})
+
+    now = time.time()
+    # 50 "old" files far outside the window + 2 recent ones
+    for i in range(50):
+        write_wb(f"old{i:02d}.xlsx", mtime=now - 10_000 + i)
+    write_wb("new1.xlsx", mtime=now - 10)
+    write_wb("new2.xlsx", mtime=now)
+
+    start = rdr.initialOffset()
+    end = rdr.latestOffset()
+    # offset is bounded by the age window, not total file count
+    assert sorted(os.path.basename(f) for f in end["recent"]) == [
+        "new1.xlsx", "new2.xlsx"]
+    parts = rdr.partitions(start, end)
+    assert sorted(os.path.basename(p.file) for p in parts) == [
+        "new1.xlsx", "new2.xlsx"]
+
+    # next trigger: one more arrival; previously-seen recents excluded
+    write_wb("new3.xlsx", mtime=now + 1)
+    end2 = rdr.latestOffset()
+    parts2 = rdr.partitions(end, end2)
+    assert [os.path.basename(p.file) for p in parts2] == ["new3.xlsx"]
+
+    # an exact-mode checkpoint ({"seen": ...}) is accepted as start
+    parts3 = rdr.partitions({"seen": end2["recent"]}, rdr.latestOffset())
+    assert parts3 == []
