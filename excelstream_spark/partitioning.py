@@ -21,6 +21,12 @@ def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
     spark = df.sparkSession
     if target is None:
         target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        # JVM-side partition count: physical planning only — df.rdd would
+        # additionally build the Python-deserializer RDD plan on every call
+        n = df._jdf.rdd().getNumPartitions()
+    except Exception:  # Connect or API change: fall back to the public path
+        n = df.rdd.getNumPartitions()
+    if n < target:
         return df.repartition(target)
     return df
