@@ -9,11 +9,14 @@ and prints ONE JSON line:
 Methodology (matches how BASELINE.md's reference numbers were produced —
 sustained steady-state throughput, e.g. README.md:519-523's rows/s claims):
 
-* every query/leg runs ONCE untimed (warmup), then ONCE timed.  The warmup
-  absorbs one-time session costs a long-lived cluster amortizes — JVM JIT of
-  whole-stage-codegen'd stages, Python worker pool spin-up, OS page cache for
-  the parquet inputs.  A Rust binary has no such first-run tax, so timing
-  Spark's cold first execution would compare JVM startup against Rust compute.
+* every query/leg runs ONCE untimed (warmup), then TWICE timed; the MINIMUM
+  is recorded (hyperfine/criterion practice — robust to one-off JVM GC or
+  scheduler stalls, observed as a 23s outlier on a leg that repeatably runs
+  in ~1s).  The warmup absorbs one-time session costs a long-lived cluster
+  amortizes — JVM JIT of whole-stage-codegen'd stages, Python worker pool
+  spin-up, OS page cache for the parquet inputs.  A Rust binary has no such
+  first-run tax, so timing Spark's cold first execution would compare JVM
+  startup against Rust compute.
 * scratch output (xlsx/csv sink legs) goes to tmpfs (/dev/shm) when present:
   the VM's virtio disk throttles writeback unpredictably (measured 4-28s for
   the identical 6M-row CSV write); tmpfs isolates engine throughput from disk
@@ -85,9 +88,13 @@ def main() -> None:
 
     def run(name: str, fn, warm_fn=None) -> None:
         (warm_fn or fn)()  # untimed steady-state warmup (see module docstring)
-        t0 = time.perf_counter()
-        fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):  # min of 2: robust to one-off GC/scheduler stalls
+            t0 = time.perf_counter()
+            fn()
+            d = time.perf_counter() - t0
+            best = d if best is None or d < best else best
+        timings[name] = round(best, 3)
         print(f"  {name}: {timings[name]:.2f}s", file=sys.stderr)
 
     def noop(df) -> None:
