@@ -935,3 +935,72 @@ def test_limit_rows_early_stop(spark, tmp_path):
         rows = got.collect()
         assert len(rows) == 5
         assert sorted(r.id for r in rows) == [0, 1, 2, 3, 4]
+
+
+def test_property_batch_writer_equals_row_writer():
+    """Property-based byte equality: for ANY column of each vectorized
+    type (with nulls, specials, extremes), batch_to_rows_xml emits
+    exactly the row writer's worksheet XML."""
+    import io
+
+    import pyarrow as pa
+    from hypothesis import given, settings, strategies as st
+
+    from excelstream_spark.sources.xlsx.batch_write import batch_to_rows_xml
+
+    text = st.text(
+        max_size=30,
+        alphabet=st.characters(exclude_categories=("Cs",)),
+    )
+    col_strategies = {
+        "string": (T.StringType(), pa.string(), text),
+        "long": (T.LongType(), pa.int64(),
+                 st.integers(min_value=-(2**63), max_value=2**63 - 1)),
+        "double": (T.DoubleType(), pa.float64(),
+                   st.floats(allow_nan=True, allow_infinity=True, width=64)),
+        "bool": (T.BooleanType(), pa.bool_(), st.booleans()),
+        "date": (T.DateType(), pa.date32(),
+                 st.dates(min_value=dt.date(1890, 1, 1),
+                          max_value=dt.date(2300, 1, 1))),
+        "ts": (T.TimestampNTZType(), pa.timestamp("us"),
+               st.datetimes(min_value=dt.datetime(1890, 1, 1),
+                            max_value=dt.datetime(2300, 1, 1))),
+    }
+
+    @settings(max_examples=40, deadline=None)
+    @given(data=st.data())
+    def run(data):
+        kinds = data.draw(
+            st.lists(st.sampled_from(sorted(col_strategies)),
+                     min_size=1, max_size=4)
+        )
+        n = data.draw(st.integers(min_value=1, max_value=8))
+        cols, fields, pa_fields = [], [], []
+        for j, k in enumerate(kinds):
+            spark_t, pa_t, strat = col_strategies[k]
+            cols.append(data.draw(
+                st.lists(st.one_of(st.none(), strat), min_size=n, max_size=n)
+            ))
+            fields.append(T.StructField(f"c{j}", spark_t))
+            pa_fields.append(pa.field(f"c{j}", pa_t))
+        schema = T.StructType(fields)
+        batch = pa.RecordBatch.from_arrays(
+            [pa.array(c, type=f.type) for c, f in zip(cols, pa_fields)],
+            schema=pa.schema(pa_fields),
+        )
+        rows = [list(t) for t in zip(*cols)]
+        b1, b2 = io.BytesIO(), io.BytesIO()
+        with WorkbookWriter(b1) as wb:
+            wb.add_sheet("S")
+            for r in rows:
+                wb.write_row(r)
+        with WorkbookWriter(b2) as wb:
+            wb.add_sheet("S")
+            wb.write_rows_xml(
+                batch_to_rows_xml(batch, schema, wb.next_row_index), n
+            )
+        x1 = zipfile.ZipFile(b1).read("xl/worksheets/sheet1.xml")
+        x2 = zipfile.ZipFile(b2).read("xl/worksheets/sheet1.xml")
+        assert x1 == x2
+
+    run()
