@@ -131,3 +131,77 @@ def test_ivf_trained_recall_vs_bruteforce(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"trained-IVF recall {recall:.2f}"
+
+
+def test_pack_sequences_constraints(spark):
+    """Every doc assigned exactly once; no non-oversize bin exceeds
+    max_tokens; fill efficiency beats the 2x-optimal next-fit bound."""
+    from excelstream_spark.operators.packing import pack_sequences, packing_stats
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), r"\s+")).alias("n_tokens")
+    )
+    max_tokens = 256
+    packed = pack_sequences(docs, tokens_col="n_tokens", max_tokens=max_tokens)
+    pdf = packed.toPandas()
+    n_docs = docs.count()
+    assert len(pdf) == n_docs and pdf["id"].nunique() == n_docs
+    fills = pdf[~pdf["oversize"]].groupby("bin_id")["n_tokens"].sum()
+    assert (fills <= max_tokens).all()
+    # oversize bins hold exactly one doc, each genuinely too long
+    over = pdf[pdf["oversize"]]
+    assert (over.groupby("bin_id").size() == 1).all()
+    assert (over["n_tokens"] > max_tokens).all()
+    # packing quality: used bins within 1.5x the capacity lower bound
+    # (+ partitions slack for shard-local packing)
+    total = int(pdf[~pdf["oversize"]]["n_tokens"].sum())
+    lower = -(-total // max_tokens)
+    n_parts = docs.rdd.getNumPartitions()
+    assert len(fills) <= 1.5 * lower + n_parts
+    stats = packing_stats(packed, max_tokens).collect()[0]
+    assert stats["n_bins"] == pdf["bin_id"].nunique()
+    assert stats["fill_efficiency"] > 0.6
+    # bin_slot enumerates each bin 0..n-1
+    slot_check = pdf.groupby("bin_id")["bin_slot"].agg(["min", "max", "count"])
+    assert (slot_check["min"] == 0).all()
+    assert (slot_check["max"] == slot_check["count"] - 1).all()
+
+
+def test_quantize_roundtrip_and_recall(spark):
+    """Int8 quantization: dequantize_expr inverts within scale/2; 
+    quantized top-k recall@5 >= 0.9 vs exact float top-k."""
+    import numpy as np
+
+    from excelstream_spark.operators.quantize import (
+        dequantize_expr,
+        quantize_embeddings,
+        topk_quantized,
+    )
+    from excelstream_spark.operators.vectorized import topk_against_broadcast
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = quantize_embeddings(emb)
+    # size: int8 blob is 4x smaller than float32 array values
+    dim = len(emb.select("embedding").first()[0])
+    blob_len = q.select(F.octet_length("qvec").alias("l")).agg(F.max("l")).first()[0]
+    assert blob_len == dim
+    # round-trip error bounded by scale/2 per element (JVM-side rebuild)
+    joined = (
+        q.join(emb, q["id"] == emb["vec_id"])
+        .select("embedding", "scale", dequantize_expr().alias("back"))
+        .limit(50)
+        .collect()
+    )
+    for row in joined:
+        err = np.abs(np.array(row["embedding"]) - np.array(row["back"]))
+        assert (err <= row["scale"] / 2 + 1e-6).all()
+    # recall vs exact
+    queries = emb.orderBy("vec_id").limit(10)
+    exact = topk_against_broadcast(emb, queries, k=5).toPandas()
+    approx = topk_quantized(q, queries, k=5).toPandas()
+    recall = []
+    for qid, grp in exact.groupby("query_id"):
+        want = set(grp["neighbor_id"])
+        got = set(approx[approx["query_id"] == qid]["neighbor_id"])
+        recall.append(len(want & got) / len(want))
+    assert sum(recall) / len(recall) >= 0.9
