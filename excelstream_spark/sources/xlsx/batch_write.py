@@ -178,6 +178,11 @@ def _append_column(
         s = s_attr if style else f' s="{ooxml.STYLE_DATE}"'
         out.cell(letter, f'"{s}><v>', serial.astype("U32").tolist(), nulls, "</v></c>")
     elif isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        # tz-aware columns: the row path receives session-local wall-clock
+        # datetimes, so serialize the LOCAL timestamp, not the UTC instant
+        # (equal under the library default UTC session, divergent otherwise)
+        if getattr(col.type, "tz", None):
+            col = pc.local_timestamp(col)
         micros = pc.fill_null(col.cast(pa.int64()), 0).to_numpy()
         serial, in_day = _serial_parts(micros)
         body = serial.astype("U32").tolist()
