@@ -85,6 +85,12 @@ def pack_sequences(
                 continue
             doc_ids = pdf["id_"].to_numpy()
             toks = pdf["tok_"].to_numpy()
+            if toks.dtype.kind == "f" and pd.isna(toks).any():
+                raise ValueError(
+                    "pack_sequences: null token count for doc id(s) "
+                    f"{doc_ids[pd.isna(toks)][:5].tolist()} — a null length "
+                    "cannot be packed; filter or impute upstream"
+                )
             out_bin = [0] * len(pdf)
             out_slot = [0] * len(pdf)
             out_over = [False] * len(pdf)
@@ -146,9 +152,16 @@ def packing_stats(packed: DataFrame, max_tokens: int) -> DataFrame:
     return bins.agg(
         F.count("*").alias("n_bins"),
         F.sum("over").alias("oversize_bins"),
-        F.round(
-            F.sum(F.when(F.col("over") == 0, F.col("fill")).otherwise(0))
-            / (F.sum(F.lit(1) - F.col("over")) * F.lit(max_tokens)),
-            6,
+        # no regular bins (everything oversize) -> 0.0, not a silent null
+        # (try_divide: ANSI mode would otherwise throw on the 0 divisor)
+        F.coalesce(
+            F.round(
+                F.try_divide(
+                    F.sum(F.when(F.col("over") == 0, F.col("fill")).otherwise(0)),
+                    F.sum(F.lit(1) - F.col("over")) * F.lit(max_tokens),
+                ),
+                6,
+            ),
+            F.lit(0.0),
         ).alias("fill_efficiency"),
     )

@@ -43,7 +43,11 @@ import pyarrow as pa
 import pyarrow.compute as pc
 from pyspark.sql import types as T
 
-from excelstream_spark.sources.xlsx.dates import MAX_SERIAL
+from excelstream_spark.sources.xlsx.dates import (
+    EPOCH_1970_SERIAL as _EPOCH_1970_SERIAL,
+    MAX_SERIAL,
+    US_PER_DAY as _US_PER_DAY,
+)
 
 #: One token per cell.  Groups: 0 column letters, 1 remaining attrs blob,
 #: 2 self-close flag, 3 <v> text, 4 inline-string <t> text.  Cells with
@@ -64,9 +68,6 @@ _T_ATTR_RE = re.compile(r' t="([^"]+)"')
 _S_ATTR_RE = re.compile(r' s="(\d+)"')
 _ROW_OPEN_RE = re.compile(r"<row[ />]")  # \b alone would skip <row/> vs <rowBreaks>
 _ROW_SELFCLOSE_RE = re.compile(r"<row\b[^>]*/>")
-
-_US_PER_DAY = 86_400_000_000
-_EPOCH_1970_SERIAL = 25569  # days from 1899-12-30 to 1970-01-01
 
 
 def to_arrow_schema(schema: T.StructType) -> pa.Schema:

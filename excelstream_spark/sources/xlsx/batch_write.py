@@ -41,10 +41,7 @@ import pyarrow.compute as pc
 from pyspark.sql import types as T
 
 from excelstream_spark.sources.xlsx import ooxml
-
-#: days between 1899-12-30 (Excel's bug-absorbing epoch) and 1970-01-01
-_EPOCH_DAYS = 25569
-_US_PER_DAY = 86_400_000_000
+from excelstream_spark.sources.xlsx.dates import EPOCH_1970_SERIAL, US_PER_DAY
 
 #: Spark types the vectorized writer handles; anything else -> row writer
 VECTOR_TYPES = (
@@ -135,9 +132,9 @@ class _ColumnStreams:
 def _serial_parts(micros: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Epoch microseconds -> (Excel serial float64, micros-in-day).
     Operation-for-operation the scalar datetime_to_serial expression."""
-    days70 = micros // _US_PER_DAY
-    in_day = micros - days70 * _US_PER_DAY
-    days = days70 + _EPOCH_DAYS
+    days70 = micros // US_PER_DAY
+    in_day = micros - days70 * US_PER_DAY
+    days = days70 + EPOCH_1970_SERIAL
     days = np.where(days < 61, days - 1, days)
     secs = in_day // 1_000_000
     us = in_day % 1_000_000
@@ -173,9 +170,11 @@ def _append_column(
         _append_column(out, col.cast(pa.string()), T.StringType(), letter, style)
     elif isinstance(dtype, T.DateType):
         days = pc.fill_null(col.cast(pa.int32()), 0).to_numpy().astype(np.int64)
-        serial = days + _EPOCH_DAYS
+        serial = days + EPOCH_1970_SERIAL
         serial = np.where(serial < 61, serial - 1, serial).astype(np.float64)
-        s = s_attr if style else f' s="{ooxml.STYLE_DATE}"'
+        # the row path's date branch writes s= unconditionally — style 0
+        # included — so match `is None`, not truthiness
+        s = f' s="{style}"' if style is not None else f' s="{ooxml.STYLE_DATE}"'
         out.cell(letter, f'"{s}><v>', serial.astype("U32").tolist(), nulls, "</v></c>")
     elif isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
         # tz-aware columns: the row path receives session-local wall-clock
@@ -186,8 +185,8 @@ def _append_column(
         micros = pc.fill_null(col.cast(pa.int64()), 0).to_numpy()
         serial, in_day = _serial_parts(micros)
         body = serial.astype("U32").tolist()
-        if style:
-            mid: str | list = f'"{s_attr}><v>'
+        if style is not None:  # explicit style (0 included) — row-path parity
+            mid: str | list = f'" s="{style}"><v>'
         else:  # per-value style: midnight -> date format, else datetime
             mid = np.where(
                 in_day == 0,

@@ -495,11 +495,18 @@ class XlsxStreamReader(DataSourceStreamReader):
     file count; option("maxFileAgeSec", N) switches to COMPACTED offsets
     {"mark": max mtime, "recent": [files with mtime >= mark - N]} that
     stay bounded by the arrival rate x window instead — the semantics of
-    the built-in file source's maxFileAge: a file landing with an mtime
-    older than the age window is assumed already processed and skipped,
-    so pick N comfortably above the pipeline's maximum delivery delay.
-    Both offset formats are accepted on restart (enabling compaction on
-    an existing checkpoint is safe).
+    the built-in file source's maxFileAge: a file whose mtime is older
+    than the window behind the newest file is assumed already processed
+    and skipped.  The cutoff is relative to the newest CURRENT file, so
+    if the stream is down longer than the window while files keep
+    arriving, backlog older than (newest mtime - N) is skipped too —
+    identical to the built-in source's purge behavior.  Pick N
+    comfortably above max delivery delay + max expected downtime.
+    Enabling compaction on an existing exact-mode checkpoint is safe
+    (both offset formats are accepted as the start side); DISABLING it
+    is rejected at the first trigger — the bounded 'recent' list cannot
+    stand in for the full processed set, so reprocessing everything in
+    the directory would silently follow.
     """
 
     def __init__(self, schema: T.StructType, options):
@@ -541,6 +548,13 @@ class XlsxStreamReader(DataSourceStreamReader):
         }
 
     def partitions(self, start: dict, end: dict):
+        if "recent" in start and self.max_age is None:
+            raise ValueError(
+                "this checkpoint was written with maxFileAgeSec (compacted "
+                "offsets); running without the option would reprocess every "
+                "file in the directory — keep the option or start a fresh "
+                "checkpoint"
+            )
         processed = set(start.get("seen") or start.get("recent") or [])
         new_files = sorted(
             set(end.get("seen") or end.get("recent") or []) - processed

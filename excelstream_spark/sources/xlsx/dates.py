@@ -26,6 +26,12 @@ from pyspark.sql import functions as F
 #: Excel's maximum serial: 9999-12-31.
 MAX_SERIAL = 2958465.999
 
+#: days from 1899-12-30 (the bug-absorbing epoch) to 1970-01-01, and
+#: microseconds per day — shared by the columnar read (batch_scan) and
+#: write (batch_write) serial arithmetic so the epoch lives in ONE place
+EPOCH_1970_SERIAL = 25569
+US_PER_DAY = 86_400_000_000
+
 _EPOCH_GE60 = dt.date(1899, 12, 30)  # serial >= 60: epoch absorbs the bug
 _EPOCH_LT60 = dt.date(1899, 12, 31)  # serial < 60: true 1900 calendar
 

@@ -221,6 +221,13 @@ class WorkbookWriter:
         self.add_sheet()
         if self._split_header is not None:
             self.write_row(list(self._split_header), styles=ooxml.STYLE_HEADER)
+            if self._row_index > self._max_rows:
+                # the header alone fills the sheet: no data row can ever be
+                # placed — error out instead of spinning up empty sheets
+                raise ValueError(
+                    f"maxRowsPerSheet={self._max_rows} leaves no room for "
+                    "data rows after the re-emitted header; use >= 2"
+                )
 
     # -- columnar path (batch_write.py) ------------------------------------
 

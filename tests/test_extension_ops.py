@@ -205,3 +205,29 @@ def test_quantize_roundtrip_and_recall(spark):
         got = set(approx[approx["query_id"] == qid]["neighbor_id"])
         recall.append(len(want & got) / len(want))
     assert sum(recall) / len(recall) >= 0.9
+
+
+def test_pack_sequences_null_tokens_clear_error(spark):
+    """Null token counts raise a clear error naming the offending docs,
+    not an opaque NaN-cast traceback."""
+    import pytest
+
+    from excelstream_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30)], "doc_id long, n_tokens long"
+    )
+    with pytest.raises(Exception, match="null token count"):
+        pack_sequences(df, max_tokens=64).collect()
+
+
+def test_packing_stats_all_oversize_defined(spark):
+    """fill_efficiency is 0.0 (not null) when every bin is oversize."""
+    from excelstream_spark.operators.packing import pack_sequences, packing_stats
+
+    df = spark.createDataFrame(
+        [(1, 100), (2, 200)], "doc_id long, n_tokens long"
+    )
+    packed = pack_sequences(df, max_tokens=10)
+    row = packing_stats(packed, 10).collect()[0]
+    assert row["oversize_bins"] == 2 and row["fill_efficiency"] == 0.0

@@ -158,3 +158,21 @@ def test_xlsx_streaming_offset_compaction(tmp_path):
     # an exact-mode checkpoint ({"seen": ...}) is accepted as start
     parts3 = rdr.partitions({"seen": end2["recent"]}, rdr.latestOffset())
     assert parts3 == []
+
+
+def test_disabling_offset_compaction_fails_fast(tmp_path):
+    """A compacted checkpoint must not be silently reinterpreted as an
+    exact-mode one (would reprocess the whole directory)."""
+    import os
+
+    import pytest
+    from pyspark.sql import types as T
+
+    from excelstream_spark.sources.xlsx.datasource import XlsxStreamReader
+
+    watch = str(tmp_path / "w")
+    os.makedirs(watch)
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    rdr = XlsxStreamReader(schema, {"path": watch})  # option removed
+    with pytest.raises(ValueError, match="maxFileAgeSec"):
+        rdr.partitions({"mark": 1.0, "recent": []}, {"seen": []})

@@ -1004,3 +1004,52 @@ def test_property_batch_writer_equals_row_writer():
         assert x1 == x2
 
     run()
+
+
+def test_header_consumes_sheet_raises_not_spins(spark, tmp_path):
+    """maxRowsPerSheet=1 with a header cannot make progress after a
+    split; both write paths must raise, not loop forever."""
+    df = spark.range(5).select(F.col("id"))
+    for bw in ("true", "false"):
+        out = str(tmp_path / f"tiny_{bw}")
+        with pytest.raises(Exception, match="maxRowsPerSheet|no room"):
+            (df.coalesce(1).write.format("xlsx").mode("overwrite")
+             .option("batchWriter", bw)
+             .option("maxRowsPerSheet", 1).save(out))
+
+
+def test_batch_writer_style_zero_on_dates_matches_row_writer():
+    """columnStyles index 0 ('default') on date/timestamp columns emits
+    s=\"0\" on both paths (truthiness regression)."""
+    import io
+
+    import pyarrow as pa
+
+    from excelstream_spark.sources.xlsx.batch_write import batch_to_rows_xml
+
+    schema = T.StructType([
+        T.StructField("d", T.DateType()),
+        T.StructField("ts", T.TimestampNTZType()),
+    ])
+    rows = [[dt.date(2024, 1, 2), dt.datetime(2024, 1, 2, 3, 4, 5)]]
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array([rows[0][0]], type=pa.date32()),
+         pa.array([rows[0][1]], type=pa.timestamp("us"))],
+        schema=pa.schema([pa.field("d", pa.date32()),
+                          pa.field("ts", pa.timestamp("us"))]),
+    )
+    b1, b2 = io.BytesIO(), io.BytesIO()
+    with WorkbookWriter(b1) as wb:
+        wb.add_sheet("S")
+        for r in rows:
+            wb.write_row(list(r), styles=[0, 0])
+    with WorkbookWriter(b2) as wb:
+        wb.add_sheet("S")
+        wb.write_rows_xml(
+            batch_to_rows_xml(batch, schema, wb.next_row_index,
+                              col_styles=[0, 0]),
+            1,
+        )
+    x1 = zipfile.ZipFile(b1).read("xl/worksheets/sheet1.xml")
+    x2 = zipfile.ZipFile(b2).read("xl/worksheets/sheet1.xml")
+    assert x1 == x2 and b's="0"' in x1
