@@ -104,6 +104,24 @@ def main() -> None:
         spec = CATALOG[name]
         run(name, lambda spec=spec: noop(spec.fn(spark, SF_DIR)))
 
+    # training-pipeline operators outside the driver's 50-entry catalog
+    # window (pytest-oracle-checked): sequence packing + quantized ANN
+    from pyspark.sql import functions as F
+
+    from excelstream_spark.operators.packing import pack_sequences
+    from excelstream_spark.operators.quantize import quantize_embeddings, topk_quantized
+
+    docs_tok = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), r"\s+")).alias("n_tokens")
+    )
+    run("pack_sequences", lambda: noop(pack_sequences(docs_tok, max_tokens=2048)))
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qcorpus = quantize_embeddings(emb).persist()
+    qcorpus.count()
+    queries = emb.orderBy("vec_id").limit(100)
+    run("sim_topk_quantized", lambda: noop(topk_quantized(qcorpus, queries, k=10)))
+    qcorpus.unpersist()
+
     scratch = _scratch_dir()
     try:
         # custom xlsx sink/source throughput (reference baseline rows 1-6)
