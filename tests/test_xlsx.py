@@ -1053,3 +1053,98 @@ def test_batch_writer_style_zero_on_dates_matches_row_writer():
     x1 = zipfile.ZipFile(b1).read("xl/worksheets/sheet1.xml")
     x2 = zipfile.ZipFile(b2).read("xl/worksheets/sheet1.xml")
     assert x1 == x2 and b's="0"' in x1
+
+
+# --- foreign-writer interop ------------------------------------------------
+
+
+def _foreign_workbook(path: str) -> None:
+    """Hand-built workbook imitating OTHER writers' XML shapes: namespace
+    prefixes on worksheet elements, attribute order s= before r=, a
+    dimension element, cached-formula cells (t="str"), inline strings
+    with rich-text runs, and cells with no r= attribute at all."""
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    rns = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+        f'<x:worksheet xmlns:x="{ns}"><x:dimension ref="A1:C4"/>'
+        "<x:sheetData>"
+        '<x:row r="1"><x:c r="A1" t="inlineStr"><x:is><x:t>id</x:t></x:is></x:c>'
+        '<x:c r="B1" t="inlineStr"><x:is><x:t>name</x:t></x:is></x:c>'
+        '<x:c r="C1" t="inlineStr"><x:is><x:t>x</x:t></x:is></x:c></x:row>'
+        # attr order reversed (s before r), one gap (B2 absent)
+        '<x:row r="2"><x:c s="0" r="A2"><x:v>1</x:v></x:c>'
+        '<x:c r="C2"><x:v>1.5</x:v></x:c></x:row>'
+        # cached formula result: t="str" + <f> element
+        '<x:row r="3"><x:c r="A3"><x:v>2</x:v></x:c>'
+        '<x:c r="B3" t="str"><x:f>CONCAT("a","b")</x:f><x:v>ab</x:v></x:c>'
+        '<x:c r="C3"><x:v>2.5</x:v></x:c></x:row>'
+        # no r= attributes: cells assigned sequentially; rich-text runs
+        '<x:row><x:c><x:v>3</x:v></x:c>'
+        '<x:c t="inlineStr"><x:is><x:r><x:t>ri</x:t></x:r><x:r><x:t>ch</x:t></x:r></x:is></x:c>'
+        "<x:c><x:v>3.5</x:v></x:c></x:row>"
+        "</x:sheetData></x:worksheet>"
+    )
+    wb_xml = (
+        '<?xml version="1.0"?>'
+        f'<workbook xmlns="{ns}" xmlns:r="{rns}">'
+        '<sheets><sheet name="Data" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    rels = (
+        '<?xml version="1.0"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" '
+        'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" '
+        'Target="worksheets/sheet1.xml"/></Relationships>'
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("xl/workbook.xml", wb_xml)
+        z.writestr("xl/_rels/workbook.xml.rels", rels)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+
+
+def test_foreign_writer_shapes(spark, tmp_path):
+    """Files from other xlsx producers read correctly: the regex fast
+    path rejects unknown shapes and the exact fallback handles them."""
+    p = str(tmp_path / "foreign.xlsx")
+    _foreign_workbook(p)
+    with WorkbookReader(p) as rb:
+        assert rb.sheet_names() == ["Data"]
+        rows = list(rb.iter_rows("Data"))
+    assert rows[0] == ["id", "name", "x"]
+    assert rows[1] == [1, None, 1.5]          # gap -> None
+    assert rows[2] == [2, "ab", 2.5]          # cached formula value
+    assert rows[3] == [3, "rich", 3.5]        # sequential cells + runs
+    # Spark surface, both reader paths
+    for batch in ("true", "false"):
+        df = (spark.read.format("xlsx").option("batchReader", batch).load(p))
+        got = sorted(tuple(r) for r in df.collect())
+        assert got == [(1, None, 1.5), (2, "ab", 2.5), (3, "rich", 3.5)]
+        assert df.schema.simpleString() == "struct<id:bigint,name:string,x:double>"
+
+
+# --- error-message quality (reference integration_test.rs:330-354) --------
+
+
+def test_error_message_quality(spark, tmp_path):
+    """Errors name the problem and the remedy: unknown sheet lists the
+    available ones; a non-xlsx file names the missing member."""
+    p = str(tmp_path / "one.xlsx")
+    with WorkbookWriter(p) as wb:
+        wb.add_sheet("Only")
+        wb.write_row(["a"])
+    with WorkbookReader(p) as rb:
+        with pytest.raises(ValueError, match=r"not found.*Only"):
+            rb.resolve_sheet("Nope")
+        with pytest.raises(ValueError, match="out of range"):
+            rb.resolve_sheet(5)
+    bad = str(tmp_path / "not_excel.xlsx")
+    with zipfile.ZipFile(bad, "w") as z:
+        z.writestr("random.txt", "hi")
+    with pytest.raises(ValueError, match="missing xl/workbook.xml"):
+        WorkbookReader(bad)
+    notzip = str(tmp_path / "plain.xlsx")
+    with open(notzip, "w") as f:
+        f.write("csv,not,zip")
+    with pytest.raises(zipfile.BadZipFile):
+        WorkbookReader(notzip)
