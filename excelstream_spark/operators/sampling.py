@@ -1,0 +1,128 @@
+"""Corpus composition: deterministic mixing, stratified + reservoir
+sampling, and seeded global shuffle — the last mile of a training-data
+pipeline (decide HOW MUCH of each source enters the run, then fix a
+reproducible order).
+
+Everything here is seeded and deterministic: the same inputs + seed give
+the same corpus on any cluster size, because every random draw is a
+``xxhash64(id, seed)`` column expression — codegen'd, partition-count-
+independent — never ``rand()`` (whose per-partition streams change with
+parallelism) and never a driver-side RNG.
+
+Scale shape: mixing is filter + union (no shuffle); stratified exact-N
+sampling shuffles once on the stratum key (window top-N per stratum);
+the global shuffle is one ``repartitionByRange`` on the hash — the same
+single-shuffle cost as any sort.  The reference (an I/O library,
+SURVEY.md §2.6) has no analogue; this is part of the BASELINE.json
+training-pipeline extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: normalizer for xxhash64 -> uniform [0, 1): map the signed 64-bit hash
+#: onto the unit interval
+_HASH_SPAN = float(1 << 64)
+
+
+def _uniform(id_col, seed: int):
+    """Deterministic per-row uniform [0,1) from the id column + seed."""
+    h = F.xxhash64(F.col(id_col), F.lit(seed))
+    return (h.cast("double") / _HASH_SPAN) + 0.5
+
+
+def mix_corpora(
+    sources: dict[str, tuple[DataFrame, float]],
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Mix named sources at the given sampling RATES (0-1]: each source
+    keeps ~rate of its rows, chosen deterministically by hash(id, seed),
+    tagged with its source name.  Rates above 1 are rejected (repetition
+    /epoch weighting is a trainer concern, not a corpus op).
+
+    Returns union-by-name of the sources' common columns + ``source``.
+    """
+    if not sources:
+        raise ValueError("mix_corpora: no sources")
+    parts = []
+    common: list[str] | None = None
+    for name, (df, rate) in sources.items():
+        if not 0.0 < rate <= 1.0:
+            raise ValueError(f"mix_corpora: rate for {name!r} must be in (0,1], got {rate}")
+        cols = [c for c in df.columns]
+        common = cols if common is None else [c for c in common if c in cols]
+    assert common is not None
+    if id_col not in common:
+        raise ValueError(f"mix_corpora: every source needs {id_col!r}")
+    import zlib
+
+    for name, (df, rate) in sources.items():
+        # crc32, NOT Python hash(): hash(str) is salted per process
+        # (PYTHONHASHSEED), which would break cross-run determinism
+        src_seed = seed ^ zlib.crc32(name.encode("utf-8"))
+        kept = df.select(*common).where(
+            _uniform(id_col, src_seed) < F.lit(rate)
+        )
+        parts.append(kept.withColumn("source", F.lit(name)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    stratum_col: str,
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """EXACTLY min(n, |stratum|) rows per stratum, deterministic: rows
+    ranked by hash(id, seed) within each stratum, top-n kept.  One
+    shuffle on the stratum key.  (Spark's ``sampleBy`` is probabilistic
+    per-row — counts vary run to run; this is the exact-count variant
+    evaluation sets need.)"""
+    w = Window.partitionBy(stratum_col).orderBy(
+        _uniform(id_col, seed).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )
+
+
+def reservoir_sample_exact(
+    df: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """EXACTLY min(n, |df|) rows, uniform over the input, deterministic —
+    the distributed equivalent of reservoir sampling: global top-n by
+    hash(id, seed).  orderBy + limit compiles to TakeOrderedAndProject
+    (per-partition top-n, tiny driver merge) — no full sort
+    materializes."""
+    return df.orderBy(_uniform(id_col, seed).asc(), F.col(id_col).asc()).limit(n)
+
+
+def seeded_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Reproducible global training order: range-partition + sort by
+    hash(id, seed).  Same seed -> same order, independent of input
+    partitioning or cluster size; one shuffle."""
+    key = F.xxhash64(F.col(id_col), F.lit(seed))
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.withColumn("_shuf", key)
+        .repartitionByRange(parts, F.col("_shuf"))
+        .sortWithinPartitions("_shuf", id_col)
+        .drop("_shuf")
+    )

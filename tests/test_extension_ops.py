@@ -231,3 +231,56 @@ def test_packing_stats_all_oversize_defined(spark):
     packed = pack_sequences(df, max_tokens=10)
     row = packing_stats(packed, 10).collect()[0]
     assert row["oversize_bins"] == 2 and row["fill_efficiency"] == 0.0
+
+
+def test_corpus_sampling_ops(spark):
+    """mix_corpora / stratified / reservoir / seeded_shuffle: exact
+    counts where promised, determinism across repartitionings, and
+    plausible mixing rates."""
+    from excelstream_spark.operators.sampling import (
+        mix_corpora,
+        reservoir_sample_exact,
+        seeded_shuffle,
+        stratified_sample_exact,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang", "text")
+
+    # stratified: exactly min(n, |stratum|) per lang, deterministic
+    strat = stratified_sample_exact(docs, "lang", 7, seed=1)
+    counts = {r["lang"]: r["c"] for r in
+              strat.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    full = {r["lang"]: r["c"] for r in
+            docs.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    assert counts == {k: min(7, v) for k, v in full.items()}
+    again = stratified_sample_exact(docs.repartition(13), "lang", 7, seed=1)
+    assert sorted(r["doc_id"] for r in strat.collect()) == sorted(
+        r["doc_id"] for r in again.collect())
+
+    # reservoir: exact n, deterministic, changes with seed
+    r1 = sorted(r["doc_id"] for r in reservoir_sample_exact(docs, 25, seed=5).collect())
+    r2 = sorted(r["doc_id"] for r in
+                reservoir_sample_exact(docs.repartition(3), 25, seed=5).collect())
+    r3 = sorted(r["doc_id"] for r in reservoir_sample_exact(docs, 25, seed=6).collect())
+    assert len(r1) == 25 and r1 == r2 and r1 != r3
+
+    # mixing: rate ~ observed fraction; disjoint tagging; deterministic
+    n_docs = docs.count()
+    mixed = mix_corpora(
+        {"full": (docs, 1.0), "half": (docs, 0.5)}, seed=3
+    )
+    by_src = {r["source"]: r["c"] for r in
+              mixed.groupBy("source").agg(F.count("*").alias("c")).collect()}
+    assert by_src["full"] == n_docs
+    assert 0.35 * n_docs < by_src["half"] < 0.65 * n_docs
+    import pytest
+
+    with pytest.raises(ValueError, match="rate"):
+        mix_corpora({"bad": (docs, 1.5)})
+
+    # seeded shuffle: a permutation, stable across physical layouts
+    s1 = [r["doc_id"] for r in seeded_shuffle(docs, seed=9).collect()]
+    s2 = [r["doc_id"] for r in seeded_shuffle(docs.repartition(17), seed=9).collect()]
+    assert s1 == s2
+    assert sorted(s1) == sorted(r["doc_id"] for r in docs.collect())
+    assert s1 != sorted(s1)
