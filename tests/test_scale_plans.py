@@ -190,3 +190,32 @@ def test_salted_join_rejects_small_side_preserving_types(spark):
         with pytest.raises(ValueError, match="salted_join supports"):
             salted_join(big, small, "k", n_salts=4, how=how)
     assert salted_join(big, small, "k", n_salts=4, how="left").count() == 10
+
+
+def test_new_operator_plans_shuffle_budget(spark):
+    """Plan audit for the round-2 operators: pack_sequences adds NO
+    exchange (shard-local sort only); quantization is scan->mapInPandas
+    with no exchange; quantized top-k shuffles once (the tiny winner
+    merge); seeded_shuffle is exactly one range exchange."""
+    from excelstream_spark.operators.packing import pack_sequences
+    from excelstream_spark.operators.quantize import quantize_embeddings, topk_quantized
+    from excelstream_spark.operators.sampling import seeded_shuffle
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), r"\s+")).alias("n_tokens")
+    )
+    packed_plan = _plan(pack_sequences(docs, max_tokens=512))
+    assert "Exchange" not in packed_plan, packed_plan[:800]
+    assert "Sort" in packed_plan  # the shard-local desc sort
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = quantize_embeddings(emb)
+    q_plan = _plan(q)
+    assert "Exchange" not in q_plan, q_plan[:800]
+
+    topk_plan = _plan(topk_quantized(q, emb.limit(5), k=3))
+    # exactly one hash exchange: the partition-winner merge window
+    assert topk_plan.count("Exchange hashpartitioning") == 1, topk_plan[:1200]
+
+    shuf_plan = _plan(seeded_shuffle(docs))
+    assert shuf_plan.count("Exchange") == 1, shuf_plan[:800]
