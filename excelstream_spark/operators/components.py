@@ -1,0 +1,124 @@
+"""Connected components over near-duplicate pairs -> dedup clusters.
+
+Every fuzzy-dedup operator in operators/dedup.py emits PAIRS
+(id_a, id_b).  A production pipeline needs the transitive closure: if
+A~B and B~C, keep ONE of {A, B, C}.  This module computes connected
+components with alternating large-star / small-star rounds (Kiveris et
+al., "Connected Components in MapReduce and Beyond", SoCC'14) — the
+shuffle-friendly formulation whose round count is O(log^2 n) on
+adversarial graphs and 2-4 rounds on real dedup graphs (shallow, small
+clusters):
+
+* large-star: every node points its LARGER neighbors at its current
+  minimum neighbor;
+* small-star: every node points its smaller-or-equal neighbors at the
+  minimum.
+
+Each round is one groupBy-min + one join (plain DataFrame ops, AQE-
+coalesced); lineage is cut with localCheckpoint every round so iteration
+does not stack exponential plans.  Convergence is detected by an edge
+fixpoint (no edge changes), with a hard ``max_iter`` guard.
+
+100 TB shape: state per round is the edge list itself (never adjacency
+materialization); each round's shuffle is O(|edges|); no driver-side
+graph structure — the driver only sees the per-round changed-edge count
+(one scalar action per round, unavoidable for a data-dependent loop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _star_round(edges: DataFrame, large: bool) -> DataFrame:
+    """One large-star (or small-star) round over canonical (u, v) edges.
+
+    Edges are kept as (node, neighbor); the round links each node's
+    relevant neighbors to its minimum known neighbor (including itself).
+    """
+    # undirected incidence: both orientations
+    inc = edges.selectExpr("u as node", "v as nbr").unionAll(
+        edges.selectExpr("v as node", "u as nbr")
+    )
+    mins = inc.groupBy("node").agg(F.min("nbr").alias("m"))
+    mins = mins.withColumn("m", F.least("node", "m"))
+    linked = inc.join(mins, "node")
+    if large:
+        # large-star: each neighbor LARGER than the node links to the min
+        out = linked.where(F.col("nbr") > F.col("node")).select(
+            F.col("nbr").alias("u"), F.col("m").alias("v")
+        )
+    else:
+        # small-star: smaller-or-equal neighbors AND the node itself link
+        # to the min (without the self link a 2-node component vanishes)
+        out = linked.where(F.col("nbr") <= F.col("node")).select(
+            F.col("nbr").alias("u"), F.col("m").alias("v")
+        ).unionAll(mins.select(F.col("node").alias("u"), F.col("m").alias("v")))
+    return (
+        out.select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """-> (id, component) for every id appearing in ``pairs``; component
+    is the minimum id in the connected set (a stable canonical label)."""
+    edges = (
+        pairs.select(
+            F.least(id_a, id_b).alias("u"), F.greatest(id_a, id_b).alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for i in range(max_iter):
+        after_large = _star_round(edges, large=True)
+        after_small = _star_round(after_large, large=False).localCheckpoint(
+            eager=True
+        )
+        # fixpoint: the edge set stopped changing
+        changed = (
+            after_small.exceptAll(edges).limit(1).count()
+            + edges.exceptAll(after_small).limit(1).count()
+        )
+        edges = after_small
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    # at the fixpoint every edge is (root, member)
+    members = edges.select(F.col("v").alias("id"), F.col("u").alias("component"))
+    roots = edges.select(F.col("u").alias("id")).distinct().withColumn(
+        "component", F.col("id")
+    )
+    return members.unionByName(roots).groupBy("id").agg(
+        F.min("component").alias("component")
+    )
+
+
+def dedup_keep_representatives(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Canonical corpus: one representative (minimum id) per near-dup
+    cluster plus every unpaired document.  Composes any pair-producing
+    dedup operator into the keep/drop decision pipelines actually need."""
+    comp = connected_components(pairs, id_a, id_b)
+    # drop every clustered doc that is not its cluster's minimum id; the
+    # representative and all unpaired docs survive the anti-join
+    drop = comp.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")

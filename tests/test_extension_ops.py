@@ -284,3 +284,62 @@ def test_corpus_sampling_ops(spark):
     assert s1 == s2
     assert sorted(s1) == sorted(r["doc_id"] for r in docs.collect())
     assert s1 != sorted(s1)
+
+
+def test_connected_components_vs_union_find(spark):
+    """Star-contraction components equal a union-find oracle on chains,
+    cliques, stars, random graphs, and the real minhash pair output."""
+    import random
+
+    from excelstream_spark.operators.components import (
+        connected_components,
+        dedup_keep_representatives,
+    )
+
+    def oracle(edges):
+        parent = {}
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        for a, b in edges:
+            union(a, b)
+        return {x: find(x) for x in parent}
+
+    rng = random.Random(7)
+    graphs = {
+        "chain": [(i, i + 1) for i in range(0, 40)],
+        "two_cliques": [(a, b) for a in range(5) for b in range(a + 1, 5)]
+        + [(a, b) for a in range(100, 106) for b in range(a + 1, 106)],
+        "star": [(0, i) for i in range(1, 30)],
+        "reversed_chain": [(i + 1, i) for i in range(50, 80)],
+        "random": [(rng.randrange(200), rng.randrange(200)) for _ in range(150)],
+    }
+    for name, edges in graphs.items():
+        edges = [(a, b) for a, b in edges if a != b]
+        want = oracle(edges)
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {r["id"]: r["component"]
+               for r in connected_components(df).collect()}
+        assert got == want, f"{name}: mismatch"
+
+    # end-to-end: minhash pairs -> canonical corpus
+    docs = load_table(spark, SF_DIR, "documents")
+    pairs = DD.dedup_minhash_lsh(docs)  # (doc_a, doc_b, jaccard)
+    canon = dedup_keep_representatives(docs, pairs, id_a="doc_a", id_b="doc_b")
+    pr = [(r["doc_a"], r["doc_b"]) for r in pairs.select("doc_a", "doc_b").collect()]
+    want = oracle(pr)
+    n_docs = docs.count()
+    clustered = set(want)
+    reps = {v for v in want.values()}
+    expect_kept = n_docs - len(clustered) + len(reps)
+    assert canon.count() == expect_kept
+    kept_ids = {r["doc_id"] for r in canon.select("doc_id").collect()}
+    assert reps <= kept_ids
+    assert not {x for x in clustered if want[x] != x} & kept_ids
