@@ -180,6 +180,7 @@ def main() -> None:
 
     total = round(
         sum(timings[q] for q in HEADLINE)
+        + timings["pack_sequences"] + timings["sim_topk_quantized"]
         + timings["xlsx_write"] + timings["xlsx_read"]
         + timings["csv_write"] + timings["csv_read"],
         3,

@@ -28,22 +28,37 @@ _HASH_SPAN = float(1 << 64)
 
 
 def _uniform(id_col, seed: int):
-    """Deterministic per-row uniform [0,1) from the id column + seed."""
+    """Deterministic per-row uniform [0,1) from the id column + seed.
+    Clamped below 1.0: hashes within 1024 of 2^63 round UP to exactly
+    2^63 in binary64 (ULP=2048 there), which would make rate=1.0 drop
+    ~5.5e-17 of rows — real at 50B-doc scale."""
     h = F.xxhash64(F.col(id_col), F.lit(seed))
-    return (h.cast("double") / _HASH_SPAN) + 0.5
+    return F.least((h.cast("double") / _HASH_SPAN) + 0.5, F.lit(1.0 - 2**-53))
+
+
+def _tmp_name(df: DataFrame, base: str) -> str:
+    """Collision-safe internal column name."""
+    name = base
+    while name in df.columns:
+        name += "_"
+    return name
 
 
 def mix_corpora(
     sources: dict[str, tuple[DataFrame, float]],
     id_col: str = "doc_id",
     seed: int = 0,
+    source_col: str = "source",
 ) -> DataFrame:
     """Mix named sources at the given sampling RATES (0-1]: each source
     keeps ~rate of its rows, chosen deterministically by hash(id, seed),
     tagged with its source name.  Rates above 1 are rejected (repetition
     /epoch weighting is a trainer concern, not a corpus op).
 
-    Returns union-by-name of the sources' common columns + ``source``.
+    Returns union-by-name of the sources' common columns + ``source_col``
+    (default ``source``; a pre-existing column of that name is rejected
+    rather than silently overwritten — corpus tables often carry real
+    provenance under exactly that name).
     """
     if not sources:
         raise ValueError("mix_corpora: no sources")
@@ -57,6 +72,11 @@ def mix_corpora(
     assert common is not None
     if id_col not in common:
         raise ValueError(f"mix_corpora: every source needs {id_col!r}")
+    if source_col in common:
+        raise ValueError(
+            f"mix_corpora: inputs already have a {source_col!r} column; pass "
+            "a different source_col instead of overwriting provenance"
+        )
     import zlib
 
     for name, (df, rate) in sources.items():
@@ -66,7 +86,7 @@ def mix_corpora(
         kept = df.select(*common).where(
             _uniform(id_col, src_seed) < F.lit(rate)
         )
-        parts.append(kept.withColumn("source", F.lit(name)))
+        parts.append(kept.withColumn(source_col, F.lit(name)))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -88,10 +108,11 @@ def stratified_sample_exact(
     w = Window.partitionBy(stratum_col).orderBy(
         _uniform(id_col, seed).asc(), F.col(id_col).asc()
     )
+    rk = _tmp_name(df, "_rk")
     return (
-        df.withColumn("_rk", F.row_number().over(w))
-        .where(F.col("_rk") <= n_per_stratum)
-        .drop("_rk")
+        df.withColumn(rk, F.row_number().over(w))
+        .where(F.col(rk) <= n_per_stratum)
+        .drop(rk)
     )
 
 
@@ -120,9 +141,10 @@ def seeded_shuffle(
     partitioning or cluster size; one shuffle."""
     key = F.xxhash64(F.col(id_col), F.lit(seed))
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    shuf = _tmp_name(df, "_shuf")
     return (
-        df.withColumn("_shuf", key)
-        .repartitionByRange(parts, F.col("_shuf"))
-        .sortWithinPartitions("_shuf", id_col)
-        .drop("_shuf")
+        df.withColumn(shuf, key)
+        .repartitionByRange(parts, F.col(shuf))
+        .sortWithinPartitions(shuf, id_col)
+        .drop(shuf)
     )

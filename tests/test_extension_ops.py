@@ -343,3 +343,30 @@ def test_connected_components_vs_union_find(spark):
     kept_ids = {r["doc_id"] for r in canon.select("doc_id").collect()}
     assert reps <= kept_ids
     assert not {x for x in clustered if want[x] != x} & kept_ids
+
+
+def test_sampling_column_collisions_guarded(spark):
+    """mix_corpora refuses to clobber an existing 'source' column;
+    stratified/shuffle temp columns dodge same-named user columns."""
+    import pytest
+
+    from excelstream_spark.operators.sampling import (
+        mix_corpora,
+        seeded_shuffle,
+        stratified_sample_exact,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "web", 5), (2, "book", 6)], "doc_id long, source string, _rk long"
+    )
+    with pytest.raises(ValueError, match="source"):
+        mix_corpora({"a": (df, 1.0)})
+    tagged = mix_corpora({"a": (df, 1.0)}, source_col="mix_source")
+    assert {r["source"] for r in tagged.collect()} == {"web", "book"}
+    assert {r["mix_source"] for r in tagged.collect()} == {"a"}
+    # user _rk column survives stratified sampling untouched
+    out = stratified_sample_exact(df, "source", 1)
+    assert sorted(out.columns) == ["_rk", "doc_id", "source"]
+    assert {r["_rk"] for r in out.collect()} <= {5, 6}
+    shuf = seeded_shuffle(df.withColumnRenamed("_rk", "_shuf"))
+    assert sorted(shuf.columns) == ["_shuf", "doc_id", "source"]
