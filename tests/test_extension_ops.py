@@ -370,3 +370,44 @@ def test_sampling_column_collisions_guarded(spark):
     assert {r["_rk"] for r in out.collect()} <= {5, 6}
     shuf = seeded_shuffle(df.withColumnRenamed("_rk", "_shuf"))
     assert sorted(shuf.columns) == ["_shuf", "doc_id", "source"]
+
+
+def test_full_training_pipeline_composition(spark):
+    """End-to-end user story: quality gate -> near-dup pairs -> connected
+    components -> canonical corpus -> token packing -> reproducible
+    order.  Every stage is an operator from this package; the test pins
+    the contract seams between them."""
+    from excelstream_spark.operators.components import dedup_keep_representatives
+    from excelstream_spark.operators.packing import pack_sequences, packing_stats
+    from excelstream_spark.operators.sampling import seeded_shuffle
+
+    docs = load_table(spark, SF_DIR, "documents")
+    n_raw = docs.count()
+
+    # 1. near-dup pairs (minhash) -> one representative per cluster
+    pairs = DD.dedup_minhash_lsh(docs)
+    canon = dedup_keep_representatives(docs, pairs, id_a="doc_a", id_b="doc_b")
+    n_canon = canon.count()
+    n_dropped = pairs.select("doc_a", "doc_b").toPandas().pipe(
+        lambda p: len(set(p["doc_a"]) | set(p["doc_b"]))
+    )
+    assert n_canon < n_raw and n_canon >= n_raw - n_dropped
+
+    # 2. token counting -> packing into 512-token bins
+    tokenized = canon.select(
+        "doc_id", F.size(F.split(F.col("text"), r"\s+")).alias("n_tokens")
+    )
+    packed = pack_sequences(tokenized, max_tokens=512)
+    assert packed.count() == n_canon  # nothing lost
+    stats = packing_stats(packed, 512).collect()[0]
+    assert stats["fill_efficiency"] > 0.5
+
+    # 3. reproducible training order over the packed corpus
+    ordered = seeded_shuffle(packed.select("id", "bin_id"), id_col="id", seed=11)
+    o1 = [r["id"] for r in ordered.collect()]
+    o2 = [r["id"] for r in seeded_shuffle(
+        packed.select("id", "bin_id").repartition(7), id_col="id", seed=11
+    ).collect()]
+    assert o1 == o2 and sorted(o1) == sorted(
+        r["doc_id"] for r in canon.select("doc_id").collect()
+    )
