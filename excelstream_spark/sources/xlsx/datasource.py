@@ -29,7 +29,11 @@ Options (read):  sheetName | sheetIndex, header (default true),
 
 The source also implements a STREAM reader: ``spark.readStream
 .format("xlsx")`` watches a directory and processes each new workbook
-exactly once (offsets = the processed-file set, checkpointed).  Note
+exactly once (offsets = the processed-file set, checkpointed; bound
+them with maxFileAgeSec), and a STREAM writer: ``df.writeStream
+.format("xlsx")`` lands each micro-batch as deterministic
+``batch-<id>-part-<pid>.xlsx`` workbooks (idempotent on replay, temp
+files invisible to readers).  Note
 Spark's PythonMicroBatchStream executes availableNow as a single batch
 per run — incremental pickup across restarts is exact either way.
 
@@ -64,6 +68,7 @@ from pyspark.sql.datasource import (
     DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     Filter,
@@ -297,6 +302,9 @@ class XlsxDataSource(DataSource):
 
     def streamReader(self, schema: T.StructType) -> "XlsxStreamReader":
         return XlsxStreamReader(schema, self.options)
+
+    def streamWriter(self, schema: T.StructType, overwrite: bool) -> "XlsxStreamWriter":
+        return XlsxStreamWriter(schema, self.options)
 
     def writer(self, schema: T.StructType, overwrite: bool) -> "XlsxWriter":
         from excelstream_spark.sources.xlsx.batch_write import vectorizable
@@ -588,9 +596,10 @@ class XlsxStreamReader(DataSourceStreamReader):
 
 
 class XlsxCommitMessage(WriterCommitMessage):
-    def __init__(self, file: str, rows: int):
+    def __init__(self, file: str, rows: int, pid: int = 0):
         self.file = file
         self.rows = rows
+        self.pid = pid
 
 
 class XlsxWriter(DataSourceWriter):
@@ -703,6 +712,77 @@ class XlsxWriter(DataSourceWriter):
     def abort(self, messages) -> None:
         for m in messages:
             if m is not None and os.path.exists(m.file):
+                os.remove(m.file)
+
+
+class XlsxStreamWriter(DataSourceStreamWriter):
+    """Micro-batch xlsx sink: ``writeStream.format("xlsx")``.
+
+    Each task streams its partition into a DOT-PREFIXED temp workbook
+    (invisible to this source's readers, which skip ``_``/``.`` files);
+    ``commit(messages, batchId)`` renames them to deterministic
+    ``batch-<batchId>-part-<pid>.xlsx`` names.  Deterministic names make
+    a REPLAYED commit (crash between sink commit and checkpoint write)
+    overwrite its own files instead of duplicating rows — the same
+    idempotence the built-in file sink gets from its metadata log,
+    without requiring readers to consult one.  A crash before commit
+    leaves only dotfile temps, swept by the next successful commit.
+
+    The batch directory composes with the batch/streaming readers: the
+    whole output stays one parallel-readable workbook directory.
+    """
+
+    def __init__(self, schema: T.StructType, options):
+        self.schema_ = schema
+        self.options = options
+        self.path = options.get("path")
+        if self.path is None:
+            raise ValueError("xlsx stream sink requires a path")
+        os.makedirs(self.path, exist_ok=True)
+        self.header = _truthy(options.get("header"), True)
+        self.sheet_name = options.get("sheetname", "Sheet1")
+        self.compression = int(options.get("compression", 6))
+
+    def write(self, iterator) -> XlsxCommitMessage:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else 0
+        tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex[:8]}-part-{pid:05d}.xlsx")
+        names = [f.name for f in self.schema_.fields]
+        n = 0
+        with WorkbookWriter(tmp, compression=self.compression) as wb:
+            wb.add_sheet(self.sheet_name)
+            if self.header:
+                wb.write_header(names)
+            for row in iterator:
+                wb.write_row(list(row))
+                n += 1
+        if n == 0:  # empty partition: no part file
+            os.remove(tmp)
+            return XlsxCommitMessage(file="", rows=0, pid=pid)
+        return XlsxCommitMessage(file=tmp, rows=n, pid=pid)
+
+    def commit(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is None or not m.file:
+                continue
+            final = os.path.join(
+                self.path, f"batch-{batchId:08d}-part-{m.pid:05d}.xlsx"
+            )
+            os.replace(m.file, final)
+        # sweep temps from crashed earlier attempts of ANY batch
+        for stale in glob.glob(os.path.join(self.path, ".tmp-*.xlsx")):
+            try:
+                os.remove(stale)
+            except OSError:
+                pass
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is None or not m.file:
+                continue
+            if os.path.exists(m.file):
                 os.remove(m.file)
 
 

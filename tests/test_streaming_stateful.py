@@ -176,3 +176,64 @@ def test_disabling_offset_compaction_fails_fast(tmp_path):
     rdr = XlsxStreamReader(schema, {"path": watch})  # option removed
     with pytest.raises(ValueError, match="maxFileAgeSec"):
         rdr.partitions({"mark": 1.0, "recent": []}, {"seen": []})
+
+
+def test_xlsx_stream_sink_roundtrip(spark, tmp_path):
+    """writeStream.format('xlsx'): micro-batches land as batch-NNN part
+    workbooks, incremental across restarts, temps invisible to readers,
+    replayed commits idempotent."""
+    import glob as g
+    import os
+
+    from excelstream_spark.sources.xlsx import register_xlsx
+
+    register_xlsx(spark)
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def run_once():
+        st = spark.readStream.schema("id long, v string").parquet(src)
+        q = (st.writeStream.format("xlsx")
+             .option("checkpointLocation", ckpt).option("path", out)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string") \
+        .coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    back = spark.read.format("xlsx").load(out)
+    assert sorted(tuple(r) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+    spark.createDataFrame([(3, "c")], "id long, v string") \
+        .coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    back = spark.read.format("xlsx").load(out)
+    assert sorted(tuple(r) for r in back.collect()) == [(1, "a"), (2, "b"), (3, "c")]
+    run_once()  # no new data: nothing added
+    assert spark.read.format("xlsx").load(out).count() == 3
+
+    # file naming is deterministic per (batch, partition); no temps remain
+    parts = sorted(os.path.basename(f) for f in g.glob(out + "/*.xlsx"))
+    assert all(p.startswith("batch-") for p in parts)
+    assert not g.glob(out + "/.tmp-*")
+
+    # replayed commit (same batchId) overwrites, never duplicates
+    from pyspark.sql import types as T
+
+    from excelstream_spark.sources.xlsx.datasource import (
+        XlsxCommitMessage,
+        XlsxStreamWriter,
+    )
+
+    w = XlsxStreamWriter(
+        T.StructType([T.StructField("id", T.LongType())]), {"path": out}
+    )
+    before = sorted(g.glob(out + "/*.xlsx"))
+    msg = w.write(iter([(99,)]))
+    w.commit([msg], batchId=0)  # batch 0 already exists -> replace
+    msg2 = w.write(iter([(99,)]))
+    w.commit([msg2], batchId=0)
+    assert sorted(g.glob(out + "/*.xlsx")) == before
