@@ -67,6 +67,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     DataSourceStreamWriter,
     DataSourceWriter,
@@ -304,6 +305,10 @@ class XlsxDataSource(DataSource):
         return XlsxStreamReader(schema, self.options)
 
     def streamWriter(self, schema: T.StructType, overwrite: bool) -> "XlsxStreamWriter":
+        from excelstream_spark.sources.xlsx.batch_write import vectorizable
+
+        if _truthy(self.options.get("batchwriter"), True) and vectorizable(schema):
+            return XlsxStreamArrowWriter(schema, self.options)
         return XlsxStreamWriter(schema, self.options)
 
     def writer(self, schema: T.StructType, overwrite: bool) -> "XlsxWriter":
@@ -784,6 +789,36 @@ class XlsxStreamWriter(DataSourceStreamWriter):
                 continue
             if os.path.exists(m.file):
                 os.remove(m.file)
+
+
+class XlsxStreamArrowWriter(XlsxStreamWriter, DataSourceStreamArrowWriter):
+    """Columnar micro-batch sink: Arrow RecordBatches in, batch_write.py
+    serialization out — same temp-then-deterministic-rename commit
+    protocol as the row stream sink."""
+
+    def write(self, iterator) -> XlsxCommitMessage:
+        from pyspark import TaskContext
+
+        from excelstream_spark.sources.xlsx.batch_write import batch_to_rows_xml
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else 0
+        tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex[:8]}-part-{pid:05d}.xlsx")
+        n = 0
+        with WorkbookWriter(tmp, compression=self.compression) as wb:
+            wb.add_sheet(self.sheet_name)
+            if self.header:
+                wb.write_header([f.name for f in self.schema_.fields])
+            for batch in iterator:
+                if batch.num_rows == 0:
+                    continue
+                xml = batch_to_rows_xml(batch, self.schema_, wb.next_row_index)
+                wb.write_rows_xml(xml, batch.num_rows)
+                n += batch.num_rows
+        if n == 0:
+            os.remove(tmp)
+            return XlsxCommitMessage(file="", rows=0, pid=pid)
+        return XlsxCommitMessage(file=tmp, rows=n, pid=pid)
 
 
 class XlsxArrowWriter(XlsxWriter, DataSourceArrowWriter):

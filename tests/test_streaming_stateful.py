@@ -193,9 +193,10 @@ def test_xlsx_stream_sink_roundtrip(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     os.makedirs(src)
 
-    def run_once():
+    def run_once(batch_writer="true"):
         st = spark.readStream.schema("id long, v string").parquet(src)
         q = (st.writeStream.format("xlsx")
+             .option("batchWriter", batch_writer)
              .option("checkpointLocation", ckpt).option("path", out)
              .trigger(availableNow=True).start())
         q.awaitTermination(120)
@@ -209,7 +210,7 @@ def test_xlsx_stream_sink_roundtrip(spark, tmp_path):
 
     spark.createDataFrame([(3, "c")], "id long, v string") \
         .coalesce(1).write.mode("append").parquet(src)
-    run_once()
+    run_once(batch_writer="false")  # second batch through the row path
     back = spark.read.format("xlsx").load(out)
     assert sorted(tuple(r) for r in back.collect()) == [(1, "a"), (2, "b"), (3, "c")]
     run_once()  # no new data: nothing added
