@@ -735,6 +735,11 @@ class XlsxStreamWriter(DataSourceStreamWriter):
 
     The batch directory composes with the batch/streaming readers: the
     whole output stays one parallel-readable workbook directory.
+
+    Checkpoint coupling (same as the built-in file sink): batch ids come
+    from the query's checkpoint, so restarting with a FRESH checkpoint
+    restarts numbering at 0 and overwrites earlier output — pair a new
+    checkpoint with a new output directory.
     """
 
     def __init__(self, schema: T.StructType, options):
