@@ -307,9 +307,13 @@ class XlsxDataSource(DataSource):
     def streamWriter(self, schema: T.StructType, overwrite: bool) -> "XlsxStreamWriter":
         from excelstream_spark.sources.xlsx.batch_write import vectorizable
 
-        if _truthy(self.options.get("batchwriter"), True) and vectorizable(schema):
-            return XlsxStreamArrowWriter(schema, self.options)
-        return XlsxStreamWriter(schema, self.options)
+        if (
+            _truthy(self.options.get("batchwriter"), True)
+            and not _truthy(self.options.get("usesharedstrings"), False)
+            and vectorizable(schema)
+        ):
+            return XlsxStreamArrowWriter(schema, self.options, truncate=overwrite)
+        return XlsxStreamWriter(schema, self.options, truncate=overwrite)
 
     def writer(self, schema: T.StructType, overwrite: bool) -> "XlsxWriter":
         from excelstream_spark.sources.xlsx.batch_write import vectorizable
@@ -607,8 +611,12 @@ class XlsxCommitMessage(WriterCommitMessage):
         self.pid = pid
 
 
-class XlsxWriter(DataSourceWriter):
-    def __init__(self, schema: T.StructType, options, overwrite: bool):
+class _XlsxWriteOptions:
+    """Write-option parsing + workbook scaffolding shared by every xlsx
+    sink (batch row/Arrow, streaming row/Arrow) so all of them honor the
+    same documented option set."""
+
+    def _init_write_options(self, schema: T.StructType, options) -> None:
         self.schema_ = schema
         self.options = options
         self.path = options.get("path")
@@ -619,7 +627,6 @@ class XlsxWriter(DataSourceWriter):
         self.compression = int(options.get("compression", 6))
         self.use_sst = _truthy(options.get("usesharedstrings"), False)
         self.protect = options.get("sheetprotectpassword")
-        self.single_file = _truthy(options.get("singlefile"), False)
         from excelstream_spark.sources.xlsx.writer_core import EXCEL_MAX_ROWS
 
         self.max_rows_per_sheet = int(
@@ -649,6 +656,59 @@ class XlsxWriter(DataSourceWriter):
                 self.col_styles.append(ooxml.STYLE_NAMES[s] if s else None)
         else:
             self.col_styles = None
+
+    def _open_workbook(self, target: str) -> WorkbookWriter:
+        wb = WorkbookWriter(
+            target,
+            compression=self.compression,
+            use_shared_strings=self.use_sst,
+            protect_password=self.protect,
+            col_widths=self.col_widths,
+            row_height=self.row_height,
+            max_rows_per_sheet=self.max_rows_per_sheet,
+        )
+        wb.add_sheet(self.sheet_name)
+        if self.header:
+            wb.write_header([f.name for f in self.schema_.fields])
+        return wb
+
+    def _write_rows(self, wb: WorkbookWriter, iterator) -> int:
+        n = 0
+        for row in iterator:
+            wb.write_row(list(row), styles=self.col_styles)
+            n += 1
+        return n
+
+    def _write_arrow_batches(self, wb: WorkbookWriter, iterator) -> int:
+        """Shared Arrow write loop: slices batches at the auto-split
+        sheet boundary (identical behavior to the row path)."""
+        from excelstream_spark.sources.xlsx.batch_write import batch_to_rows_xml
+
+        n = 0
+        for batch in iterator:
+            offset = 0
+            while offset < batch.num_rows:
+                if wb.rows_remaining() <= 0:
+                    wb.advance_sheet_for_split()
+                take = min(wb.rows_remaining(), batch.num_rows - offset)
+                chunk = batch.slice(offset, take)
+                xml = batch_to_rows_xml(
+                    chunk,
+                    self.schema_,
+                    wb.next_row_index,
+                    col_styles=self.col_styles,
+                    row_height=self.row_height,
+                )
+                wb.write_rows_xml(xml, take)
+                offset += take
+                n += take
+        return n
+
+
+class XlsxWriter(_XlsxWriteOptions, DataSourceWriter):
+    def __init__(self, schema: T.StructType, options, overwrite: bool):
+        self._init_write_options(schema, options)
+        self.single_file = _truthy(options.get("singlefile"), False)
         # driver-side setup: Spark's planner has already handled the
         # overwrite/errorifexists decision before constructing the writer
         if self.single_file:
@@ -679,28 +739,10 @@ class XlsxWriter(DataSourceWriter):
             return f"{self.path}.__tmp-{uuid.uuid4().hex[:8]}"
         return os.path.join(self.path, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.xlsx")
 
-    def _open_workbook(self, target: str) -> WorkbookWriter:
-        wb = WorkbookWriter(
-            target,
-            compression=self.compression,
-            use_shared_strings=self.use_sst,
-            protect_password=self.protect,
-            col_widths=self.col_widths,
-            row_height=self.row_height,
-            max_rows_per_sheet=self.max_rows_per_sheet,
-        )
-        wb.add_sheet(self.sheet_name)
-        if self.header:
-            wb.write_header([f.name for f in self.schema_.fields])
-        return wb
-
     def write(self, iterator) -> XlsxCommitMessage:
         target = self._target_path()
-        n = 0
         with self._open_workbook(target) as wb:
-            for row in iterator:
-                wb.write_row(list(row), styles=self.col_styles)
-                n += 1
+            n = self._write_rows(wb, iterator)
         return XlsxCommitMessage(file=target, rows=n)
 
     def commit(self, messages) -> None:
@@ -720,7 +762,7 @@ class XlsxWriter(DataSourceWriter):
                 os.remove(m.file)
 
 
-class XlsxStreamWriter(DataSourceStreamWriter):
+class XlsxStreamWriter(_XlsxWriteOptions, DataSourceStreamWriter):
     """Micro-batch xlsx sink: ``writeStream.format("xlsx")``.
 
     Each task streams its partition into a DOT-PREFIXED temp workbook
@@ -736,44 +778,51 @@ class XlsxStreamWriter(DataSourceStreamWriter):
     The batch directory composes with the batch/streaming readers: the
     whole output stays one parallel-readable workbook directory.
 
+    Complete/truncate output mode (Spark passes ``overwrite=True`` to
+    streamWriter): commit() clears ALL earlier batches so the directory
+    always holds exactly the latest complete result.
+
     Checkpoint coupling (same as the built-in file sink): batch ids come
     from the query's checkpoint, so restarting with a FRESH checkpoint
     restarts numbering at 0 and overwrites earlier output — pair a new
     checkpoint with a new output directory.
     """
 
-    def __init__(self, schema: T.StructType, options):
-        self.schema_ = schema
-        self.options = options
-        self.path = options.get("path")
-        if self.path is None:
-            raise ValueError("xlsx stream sink requires a path")
+    def __init__(self, schema: T.StructType, options, truncate: bool = False):
+        self._init_write_options(schema, options)
+        self.truncate = truncate
         os.makedirs(self.path, exist_ok=True)
-        self.header = _truthy(options.get("header"), True)
-        self.sheet_name = options.get("sheetname", "Sheet1")
-        self.compression = int(options.get("compression", 6))
 
-    def write(self, iterator) -> XlsxCommitMessage:
+    def _tmp_target(self) -> tuple[str, int]:
         from pyspark import TaskContext
 
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx else 0
-        tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex[:8]}-part-{pid:05d}.xlsx")
-        names = [f.name for f in self.schema_.fields]
-        n = 0
-        with WorkbookWriter(tmp, compression=self.compression) as wb:
-            wb.add_sheet(self.sheet_name)
-            if self.header:
-                wb.write_header(names)
-            for row in iterator:
-                wb.write_row(list(row))
-                n += 1
+        tmp = os.path.join(
+            self.path, f".tmp-{uuid.uuid4().hex[:8]}-part-{pid:05d}.xlsx"
+        )
+        return tmp, pid
+
+    def write(self, iterator) -> XlsxCommitMessage:
+        tmp, pid = self._tmp_target()
+        with self._open_workbook(tmp) as wb:
+            n = self._write_rows(wb, iterator)
         if n == 0:  # empty partition: no part file
             os.remove(tmp)
             return XlsxCommitMessage(file="", rows=0, pid=pid)
         return XlsxCommitMessage(file=tmp, rows=n, pid=pid)
 
     def commit(self, messages, batchId: int) -> None:
+        # replay hygiene: a replayed batch may produce FEWER partitions
+        # than the crashed attempt published — clear this batch's prior
+        # parts so orphans cannot duplicate rows
+        for stale in glob.glob(
+            os.path.join(self.path, f"batch-{batchId:08d}-part-*.xlsx")
+        ):
+            os.remove(stale)
+        if self.truncate:  # complete mode: output = this batch only
+            for old in glob.glob(os.path.join(self.path, "batch-*.xlsx")):
+                os.remove(old)
         for m in messages:
             if m is None or not m.file:
                 continue
@@ -798,28 +847,14 @@ class XlsxStreamWriter(DataSourceStreamWriter):
 
 class XlsxStreamArrowWriter(XlsxStreamWriter, DataSourceStreamArrowWriter):
     """Columnar micro-batch sink: Arrow RecordBatches in, batch_write.py
-    serialization out — same temp-then-deterministic-rename commit
-    protocol as the row stream sink."""
+    serialization out (split-aware, full option set) — same
+    temp-then-deterministic-rename commit protocol as the row stream
+    sink."""
 
     def write(self, iterator) -> XlsxCommitMessage:
-        from pyspark import TaskContext
-
-        from excelstream_spark.sources.xlsx.batch_write import batch_to_rows_xml
-
-        ctx = TaskContext.get()
-        pid = ctx.partitionId() if ctx else 0
-        tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex[:8]}-part-{pid:05d}.xlsx")
-        n = 0
-        with WorkbookWriter(tmp, compression=self.compression) as wb:
-            wb.add_sheet(self.sheet_name)
-            if self.header:
-                wb.write_header([f.name for f in self.schema_.fields])
-            for batch in iterator:
-                if batch.num_rows == 0:
-                    continue
-                xml = batch_to_rows_xml(batch, self.schema_, wb.next_row_index)
-                wb.write_rows_xml(xml, batch.num_rows)
-                n += batch.num_rows
+        tmp, pid = self._tmp_target()
+        with self._open_workbook(tmp) as wb:
+            n = self._write_arrow_batches(wb, iterator)
         if n == 0:
             os.remove(tmp)
             return XlsxCommitMessage(file="", rows=0, pid=pid)
@@ -834,31 +869,9 @@ class XlsxArrowWriter(XlsxWriter, DataSourceArrowWriter):
     sheet boundary."""
 
     def write(self, iterator) -> XlsxCommitMessage:
-        from excelstream_spark.sources.xlsx.batch_write import batch_to_rows_xml
-
-        style_list = None
-        if self.col_styles is not None:
-            style_list = self.col_styles
         target = self._target_path()
-        n = 0
         with self._open_workbook(target) as wb:
-            for batch in iterator:
-                offset = 0
-                while offset < batch.num_rows:
-                    if wb.rows_remaining() <= 0:
-                        wb.advance_sheet_for_split()
-                    take = min(wb.rows_remaining(), batch.num_rows - offset)
-                    chunk = batch.slice(offset, take)
-                    xml = batch_to_rows_xml(
-                        chunk,
-                        self.schema_,
-                        wb.next_row_index,
-                        col_styles=style_list,
-                        row_height=self.row_height,
-                    )
-                    wb.write_rows_xml(xml, take)
-                    offset += take
-                    n += take
+            n = self._write_arrow_batches(wb, iterator)
         return XlsxCommitMessage(file=target, rows=n)
 
 

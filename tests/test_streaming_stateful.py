@@ -238,3 +238,75 @@ def test_xlsx_stream_sink_roundtrip(spark, tmp_path):
     msg2 = w.write(iter([(99,)]))
     w.commit([msg2], batchId=0)
     assert sorted(g.glob(out + "/*.xlsx")) == before
+
+
+def test_xlsx_stream_sink_complete_mode_truncates(spark, tmp_path):
+    """outputMode('complete') (overwrite=True to streamWriter): the
+    directory holds exactly the latest batch's aggregate snapshot."""
+    import glob as g
+    import os
+
+    from excelstream_spark.sources.xlsx import register_xlsx
+
+    register_xlsx(spark)
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def run_once():
+        st = spark.readStream.schema("k string, v long").parquet(src)
+        q = (st.groupBy("k").count().writeStream.format("xlsx")
+             .outputMode("complete")
+             .option("checkpointLocation", ckpt).option("path", out)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    spark.createDataFrame([("a", 1), ("a", 2), ("b", 3)], "k string, v long") \
+        .coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    got = {(r["k"], r["count"]) for r in
+           spark.read.format("xlsx").load(out).collect()}
+    assert got == {("a", 2), ("b", 1)}
+
+    spark.createDataFrame([("b", 4), ("c", 5)], "k string, v long") \
+        .coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    got = {(r["k"], r["count"]) for r in
+           spark.read.format("xlsx").load(out).collect()}
+    # latest snapshot ONLY — no stale batch-0 rows alongside
+    assert got == {("a", 2), ("b", 2), ("c", 1)}
+    names = [os.path.basename(f) for f in g.glob(out + "/*.xlsx")]
+    assert all(n.startswith("batch-00000001-") for n in names)
+
+
+def test_xlsx_stream_sink_honors_write_options(spark, tmp_path):
+    """Stream sink shares the batch sink's full option set: sheet split
+    at maxRowsPerSheet and column styles land in the part files."""
+    import glob as g
+    import os
+    import zipfile
+
+    from excelstream_spark.sources.xlsx import WorkbookReader, register_xlsx
+
+    register_xlsx(spark)
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    spark.range(250).selectExpr("id", "cast(id as double) as amount") \
+        .coalesce(1).write.mode("append").parquet(src)
+    st = spark.readStream.schema("id long, amount double").parquet(src)
+    q = (st.writeStream.format("xlsx")
+         .option("maxRowsPerSheet", 100)
+         .option("columnStyles", ",currency")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .option("path", out).trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    [f] = g.glob(out + "/*.xlsx")
+    with WorkbookReader(f) as wb:
+        assert len(wb.sheet_names()) == 3  # 99+99+52 data rows + headers
+        total = sum(sum(1 for _ in wb.iter_rows(s)) - 1 for s in wb.sheet_names())
+    assert total == 250
+    assert b'"currency"' not in zipfile.ZipFile(f).read("xl/worksheets/sheet1.xml")
+    assert b' s="' in zipfile.ZipFile(f).read("xl/worksheets/sheet1.xml")
