@@ -411,3 +411,32 @@ def test_full_training_pipeline_composition(spark):
     assert o1 == o2 and sorted(o1) == sorted(
         r["doc_id"] for r in canon.select("doc_id").collect()
     )
+
+
+def test_pack_sequences_invariants_fuzzed(spark):
+    """Property test: for arbitrary size distributions and budgets,
+    packing preserves every doc exactly once, respects capacity, and
+    flags exactly the docs that exceed it."""
+    from hypothesis import given, settings, strategies as st
+
+    from excelstream_spark.operators.packing import pack_sequences
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        sizes=st.lists(st.integers(min_value=0, max_value=500),
+                       min_size=1, max_size=120),
+        max_tokens=st.integers(min_value=1, max_value=300),
+    )
+    def run(sizes, max_tokens):
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(sizes)], "doc_id long, n_tokens long"
+        )
+        pdf = pack_sequences(df, max_tokens=max_tokens, open_bins=4).toPandas()
+        assert sorted(pdf["id"]) == list(range(len(sizes)))
+        fills = pdf[~pdf["oversize"]].groupby("bin_id")["n_tokens"].sum()
+        assert (fills <= max_tokens).all()
+        assert set(pdf[pdf["oversize"]]["id"]) == {
+            i for i, s in enumerate(sizes) if s > max_tokens
+        }
+
+    run()
