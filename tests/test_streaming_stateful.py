@@ -310,3 +310,48 @@ def test_xlsx_stream_sink_honors_write_options(spark, tmp_path):
     assert total == 250
     assert b'"currency"' not in zipfile.ZipFile(f).read("xl/worksheets/sheet1.xml")
     assert b' s="' in zipfile.ZipFile(f).read("xl/worksheets/sheet1.xml")
+
+
+def test_xlsx_streaming_loop_source_to_sink(spark, tmp_path):
+    """Full streaming loop: xlsx stream source -> transformation ->
+    xlsx stream sink, incremental across two triggers."""
+    import glob as g
+    import os
+
+    from excelstream_spark.sources.xlsx import WorkbookWriter, register_xlsx
+
+    register_xlsx(spark)
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def write_wb(name, rows):
+        tmp = f"{src}/{name}.tmp"
+        with WorkbookWriter(tmp) as wb:
+            wb.add_sheet("S")
+            wb.write_row(["id", "qty"])
+            for r in rows:
+                wb.write_row(r)
+        os.rename(tmp, f"{src}/{name}")
+
+    def run_once():
+        st = (spark.readStream.format("xlsx")
+              .schema("id long, qty long").load(src))
+        doubled = st.selectExpr("id", "qty * 2 as qty2")
+        q = (doubled.writeStream.format("xlsx")
+             .option("checkpointLocation", ckpt).option("path", out)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    write_wb("a.xlsx", [[1, 10], [2, 20]])
+    run_once()
+    got = sorted(tuple(r) for r in spark.read.format("xlsx").load(out).collect())
+    assert got == [(1, 20), (2, 40)]
+    write_wb("b.xlsx", [[3, 30]])
+    run_once()
+    got = sorted(tuple(r) for r in spark.read.format("xlsx").load(out).collect())
+    assert got == [(1, 20), (2, 40), (3, 60)]
+    assert all(os.path.basename(f).startswith("batch-")
+               for f in g.glob(out + "/*.xlsx"))
