@@ -355,3 +355,4 @@ def test_xlsx_streaming_loop_source_to_sink(spark, tmp_path):
     assert got == [(1, 20), (2, 40), (3, 60)]
     assert all(os.path.basename(f).startswith("batch-")
                for f in g.glob(out + "/*.xlsx"))
+    assert not g.glob(out + "/.tmp-*")  # commit swept its temps
