@@ -13,30 +13,23 @@ value hash.
 
 from __future__ import annotations
 
-import os
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from excelstream_spark.plans.catalog import query
 from excelstream_spark.streaming import stateful as ST
-from excelstream_spark.streaming.pipelines import EVENTS_SCHEMA, run_available_now
+from excelstream_spark.streaming.pipelines import (
+    replayed_events_stream,
+    run_available_now,
+)
 from excelstream_spark.tables import table_path
 
 
 def _replayed_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    src = os.path.abspath(table_path(sf_dir, "events"))
-    d = tempfile.mkdtemp(prefix="esspark_replay_")
-    os.symlink(src, os.path.join(d, "batch1.parquet"))
-    os.symlink(src, os.path.join(d, "batch2.parquet"))
-    raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(d)
-    )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # unit-sniffed like the batch reader (tables.py) so a regenerated
+    # fixture can't silently shift streamed event time 1000x
+    return replayed_events_stream(spark, table_path(sf_dir, "events"))
 
 
 @query(

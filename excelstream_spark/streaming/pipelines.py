@@ -23,16 +23,43 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+#: Read schema when ``ts`` is parquet TIMESTAMP(MICROS): read as NTZ (the
+#: file's true logical type, isAdjustedToUTC=false) and cast to TIMESTAMP
+#: after the scan — identity values under the UTC session, and the type
+#: event-time operators (watermarks, windows) require.  The batch loader
+#: (tables.load_table) applies the same normalization, so stream schema ==
+#: batch schema (asserted by the ingest-parity test).
 EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+#: Schema when ``ts`` is parquet TIMESTAMP(NANOS) — Spark surfaces it as
+#: LongType under ``spark.sql.legacy.parquet.nanosAsLong``; restored with
+#: integer division after the read (see :func:`events_source`).
+EVENTS_SCHEMA_NANOS = (
     "event_id bigint, ts bigint, user_id bigint, event_type string, "
     "value double, props string"
 )
 
 
-def events_stream(spark: SparkSession, path: str) -> DataFrame:
-    """readStream over an events parquet directory/file.  The upstream
-    files carry TIMESTAMP(NANOS) (read as bigint under nanosAsLong, see
-    tables.py) — restored to timestamp here with integer division."""
+def _ts_is_nanos(path: str) -> bool:
+    """Sniff the stored unit of ``ts`` — the SAME detection the batch path
+    uses (tables._nanos_timestamp_columns), so batch reads and stream
+    sources can never disagree about event time.  Fixtures have flipped
+    between TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across regenerations;
+    hard-coding either unit silently shifts every timestamp by 1000x."""
+    from excelstream_spark.tables import _nanos_timestamp_columns
+
+    return "ts" in _nanos_timestamp_columns(path)
+
+
+def events_source(spark: SparkSession, path: str) -> tuple[DataFrame, str]:
+    """Build a unit-correct streaming source over events parquet.
+
+    Returns ``(stream_df, monitored_dir)`` — the df always exposes ``ts``
+    as TimestampType regardless of the file's stored unit.  The caller may
+    symlink extra files into ``monitored_dir`` (e.g. for replay tests)."""
     import os
 
     if os.path.isfile(path):
@@ -40,9 +67,54 @@ def events_stream(spark: SparkSession, path: str) -> DataFrame:
         # through a temp dir of symlinks (read-only, nothing is copied)
         link_dir = tempfile.mkdtemp(prefix="esspark_stream_")
         os.symlink(path, os.path.join(link_dir, os.path.basename(path)))
-        path = link_dir
-    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        probe, path = path, link_dir
+    else:
+        probe = path
+    if _ts_is_nanos(probe):
+        raw = spark.readStream.schema(EVENTS_SCHEMA_NANOS).parquet(path)
+        # integer division (not float) — nanos exceed double's 2^53
+        df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+        df = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df, path
+
+
+def events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """readStream over an events parquet directory/file with ``ts``
+    restored to TimestampType whatever unit the files store."""
+    df, _ = events_source(spark, path)
+    return df
+
+
+def replayed_events_stream(
+    spark: SparkSession,
+    src_file: str,
+    link_dir: str | None = None,
+    copies: int = 2,
+) -> DataFrame:
+    """Exact-redelivery source: the same events file symlinked ``copies``
+    times into a monitored dir, one file per micro-batch
+    (maxFilesPerTrigger=1).  Unit-sniffed like :func:`events_source`."""
+    import os
+
+    src_file = os.path.abspath(src_file)
+    d = link_dir or tempfile.mkdtemp(prefix="esspark_replay_")
+    for i in range(copies):
+        os.symlink(src_file, os.path.join(d, f"batch{i + 1}.parquet"))
+    if _ts_is_nanos(src_file):
+        raw = (
+            spark.readStream.schema(EVENTS_SCHEMA_NANOS)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def hourly_windowed_counts(

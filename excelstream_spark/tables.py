@@ -78,6 +78,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if dict(df.dtypes).get(col) == "bigint":
             # integer division (not float) — nanos exceed double's 2^53
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    # Normalize TIMESTAMP_NTZ (Spark 4's inference for parquet micros with
+    # isAdjustedToUTC=false) to TIMESTAMP: identity values under the UTC
+    # session, and the type event-time operators (watermarks, windows)
+    # require — keeping batch and stream ingest schema-identical.
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

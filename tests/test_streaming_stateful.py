@@ -9,8 +9,13 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from excelstream_spark.streaming.pipelines import EVENTS_SCHEMA, run_available_now
+from excelstream_spark.streaming.pipelines import (
+    events_stream,
+    replayed_events_stream,
+    run_available_now,
+)
 from excelstream_spark.streaming import stateful as ST
+from excelstream_spark.tables import load_table
 
 from .conftest import SF_DIR
 
@@ -22,23 +27,41 @@ def replayed_stream(spark, tmp_path):
     src = os.path.join(SF_DIR, "events.parquet")
     d = str(tmp_path / "replay")
     os.makedirs(d)
-    os.symlink(src, f"{d}/batch1.parquet")
-    os.symlink(src, f"{d}/batch2.parquet")
-    raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(d)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    raw = replayed_events_stream(spark, src, link_dir=d)
     return raw, src
+
+
+def test_stream_ingest_matches_batch_ingest(spark, tmp_path):
+    """Ingest parity: the streaming source and the batch loader must
+    yield IDENTICAL rows — especially ``ts`` VALUES — on the same file.
+    Guards against fixture regenerations flipping the parquet timestamp
+    unit (nanos vs micros): a hard-coded unit shifts event time 1000x
+    while counts and schema still match (the round-3 regression)."""
+    src = os.path.join(SF_DIR, "events.parquet")
+    streamed = run_available_now(
+        events_stream(spark, src), "t_ingest_parity", output_mode="append"
+    )
+    batch = load_table(spark, SF_DIR, "events")
+    assert streamed.schema == batch.schema
+    cols = batch.columns
+    s_rows = sorted(map(tuple, streamed.select(*cols).collect()))
+    b_rows = sorted(map(tuple, batch.select(*cols).collect()))
+    assert s_rows == b_rows  # value-level, not count-level
+    # sanity: event time is in the fixture's actual epoch, not 1970
+    assert all(r["ts"].year >= 2000 for r in streamed.select("ts").take(50))
 
 
 def test_streaming_dedup_suppresses_replay(spark, replayed_stream):
     raw, src = replayed_stream
     out = run_available_now(ST.streaming_dedup(raw), "t_dedup", output_mode="append")
-    n_events = spark.read.parquet(src).count()
+    batch = load_table(spark, SF_DIR, "events")
+    n_events = batch.count()
     assert out.count() == n_events  # 2x delivered, 1x emitted
     assert out.select("key").distinct().count() == n_events
+    # value-level check: emitted (event_id, ts) pairs equal the batch table
+    got = sorted(map(tuple, out.select("event_id", "ts").collect()))
+    want = sorted(map(tuple, batch.select("event_id", "ts").collect()))
+    assert got == want
 
 
 def test_user_activity_tracker_running_totals(spark, replayed_stream):
@@ -54,16 +77,23 @@ def test_user_activity_tracker_running_totals(spark, replayed_stream):
     )
     # ground truth: two identical batches -> totals are 2x one batch
     single = (
-        spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+        load_table(spark, SF_DIR, "events")
         .groupBy("user_id")
-        .agg(F.count("*").alias("n"), F.sum("value").alias("tv"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("tv"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+        )
         .toPandas()
     )
     m = latest.merge(single, on="user_id")
     assert (m["n_events"] == 2 * m["n"]).all()
     assert (abs(m["total_value"] - 2 * m["tv"]) < 1e-6).all()
-    # first/last seen are sane
-    assert (latest["first_seen"] <= latest["last_seen"]).all()
+    # first/last seen are VALUE-equal to the batch min/max event time
+    # (count-only assertions masked the round-3 ts-unit corruption)
+    assert (m["first_seen"] == m["min_ts"]).all()
+    assert (m["last_seen"] == m["max_ts"]).all()
 
 
 def test_xlsx_streaming_source_incremental(spark, tmp_path):
