@@ -185,8 +185,10 @@ def lsh_bucket_candidates(
     """Multi-table random-hyperplane LSH: ``n_tables`` independent hash
     tables of ``n_planes`` sign bits each; two vectors are candidates if
     they share a bucket in ANY table (the same OR-amplification
-    minhash-LSH uses).  Hyperplanes derive from xxhash64(table, plane,
-    dim) — no stored model, reproducible across runs/engines.
+    minhash-LSH uses).  Hyperplane weights are deterministic md5-derived
+    constants (functions/planes.py) bound as literals — no stored model,
+    bit-reproducible across runs AND engines (the DuckDB oracle embeds
+    the same floats).
 
     CHOOSE r = n_planes FOR YOUR SIMILARITY THRESHOLD — it controls
     precision, and too-small r silently goes quadratic: a random pair
@@ -200,18 +202,12 @@ def lsh_bucket_candidates(
 
     Returns (id, table, bucket) — join on (table, bucket), dedupe pairs.
     """
-    # plane weights in [-0.5, 0.5): (xxhash64(t, i, d) mod 1000)/1000 - 0.5
+    from excelstream_spark.functions.planes import plane_weights
+
     def plane_dot(t: int, i: int):
         prods = F.zip_with(
             F.col("v"),
-            F.array(*[
-                (
-                    F.pmod(F.xxhash64(F.lit(t), F.lit(i), F.lit(d)), F.lit(1000))
-                    / 1000.0
-                    - 0.5
-                )
-                for d in range(dim)
-            ]),
+            F.array(*[F.lit(w) for w in plane_weights(t, i, dim)]),
             lambda x, w: x.cast("double") * w,
         )
         return F.aggregate(prods, F.lit(0.0), lambda acc, p: acc + p)

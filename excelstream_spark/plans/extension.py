@@ -166,12 +166,57 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.dedup_minhash_lsh(_docs(spark, sf_dir), threshold=0.8)
 
 
-@query("dedup_simhash", tags=("dedup",))  # approximate -> rows-only
+@query(
+    "dedup_simhash",
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_distinct(
+                   regexp_split_to_array(trim(lower(text)), '\\s+'))) AS tok
+          FROM documents
+        ),
+        hashed AS (
+          SELECT doc_id,
+                 CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS hh,
+                 CAST(concat('0x', substr(md5(tok), 9, 8)) AS BIGINT) AS hl
+          FROM toks
+        ),
+        votes AS (
+          SELECT doc_id, g.b,
+                 sum(CASE WHEN g.b < 32
+                          THEN CASE WHEN (hl >> g.b) & 1 = 1 THEN 1 ELSE -1 END
+                          ELSE CASE WHEN (hh >> (g.b - 32)) & 1 = 1 THEN 1 ELSE -1 END
+                     END) AS v
+          FROM hashed
+          CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) g
+          GROUP BY doc_id, g.b
+        ),
+        sigs AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN v > 0 AND b < 63
+                               THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
+                 + CASE WHEN max(CASE WHEN b = 63 AND v > 0 THEN 1 ELSE 0 END) = 1
+                        THEN -9223372036854775808 ELSE 0 END AS sig
+          FROM votes GROUP BY doc_id
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sig, b.sig)) <= 3
+    """,
+    tags=("dedup",),
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(64-bit) banded near-dup candidates within Hamming <= 12.
-    Approximate by construction (banding recall < 1) — rows-only check;
-    recall vs ngram-jaccard asserted in unit tests."""
-    return DD.dedup_simhash(_docs(spark, sf_dir))
+    """SimHash(64-bit) banded near-dup pairs within Hamming <= 3, where
+    4x16 banding recall is EXACTLY 1 by pigeonhole — so the banded output
+    equals brute force and is hash-checkable.  The md5-derived token hash
+    is identical across engines; the ORACLE recomputes every signature
+    from scratch in SQL (tokenize -> per-bit votes -> sign assembly) and
+    brute-forces the hamming pairs.  The banding mechanics at looser
+    thresholds (approximate recall) stay covered by unit tests."""
+    return DD.dedup_simhash(
+        _docs(spark, sf_dir), max_hamming=3, hash_fn="md5"
+    )
 
 
 @query(
@@ -225,10 +270,51 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk_bruteforce(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
-@query("sim_ann_ivf", tags=("similarity", "vector"))  # approximate -> rows-only
+@query(
+    "sim_ann_ivf",
+    oracle="""
+        WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        cent AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id % 50 = 0),
+        asg AS (
+          SELECT id, cid FROM (
+            SELECT e.vec_id AS id, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) rn
+            FROM emb e CROSS JOIN cent c
+          ) WHERE rn = 1
+        ),
+        probes AS (
+          SELECT id AS qid, cid FROM (
+            SELECT e.vec_id AS id, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) rn
+            FROM emb e CROSS JOIN cent c WHERE e.vec_id < 10
+          ) WHERE rn <= 3
+        ),
+        scored AS (
+          SELECT p.qid, a.id AS nid, list_cosine_similarity(q.v, m.v) AS s
+          FROM probes p
+          JOIN asg a USING (cid)
+          JOIN emb q ON q.vec_id = p.qid
+          JOIN emb m ON m.vec_id = a.id
+          WHERE a.id <> p.qid
+        )
+        SELECT qid AS query_id, nid AS neighbor_id, CAST(rn AS INT) AS rank,
+               round(s, 6) AS cos_sim_r
+        FROM (SELECT qid, nid, s, row_number() OVER (
+                PARTITION BY qid ORDER BY s DESC, nid) rn FROM scored)
+        WHERE rn <= 5
+    """,
+    tags=("similarity", "vector"),
+)
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-5 (probe 3 of ~10 deterministic cells) —
-    rows-only; recall vs bruteforce asserted in unit tests."""
+    """IVF approximate top-5 (probe 3 of the deterministic seeded cells).
+
+    The whole pipeline is a pure function of the data — seeds are every
+    50th vec_id, assignment/probing are nearest-cosine with ascending-id
+    tie-breaks — so the ORACLE replays the identical IVF construction in
+    SQL (nearest-of-seeded-centroids, probe 3, top-5).  This checks the
+    index mechanics end-to-end, not merely recall."""
     emb = _emb(spark, sf_dir)
     return SIM.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
@@ -511,15 +597,55 @@ def corpus_governance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_embedding_lsh", tags=("dedup", "vector"))  # candidate-gen -> rows-only
+def _lsh_oracle_sql(
+    n_planes: int = 4, n_tables: int = 8, dim: int = 64, threshold: float = 0.45
+) -> str:
+    """DuckDB replay of the full hyperplane-LSH pipeline: the SAME
+    md5-derived plane weights the Spark operator binds (functions/
+    planes.py) are formatted into SQL literals, so bucket assignment is
+    bit-identical across engines; candidates are pairs sharing any
+    table's bucket, verified against the exact cosine pairs."""
+    from excelstream_spark.functions.planes import plane_weights
+
+    per_table = []
+    for t in range(n_tables):
+        bits = []
+        for i in range(n_planes):
+            ws = ", ".join(repr(w) for w in plane_weights(t, i, dim))
+            bits.append(
+                f"(CASE WHEN list_dot_product(v, [{ws}]) > 0"
+                f" THEN {1 << i} ELSE 0 END)"
+            )
+        per_table.append(
+            f"SELECT vec_id, {t} AS tbl, {' + '.join(bits)} AS bucket FROM emb"
+        )
+    buckets = " UNION ALL ".join(per_table)
+    return f"""
+        WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings),
+        b AS ({buckets}),
+        cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+                 FROM b x JOIN b y ON x.tbl = y.tbl AND x.bucket = y.bucket
+                  AND x.vec_id < y.vec_id),
+        pairs AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+                         round(list_cosine_similarity(a.v, c.v), 6) AS cos_sim_r
+                  FROM emb a JOIN emb c ON a.vec_id < c.vec_id
+                   AND list_cosine_similarity(a.v, c.v) > {threshold})
+        SELECT p.id_a, p.id_b, p.cos_sim_r FROM pairs p JOIN cand USING (id_a, id_b)
+    """
+
+
+@query("dedup_embedding_lsh", oracle=_lsh_oracle_sql(), tags=("dedup", "vector"))
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed embedding near-dup: hyperplane buckets generate
     candidates without a pairwise pass, then candidates verify exactly.
     r=4/L=8 here targets this corpus's LOW 0.45-cos threshold, trading
     candidate-set size for recall (~0.9 measured); at scale use the
     defaults (r=8, L=16) with a high-similarity threshold — see
-    lsh_bucket_candidates for the precision math.  Approximate ->
-    rows-only; recall asserted in tests/test_extension_ops.py."""
+    lsh_bucket_candidates for the precision math.  The plane weights are
+    shared Python constants (functions/planes.py), so the ORACLE replays
+    bucketing + verification exactly in SQL — the LSH mechanics are
+    hash-checked, recall is additionally asserted in unit tests."""
     emb = _emb(spark, sf_dir)
     cand = SIM.lsh_candidate_pairs(emb, n_planes=4, n_tables=8)
     pairs = DD.dedup_embedding_cosine(emb, threshold=0.45)

@@ -52,14 +52,45 @@ def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("streaming_user_tracker", tags=("streaming", "stateful"))
+@query(
+    "streaming_user_tracker",
+    oracle="""
+        SELECT user_id,
+               2 * count(*) AS n_events,
+               round(2 * sum(value), 2) AS total_value_r,
+               min(ts) AS first_seen,
+               max(ts) AS last_seen
+        FROM events
+        GROUP BY user_id
+    """,
+    tags=("streaming", "stateful"),
+)
 def streaming_user_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running per-user aggregates over replayed micro-batches (update
-    mode emits one row per user per active batch — monotone history, so
-    rows-only here; final-value equality is asserted in unit tests)."""
+    """Per-user running aggregates over TWO replayed micro-batches,
+    reduced to each user's FINAL state (the feature-store upsert view of
+    the update-mode history).  The oracle is the doubled batch aggregate:
+    n_events = 2x the batch count, total_value = 2x the batch sum
+    (rounded to absorb summation-order ulps), first/last_seen = the batch
+    min/max event time — so the state machine's timestamps are now
+    hash-checked, not just counted."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
     stream = _replayed_events_stream(spark, sf_dir)
-    return run_available_now(
+    history = run_available_now(
         ST.user_activity_tracker(stream),
         f"sut_{uuid.uuid4().hex[:8]}",
         output_mode="update",
+    )
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        history.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round("total_value", 2).alias("total_value_r"),
+            "first_seen",
+            "last_seen",
+        )
     )

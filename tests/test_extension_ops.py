@@ -68,6 +68,75 @@ def test_simhash_recall_vs_jaccard(spark):
         assert recall >= 0.5, f"simhash recall {recall} over {len(true_pairs)} pairs"
 
 
+def _simhash_reference(spark, docs):
+    """The pre-vectorization formulation (64 interpreted aggregate()
+    lambdas over the token-hash array) kept as the semantic reference:
+    the production explode+conditional-sum version must match it
+    bit-for-bit."""
+    from excelstream_spark.functions import text as TXT
+
+    toks = F.array_distinct(TXT.tokens(F.col("text")))
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def vote(mask_col):
+        return F.aggregate(
+            th,
+            F.lit(0),
+            lambda acc, h: acc + F.when(h.bitwiseAND(mask_col) != 0, 1).otherwise(-1),
+        )
+
+    terms = []
+    for b in range(64):
+        mask = -(1 << 63) if b == 63 else (1 << b)
+        mask_col = F.lit(mask).cast("bigint")
+        terms.append(
+            F.when(vote(mask_col) > 0, mask_col).otherwise(F.lit(0).cast("bigint"))
+        )
+    sig = terms[0]
+    for t in terms[1:]:
+        sig = sig + t
+    return docs.select(F.col("doc_id").alias("id"), sig.alias("simhash"))
+
+
+def test_simhash_vectorized_byte_equal(spark):
+    """The vectorized simhash (one HashAggregate, 64 codegen'd sums)
+    produces bit-identical signatures to the per-bit lambda reference."""
+    docs = load_table(spark, SF_DIR, "documents").limit(100)
+    got = {r["id"]: r["simhash"] for r in DD.simhash_signatures(docs).collect()}
+    want = {r["id"]: r["simhash"] for r in _simhash_reference(spark, docs).collect()}
+    assert got == want and len(got) == 100
+
+
+def test_simhash_md5_mode_matches_python(spark):
+    """md5-mode signatures match an independent pure-Python recomputation
+    (the same construction the DuckDB oracle uses)."""
+    import hashlib
+
+    docs = load_table(spark, SF_DIR, "documents").limit(25)
+    got = {
+        r["id"]: r["simhash"]
+        for r in DD.simhash_signatures(docs, hash_fn="md5").collect()
+    }
+    import re
+
+    for row in docs.select("doc_id", "text").collect():
+        toks = set(re.split(r"\s+", row["text"].strip().lower()))
+        votes = [0] * 64
+        for t in toks:
+            h = hashlib.md5(t.encode()).hexdigest()
+            hh, hl = int(h[:8], 16), int(h[8:16], 16)
+            for b in range(64):
+                bit = (hl >> b) & 1 if b < 32 else (hh >> (b - 32)) & 1
+                votes[b] += 1 if bit else -1
+        sig = 0
+        for b in range(64):
+            if votes[b] > 0:
+                sig |= 1 << b
+        if sig >= 1 << 63:
+            sig -= 1 << 64
+        assert got[row["doc_id"]] == sig, row["doc_id"]
+
+
 def test_ivf_recall_vs_bruteforce(spark):
     emb = load_table(spark, SF_DIR, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
