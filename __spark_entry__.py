@@ -7,12 +7,14 @@ a DuckDB-runnable ANSI-SQL oracle where SQL-expressible).
 
 The catalog is EXACTLY 50 entries, priority-ordered, because the driver's
 correctness gate evaluates the first 50 registrations (round 1 registered
-64 and the xlsx/csv/streaming proofs fell outside the window).  Operators
-added beyond the window — sequence packing, int8 quantization + quantized
-top-k, deterministic corpus composition, connected-components dedup
-clustering, the streaming xlsx sink — are oracle-checked in pytest
-(tests/test_extension_ops.py, tests/test_streaming_stateful.py) and
-benched in bench.py instead.
+64 and the xlsx/csv/streaming proofs fell outside the window).  As of
+round 4 every entry has a DuckDB oracle (zero rows-only entries) and every
+operator family has a driver row — sequence packing, int8 quantization +
+quantized top-k, corpus sampling, connected-components dedup clustering
+and the streaming xlsx sink got dedicated entries by consolidating
+low-value relational slots (see plans/catalog.py PRIORITY).  Operators
+whose values are engine-specific (approx sketches, trained-k-means IVF)
+are deliberately outside the window and oracle/recall-checked in pytest.
 """
 
 from __future__ import annotations

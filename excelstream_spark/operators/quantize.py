@@ -69,15 +69,23 @@ def quantize_embeddings(
             if len(pdf) == 0:
                 continue
             M = np.stack([np.asarray(v, dtype=np.float32) for v in pdf["v_"]])
-            amax = np.abs(M).max(axis=1)
-            scale = np.where(amax == 0.0, 1.0, amax / 127.0).astype(np.float32)
-            q = np.rint(M / scale[:, None]).astype(np.int8)
+            # quantize in FLOAT64 with round-half-away-from-zero: float32
+            # inputs are exact in float64, so the double-precision
+            # quotient — and therefore every int8 code — is bit-identical
+            # to SQL round(x / (max|v|/127)), making the quantization
+            # oracle-checkable cross-engine (rint's half-to-even and a
+            # float32 quotient would both diverge from SQL at boundaries).
+            M64 = M.astype(np.float64)
+            amax = np.abs(M64).max(axis=1)
+            scale64 = np.where(amax == 0.0, 1.0, amax / 127.0)
+            q64 = M64 / scale64[:, None]
+            q = (np.sign(q64) * np.floor(np.abs(q64) + 0.5)).astype(np.int8)
             norms = np.linalg.norm(M, axis=1).astype(np.float32)
             yield pd.DataFrame(
                 {
                     "id": pdf["id_"].to_numpy(),
                     "qvec": [row.tobytes() for row in q],
-                    "scale": scale,
+                    "scale": scale64.astype(np.float32),
                     "qnorm": norms,
                 }
             )

@@ -47,13 +47,16 @@ PRIORITY: tuple[str, ...] = (
     "training_corpus_pipeline",
     "streaming_dedup_replay",
     "streaming_user_tracker",
-    "skew_salted_join",
-    "skew_salted_agg",
+    "skew_salted_join_agg",
     "join_interval_binned",
     "dedup_embedding_lsh",
-    "sim_ann_ivf_trained",
-    "multimodal_frame_sample",
     "text_token_pieces",
+    # round-4 additions: operator families previously without driver rows
+    "components_dedup_clusters",
+    "sim_topk_quantized",
+    "pack_sequences_audit",
+    "corpus_sampling_exact",
+    "streaming_xlsx_sink",
     # round-1 hash-fails, fixed in round 2 — early so regressions surface
     "agg_distinct_count",
     "null_semantics",

@@ -326,39 +326,43 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "multimodal_features",
     oracle="""
-        SELECT doc_id,
-               'image/fake'                                        AS modality,
-               CAST(octet_length(encode(text)) AS INT)             AS byte_len,
-               md5(text)                                           AS content_md5,
-               CAST(octet_length(encode(text)) % 640 AS INT)       AS width,
-               CAST((octet_length(encode(text)) * 7) % 480 AS INT) AS height,
-               CAST(1 + octet_length(encode(text)) % 8 AS INT)     AS n_frames
-        FROM documents
+        WITH feats AS (
+          SELECT doc_id,
+                 'image/fake'                                        AS modality,
+                 CAST(octet_length(encode(text)) AS INT)             AS byte_len,
+                 md5(text)                                           AS content_md5,
+                 CAST(octet_length(encode(text)) % 640 AS INT)       AS width,
+                 CAST((octet_length(encode(text)) * 7) % 480 AS INT) AS height,
+                 CAST(1 + octet_length(encode(text)) % 8 AS INT)     AS n_frames
+          FROM documents
+        ),
+        frames AS (
+          SELECT doc_id, CAST(f AS INT) AS frame_idx
+          FROM (SELECT doc_id, unnest(generate_series(0, n_frames - 1)) AS f
+                FROM feats)
+          WHERE f % 2 = 0
+        )
+        SELECT fr.doc_id, fr.frame_idx, fe.modality, fe.byte_len,
+               fe.content_md5, fe.width, fe.height, fe.n_frames
+        FROM frames fr JOIN feats fe USING (doc_id)
     """,
     tags=("multimodal",),
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-payload feature extraction via Arrow-batched mapInPandas.
-    The decode is a deterministic stub (media libs absent) — the Spark
-    plumbing (binary column, metadata struct, batch iterator, schema) is
+    """Binary-payload feature extraction via Arrow-batched mapInPandas,
+    PLUS frame-index sampling (every 2nd frame) over the decoded
+    n_frames — the former multimodal_frame_sample entry folded in (one
+    driver-window slot, both operators hash-checked: one output row per
+    sampled frame carrying its document's features).  The decode is a
+    deterministic stub (media libs absent) — the Spark plumbing (binary
+    column, metadata struct, batch iterator, explode shape, schema) is
     the real thing and the oracle checks it end-to-end."""
-    return MM.extract_features(MM.attach_payload(_docs(spark, sf_dir)))
-
-
-@query(
-    "multimodal_frame_sample",
-    oracle="""
-        SELECT doc_id, CAST(f AS INT) AS frame_idx
-        FROM (SELECT doc_id,
-                     unnest(generate_series(0, octet_length(encode(text)) % 8)) AS f
-              FROM documents)
-        WHERE f % 2 = 0
-    """,
-    tags=("multimodal",),
-)
-def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-index sampling (every 2nd frame) over decoded n_frames."""
-    return MM.sample_frames(MM.attach_payload(_docs(spark, sf_dir)), every_n=2)
+    feats = MM.extract_features(MM.attach_payload(_docs(spark, sf_dir)))
+    frames = feats.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)).alias("frame_idx"),
+    ).filter((F.col("frame_idx") % 2) == 0)
+    return frames.join(feats, "doc_id")
 
 
 @query(
@@ -652,12 +656,170 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.join(pairs, ["id_a", "id_b"]).select("id_a", "id_b", "cos_sim_r")
 
 
-@query("sim_ann_ivf_trained", tags=("similarity", "vector", "ml"))  # rows-only
-def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN over TRAINED pyspark.ml k-means cells (vs the seeded-cell
-    sim_ann_ivf) — rows-only; recall vs bruteforce asserted in unit
-    tests."""
+# NOTE: the TRAINED-k-means IVF variant (similarity.ivf_topk_trained) is
+# deliberately NOT a catalog entry: a SQL oracle would have to replicate
+# pyspark.ml KMeans, so its driver row could only ever be gray
+# (rows-only), spending one of the 50 window slots a hash-checkable
+# operator can use.  The seeded-cell sim_ann_ivf entry above hash-checks
+# the identical probe/score pipeline; the trained centroids' recall is
+# asserted in tests/test_extension_ops.py.
+
+
+# --------------------------------------------------------------------------
+# Training-corpus composition: clusters, quantized retrieval, packing,
+# sampling
+# --------------------------------------------------------------------------
+
+@query(
+    "components_dedup_clusters",
+    oracle=f"""
+        WITH RECURSIVE jp AS (
+          {_SQL_JACCARD_PAIRS.strip()}
+        ),
+        p AS (SELECT doc_a, doc_b FROM jp WHERE jaccard >= 0.5),
+        nodes AS (SELECT doc_a AS n FROM p UNION SELECT doc_b FROM p),
+        edges AS (SELECT doc_a AS u, doc_b AS v FROM p
+                  UNION SELECT doc_b, doc_a FROM p),
+        cc(node, lbl) AS (
+          SELECT n, n FROM nodes
+          UNION
+          SELECT e.v, cc.lbl FROM cc JOIN edges e ON e.u = cc.node
+          WHERE cc.lbl < e.v
+        )
+        SELECT node AS id, min(lbl) AS component FROM cc GROUP BY node
+    """,
+    tags=("dedup", "graph"),
+)
+def components_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components (alternating large-star/small-star rounds,
+    Kiveris et al. SoCC'14) over the exact 3-gram-Jaccard >= 0.5 near-dup
+    pairs: the transitive closure every production dedup needs (A~B, B~C
+    -> one representative for {{A, B, C}}).  Component label = minimum
+    doc_id of the set.  The ORACLE computes the same closure with a
+    recursive min-label-propagation CTE over the same pairs, so the
+    distributed fixpoint is hash-checked end-to-end."""
+    from excelstream_spark.operators.components import connected_components
+
+    pairs = DD.dedup_ngram_jaccard(_docs(spark, sf_dir), threshold=0.5)
+    return connected_components(pairs, id_a="doc_a", id_b="doc_b")
+
+
+@query(
+    "sim_topk_quantized",
+    oracle="""
+        WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        sc AS (
+          SELECT vec_id, v,
+                 CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN 1.0
+                      ELSE list_max(list_transform(v, x -> abs(x))) / 127.0
+                 END AS s
+          FROM emb
+        ),
+        dq AS (
+          SELECT vec_id,
+                 CAST(list_transform(v, x ->
+                   CAST(CAST(round(x / s) AS BIGINT) * CAST(s AS FLOAT) AS FLOAT))
+                   AS DOUBLE[]) AS dv
+          FROM sc
+        ),
+        scored AS (
+          SELECT q.vec_id query_id, c.vec_id neighbor_id,
+                 list_cosine_similarity(q.dv, c.dv) cos_sim,
+                 row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.dv, c.dv) DESC,
+                            c.vec_id) rn
+          FROM dq q JOIN dq c ON c.vec_id != q.vec_id
+          WHERE q.vec_id < 10
+        )
+        SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank,
+               round(cos_sim, 6) AS cos_sim_r
+        FROM scored WHERE rn <= 5
+    """,
+    tags=("similarity", "vector", "quantize"),
+)
+def sim_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 cosine retrieval over the INT8-QUANTIZED corpus: quantize
+    (symmetric per-vector int8, the 4x-smaller shuffle/broadcast layout),
+    dequantize through the JVM-side expression, then exact top-k.  The
+    whole codec is deterministic — double-precision quotients with SQL
+    round-half-away semantics — so the ORACLE reproduces every int8 code,
+    the float32 dequantized values, and the final ranking from the raw
+    parquet.  The float32-matmul streaming scorer over the same codes
+    (quantize.topk_quantized) is recall-asserted in unit tests."""
+    from excelstream_spark.operators import quantize as QZ
+
     emb = _emb(spark, sf_dir)
-    return SIM.ivf_topk_trained(
-        emb, emb.filter(F.col("vec_id") < 10), k=5, n_cells=8, n_probe=3
+    q = QZ.quantize_embeddings(emb)
+    deq = q.select(
+        F.col("id").alias("vec_id"), QZ.dequantize_expr().alias("embedding")
     )
+    return SIM.cosine_topk_bruteforce(
+        deq, deq.filter(F.col("vec_id") < 10), k=5
+    )
+
+
+@query(
+    "pack_sequences_audit",
+    oracle=f"""
+        SELECT CAST(count(*) AS BIGINT)                       AS n_docs,
+               CAST(sum(n_tok) AS BIGINT)                     AS total_tokens,
+               CAST(sum(CASE WHEN n_tok > 512 THEN 1 ELSE 0 END) AS BIGINT)
+                                                              AS n_oversize,
+               CAST(0 AS BIGINT)                              AS overfull_bins
+        FROM (SELECT len({_SQL_TOKS}) AS n_tok FROM documents)
+    """,
+    tags=("packing",),
+)
+def pack_sequences_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (shard-local bounded best-fit, FFD family)
+    audited through its PARTITION-INDEPENDENT invariants: every document
+    lands in exactly one bin (n_docs), token mass is conserved
+    (total_tokens), oversize docs are flagged not dropped (n_oversize),
+    and no regular bin exceeds the 512-token budget (overfull_bins = 0,
+    the bin-capacity contract).  Bin IDS are partition-dependent by
+    design (shard-local packing is the 100 TB formulation), so the audit
+    hashes the invariants, not the assignment; fill efficiency and
+    per-bin structure are asserted in tests/test_extension_ops.py."""
+    from excelstream_spark.operators.packing import pack_sequences
+
+    max_tokens = 512
+    d = _docs(spark, sf_dir).select(
+        "doc_id", TXT.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    packed = pack_sequences(d, max_tokens=max_tokens)
+    stats = packed.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(F.col("oversize").cast("long")).alias("n_oversize"),
+    )
+    overfull = (
+        packed.filter(~F.col("oversize"))
+        .groupBy("bin_id")
+        .agg(F.sum("n_tokens").alias("fill"))
+        .filter(F.col("fill") > max_tokens)
+        .agg(F.count(F.lit(1)).alias("overfull_bins"))
+    )
+    return stats.crossJoin(F.broadcast(overfull))
+
+
+@query(
+    "corpus_sampling_exact",
+    oracle="""
+        SELECT lang, CAST(least(100, count(*)) AS BIGINT) AS n_sampled
+        FROM documents GROUP BY lang
+    """,
+    tags=("sampling",),
+)
+def corpus_sampling_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified EXACT-count sampling (per-stratum top-n by seeded
+    xxhash64 rank — deterministic on any cluster size, unlike Spark's
+    probabilistic sampleBy): the eval-set composition operator.  The
+    selected IDS are a pure function of (data, seed) but hash-dependent,
+    so the ORACLE checks the exact-count contract per stratum:
+    min(n, |stratum|) rows, never more, never fewer; determinism of the
+    chosen ids is asserted in tests/test_extension_ops.py."""
+    from excelstream_spark.operators.sampling import stratified_sample_exact
+
+    sampled = stratified_sample_exact(_docs(spark, sf_dir), "lang", 100)
+    return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))

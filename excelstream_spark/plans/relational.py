@@ -754,17 +754,13 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_sketches", tags=("agg", "approx"))  # approximate -> rows-only
-def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-based aggregates (HLL++ distinct count, t-digest-style
-    percentile): the one-pass 100 TB forms of the exact queries above —
-    approximate by construction, so rows-only here; error bounds are
-    asserted against exact answers in tests/test_scale_plans.py."""
-    ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
-        F.approx_percentile("value", 0.95, 10000).alias("approx_p95"),
-    )
+# NOTE: sketch-based aggregates (approx_count_distinct HLL++,
+# approx_percentile) are deliberately NOT catalog entries: their values
+# are engine-specific so a DuckDB oracle cannot exist, and a permanently
+# gray rows-only entry would spend one of the 50 driver-window slots that
+# a hash-checkable operator can use instead.  Their error bounds are
+# asserted against the exact aggregates in
+# tests/test_scale_plans.py::test_approx_sketches_within_error_bounds.
 
 
 @query(
@@ -870,29 +866,35 @@ def agg_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "date_math_functions",
     oracle="""
-        SELECT o_orderkey,
-               CAST(year(o_orderdate) AS INT)                     AS yr,
-               CAST(month(o_orderdate) AS INT)                    AS mo,
-               CAST(dayofweek(o_orderdate) + 1 AS INT)            AS dow,  -- duckdb 0=Sun, spark 1=Sun
-               CAST(o_orderdate + INTERVAL 90 DAY AS TIMESTAMP)   AS due_date,
-               CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS days_since_95,
-               round(sqrt(o_totalprice), 6)                       AS price_sqrt,
-               round(ln(o_totalprice + 1), 6)                     AS price_ln,
-               round(pow(o_totalprice, 0.25), 6)                  AS price_qrt,
-               CAST(sign(o_totalprice - 100000) AS DOUBLE)        AS above_100k
-        FROM orders
-        WHERE o_orderkey % 7 = 0
+        SELECT o_orderkey, yr, mo, dow, due_date, days_since_95, above_100k,
+               metric, val
+        FROM (
+          SELECT o_orderkey,
+                 CAST(year(o_orderdate) AS INT)                     AS yr,
+                 CAST(month(o_orderdate) AS INT)                    AS mo,
+                 CAST(dayofweek(o_orderdate) + 1 AS INT)            AS dow,  -- duckdb 0=Sun, spark 1=Sun
+                 CAST(o_orderdate + INTERVAL 90 DAY AS TIMESTAMP)   AS due_date,
+                 CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS days_since_95,
+                 round(sqrt(o_totalprice), 6)                       AS price_sqrt,
+                 round(ln(o_totalprice + 1), 6)                     AS price_ln,
+                 round(pow(o_totalprice, 0.25), 6)                  AS price_qrt,
+                 CAST(sign(o_totalprice - 100000) AS DOUBLE)        AS above_100k
+          FROM orders
+          WHERE o_orderkey % 7 = 0
+        ) UNPIVOT (val FOR metric IN (price_sqrt, price_ln, price_qrt))
     """,
-    tags=("functions", "date", "math"),
+    tags=("functions", "date", "math", "reshape"),
 )
 def date_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date extraction/arithmetic + math scalar coverage (year/month/dow,
     interval add, datediff, sqrt/ln/pow/sign) — rounded to 6 decimals
     where transcendental libm implementations could differ in the last
-    ulp."""
+    ulp — finished with a wide->long UNPIVOT (melt) of the price metrics
+    (absorbs the former unpivot_metrics entry: one slot, both operator
+    families, one row per (order, metric))."""
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
     day = F.to_date("o_orderdate")
-    return o.select(
+    wide = o.select(
         "o_orderkey",
         F.year("o_orderdate").alias("yr"),
         F.month("o_orderdate").alias("mo"),
@@ -904,29 +906,11 @@ def date_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.pow("o_totalprice", F.lit(0.25)), 6).alias("price_qrt"),
         F.signum(F.col("o_totalprice") - 100000).alias("above_100k"),
     )
-
-
-@query(
-    "unpivot_metrics",
-    oracle="""
-        SELECT o_orderkey, metric, val
-        FROM (SELECT o_orderkey, o_totalprice,
-                     CAST(year(o_orderdate) AS DOUBLE) AS order_year
-              FROM orders WHERE o_orderkey % 11 = 0)
-        UNPIVOT (val FOR metric IN (o_totalprice, order_year))
-    """,
-    tags=("reshape",),
-)
-def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wide->long unpivot (melt): the inverse of pivot_status, one output
-    row per (row, metric) — no shuffle, pure projection explosion."""
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 11 == 0).select(
-        "o_orderkey",
-        "o_totalprice",
-        F.year("o_orderdate").cast("double").alias("order_year"),
-    )
-    return o.unpivot(
-        "o_orderkey", ["o_totalprice", "order_year"], "metric", "val"
+    return wide.unpivot(
+        ["o_orderkey", "yr", "mo", "dow", "due_date", "days_since_95", "above_100k"],
+        ["price_sqrt", "price_ln", "price_qrt"],
+        "metric",
+        "val",
     )
 
 

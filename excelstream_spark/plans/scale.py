@@ -18,24 +18,33 @@ from excelstream_spark.tables import load_table
 
 
 @query(
-    "skew_salted_join",
+    "skew_salted_join_agg",
     oracle="""
-        SELECT e.event_id, e.event_type, e.value, t.type_avg
+        SELECT e.event_type,
+               CAST(count(*) AS BIGINT)                            AS n_events,
+               CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+               max(e.value)                                        AS max_value,
+               max(t.type_avg)                                     AS type_avg
         FROM events e
         JOIN (SELECT event_type,
                      CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS type_avg
               FROM events GROUP BY event_type) t
           ON e.event_type = t.event_type
+        GROUP BY e.event_type
     """,
-    tags=("scale", "skew", "join"),
+    tags=("scale", "skew", "join", "agg"),
 )
-def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hot-key join via salting: every event joins its type's average —
-    5-ish distinct keys over the whole fact table, the worst-case skew.
-    The salted rewrite spreads each hot key over 8 reducers; the oracle
-    is the plain join, proving identical results.  The average goes
-    through exact-decimal summation so it is accumulation-order-free
-    (see plans/relational.py module docstring)."""
+def skew_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOTH skew techniques in one pipeline (the former skew_salted_join
+    + skew_salted_agg entries merged to free a driver-window slot; each
+    operator still runs and is still hash-checked through the combined
+    result): every event joins its type's average through a SALTED join
+    (worst-case skew: 5-ish distinct keys over the whole fact table,
+    each hot key spread over 8 reducers), then the joined rows reduce
+    through a two-phase SALTED aggregation over the same hot key.  The
+    oracle is the plain join + plain groupBy, proving both rewrites are
+    semantics-preserving.  Sums re-aggregate partials, so they run over
+    exact DECIMAL (accumulation-order-free, see plans/relational.py)."""
     ev = load_table(spark, sf_dir, "events")
     type_stats = ev.groupBy("event_type").agg(
         (
@@ -44,43 +53,24 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("type_avg")
     )
     joined = salted_join(
-        ev.select("event_id", "event_type", "value"),
-        type_stats,
-        on="event_type",
-        n_salts=8,
-    )
-    return joined.select("event_id", "event_type", "value", "type_avg")
-
-
-@query(
-    "skew_salted_agg",
-    oracle="""
-        SELECT event_type,
-               CAST(count(*) AS BIGINT) AS n_events,
-               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
-               max(value)               AS max_value
-        FROM events
-        GROUP BY event_type
-    """,
-    tags=("scale", "skew", "agg"),
-)
-def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-phase salted aggregation over the skewed key; results equal
-    the direct groupBy (oracle).  The sum re-aggregates partials, so it
-    runs over exact DECIMAL (order-free); max/count are order-free
-    already."""
-    ev = load_table(spark, sf_dir, "events")
-    out = salted_two_phase_agg(
         ev.select(
+            "event_id",
             "event_type",
             "value",
             F.col("value").cast("decimal(18,6)").alias("value_dec"),
         ),
+        type_stats,
+        on="event_type",
+        n_salts=8,
+    )
+    out = salted_two_phase_agg(
+        joined,
         key="event_type",
         agg_exprs={
             "n_events": ("count", None),
             "total_value": ("sum", "value_dec"),
             "max_value": ("max", "value"),
+            "type_avg": ("max", "type_avg"),
         },
         n_salts=16,
     )

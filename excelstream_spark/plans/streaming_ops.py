@@ -13,6 +13,7 @@ value hash.
 
 from __future__ import annotations
 
+import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -20,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from excelstream_spark.plans.catalog import query
 from excelstream_spark.streaming import stateful as ST
 from excelstream_spark.streaming.pipelines import (
+    events_source,
     replayed_events_stream,
     run_available_now,
 )
@@ -93,4 +95,46 @@ def streaming_user_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_seen",
             "last_seen",
         )
+    )
+
+
+@query(
+    "streaming_xlsx_sink",
+    oracle="""
+        SELECT event_id, user_id, event_type, value FROM events
+    """,
+    tags=("streaming", "sink", "xlsx"),
+)
+def streaming_xlsx_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full streaming xlsx SINK path hash-checked end-to-end: the
+    events table streams through readStream (unit-sniffed source), lands
+    in part workbooks via writeStream.format('xlsx') (temp-then-rename
+    commits, AvailableNow), and is read back through the xlsx batch
+    reader — the result must value-hash-equal a plain SELECT of the
+    batch table.  Timestamps are excluded here (Excel serial precision
+    is its own oracle-checked entry, excel_serial_dates); restart/replay
+    idempotence and complete-mode truncation are asserted in
+    tests/test_streaming_stateful.py."""
+    from excelstream_spark.sources.xlsx import register_xlsx
+
+    register_xlsx(spark)
+    stream, _ = events_source(spark, table_path(sf_dir, "events"))
+    out = tempfile.mkdtemp(prefix="esspark_sink_")
+    ckpt = tempfile.mkdtemp(prefix="esspark_sink_ckpt_")
+    q = (
+        stream.select("event_id", "user_id", "event_type", "value")
+        .writeStream.format("xlsx")
+        .option("checkpointLocation", ckpt)
+        .option("path", out)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError("streaming_xlsx_sink did not finish in 180s")
+    return (
+        spark.read.format("xlsx")
+        .schema("event_id long, user_id long, event_type string, value double")
+        .load(out)
     )
