@@ -23,6 +23,11 @@ sustained steady-state throughput, e.g. README.md:519-523's rows/s claims):
   jitter.  The reference's numbers are local-disk on unthrottled hardware.
 * each timed run is a full materialization through the noop sink (no driver
   collect, no caching of the timed DataFrame itself).
+* EVERY timed run's duration is recorded in the output ("runs", plus
+  "n_runs"): round-over-round deltas are decidable as regression vs noise
+  from the artifact alone (round 3 recorded a 3x swing on two legs with
+  identical code — environment contention — and nothing in the JSON could
+  prove it; now the per-run spread does).
 """
 
 from __future__ import annotations
@@ -85,17 +90,24 @@ def main() -> None:
     for t in ("lineitem", "documents", "embeddings", "events"):
         load_table(spark, SF_DIR, t).count()
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
+    N_RUNS = 2
 
     def run(name: str, fn, warm_fn=None) -> None:
         (warm_fn or fn)()  # untimed steady-state warmup (see module docstring)
-        best = None
-        for _ in range(2):  # min of 2: robust to one-off GC/scheduler stalls
+        durs = []
+        for _ in range(N_RUNS):  # min recorded: robust to one-off GC stalls
             t0 = time.perf_counter()
             fn()
-            d = time.perf_counter() - t0
-            best = d if best is None or d < best else best
-        timings[name] = round(best, 3)
-        print(f"  {name}: {timings[name]:.2f}s", file=sys.stderr)
+            durs.append(round(time.perf_counter() - t0, 3))
+        runs[name] = durs
+        timings[name] = min(durs)
+        spread = max(durs) / max(min(durs), 1e-9)
+        print(f"  {name}: {timings[name]:.2f}s (runs={durs})", file=sys.stderr)
+        if spread > 1.5:
+            print(f"    WARNING {name}: {spread:.1f}x run-to-run spread — "
+                  "treat round-over-round deltas on this leg as noise-suspect",
+                  file=sys.stderr)
 
     def noop(df) -> None:
         df.write.format("noop").mode("overwrite").save()
@@ -178,6 +190,18 @@ def main() -> None:
     run("sim_topk_quantized", lambda: noop(topk_quantized(qcorpus, queries, k=10)))
     qcorpus.unpersist()
 
+    # round-4 extension legs (wall-clock accountability for the operators
+    # that joined the driver window this round); kept OUT of the headline
+    # total so "value" stays leg-comparable with BENCH_r02/r03
+    EXTENSION_LEGS = [
+        "dedup_simhash",
+        "components_dedup_clusters",
+        "streaming_xlsx_sink",
+    ]
+    for name in EXTENSION_LEGS:
+        spec = CATALOG[name]
+        run(name, lambda spec=spec: noop(spec.fn(spark, SF_DIR)))
+
     total = round(
         sum(timings[q] for q in HEADLINE)
         + timings["pack_sequences"] + timings["sim_topk_quantized"]
@@ -185,13 +209,17 @@ def main() -> None:
         + timings["csv_write"] + timings["csv_read"],
         3,
     )
+    total_ext = round(total + sum(timings[q] for q in EXTENSION_LEGS), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_total",
                 "value": total,
                 "unit": "sec",
+                "value_with_extension_legs": total_ext,
+                "n_runs": N_RUNS,
                 "queries": timings,
+                "runs": runs,
                 "sf": _sf_from_dir(SF_DIR),
             }
         )

@@ -38,6 +38,29 @@ from excelstream_spark.functions import vectors as VEC
 from excelstream_spark.operators import vectorized as VZ
 from excelstream_spark.partitioning import fan_out
 
+#: DataFrames persisted by the operators below, pending release.  The
+#: persists are load-bearing (the shingle pipeline feeds both sides of a
+#: self-join; ReusedExchange does NOT kick in under AQE here, and the
+#: unpersisted plan measures 2.5x slower) but they must not accumulate
+#: for the life of the session: every catalog query releases its
+#: predecessors' caches via release_persists() (plans/catalog.py), which
+#: also kills the "CacheManager: Asked to cache already cached data"
+#: spam that repeated runs of the same plan produced.
+_SCOPED_PERSISTS: list[DataFrame] = []
+
+
+def _scoped_persist(df: DataFrame) -> DataFrame:
+    _SCOPED_PERSISTS.append(df.persist())
+    return df
+
+
+def release_persists() -> None:
+    """Unpersist every DataFrame cached by dedup operators so far.  Safe
+    to call between queries (a materialized result never needs its
+    intermediate caches again); a subsequent rebuild re-persists."""
+    while _SCOPED_PERSISTS:
+        _SCOPED_PERSISTS.pop().unpersist(blocking=False)
+
 
 def dedup_exact(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
@@ -153,9 +176,9 @@ def dedup_ngram_jaccard(
     # of the shingle pipeline); persisted because BOTH sides of the
     # inverted-index self-join read it — at 100 TB the equivalent is
     # materializing the posting list to storage once.
-    ex = rows.withColumn(
-        "n", F.count(F.lit(1)).over(W.partitionBy("id"))
-    ).persist()
+    ex = _scoped_persist(
+        rows.withColumn("n", F.count(F.lit(1)).over(W.partitionBy("id")))
+    )
     if max_shingle_df is not None:
         keep = ex.groupBy("s").count().filter(F.col("count") <= max_shingle_df)
         ex = ex.join(F.broadcast(keep.select("s")), "s")
@@ -199,7 +222,7 @@ def minhash_signatures(
     persist is the posting-list materialization any minhash pipeline
     does.
     """
-    rows = shingle_rows(df, text_col, id_col, k).persist()
+    rows = _scoped_persist(shingle_rows(df, text_col, id_col, k))
     # shingles are already 64-bit hashes (shingle_rows); derive the
     # num_hashes families directly from them
     mins = rows.groupBy("id").agg(
@@ -239,7 +262,9 @@ def dedup_minhash_lsh(
     Returns (doc_a, doc_b, jaccard[, est_jaccard]).
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, k, num_hashes).cache()
+    sigs = _scoped_persist(
+        minhash_signatures(df, text_col, id_col, k, num_hashes)
+    )
 
     band_entries = sigs.select(
         "id",

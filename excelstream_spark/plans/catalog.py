@@ -73,12 +73,29 @@ def _ordered() -> list[QuerySpec]:
 
 def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):  # decorator
     """Register a catalog query.  ``oracle=None`` marks ops that are not
-    SQL-expressible (the driver falls back to a rows-only check)."""
+    SQL-expressible (the driver falls back to a rows-only check).
+
+    Each registered callable first releases the scoped caches of the
+    PREVIOUS query (operators/dedup.release_persists): the dedup
+    pipelines' persists are load-bearing within one query but must not
+    accumulate across a 50-query correctness sweep or repeated bench
+    runs (memory growth + "already cached" CacheManager spam)."""
 
     def wrap(fn: SparkQuery) -> SparkQuery:
         if name in CATALOG:
             raise ValueError(f"duplicate catalog query: {name}")
-        CATALOG[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "", tags=tags)
+
+        def scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from excelstream_spark.operators.dedup import release_persists
+
+            release_persists()
+            return fn(spark, sf_dir)
+
+        scoped.__name__ = fn.__name__
+        scoped.__doc__ = fn.__doc__
+        CATALOG[name] = QuerySpec(
+            name=name, fn=scoped, oracle=oracle, doc=fn.__doc__ or "", tags=tags
+        )
         return fn
 
     return wrap
