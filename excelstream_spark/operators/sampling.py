@@ -116,18 +116,94 @@ def stratified_sample_exact(
     )
 
 
+#: Above this ``n`` the single-consumer merge of TakeOrderedAndProject
+#: (top-n per partition concentrated onto one consumer) stops being
+#: "tiny" and reservoir_sample_exact switches to the two-pass
+#: threshold plan.  1M rows x ~100 B keys ~ 100 MB merge — a sane knee.
+RESERVOIR_MERGE_MAX = 1_000_000
+
+
 def reservoir_sample_exact(
     df: DataFrame,
     n: int,
     id_col: str = "doc_id",
     seed: int = 0,
+    merge_max: int = RESERVOIR_MERGE_MAX,
 ) -> DataFrame:
     """EXACTLY min(n, |df|) rows, uniform over the input, deterministic —
     the distributed equivalent of reservoir sampling: global top-n by
-    hash(id, seed).  orderBy + limit compiles to TakeOrderedAndProject
-    (per-partition top-n, tiny driver merge) — no full sort
-    materializes."""
-    return df.orderBy(_uniform(id_col, seed).asc(), F.col(id_col).asc()).limit(n)
+    hash(id, seed).
+
+    Two physical plans behind one contract (same selected ROWS either
+    way — both take the n smallest (hash, id) keys):
+
+    * ``n <= merge_max``: orderBy + limit compiles to
+      TakeOrderedAndProject (per-partition top-n, one small merge) — the
+      right plan for eval-set-sized samples.
+    * ``n > merge_max``: TakeOrdered's single-consumer merge would
+      concentrate all n winners, so switch to TWO-PASS THRESHOLD
+      sampling: (1) count the input and keep rows whose uniform hash
+      falls under ``(n/total)*(1 + 5/sqrt(n))`` — a Chernoff margin that
+      over-selects by <1% yet undershoots n with probability ~e^-12;
+      (2) exact-trim the ~n survivors fully distributed: range-partition
+      by the hash (distributed sort), collect only the PER-PARTITION
+      COUNTS (numPartitions integers — the only driver traffic), keep
+      every partition below the cut point whole and head-trim the
+      boundary partition.  No single node ever holds more than one
+      partition of the sample.
+    """
+    u_expr = _uniform(id_col, seed)
+    if n <= merge_max:
+        return df.orderBy(u_expr.asc(), F.col(id_col).asc()).limit(n)
+
+    total = df.count()
+    if n >= total:
+        return df
+    margin = 5.0 / (n ** 0.5)
+    cutoff = min(1.0, (n / total) * (1.0 + margin))
+    ucol = _tmp_name(df, "_u")
+    cand = df.withColumn(ucol, u_expr).where(F.col(ucol) < cutoff)
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    srt = (
+        cand.repartitionByRange(parts, F.col(ucol), F.col(id_col))
+        .sortWithinPartitions(ucol, id_col)
+        # pin the range boundaries: repartitionByRange samples them per
+        # execution, and the counts action below must see the SAME
+        # partitioning the trim reads
+        .localCheckpoint(eager=True)
+    )
+    pid = F.spark_partition_id()
+    counts = sorted(
+        (r["p"], r["c"])
+        for r in srt.groupBy(pid.alias("p")).agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    if sum(c for _, c in counts) < n:
+        # threshold undershot (probability ~e^-12): fall back to the
+        # always-correct sort path rather than return a short sample
+        return df.orderBy(u_expr.asc(), F.col(id_col).asc()).limit(n)
+    cum = 0
+    boundary, boundary_keep = None, 0
+    whole: list[int] = []
+    for p, c in counts:
+        if cum + c <= n:
+            whole.append(p)
+            cum += c
+            if cum == n:
+                break
+        else:
+            boundary, boundary_keep = p, n - cum
+            break
+    keep_whole = srt.where(pid.isin(whole)) if whole else None
+    out = keep_whole
+    if boundary is not None and boundary_keep > 0:
+        head = (
+            srt.where(pid == boundary)
+            .orderBy(ucol, id_col)
+            .limit(boundary_keep)
+        )
+        out = head if out is None else out.unionByName(head)
+    assert out is not None
+    return out.drop(ucol)
 
 
 def seeded_shuffle(

@@ -1,0 +1,88 @@
+"""ZIP-wrapped CSV ingest — reference parity for ``.csv.zip``.
+
+The reference's CsvReader auto-detects ``.csv.zip`` archives, opens the
+ZIP, picks the FIRST ``.csv`` entry (or the first entry if none is named
+``*.csv``) and streams its rows (src/csv_reader.rs:83-138).  Spark's
+built-in CSV source handles gzip/zstd transparently but has no ZIP
+codec, so this module fills exactly that gap:
+
+* ``binaryFile`` scan — one row per archive, distributed per-file (a ZIP
+  is not splittable in ANY engine; parallelism comes from having many
+  archives, which is how zip-wrapped exports arrive in practice);
+* Arrow-batched ``mapInPandas`` extracts the entry IN MEMORY and emits
+  raw text lines (header dropped per-archive when declared);
+* Spark's own JVM ``from_csv`` expression parses every line into the
+  declared schema — delimiter/quote/null handling stay bit-identical to
+  ``spark.read.csv`` instead of re-implementing CSV typing in Python.
+
+Known limit (shared with the reference's line-buffered reader): records
+with QUOTED EMBEDDED NEWLINES span physical lines and are not
+reassembled.  Re-export such data gzip-compressed (the built-in path
+handles it) — at 100 TB ZIP is the wrong container anyway: not
+splittable, central-directory-at-EOF, single-stream inflate.
+"""
+
+from __future__ import annotations
+
+import io
+import zipfile
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_LINES_PER_BATCH = 10_000
+
+
+def _pick_entry(names: list[str]) -> str | None:
+    """Reference entry-selection: first ``*.csv`` member, else the first
+    member (src/csv_reader.rs:96-104)."""
+    for n in names:
+        if n.endswith(".csv"):
+            return n
+    return names[0] if names else None
+
+
+def read_csv_zip(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    header: bool = False,
+    delimiter: str = ",",
+    quote: str = '"',
+) -> DataFrame:
+    """Read ``.csv.zip`` archives at ``path`` (file, directory or glob)
+    into a typed DataFrame.
+
+    ``schema`` is a DDL string (``"a int, b string"``) — required, like
+    the built-in CSV reader with inference disabled; ``header=True``
+    drops the first line of each archive's entry.
+    """
+    raw = spark.read.format("binaryFile").load(path)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for content in pdf["content"]:
+                with zipfile.ZipFile(io.BytesIO(bytes(content))) as z:
+                    entry = _pick_entry(z.namelist())
+                    if entry is None:
+                        continue
+                    text = z.read(entry).decode("utf-8")
+                lines = text.splitlines()
+                if header and lines:
+                    lines = lines[1:]
+                for i in range(0, len(lines), _LINES_PER_BATCH):
+                    yield pd.DataFrame(
+                        {"line": lines[i : i + _LINES_PER_BATCH]}
+                    )
+
+    lines = raw.select("content").mapInPandas(extract, "line string")
+    parsed = lines.select(
+        F.from_csv(
+            F.col("line"),
+            schema,
+            {"delimiter": delimiter, "quote": quote},
+        ).alias("r")
+    )
+    return parsed.select("r.*")

@@ -509,3 +509,31 @@ def test_pack_sequences_invariants_fuzzed(spark):
         }
 
     run()
+
+
+def test_reservoir_two_pass_threshold_path(spark):
+    """Large-n guard: forcing the two-pass threshold plan (merge_max=10)
+    selects the IDENTICAL rows as the TakeOrdered plan, and its physical
+    plan contains no TakeOrderedAndProject over the full input — the
+    per-partition counts are the only driver traffic."""
+    from excelstream_spark.operators.sampling import reservoir_sample_exact
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang")
+    small = reservoir_sample_exact(docs, 120, seed=7)
+    large = reservoir_sample_exact(docs, 120, seed=7, merge_max=10)
+    assert sorted(r["doc_id"] for r in small.collect()) == sorted(
+        r["doc_id"] for r in large.collect()
+    )
+    assert large.count() == 120
+    # schema unchanged (the internal hash column is dropped)
+    assert large.columns == docs.columns
+    plan = large._jdf.queryExecution().executedPlan().toString()
+    # the whole-partition keep side must NOT be a TakeOrdered plan; only
+    # the boundary partition's head-trim may sort-limit (bounded by one
+    # partition), which appears as a local TakeOrdered over the
+    # checkpointed candidates, never over the raw input scan
+    assert "Scan parquet" not in plan.split("TakeOrderedAndProject")[0] or \
+        "TakeOrderedAndProject" not in plan.split("Union")[0]
+
+    # n >= total short-circuits to the input itself
+    assert reservoir_sample_exact(docs, 10**9, merge_max=10).count() == docs.count()

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import gzip
 import io
+import os
 import zipfile
 
 import pytest
@@ -172,3 +173,46 @@ def test_csv_zstd_roundtrip(spark, tmp_path):
     assert files, "expected .csv.zst part files"
     back = spark.read.schema(src.schema).options(header=True).csv(out)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_csv_zip_roundtrip(spark, tmp_path):
+    """S7 parity (reference src/csv_reader.rs:83-138): .csv.zip archives
+    auto-extract — first .csv entry wins, typed parse equals the plain
+    CSV reader on the same data."""
+    from excelstream_spark.sources.csvzip import read_csv_zip
+    from excelstream_spark.tables import load_table
+
+    from .conftest import SF_DIR
+
+    orders = load_table(spark, SF_DIR, "orders").limit(500)
+    plain = str(tmp_path / "plain")
+    orders.coalesce(1).write.options(header=True).csv(plain)
+    import glob as g
+
+    [csv_file] = g.glob(plain + "/*.csv")
+    zdir = str(tmp_path / "zipped")
+    os.makedirs(zdir)
+    with zipfile.ZipFile(f"{zdir}/orders.csv.zip", "w") as z:
+        z.write(csv_file, "orders.csv")
+
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in orders.schema)
+    got = read_csv_zip(spark, zdir, ddl, header=True)
+    want = spark.read.schema(orders.schema).options(header=True).csv(plain)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_csv_zip_entry_selection_and_options(spark, tmp_path):
+    """Multi-entry archives pick the first .csv member (reference
+    semantics); delimiter/quote options flow through to the JVM parser."""
+    from excelstream_spark.sources.csvzip import read_csv_zip
+
+    zdir = str(tmp_path / "z")
+    os.makedirs(zdir)
+    with zipfile.ZipFile(f"{zdir}/multi.csv.zip", "w") as z:
+        z.writestr("README.txt", "not csv")
+        z.writestr("data.csv", 'id|name\n1|"a|b"\n2|plain\n')
+        z.writestr("other.csv", "id|name\n9|nope\n")
+    got = read_csv_zip(
+        spark, zdir, "id int, name string", header=True, delimiter="|"
+    )
+    assert sorted(map(tuple, got.collect())) == [(1, "a|b"), (2, "plain")]
