@@ -78,19 +78,31 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+
+    def _edge_stats(e: DataFrame) -> tuple[int, int]:
+        # one tiny aggregate: the round's only driver traffic.  Two
+        # canonical DISTINCT edge sets are equal iff their (count,
+        # xxhash64-sum) match up to a 2^-64 hash collision — replaces the
+        # two exceptAll set-difference jobs per round (each rescanning
+        # both edge sets) the fixpoint test used to cost.
+        r = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: a bigint sum of 64-bit hashes overflows ANSI
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (r["n"], r["h"])
+
+    prev = _edge_stats(edges)
     for i in range(max_iter):
         after_large = _star_round(edges, large=True)
         after_small = _star_round(after_large, large=False).localCheckpoint(
             eager=True
         )
-        # fixpoint: the edge set stopped changing
-        changed = (
-            after_small.exceptAll(edges).limit(1).count()
-            + edges.exceptAll(after_small).limit(1).count()
-        )
+        cur = _edge_stats(after_small)
         edges = after_small
-        if changed == 0:
+        if cur == prev:  # fixpoint: the edge set stopped changing
             break
+        prev = cur
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
