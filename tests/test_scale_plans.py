@@ -219,3 +219,40 @@ def test_new_operator_plans_shuffle_budget(spark):
 
     shuf_plan = _plan(seeded_shuffle(docs))
     assert shuf_plan.count("Exchange") == 1, shuf_plan[:800]
+
+
+def test_round4_entry_plans_shuffle_budget(spark):
+    """Plan audit for the round-4 catalog entries: the shapes that must
+    survive a 100x scale-up.
+
+    - multimodal_features: frames x features joins BROADCAST (no fact
+      shuffle) and the feature extraction itself adds no exchange;
+    - corpus_sampling_exact: exactly one hash exchange (the stratum
+      window) before the count aggregate;
+    - sim_topk_quantized: one hash exchange (partition-winner merge);
+      the dequantize runs inside the scan projection;
+    - csv.zip ingest: binaryFile scan -> mapInPandas -> from_csv
+      projection, zero exchanges (per-archive parallelism only)."""
+    import os
+    import zipfile as zf
+
+    import excelstream_spark.plans.extension as EXT
+    from excelstream_spark.sources.csvzip import read_csv_zip
+
+    mm_plan = _plan(EXT.multimodal_features(spark, SF_DIR))
+    assert "BroadcastHashJoin" in mm_plan, mm_plan[:800]
+    assert "Exchange hashpartitioning" not in mm_plan, mm_plan[:800]
+
+    samp_plan = _plan(EXT.corpus_sampling_exact(spark, SF_DIR))
+    assert samp_plan.count("Exchange hashpartitioning") <= 2, samp_plan[:1200]
+
+    q_plan = _plan(EXT.sim_topk_quantized(spark, SF_DIR))
+    assert q_plan.count("Exchange hashpartitioning") == 1, q_plan[:1200]
+
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="planzip_")
+    with zf.ZipFile(os.path.join(d, "t.csv.zip"), "w") as z:
+        z.writestr("t.csv", "a,b\n1,x\n")
+    zip_plan = _plan(read_csv_zip(spark, d, "a int, b string", header=True))
+    assert "Exchange" not in zip_plan, zip_plan[:800]
