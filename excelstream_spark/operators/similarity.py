@@ -212,6 +212,21 @@ def lsh_bucket_candidates(
         )
         return F.aggregate(prods, F.lit(0.0), lambda acc, p: acc + p)
 
+    # fail LOUDLY if the data's vector length disagrees with ``dim``:
+    # zip_with pads the short side with nulls, which would silently turn
+    # the dot products (and every bucket) into nulls — the same class of
+    # silent fixture-shift corruption as the round-3 timestamp-unit bug.
+    # Expressed as a filter predicate so column pruning can't drop it.
+    dim_check = F.when(F.size(F.col("v")) == dim, F.lit(True)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"lsh_bucket_candidates: expected dim={dim}, vector has "),
+                F.size(F.col("v")).cast("string"),
+                F.lit(" elements — pass dim= explicitly"),
+            )
+        )
+    )
+
     entries = []
     for t in range(n_tables):
         bucket = F.lit(0).cast("bigint")
@@ -220,7 +235,9 @@ def lsh_bucket_candidates(
                 plane_dot(t, i) > 0, F.lit(1 << i).cast("bigint")
             ).otherwise(F.lit(0).cast("bigint"))
         entries.append(F.struct(F.lit(t).alias("table"), bucket.alias("bucket")))
-    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).filter(
+        dim_check
+    )
     return c.select("id", F.explode(F.array(*entries)).alias("e")).select(
         "id", "e.table", "e.bucket"
     )

@@ -537,3 +537,14 @@ def test_reservoir_two_pass_threshold_path(spark):
 
     # n >= total short-circuits to the input itself
     assert reservoir_sample_exact(docs, 10**9, merge_max=10).count() == docs.count()
+
+
+def test_lsh_dim_mismatch_fails_loudly(spark):
+    """A fixture regeneration that changes embedding dim must ERROR, not
+    silently null out every bucket (zip_with pads with nulls) — the same
+    silent-corruption class as the round-3 timestamp-unit bug."""
+    import pytest
+
+    bad = spark.createDataFrame([(1, [0.1] * 32)], "vec_id long, embedding array<float>")
+    with pytest.raises(Exception, match="expected dim=64"):
+        SIM.lsh_bucket_candidates(bad, n_planes=2, n_tables=2).collect()
