@@ -548,3 +548,65 @@ def test_lsh_dim_mismatch_fails_loudly(spark):
     bad = spark.createDataFrame([(1, [0.1] * 32)], "vec_id long, embedding array<float>")
     with pytest.raises(Exception, match="expected dim=64"):
         SIM.lsh_bucket_candidates(bad, n_planes=2, n_tables=2).collect()
+
+
+def test_chunk_documents_vs_sql_oracle(spark, duck):
+    """Chunk boundaries, overlap carry and clamped tails reproduce
+    exactly in SQL (integer arithmetic both sides)."""
+    from excelstream_spark.operators.chunking import chunk_documents
+
+    from .conftest import assert_matches_oracle
+
+    docs = load_table(spark, SF_DIR, "documents")
+    got = chunk_documents(docs, max_tokens=64, overlap=8)
+    assert_matches_oracle(
+        got,
+        duck,
+        """
+        WITH t AS (SELECT doc_id,
+                          regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+                   FROM documents),
+        c AS (SELECT doc_id, tk,
+                     unnest(generate_series(
+                       0, greatest(1, (len(tk) - 8 + 55) // 56) - 1)) AS i
+              FROM t)
+        SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+               array_to_string(tk[i*56+1 : i*56+64], ' ') AS chunk_text,
+               CAST(least(64, len(tk) - i*56) AS INT) AS n_tokens
+        FROM c
+        """,
+    )
+
+
+def test_chunk_documents_invariants(spark):
+    """Every token is covered, consecutive chunks overlap by exactly
+    `overlap` (except the clamped tail), short docs pass through whole,
+    and the plan has no exchange."""
+    from excelstream_spark.operators.chunking import chunk_documents
+
+    import pytest
+
+    one = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(300))), (2, "short doc")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(one, max_tokens=100, overlap=10).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    # 300 tokens, stride 90: ceil((300-10)/90) = 4 chunks
+    assert [r["chunk_idx"] for r in c1] == [0, 1, 2, 3]
+    assert [r["n_tokens"] for r in c1] == [100, 100, 100, 30]
+    # overlap carry: last 10 tokens of chunk 0 == first 10 of chunk 1
+    assert c1[0]["chunk_text"].split()[90:] == c1[1]["chunk_text"].split()[:10]
+    # coverage: union of chunks == the full token stream
+    assert c1[-1]["chunk_text"].split()[-1] == "t299"
+    assert by_doc[2][0]["chunk_text"] == "short doc"
+    assert by_doc[2][0]["n_tokens"] == 2
+
+    plan = chunk_documents(one)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(one, max_tokens=10, overlap=10)
