@@ -610,3 +610,65 @@ def test_chunk_documents_invariants(spark):
 
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(one, max_tokens=10, overlap=10)
+
+
+def test_quantize_rounding_edges_match_sql(spark, duck):
+    """The int8 codec's cross-engine contract at the adversarial points:
+    exact .5 quotients round HALF-AWAY (SQL round semantics, both
+    signs), amax=0 vectors quantize to zeros with scale 1, and the
+    dequantized float32 values reproduce in SQL bit-for-bit."""
+    import numpy as np
+
+    from excelstream_spark.operators.quantize import (
+        dequantize_expr,
+        quantize_embeddings,
+    )
+
+    vecs = [
+        (1, [127.0, 2.5, -2.5, 0.5, -0.5, 1.0, 0.0, 63.5]),  # scale 1: exact .5s
+        (2, [0.0] * 8),                                        # amax=0 -> scale 1
+        (3, [25.4, -12.7, 6.35, -3.175, 0.1, 0.2, 0.3, 12.7]),  # scale 0.2
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    q = quantize_embeddings(df)
+    got = {
+        r["id"]: [int(b) - 256 if b > 127 else int(b) for b in r["qvec"]]
+        for r in q.collect()
+    }
+    # v=127 -> scale exactly 1.0: 2.5 -> 3, -2.5 -> -3, 0.5 -> 1, -0.5 -> -1
+    assert got[1] == [127, 3, -3, 1, -1, 1, 0, 64]
+    assert got[2] == [0] * 8
+
+    # SQL replay of codes AND dequantized float32 values
+    import pandas as pd
+
+    pdf = pd.DataFrame(vecs, columns=["vec_id", "embedding"])
+    duck.register("qe_edge", pdf)
+    sql = duck.execute(
+        """
+        WITH sc AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) v,
+                 CASE WHEN list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) = 0
+                      THEN 1.0
+                      ELSE list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0
+                 END AS s
+          FROM qe_edge
+        )
+        SELECT vec_id,
+               list_transform(v, x -> CAST(round(x / s) AS BIGINT)) AS codes,
+               list_transform(v, x -> CAST(CAST(round(x / s) AS BIGINT)
+                                           * CAST(s AS FLOAT) AS FLOAT)) AS dq
+        FROM sc
+        """
+    ).fetchdf()
+    sql_codes = {int(r.vec_id): [int(c) for c in r.codes] for r in sql.itertuples()}
+    assert sql_codes == got
+    deq = {
+        r["vec_id"]: [float(x) for x in r["dq"]]
+        for r in q.selectExpr("id as vec_id", "qvec", "scale")
+        .select("vec_id", dequantize_expr().alias("dq"))
+        .collect()
+    }
+    sql_dq = {int(r.vec_id): [float(x) for x in r.dq] for r in sql.itertuples()}
+    for k in deq:
+        assert deq[k] == sql_dq[k], k
