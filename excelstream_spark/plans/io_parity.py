@@ -93,7 +93,10 @@ def excel_serial_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     F1/parse_excel_date semantics incl. the 1900 leap-bug offset), applied
     to every distinct ship date and round-tripped."""
     d = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_shipdate").alias("ts")
+        # defensive cast: a regenerated fixture could flip this column
+        # between DATE and TIMESTAMP (the events.ts unit flipped in
+        # round 3); DuckDB's oracle implicitly promotes DATE the same way
+        F.col("l_shipdate").cast("timestamp").alias("ts")
     ).distinct()
     s = d.withColumn("serial", timestamp_to_excel_serial(F.col("ts")))
     return s.withColumn("back_ts", excel_serial_to_timestamp(F.col("serial")))

@@ -899,7 +899,9 @@ def date_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").alias("yr"),
         F.month("o_orderdate").alias("mo"),
         F.dayofweek("o_orderdate").alias("dow"),
-        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")).alias("due_date"),
+        # explicit timestamp: robust to a fixture flip to DATE (oracle
+        # CASTs to TIMESTAMP; a DATE here would render without time)
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")).cast("timestamp").alias("due_date"),
         F.datediff(day, F.lit("1995-01-01").cast("date")).cast("bigint").alias("days_since_95"),
         F.round(F.sqrt("o_totalprice"), 6).alias("price_sqrt"),
         F.round(F.log(F.col("o_totalprice") + 1), 6).alias("price_ln"),
