@@ -92,13 +92,22 @@ def extract_features(multimodal: DataFrame) -> DataFrame:
     return multimodal.mapInPandas(features, schema=FEATURE_SCHEMA)
 
 
-def sample_frames(multimodal: DataFrame, every_n: int = 2) -> DataFrame:
+def sample_frames(
+    multimodal: DataFrame | None = None,
+    every_n: int = 2,
+    features: DataFrame | None = None,
+) -> DataFrame:
     """Frame-sampling plumbing: explode per-payload frame indices, keep
     every ``every_n``-th.  Frame *extraction* is the stubbed decode; the
     sampled (doc_id, frame_idx) plan is the real Spark shape (explode →
-    downstream per-frame UDFs)."""
-    feats = extract_features(multimodal)
-    return feats.select(
+    downstream per-frame UDFs).  Pass ``features`` (an
+    ``extract_features`` output) to reuse an already-built feature plan
+    instead of decoding the payloads a second time."""
+    if features is None:
+        if multimodal is None:
+            raise ValueError("sample_frames needs multimodal or features")
+        features = extract_features(multimodal)
+    return features.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)).alias("frame_idx"),
     ).filter((F.col("frame_idx") % every_n) == 0)

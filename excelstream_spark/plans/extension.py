@@ -358,10 +358,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     column, metadata struct, batch iterator, explode shape, schema) is
     the real thing and the oracle checks it end-to-end."""
     feats = MM.extract_features(MM.attach_payload(_docs(spark, sf_dir)))
-    frames = feats.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)).alias("frame_idx"),
-    ).filter((F.col("frame_idx") % 2) == 0)
+    frames = MM.sample_frames(every_n=2, features=feats)
     return frames.join(feats, "doc_id")
 
 
