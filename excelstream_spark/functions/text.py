@@ -163,3 +163,24 @@ def bpe_piece_count(col) -> Column:
     """Number of BPE-style pre-token pieces (proxy for LLM token count —
     the budget metric a training-data pipeline filters on)."""
     return F.regexp_count(col, F.lit(BPE_PIECE_PATTERN))
+
+
+#: Cleaning regexes — kept to constructs with identical semantics in Java
+#: regex (Spark) and RE2 (DuckDB) so cleaned output oracle-matches.
+URL_PATTERN = r"https?://[^\s]+"
+TAG_PATTERN = r"<[^>]*>"
+CONTROL_PATTERN = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+
+
+def clean_text(col) -> Column:
+    """Boilerplate cleaning for training corpora: strip URLs, markup
+    tags and control characters, then collapse whitespace.  Order
+    matters (tags may contain URLs); every step is a codegen'd
+    regexp_replace — zero shuffle, scan-speed at any corpus size, and
+    the same regexes run in DuckDB for oracle checks."""
+    out = F.regexp_replace(col, TAG_PATTERN, " ")
+    out = F.regexp_replace(out, URL_PATTERN, " ")
+    # control chars become SPACES (not ""): they separate words in dirty
+    # text, and deleting them would glue the neighbors together
+    out = F.regexp_replace(out, CONTROL_PATTERN, " ")
+    return F.trim(F.regexp_replace(out, r"\s+", " "))

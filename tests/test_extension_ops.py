@@ -672,3 +672,77 @@ def test_quantize_rounding_edges_match_sql(spark, duck):
     sql_dq = {int(r.vec_id): [float(x) for x in r.dq] for r in sql.itertuples()}
     for k in deq:
         assert deq[k] == sql_dq[k], k
+
+
+def test_clean_text_matches_sql_and_semantics(spark, duck):
+    """clean_text: URLs, tags and control chars stripped, whitespace
+    collapsed — byte-identical to the same regexes in DuckDB."""
+    import pandas as pd
+
+    from excelstream_spark.functions.text import clean_text
+
+    rows = [
+        (1, "see https://ex.com/a?b=c&d=e now"),
+        (2, "<div class='x'>hello <b>world</b></div>"),
+        (3, "tab\there\x00null\x07bell  end"),
+        (4, "  already   clean  "),
+        (5, "mixed <a href='https://x.y'>link</a> and http://z.w trailing"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r["c"] for r in df.select("id", clean_text(F.col("text")).alias("c")).collect()}
+    assert got[1] == "see now"
+    assert got[2] == "hello world"
+    assert got[3] == "tab here null bell end"
+    assert got[4] == "already clean"
+    assert got[5] == "mixed link and trailing"
+
+    duck.register("ct_rows", pd.DataFrame(rows, columns=["id", "text"]))
+    sql = duck.execute(r"""
+        SELECT id, trim(regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(text, '<[^>]*>', ' ', 'g'),
+                   'https?://[^\s]+', ' ', 'g'),
+                 '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', ' ', 'g'),
+               '\s+', ' ', 'g')) AS c
+        FROM ct_rows
+    """).fetchdf()
+    assert {int(r.id): r.c for r in sql.itertuples()} == got
+
+
+def test_chunk_documents_property_coverage(spark):
+    """Property: for arbitrary token counts, chunk boundaries tile the
+    document — chunk count matches the ceil formula, every token index
+    is covered, overlap is exact, n_tokens sums telescope."""
+    from hypothesis import given, settings, strategies as st
+
+    from excelstream_spark.operators.chunking import chunk_documents
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=700),
+        max_tokens=st.integers(min_value=2, max_value=120),
+        data=st.data(),
+    )
+    def check(n, max_tokens, data):
+        overlap = data.draw(st.integers(min_value=0, max_value=max_tokens - 1))
+        stride = max_tokens - overlap
+        df = spark.createDataFrame(
+            [(1, " ".join(f"t{i}" for i in range(n)))], "doc_id long, text string"
+        )
+        out = sorted(
+            chunk_documents(df, max_tokens=max_tokens, overlap=overlap).collect(),
+            key=lambda r: r["chunk_idx"],
+        )
+        expect_chunks = max(1, -(-(n - overlap) // stride))
+        assert len(out) == expect_chunks
+        covered = set()
+        for r in out:
+            toks = r["chunk_text"].split()
+            start = r["chunk_idx"] * stride
+            assert toks == [f"t{i}" for i in range(start, min(start + max_tokens, n))]
+            assert r["n_tokens"] == len(toks)
+            covered.update(range(start, start + len(toks)))
+        assert covered == set(range(n))
+
+    check()
