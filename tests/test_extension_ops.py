@@ -746,3 +746,29 @@ def test_chunk_documents_property_coverage(spark):
         assert covered == set(range(n))
 
     check()
+
+
+def test_chunk_then_pack_composition(spark):
+    """The intended pipeline bridge: chunk_documents bounds every sample
+    at max_tokens, so pack_sequences downstream sees zero oversize rows
+    and fills bins to the same budget."""
+    from excelstream_spark.operators.chunking import chunk_documents
+    from excelstream_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, SF_DIR, "documents")
+    chunks = chunk_documents(docs, max_tokens=64, overlap=8).select(
+        F.concat_ws("#", "doc_id", "chunk_idx").alias("sample_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+    packed = pack_sequences(
+        chunks, id_col="sample_id", tokens_col="n_tokens", max_tokens=64
+    )
+    assert packed.filter(F.col("oversize")).count() == 0
+    assert packed.count() == chunks.count()
+    fills = (
+        packed.groupBy("bin_id")
+        .agg(F.sum("n_tokens").alias("fill"))
+        .agg(F.max("fill").alias("mx"))
+        .first()
+    )
+    assert fills["mx"] <= 64
