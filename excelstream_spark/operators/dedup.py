@@ -182,10 +182,19 @@ def dedup_ngram_jaccard(
     if max_shingle_df is not None:
         keep = ex.groupBy("s").count().filter(F.col("count") <= max_shingle_df)
         ex = ex.join(F.broadcast(keep.select("s")), "s")
-    a = ex.select(F.col("id").alias("doc_a"), F.col("n").alias("na"), "s")
-    b = ex.select(F.col("id").alias("doc_b"), F.col("n").alias("nb"), "s")
+    # explicit DataFrame aliases: both sides of the self-join descend from
+    # the same persisted plan, and attribute-based conditions (a.s == b.s)
+    # resolve to the same expression id — correct, but Spark logs a
+    # "trivially true predicate" warning per run; alias-qualified columns
+    # resolve unambiguously and silence it
+    a = ex.select(F.col("id").alias("doc_a"), F.col("n").alias("na"), "s").alias("A")
+    b = ex.select(F.col("id").alias("doc_b"), F.col("n").alias("nb"), "s").alias("B")
     pairs = (
-        a.join(b, (a.s == b.s) & (a.doc_a < b.doc_b))
+        a.join(
+            b,
+            (F.col("A.s") == F.col("B.s"))
+            & (F.col("A.doc_a") < F.col("B.doc_b")),
+        )
         .groupBy("doc_a", "doc_b")
         .agg(
             F.count(F.lit(1)).alias("inter"),
