@@ -875,8 +875,16 @@ class XlsxArrowWriter(XlsxWriter, DataSourceArrowWriter):
         return XlsxCommitMessage(file=target, rows=n)
 
 
+#: sessions that already registered the xlsx format — re-registering
+#: works but logs a "data source xlsx replaced" WARN per call (the sink
+#: entry and repeated bench runs would spam it)
+_REGISTERED_SESSIONS: set[int] = set()
+
+
 def register_xlsx(spark) -> None:
     """Idempotently register the xlsx format on this session."""
+    if id(spark) in _REGISTERED_SESSIONS:
+        return
     # the reader implements pushFilters(), which Spark REJECTS (hard
     # error, not a fallback) unless this conf is on — set it here so a
     # caller-provided bare session works, not just our get_spark ones
@@ -886,6 +894,7 @@ def register_xlsx(spark) -> None:
         pass
     try:
         spark.dataSource.register(XlsxDataSource)
+        _REGISTERED_SESSIONS.add(id(spark))
     except Exception as e:  # already registered is fine
         if "already" not in str(e).lower():
             raise
