@@ -48,8 +48,13 @@ def chunk_documents(
             f"max_tokens={max_tokens}"
         )
     stride = max_tokens - overlap
+    # NULL text tokenizes to a null array, which would otherwise produce
+    # a phantom full-size chunk (least(max_tokens, null) = max_tokens);
+    # treat it as empty text: one empty chunk, n_tokens counts the one
+    # empty token exactly like every other text operator's tokenizer
     toks = df.select(
-        F.col(id_col).alias("doc_id"), TXT.tokens(F.col(text_col)).alias("tk")
+        F.col(id_col).alias("doc_id"),
+        TXT.tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("tk"),
     )
     n = F.size("tk")
     # ceil((n - overlap) / stride) in exact integer arithmetic; >= 1

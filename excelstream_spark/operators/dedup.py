@@ -356,12 +356,22 @@ def simhash_signatures(
         so signatures are recomputable by the SQL oracle cross-engine.
     """
     df = fan_out(df)
+    # explode_OUTER: a NULL text column yields a null token array, which
+    # plain explode would DROP — losing the document from the output (the
+    # previous lambda formulation emitted signature 0 for it).  The
+    # null-token row's hash is kept null, every vote lands on -1, and the
+    # signature assembles to 0 — byte-equal with the old behavior.
     tok_rows = df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(TXT.tokens(F.col(text_col)))).alias("tok"),
+        F.explode_outer(F.array_distinct(TXT.tokens(F.col(text_col)))).alias("tok"),
     )
     if hash_fn == "xxhash64":
-        hashed = tok_rows.select("id", F.xxhash64("tok").alias("hl"))
+        # guard: xxhash64(NULL) returns the SEED (42), not null — hash
+        # only real tokens so null-text docs vote all -1 -> signature 0
+        hashed = tok_rows.select(
+            "id",
+            F.when(F.col("tok").isNotNull(), F.xxhash64("tok")).alias("hl"),
+        )
 
         def bit(b: int):
             return F.shiftrightunsigned(F.col("hl"), b).bitwiseAND(

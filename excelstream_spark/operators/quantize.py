@@ -79,7 +79,17 @@ def quantize_embeddings(
             amax = np.abs(M64).max(axis=1)
             scale64 = np.where(amax == 0.0, 1.0, amax / 127.0)
             q64 = M64 / scale64[:, None]
-            q = (np.sign(q64) * np.floor(np.abs(q64) + 0.5)).astype(np.int8)
+            # half-away rounding via an EXACT fractional-part test:
+            # abs(q) - floor(abs(q)) is exact in binary64, so comparing
+            # it to 0.5 reproduces SQL round() bit-for-bit.  (floor(x +
+            # 0.5) is NOT equivalent: at x = 0.49999999999999994 the
+            # addition rounds up to 1.0 and over-rounds, diverging from
+            # the oracle at the 0.5-minus-1-ulp boundary.)
+            aq = np.abs(q64)
+            fl = np.floor(aq)
+            q = (np.sign(q64) * np.where(aq - fl >= 0.5, fl + 1.0, fl)).astype(
+                np.int8
+            )
             norms = np.linalg.norm(M, axis=1).astype(np.float32)
             yield pd.DataFrame(
                 {

@@ -358,8 +358,19 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     column, metadata struct, batch iterator, explode shape, schema) is
     the real thing and the oracle checks it end-to-end."""
     feats = MM.extract_features(MM.attach_payload(_docs(spark, sf_dir)))
-    frames = MM.sample_frames(every_n=2, features=feats)
-    return frames.join(feats, "doc_id")
+    # joinless: exploding ON the feature rows keeps the decode to ONE
+    # mapInPandas pass (a frames-x-feats join would re-evaluate the
+    # decode subtree on both branches)
+    return feats.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)).alias("frame_idx"),
+        "modality",
+        "byte_len",
+        "content_md5",
+        "width",
+        "height",
+        "n_frames",
+    ).filter((F.col("frame_idx") % 2) == 0)
 
 
 @query(

@@ -98,6 +98,22 @@ def streaming_user_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: scratch dirs from PRIOR streaming_xlsx_sink invocations — each run
+#: leaves a full xlsx copy of the events table plus checkpoint state,
+#: and /tmp is tmpfs (RAM) here, so repeated bench/gate runs would
+#: accumulate unboundedly.  The previous run's result is already
+#: materialized by the time the next run starts (the same assumption
+#: dedup.release_persists makes), so clean eagerly at entry.
+_SINK_SCRATCH: list[str] = []
+
+
+def _sweep_sink_scratch() -> None:
+    import shutil
+
+    while _SINK_SCRATCH:
+        shutil.rmtree(_SINK_SCRATCH.pop(), ignore_errors=True)
+
+
 @query(
     "streaming_xlsx_sink",
     oracle="""
@@ -118,9 +134,11 @@ def streaming_xlsx_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     from excelstream_spark.sources.xlsx import register_xlsx
 
     register_xlsx(spark)
+    _sweep_sink_scratch()
     stream, _ = events_source(spark, table_path(sf_dir, "events"))
     out = tempfile.mkdtemp(prefix="esspark_sink_")
     ckpt = tempfile.mkdtemp(prefix="esspark_sink_ckpt_")
+    _SINK_SCRATCH.extend([out, ckpt])
     q = (
         stream.select("event_id", "user_id", "event_type", "value")
         .writeStream.format("xlsx")

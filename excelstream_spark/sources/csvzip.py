@@ -58,8 +58,17 @@ def read_csv_zip(
     ``schema`` is a DDL string (``"a int, b string"``) — required, like
     the built-in CSV reader with inference disabled; ``header=True``
     drops the first line of each archive's entry.
+
+    Only ``*.zip`` files are read (the reference's extension-based
+    auto-detect): real directories carry ``_SUCCESS`` markers, checksum
+    files and plain CSVs next to the archives, and feeding those to the
+    ZIP parser would fail the whole job.
     """
-    raw = spark.read.format("binaryFile").load(path)
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.zip")
+        .load(path)
+    )
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

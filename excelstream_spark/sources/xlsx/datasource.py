@@ -875,15 +875,15 @@ class XlsxArrowWriter(XlsxWriter, DataSourceArrowWriter):
         return XlsxCommitMessage(file=target, rows=n)
 
 
-#: sessions that already registered the xlsx format — re-registering
-#: works but logs a "data source xlsx replaced" WARN per call (the sink
-#: entry and repeated bench runs would spam it)
-_REGISTERED_SESSIONS: set[int] = set()
-
-
 def register_xlsx(spark) -> None:
-    """Idempotently register the xlsx format on this session."""
-    if id(spark) in _REGISTERED_SESSIONS:
+    """Idempotently register the xlsx format on this session.
+
+    Re-registering works but logs a "data source xlsx replaced" WARN per
+    call (the sink entry and repeated bench runs would spam it).  The
+    marker lives ON the session object — an id()-keyed set would both
+    leak entries and mistake a new session allocated at a recycled
+    address for an already-registered one."""
+    if getattr(spark, "_esspark_xlsx_registered", False):
         return
     # the reader implements pushFilters(), which Spark REJECTS (hard
     # error, not a fallback) unless this conf is on — set it here so a
@@ -894,7 +894,7 @@ def register_xlsx(spark) -> None:
         pass
     try:
         spark.dataSource.register(XlsxDataSource)
-        _REGISTERED_SESSIONS.add(id(spark))
+        spark._esspark_xlsx_registered = True
     except Exception as e:  # already registered is fine
         if "already" not in str(e).lower():
             raise

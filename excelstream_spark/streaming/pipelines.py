@@ -54,6 +54,29 @@ def _ts_is_nanos(path: str) -> bool:
     return "ts" in _nanos_timestamp_columns(path)
 
 
+def _open_events_stream(
+    spark: SparkSession, monitor_dir: str, probe_file: str, **options
+) -> DataFrame:
+    """THE single unit-sniffed stream opener — every events stream source
+    goes through here so a future fixture-unit flip is a one-place fix
+    (the round-3 regression existed precisely because this branch pair
+    lived in two places and only one was updated)."""
+    if _ts_is_nanos(probe_file):
+        raw = spark.readStream.schema(EVENTS_SCHEMA_NANOS)
+        for k, v in options.items():
+            raw = raw.option(k, v)
+        # integer division (not float) — nanos exceed double's 2^53
+        return raw.parquet(monitor_dir).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    raw = spark.readStream.schema(EVENTS_SCHEMA)
+    for k, v in options.items():
+        raw = raw.option(k, v)
+    return raw.parquet(monitor_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+
+
 def events_source(spark: SparkSession, path: str) -> tuple[DataFrame, str]:
     """Build a unit-correct streaming source over events parquet.
 
@@ -70,14 +93,7 @@ def events_source(spark: SparkSession, path: str) -> tuple[DataFrame, str]:
         probe, path = path, link_dir
     else:
         probe = path
-    if _ts_is_nanos(probe):
-        raw = spark.readStream.schema(EVENTS_SCHEMA_NANOS).parquet(path)
-        # integer division (not float) — nanos exceed double's 2^53
-        df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    else:
-        raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
-        df = raw.withColumn("ts", F.col("ts").cast("timestamp"))
-    return df, path
+    return _open_events_stream(spark, path, probe), path
 
 
 def events_stream(spark: SparkSession, path: str) -> DataFrame:
@@ -102,19 +118,7 @@ def replayed_events_stream(
     d = link_dir or tempfile.mkdtemp(prefix="esspark_replay_")
     for i in range(copies):
         os.symlink(src_file, os.path.join(d, f"batch{i + 1}.parquet"))
-    if _ts_is_nanos(src_file):
-        raw = (
-            spark.readStream.schema(EVENTS_SCHEMA_NANOS)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(d)
-        )
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(d)
-    )
-    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return _open_events_stream(spark, d, src_file, maxFilesPerTrigger=1)
 
 
 def hourly_windowed_counts(

@@ -772,3 +772,22 @@ def test_chunk_then_pack_composition(spark):
         .first()
     )
     assert fills["mx"] <= 64
+
+
+def test_sample_frames_operator(spark):
+    """sample_frames: every 2nd frame index per payload, reusing a
+    prebuilt features plan (no second decode)."""
+    from excelstream_spark.operators import multimodal as MM
+
+    docs = load_table(spark, SF_DIR, "documents").limit(30)
+    mm = MM.attach_payload(docs)
+    feats = MM.extract_features(mm)
+    frames = MM.sample_frames(every_n=2, features=feats)
+    got = {}
+    for r in frames.collect():
+        got.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    for r in feats.collect():
+        expect = list(range(0, r["n_frames"], 2))
+        assert sorted(got[r["doc_id"]]) == expect
+    # convenience path (no features): same result
+    assert frames.count() == MM.sample_frames(mm, every_n=2).count()
