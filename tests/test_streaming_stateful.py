@@ -386,3 +386,49 @@ def test_xlsx_streaming_loop_source_to_sink(spark, tmp_path):
     assert all(os.path.basename(f).startswith("batch-")
                for f in g.glob(out + "/*.xlsx"))
     assert not g.glob(out + "/.tmp-*")  # commit swept its temps
+
+
+def test_user_tracker_across_distinct_batches(spark, tmp_path):
+    """State merges across genuinely DIFFERENT micro-batches (the replay
+    tests use identical ones): per-user totals and first/last_seen must
+    equal the batch aggregate of the union."""
+    import pandas as pd
+
+    d = str(tmp_path / "batches")
+    os.makedirs(d)
+    b1 = pd.DataFrame({
+        "event_id": [1, 2, 3],
+        "ts": pd.to_datetime(["2024-01-01 10:00", "2024-01-01 11:00", "2024-01-01 12:00"]),
+        "user_id": [7, 7, 8],
+        "event_type": ["a", "b", "a"],
+        "value": [1.5, 2.5, 10.0],
+        "props": ["{}"] * 3,
+    })
+    b2 = pd.DataFrame({
+        "event_id": [4, 5],
+        "ts": pd.to_datetime(["2024-01-01 09:00", "2024-01-01 13:00"]),  # earlier AND later
+        "user_id": [7, 8],
+        "event_type": ["c", "b"],
+        "value": [4.0, 20.0],
+        "props": ["{}"] * 2,
+    })
+    b1.to_parquet(f"{d}/b1.parquet", index=False)
+    b2.to_parquet(f"{d}/b2.parquet", index=False)
+
+    from excelstream_spark.streaming.pipelines import _open_events_stream
+
+    stream = _open_events_stream(spark, d, f"{d}/b1.parquet", maxFilesPerTrigger=1)
+    out = run_available_now(
+        ST.user_activity_tracker(stream), "t_tracker_distinct", output_mode="update"
+    )
+    final = (
+        out.toPandas().sort_values(["user_id", "n_events"]).groupby("user_id").tail(1)
+    ).set_index("user_id")
+    assert final.loc[7, "n_events"] == 3
+    assert abs(final.loc[7, "total_value"] - 8.0) < 1e-9
+    # first_seen comes from batch-2's EARLIER event (out-of-order arrival)
+    assert str(final.loc[7, "first_seen"]) == "2024-01-01 09:00:00"
+    assert str(final.loc[7, "last_seen"]) == "2024-01-01 11:00:00"
+    assert final.loc[8, "n_events"] == 2
+    assert str(final.loc[8, "first_seen"]) == "2024-01-01 12:00:00"
+    assert str(final.loc[8, "last_seen"]) == "2024-01-01 13:00:00"
