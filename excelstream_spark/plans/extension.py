@@ -172,7 +172,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH toks AS (
           SELECT doc_id,
                  unnest(list_distinct(
-                   regexp_split_to_array(trim(lower(text)), '\\s+'))) AS tok
+                   regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+'))) AS tok
           FROM documents
         ),
         hashed AS (
@@ -213,9 +213,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     is identical across engines; the ORACLE recomputes every signature
     from scratch in SQL (tokenize -> per-bit votes -> sign assembly) and
     brute-forces the hamming pairs.  The banding mechanics at looser
-    thresholds (approximate recall) stay covered by unit tests."""
+    thresholds (approximate recall) stay covered by unit tests.
+
+    NULL text is coalesced to '' on BOTH sides before tokenizing: the
+    Spark operator keeps null-text docs (explode_outer -> signature 0)
+    while DuckDB's unnest of a NULL token list yields zero rows and
+    would silently drop them from sigs — an asymmetry that only bites
+    when the regenerated fixture contains null texts.  With coalesce,
+    both engines tokenize '' to [''] (split of empty string) and hash
+    md5('') identically, so null/empty docs carry the same well-defined
+    signature on both sides."""
     return DD.dedup_simhash(
-        _docs(spark, sf_dir), max_hamming=3, hash_fn="md5"
+        _docs(spark, sf_dir).withColumn("text", F.coalesce("text", F.lit(""))),
+        max_hamming=3,
+        hash_fn="md5",
     )
 
 

@@ -59,7 +59,7 @@ def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT user_id,
                2 * count(*) AS n_events,
-               round(2 * sum(value), 2) AS total_value_r,
+               CAST(2 * sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
                min(ts) AS first_seen,
                max(ts) AS last_seen
         FROM events
@@ -72,9 +72,12 @@ def streaming_user_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduced to each user's FINAL state (the feature-store upsert view of
     the update-mode history).  The oracle is the doubled batch aggregate:
     n_events = 2x the batch count, total_value = 2x the batch sum
-    (rounded to absorb summation-order ulps), first/last_seen = the batch
-    min/max event time — so the state machine's timestamps are now
-    hash-checked, not just counted."""
+    compared EXACTLY — the tracker accumulates integer micro-units
+    (order-independent, see streaming/stateful.py _TRACKER_STATE) so its
+    double equals the oracle's exact-DECIMAL(18,6) sum bit-for-bit; no
+    rounding guard, hence no .005-boundary flake when the fixture is
+    regenerated — first/last_seen = the batch min/max event time, so the
+    state machine's timestamps are hash-checked, not just counted."""
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
@@ -91,7 +94,7 @@ def streaming_user_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             "n_events",
-            F.round("total_value", 2).alias("total_value_r"),
+            "total_value",
             "first_seen",
             "last_seen",
         )

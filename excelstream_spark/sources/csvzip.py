@@ -15,11 +15,14 @@ codec, so this module fills exactly that gap:
   declared schema — delimiter/quote/null handling stay bit-identical to
   ``spark.read.csv`` instead of re-implementing CSV typing in Python.
 
-Known limit (shared with the reference's line-buffered reader): records
-with QUOTED EMBEDDED NEWLINES span physical lines and are not
-reassembled.  Re-export such data gzip-compressed (the built-in path
-handles it) — at 100 TB ZIP is the wrong container anyway: not
-splittable, central-directory-at-EOF, single-stream inflate.
+Records with QUOTED EMBEDDED NEWLINES are reassembled by a quote-aware
+record splitter (RFC-4180 doubled-quote escaping keeps quote parity
+even, so an odd running count of quote chars means the record continues
+on the next physical line) — this EXCEEDS the reference, whose
+line-buffered reader splits such records (src/csv_reader.rs:197-252).
+Backslash-escaped quotes (a non-RFC dialect) are out of scope.  At
+100 TB ZIP remains the wrong container regardless: not splittable,
+central-directory-at-EOF, single-stream inflate.
 """
 
 from __future__ import annotations
@@ -37,11 +40,53 @@ _LINES_PER_BATCH = 10_000
 
 def _pick_entry(names: list[str]) -> str | None:
     """Reference entry-selection: first ``*.csv`` member, else the first
-    member (src/csv_reader.rs:96-104)."""
-    for n in names:
+    member (src/csv_reader.rs:96-104) — applied to DATA members only.
+    ``namelist()`` also returns directory entries and macOS resource-fork
+    metadata (``__MACOSX/._data.csv`` ends in ``.csv``!); selecting one
+    of those would feed AppleDouble bytes into ``from_csv`` as null rows.
+    """
+    data = [
+        n
+        for n in names
+        if not n.endswith("/")
+        and not n.startswith("__MACOSX/")
+        and not n.rsplit("/", 1)[-1].startswith("._")
+    ]
+    for n in data:
         if n.endswith(".csv"):
             return n
-    return names[0] if names else None
+    return data[0] if data else None
+
+
+def _split_records(text: str, quote: str) -> list[str]:
+    """Split CSV text into RECORDS, not physical lines: a newline inside
+    an open quoted field does not terminate the record.  Tracks the
+    running parity of quote characters per record — RFC-4180 escaping
+    doubles the quote (``""``), which adds 2 and preserves parity, so an
+    odd count means "inside a quoted field, keep accumulating".  A
+    record-terminating ``\\r`` (from CRLF endings) is stripped; ``\\r\\n``
+    sequences INSIDE a quoted field are data and kept verbatim.
+    """
+    if not quote or quote not in text:
+        return text.splitlines()
+    records: list[str] = []
+    buf: list[str] = []
+    open_q = 0
+    for line in text.split("\n"):
+        open_q ^= line.count(quote) & 1
+        buf.append(line)
+        if not open_q:
+            rec = "\n".join(buf)
+            records.append(rec[:-1] if rec.endswith("\r") else rec)
+            buf = []
+    if buf:  # unterminated quote at EOF — emit as-is, the parser decides
+        rec = "\n".join(buf)
+        records.append(rec[:-1] if rec.endswith("\r") else rec)
+    # drop the empty artifact of splitting a trailing final newline
+    # (splitlines() compatibility); interior blank lines remain records
+    if records and records[-1] == "" and text.endswith("\n"):
+        records.pop()
+    return records
 
 
 def read_csv_zip(
@@ -78,7 +123,7 @@ def read_csv_zip(
                     if entry is None:
                         continue
                     text = z.read(entry).decode("utf-8")
-                lines = text.splitlines()
+                lines = _split_records(text, quote)
                 if header and lines:
                     lines = lines[1:]
                 for i in range(0, len(lines), _LINES_PER_BATCH):

@@ -898,3 +898,7 @@ def register_xlsx(spark) -> None:
     except Exception as e:  # already registered is fine
         if "already" not in str(e).lower():
             raise
+        # someone registered xlsx on this session outside this helper —
+        # still mark it, or every later call would re-attempt and the
+        # WARN-spam suppression would never engage for this session
+        spark._esspark_xlsx_registered = True

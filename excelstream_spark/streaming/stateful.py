@@ -122,10 +122,18 @@ TRACKER_OUTPUT = StructType(
     ]
 )
 
+#: ``total`` is accumulated as int64 MICRO-units (value * 1e6, rounded),
+#: not a running double: integer accumulation is order-independent and
+#: drift-free over an unbounded stream, so the emitted total is exact for
+#: inputs with <= 6 decimal digits regardless of micro-batch boundaries —
+#: and it matches an exact-DECIMAL(18,6) batch sum bit-for-bit, which is
+#: what lets the catalog oracle compare it without a rounding guard (a
+#: round(x, 2) comparison is NOT boundary-safe when the true sum sits at
+#: a .005 tie; summation-order ulps flip the rounded digit).
 _TRACKER_STATE = StructType(
     [
         StructField("n", LongType()),
-        StructField("total", DoubleType()),
+        StructField("total_micros", LongType()),
         StructField("first_us", LongType()),
         StructField("last_us", LongType()),
     ]
@@ -140,26 +148,34 @@ def _tracker_fn(
     if state.hasTimedOut:
         state.remove()
         return
-    n, total, first_us, last_us = (
-        state.get if state.exists else (0, 0.0, None, None)
+    n, total_micros, first_us, last_us = (
+        state.get if state.exists else (0, 0, None, None)
     )
     for pdf in pdfs:
         if len(pdf) == 0:
             continue
         n += len(pdf)
-        total += float(pdf["value"].sum())
+        # per-event quantization to micro-units, THEN integer sum: exact
+        # and order-independent (see _TRACKER_STATE).  Ties (a value*1e6
+        # landing exactly on .5) cannot occur for the <= 2-decimal inputs
+        # this tracks; nearest-int agrees with a DECIMAL(18,6) cast.
+        vals = pdf["value"].to_numpy()
+        total_micros += int((vals * 1e6).round().astype("int64").sum())
         ts_us = (pdf["ts"].astype("int64") // 1000).astype("int64")
         lo, hi = int(ts_us.min()), int(ts_us.max())
         first_us = lo if first_us is None else min(first_us, lo)
         last_us = hi if last_us is None else max(last_us, hi)
-    state.update((n, total, first_us, last_us))
+    state.update((n, total_micros, first_us, last_us))
     # watermark-based TTL bounds state size; see _dedup_fn for rationale
     state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + _TRACKER_TTL_MS)
     yield pd.DataFrame(
         {
             "user_id": [int(key[0])],
             "n_events": [n],
-            "total_value": [total],
+            # exact: int / 1e6 is one correctly-rounded IEEE division of
+            # two exactly-representable operands -> the same double DuckDB
+            # produces casting the exact DECIMAL(18,6) sum to DOUBLE
+            "total_value": [total_micros / 1e6],
             "first_seen": [pd.Timestamp(first_us, unit="us")],
             "last_seen": [pd.Timestamp(last_us, unit="us")],
         }

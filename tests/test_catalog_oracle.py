@@ -11,6 +11,7 @@ import excelstream_spark.plans.io_parity  # noqa: F401
 import excelstream_spark.plans.streaming_ops  # noqa: F401
 import excelstream_spark.plans.scale  # noqa: F401
 from excelstream_spark.plans.catalog import CATALOG
+from excelstream_spark.tables import table_path
 
 from .conftest import SF_DIR, assert_matches_oracle
 
@@ -31,3 +32,48 @@ def test_rows_only_runs(spark, name):
     df = spec.fn(spark, SF_DIR)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_simhash_null_text_parity(spark, tmp_path):
+    """Regression for the NULL-text oracle asymmetry: Spark's explode_outer
+    keeps null-text docs while DuckDB's unnest of a NULL token list drops
+    them.  Both sides now coalesce(text, '') first, so a fixture that
+    grows null texts (the driver regenerates fixtures between rounds, and
+    FIXTURES.md declares columns nullable) cannot split the engines.  The
+    injected rows — two NULL texts and one whitespace-only text — all
+    tokenize to [''] on both engines and must pair up identically."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(table_path(SF_DIR, "documents"))
+    extra = pa.table(
+        {
+            "doc_id": pa.array([900001, 900002, 900003], pa.int64()),
+            "text": pa.array([None, None, "   "], pa.string()),
+            "lang": pa.array(["en", "en", "en"], pa.string()),
+            "source": pa.array(["null-fixture"] * 3, pa.string()),
+            "n_chars": pa.array([0, 0, 3], pa.int64()),
+        }
+    )
+    merged = pa.concat_tables(
+        [src.select(extra.column_names), extra], promote_options="none"
+    )
+    out = tmp_path / "documents.parquet"
+    pq.write_table(merged, str(out))
+
+    spec = CATALOG["dedup_simhash"]
+    df = spec.fn(spark, str(tmp_path))
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{out}')"
+        )
+        assert_matches_oracle(df, con, spec.oracle)
+        # the injected docs must be PRESENT (all three share the
+        # empty-token signature -> 3 hamming-0 pairs among them)
+        injected = df.filter("doc_a >= 900001").count()
+        assert injected == 3
+    finally:
+        con.close()

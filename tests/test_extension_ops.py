@@ -528,12 +528,23 @@ def test_reservoir_two_pass_threshold_path(spark):
     # schema unchanged (the internal hash column is dropped)
     assert large.columns == docs.columns
     plan = large._jdf.queryExecution().executedPlan().toString()
-    # the whole-partition keep side must NOT be a TakeOrdered plan; only
-    # the boundary partition's head-trim may sort-limit (bounded by one
-    # partition), which appears as a local TakeOrdered over the
-    # checkpointed candidates, never over the raw input scan
-    assert "Scan parquet" not in plan.split("TakeOrderedAndProject")[0] or \
-        "TakeOrderedAndProject" not in plan.split("Union")[0]
+    # Direct plan-shape assertions (a disjunctive substring check here
+    # previously passed vacuously):
+    # 1. The two-pass output reads ONLY the checkpointed candidates —
+    #    zero parquet scans, so it cannot have silently compiled back to
+    #    a global TakeOrdered over the raw input.
+    assert "Scan parquet" not in plan, plan
+    assert "ExistingRDD" in plan, plan  # the localCheckpoint scan
+    # 2. At most ONE TakeOrderedAndProject: the boundary head-trim,
+    #    which is bounded by a single partition of candidates.  The
+    #    whole-partition keep side is a plain partition-id filter.
+    assert plan.count("TakeOrderedAndProject") <= 1, plan
+    assert "SPARK_PARTITION_ID" in plan, plan
+    # 3. Sanity of the dichotomy: the small-n path IS the TakeOrdered
+    #    plan over the raw scan.
+    small_plan = small._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in small_plan, small_plan
+    assert "Scan parquet" in small_plan, small_plan
 
     # n >= total short-circuits to the input itself
     assert reservoir_sample_exact(docs, 10**9, merge_max=10).count() == docs.count()

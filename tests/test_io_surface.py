@@ -216,3 +216,68 @@ def test_csv_zip_entry_selection_and_options(spark, tmp_path):
         spark, zdir, "id int, name string", header=True, delimiter="|"
     )
     assert sorted(map(tuple, got.collect())) == [(1, "a|b"), (2, "plain")]
+
+
+def test_csv_zip_skips_macos_metadata_members(spark, tmp_path):
+    """zipfile.namelist() includes directory entries and macOS
+    resource-fork members; '__MACOSX/._data.csv' ends in '.csv' and can
+    sort first — selecting it would feed AppleDouble bytes to the
+    parser.  Only real data members are eligible."""
+    from excelstream_spark.sources.csvzip import _pick_entry, read_csv_zip
+
+    assert (
+        _pick_entry(["__MACOSX/._data.csv", "sub/", "sub/data.csv"])
+        == "sub/data.csv"
+    )
+    assert _pick_entry(["dir/", "._hidden.csv", "notes.txt"]) == "notes.txt"
+    assert _pick_entry(["__MACOSX/", "__MACOSX/._x.csv"]) is None
+
+    zdir = str(tmp_path / "z")
+    os.makedirs(zdir)
+    with zipfile.ZipFile(f"{zdir}/mac.csv.zip", "w") as z:
+        z.writestr("__MACOSX/._data.csv", "\x00\x05\x16\x07garbage")
+        z.writestr("data/", "")
+        z.writestr("data/data.csv", "id,name\n1,ok\n")
+    got = read_csv_zip(spark, zdir, "id int, name string", header=True)
+    assert got.collect() == [(1, "ok")]
+
+
+def test_csv_zip_quoted_embedded_newlines(spark, tmp_path):
+    """Records whose quoted fields span physical lines are reassembled
+    (quote-parity splitter) — this EXCEEDS the reference's line-buffered
+    reader (src/csv_reader.rs:197-252).  The zip read must equal the
+    built-in multiLine CSV reader on the identical uncompressed bytes."""
+    from excelstream_spark.sources.csvzip import _split_records, read_csv_zip
+
+    # unit: parity splitter (doubled-quote escapes, CRLF, blank lines)
+    assert _split_records('a,"x\ny",b\nc,d,e\n', '"') == ['a,"x\ny",b', "c,d,e"]
+    assert _split_records('a,"he said ""hi""",z\n', '"') == [
+        'a,"he said ""hi""",z'
+    ]
+    assert _split_records('1,"x\r\ny"\r\n2,z\r\n', '"') == ['1,"x\r\ny"', "2,z"]
+    assert _split_records("a,b\n\nc,d\n", '"') == ["a,b", "", "c,d"]
+    assert _split_records('1,"open\nnever closed', '"') == [
+        '1,"open\nnever closed'
+    ]
+
+    csv_text = (
+        "id,name,note\n"
+        '1,"multi\nline value","with ""quotes"" too"\n'
+        "2,plain,simple\n"
+        '3,"trailing\nnewline\ninside",last\n'
+    )
+    plain = tmp_path / "plain.csv"
+    plain.write_text(csv_text)
+    zdir = str(tmp_path / "z")
+    os.makedirs(zdir)
+    with zipfile.ZipFile(f"{zdir}/nl.csv.zip", "w") as z:
+        z.writestr("nl.csv", csv_text)
+
+    ddl = "id int, name string, note string"
+    got = read_csv_zip(spark, zdir, ddl, header=True)
+    want = spark.read.schema(ddl).options(header=True, multiLine=True).csv(
+        str(plain)
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
