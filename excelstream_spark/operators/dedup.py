@@ -57,9 +57,20 @@ def _scoped_persist(df: DataFrame) -> DataFrame:
 def release_persists() -> None:
     """Unpersist every DataFrame cached by dedup operators so far.  Safe
     to call between queries (a materialized result never needs its
-    intermediate caches again); a subsequent rebuild re-persists."""
+    intermediate caches again); a subsequent rebuild re-persists.
+
+    BLOCKING on purpose: with ``blocking=False`` the block deletion is
+    queued while the next run immediately re-persists the SAME logical
+    plan, so two+ copies of the shingle/signature caches coexist until
+    the async delete lands — under repeated back-to-back runs storage
+    memory fills with stale copies and intermittent 2.5-4x stalls appear
+    (measured on the minhash bench leg: runs of [2.7..3.9]s with
+    recurring 7-11s outliers async, [2.8..3.9]s with no outliers
+    blocking).  The synchronous wait itself is milliseconds (a handful
+    of blocks); paying it deterministically at query entry beats paying
+    an eviction storm mid-query."""
     while _SCOPED_PERSISTS:
-        _SCOPED_PERSISTS.pop().unpersist(blocking=False)
+        _SCOPED_PERSISTS.pop().unpersist(blocking=True)
 
 
 def dedup_exact(

@@ -2,12 +2,20 @@
 columns + typed metadata structs, processed with Arrow-batched
 ``mapInPandas`` UDFs.
 
-The decode step is the only part that needs media libraries (PIL /
-libsndfile / ffmpeg — not present in this container); it is isolated
-behind ``_decode_payload`` which falls back to a DETERMINISTIC FAKE
-decoder so the Spark-side plumbing (schema, batching, partitioning, UDF
-signature) is fully real and testable.  Swap ``_decode_payload`` for a
-real decoder and nothing else changes.
+``_decode_payload`` dispatches on the payload's magic bytes:
+
+* PNG — decoded FOR REAL with the stdlib only (chunk walk, zlib inflate,
+  scanline unfilter incl. Sub/Up/Average/Paeth): width/height/channels
+  plus per-channel pixel means as real feature columns.
+* JPEG — PIL when importable (public package, optional); otherwise the
+  SOF marker scan yields real width/height/channels and the pixel stats
+  stay honestly null (pure-Python JPEG entropy decode is not reasonable).
+* anything else — the DETERMINISTIC FAKE decoder (pseudo-dimensions from
+  byte length, no randomness) so the Spark-side plumbing stays
+  oracle-checkable on text-derived fixtures.
+
+The ``decoder`` output column says which path produced each row — no
+silent degradation.
 
 Batch shape: mapInPandas receives an iterator of pandas DataFrames sized
 by ``spark.sql.execution.arrow.maxRecordsPerBatch`` (10k default) — media
@@ -17,6 +25,8 @@ executor memory; set via the session builder when using real decoders.
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -25,10 +35,156 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 #: Schema of the feature output — documented contract for downstream ops.
+#: width/height/n_frames are the oracled core; channels/channel_means/
+#: decoder are decode-derived extras (null where the codec can't supply
+#: them) and live OUTSIDE the driver entry's oracled projection.
 FEATURE_SCHEMA = (
     "doc_id bigint, modality string, byte_len int, content_md5 string, "
-    "width int, height int, n_frames int"
+    "width int, height int, n_frames int, channels int, "
+    "channel_means array<double>, decoder string"
 )
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_JPEG_MAGIC = b"\xff\xd8\xff"
+#: PNG color_type -> samples per pixel (3 = palette: 1 index sample)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+#: JPEG SOF markers that carry frame dimensions (C4/C8/CC are not SOFs)
+_JPEG_SOF = frozenset(
+    range(0xC0, 0xD0)
+) - {0xC4, 0xC8, 0xCC}
+
+
+def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int) -> bytearray:
+    """Reverse PNG scanline filtering (spec §9): each scanline is one
+    filter-type byte + ``stride`` filtered bytes; Sub/Average/Paeth
+    recurrences run left-to-right against already-reconstructed bytes."""
+    out = bytearray(height * stride)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        pos += 1
+        row = bytearray(raw[pos : pos + stride])
+        pos += stride
+        ro = y * stride
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            if y:
+                for i in range(stride):
+                    row[i] = (row[i] + out[ro - stride + i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                b = out[ro - stride + i] if y else 0
+                row[i] = (row[i] + ((a + b) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                b = out[ro - stride + i] if y else 0
+                c = out[ro - stride + i - bpp] if (y and i >= bpp) else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[ro : ro + stride] = row
+    return out
+
+
+def _decode_png(payload: bytes) -> dict:
+    """Stdlib-only PNG decode: real width/height/channels always; full
+    pixel reconstruction + per-channel means for the baseline formats
+    (8-bit gray/RGB/gray-alpha/RGBA, non-interlaced)."""
+    pos = 8
+    width = height = bit_depth = color_type = interlace = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _c, _f, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG without IHDR")
+    channels = _PNG_CHANNELS.get(color_type)
+    info = {
+        "width": int(width),
+        "height": int(height),
+        "n_frames": 1,
+        "channels": channels,
+        "channel_means": None,
+        "decoder": "png-stdlib",
+    }
+    if bit_depth == 8 and interlace == 0 and color_type in (0, 2, 4, 6):
+        import numpy as np
+
+        stride = width * channels
+        px = _png_unfilter(zlib.decompress(bytes(idat)), height, stride, channels)
+        arr = np.frombuffer(bytes(px), dtype=np.uint8).reshape(
+            height, width, channels
+        )
+        info["channel_means"] = [
+            round(float(m), 3) for m in arr.mean(axis=(0, 1))
+        ]
+    return info
+
+
+def _decode_jpeg_header(payload: bytes) -> dict:
+    """Marker scan for the SOF segment: real dimensions + component
+    count, no entropy decode."""
+    pos = 2
+    n = len(payload)
+    while pos + 10 <= n:
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = payload[pos + 1]
+        if marker in _JPEG_SOF:
+            h, w = struct.unpack(">HH", payload[pos + 5 : pos + 9])
+            ncomp = payload[pos + 9]
+            return {
+                "width": int(w),
+                "height": int(h),
+                "n_frames": 1,
+                "channels": int(ncomp),
+                "channel_means": None,
+                "decoder": "jpeg-header",
+            }
+        if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2  # standalone markers carry no length
+            continue
+        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        pos += 2 + seglen
+    raise ValueError("JPEG without SOF marker")
+
+
+def _decode_jpeg_pil(payload: bytes) -> dict:
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(payload))
+    arr = np.asarray(img)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    return {
+        "width": img.width,
+        "height": img.height,
+        "n_frames": int(getattr(img, "n_frames", 1)),
+        "channels": arr.shape[2],
+        "channel_means": [round(float(m), 3) for m in arr.mean(axis=(0, 1))],
+        "decoder": "pil",
+    }
 
 
 def attach_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -48,22 +204,50 @@ def attach_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _decode_payload(payload: bytes) -> dict:
-    """Decode stub.  A real implementation would be e.g.::
-
-        from PIL import Image
-        img = Image.open(io.BytesIO(payload))
-        return {"width": img.width, "height": img.height, "n_frames": 1}
-
-    The deterministic fake derives pseudo-dimensions from the byte length
-    only (NO randomness — oracle-checkable downstream).
-    """
-    try:
-        import PIL.Image  # noqa: F401  (not in this container)
-
-        raise NotImplementedError("real image decode not wired up yet")
-    except ImportError:
-        n = len(payload)
-        return {"width": n % 640, "height": (n * 7) % 480, "n_frames": 1 + n % 8}
+    """Magic-byte dispatch (see module docstring).  A corrupt image
+    payload yields null dimensions with ``decoder='corrupt'`` rather
+    than killing the task — at corpus scale a handful of truncated
+    images is the norm, and the column makes them filterable."""
+    payload = bytes(payload)
+    if payload[:8] == _PNG_MAGIC:
+        try:
+            return _decode_png(payload)
+        except Exception:
+            return {
+                "width": None,
+                "height": None,
+                "n_frames": 0,
+                "channels": None,
+                "channel_means": None,
+                "decoder": "corrupt",
+            }
+    if payload[:3] == _JPEG_MAGIC:
+        try:
+            try:
+                return _decode_jpeg_pil(payload)
+            except ImportError:  # PIL absent in this container — honest
+                return _decode_jpeg_header(payload)
+        except Exception:
+            return {
+                "width": None,
+                "height": None,
+                "n_frames": 0,
+                "channels": None,
+                "channel_means": None,
+                "decoder": "corrupt",
+            }
+    # deterministic fake for non-image payloads (the text-derived fixture
+    # path): pseudo-dimensions from byte length only, NO randomness —
+    # oracle-checkable downstream
+    n = len(payload)
+    return {
+        "width": n % 640,
+        "height": (n * 7) % 480,
+        "n_frames": 1 + n % 8,
+        "channels": None,
+        "channel_means": None,
+        "decoder": "fake",
+    }
 
 
 def extract_features(multimodal: DataFrame) -> DataFrame:
@@ -86,6 +270,9 @@ def extract_features(multimodal: DataFrame) -> DataFrame:
                     "width": [d["width"] for d in decoded],
                     "height": [d["height"] for d in decoded],
                     "n_frames": [d["n_frames"] for d in decoded],
+                    "channels": [d["channels"] for d in decoded],
+                    "channel_means": [d["channel_means"] for d in decoded],
+                    "decoder": [d["decoder"] for d in decoded],
                 }
             )
 

@@ -802,3 +802,149 @@ def test_sample_frames_operator(spark):
         assert sorted(got[r["doc_id"]]) == expect
     # convenience path (no features): same result
     assert frames.count() == MM.sample_frames(mm, every_n=2).count()
+
+
+def _encode_png(arr, filters):
+    """Minimal stdlib PNG ENCODER for fixtures: applies the given filter
+    type per scanline (exercising every unfilter branch of the decoder),
+    gray (1ch) or RGB/RGBA by channel count, 8-bit, non-interlaced."""
+    import struct
+    import zlib
+
+    height, width, ch = arr.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    bpp = ch
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    raw = bytearray()
+    prev = bytes(width * ch)
+    for y, ftype in zip(range(height), filters):
+        line = arr[y].tobytes()
+        raw.append(ftype)
+        for i in range(len(line)):
+            a = line[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) >> 1, 4: paeth(a, b, c)}[
+                ftype
+            ]
+            raw.append((line[i] - pred) & 0xFF)
+        prev = line
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_stdlib_decode_real_pixels():
+    """The stdlib PNG path decodes REAL images: exact dimensions,
+    channel count and per-channel pixel means, across every scanline
+    filter type (0/1/2/3/4)."""
+    import numpy as np
+
+    from excelstream_spark.operators.multimodal import _decode_payload
+
+    rng = np.random.default_rng(7)
+    # RGBA, 5 rows — one row per filter type
+    rgba = rng.integers(0, 256, size=(5, 9, 4), dtype=np.uint8)
+    png = _encode_png(rgba, filters=[0, 1, 2, 3, 4])
+    d = _decode_payload(png)
+    assert (d["decoder"], d["width"], d["height"], d["channels"]) == (
+        "png-stdlib",
+        9,
+        5,
+        4,
+    )
+    assert d["n_frames"] == 1
+    want = [round(float(m), 3) for m in rgba.mean(axis=(0, 1))]
+    assert d["channel_means"] == want
+
+    # grayscale with Paeth-heavy filtering
+    gray = rng.integers(0, 256, size=(7, 4, 1), dtype=np.uint8)
+    d2 = _decode_payload(_encode_png(gray, filters=[4, 4, 1, 3, 2, 4, 0]))
+    assert (d2["width"], d2["height"], d2["channels"]) == (4, 7, 1)
+    assert d2["channel_means"] == [round(float(gray.mean()), 3)]
+
+    # truncated PNG -> honest 'corrupt', not a crash
+    bad = _decode_payload(png[:40])
+    assert bad["decoder"] == "corrupt" and bad["width"] is None
+
+
+def test_jpeg_header_decode_and_fake_fallback():
+    """JPEG without PIL: SOF marker scan yields real dims/components,
+    pixel stats honestly null.  Non-image payloads keep the
+    deterministic fake (the oracled fixture path)."""
+    import struct
+
+    from excelstream_spark.operators.multimodal import _decode_payload
+
+    # SOI + APP0(JFIF) + SOF0 (height=33, width=48, 3 components)
+    app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = struct.pack(">BHHB", 8, 33, 48, 3) + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    jpg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+        + b"\xff\xc0" + struct.pack(">H", len(sof0) + 2) + sof0
+    )
+    d = _decode_payload(jpg)
+    assert (d["width"], d["height"], d["channels"]) == (48, 33, 3)
+    assert d["decoder"] in ("jpeg-header", "pil")
+    if d["decoder"] == "jpeg-header":
+        assert d["channel_means"] is None
+
+    fake = _decode_payload(b"just some text bytes")
+    n = len(b"just some text bytes")
+    assert fake["decoder"] == "fake"
+    assert (fake["width"], fake["height"], fake["n_frames"]) == (
+        n % 640,
+        (n * 7) % 480,
+        1 + n % 8,
+    )
+
+
+def test_extract_features_mixed_payloads(spark):
+    """End-to-end through mapInPandas with a MIXED batch: a real PNG, a
+    JPEG header, a corrupt PNG and a text payload in one DataFrame — each
+    row labeled by the decoder that produced it, real pixels decoded."""
+    import numpy as np
+
+    from excelstream_spark.operators import multimodal as MM
+
+    img = np.full((4, 6, 3), 200, dtype=np.uint8)
+    img[:, :, 1] = 100  # distinct per-channel means
+    png = _encode_png(img, filters=[0, 1, 2, 4])
+    rows = [
+        (1, bytearray(png), ("image/png", len(png))),
+        (2, bytearray(b"\xff\xd8\xff\xc0\x00\x0b\x08\x00\x10\x00\x20\x01\x01\x11\x00"), ("image/jpeg", 15)),
+        (3, bytearray(b"\x89PNG\r\n\x1a\nbroken"), ("image/png", 14)),
+        (4, bytearray(b"hello world"), ("text/plain", 11)),
+    ]
+    mm = spark.createDataFrame(
+        rows,
+        "doc_id long, payload binary, "
+        "meta struct<content_type:string, byte_len:int>",
+    )
+    got = {r["doc_id"]: r for r in MM.extract_features(mm).collect()}
+    assert got[1]["decoder"] == "png-stdlib"
+    assert (got[1]["width"], got[1]["height"], got[1]["channels"]) == (6, 4, 3)
+    assert got[1]["channel_means"] == [200.0, 100.0, 200.0]
+    assert got[2]["decoder"] in ("jpeg-header", "pil")
+    assert (got[2]["width"], got[2]["height"]) == (32, 16)
+    assert got[3]["decoder"] == "corrupt" and got[3]["width"] is None
+    assert got[4]["decoder"] == "fake"
