@@ -6,7 +6,8 @@ exercised through the catalog's I/O-parity entries (plans/io_parity.py);
 ``csvzip.py`` adds the reference's ``.csv.zip`` auto-extraction (ZIP has
 no Spark codec); cloud filesystem configuration (S3A endpoint/credential
 parity with the reference's builders) lives in ``cloud.py``; ``http.py``
-serves in-memory workbook/CSV bytes; ``converters.py`` holds the
+serves in-memory workbook/CSV bytes for small results and distributed
+presigned-URL exports for big ones; ``converters.py`` holds the
 Parquet<->Excel transfer jobs.
 """
 

@@ -7,8 +7,9 @@ is the ONE deliberately driver-side small-result path in this repo: the
 result of an analytical query that a human downloads is bounded by
 ``max_rows`` (guarded, not implicit).
 
-For big exports the right pattern is documented in the functions: write
-distributed to object storage and hand out a presigned URL.
+For big exports the pattern is IMPLEMENTED below (``export_presigned`` /
+``serve_dataframe``): write distributed to object storage and hand out
+presigned part URLs — see the big-result section.
 """
 
 from __future__ import annotations
@@ -92,3 +93,174 @@ def http_response_headers(filename: str, content_type: str) -> dict[str, str]:
         "Content-Type": content_type,
         "Content-Disposition": f'attachment; filename="{filename}"',
     }
+
+
+# --- big-result path: distributed write + presigned URLs ------------------
+#
+# The reference's HTTP server builds whole files in memory and documents
+# itself as "not suitable for extremely large files (>100MB)"
+# (HTTP_STREAMING.md:297).  This is the scale path that replaces it: the
+# result is written DISTRIBUTED to object storage (S3A streaming
+# multipart, zero driver memory) and the HTTP response carries presigned
+# GET URLs instead of bytes.  boto3 is import-gated exactly like
+# cloud.replicate; the key-listing/ordering/presign logic takes an
+# injectable client so it is strategy-testable without cloud access.
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class ExportResult:
+    """What an HTTP endpoint returns for a query export: either inline
+    ``body`` bytes (small results) or ordered presigned part ``urls``
+    (big results) — never both."""
+
+    content_type: str
+    filename: str
+    body: bytes | None = None
+    urls: list[str] = field(default_factory=list)
+    keys: list[str] = field(default_factory=list)
+
+    @property
+    def inline(self) -> bool:
+        return self.body is not None
+
+
+def _is_data_key(key: str, prefix: str) -> bool:
+    """Spark writes _SUCCESS markers, .crc sidecars and (on some
+    committers) directory placeholder keys next to the part files —
+    only real part objects get presigned."""
+    if key.endswith("/"):
+        return False
+    base = key.rsplit("/", 1)[-1]
+    if not base or base.startswith((".", "_")):
+        return False
+    return key.startswith(prefix)
+
+
+def presign_prefix(
+    bucket: str,
+    prefix: str,
+    s3_client,
+    ttl_seconds: int = 3600,
+) -> tuple[list[str], list[str]]:
+    """(keys, urls) for every DATA object under ``prefix``, key-sorted so
+    multi-part CSV downloads concatenate in part order.  Pure client
+    orchestration — inject a fake client to test without cloud."""
+    keys: list[str] = []
+    token = None
+    while True:
+        kwargs = {"Bucket": bucket, "Prefix": prefix}
+        if token:
+            kwargs["ContinuationToken"] = token
+        page = s3_client.list_objects_v2(**kwargs)
+        keys.extend(
+            o["Key"]
+            for o in page.get("Contents", [])
+            if _is_data_key(o["Key"], prefix)
+        )
+        if not page.get("IsTruncated"):
+            break
+        token = page.get("NextContinuationToken")
+    keys.sort()
+    urls = [
+        s3_client.generate_presigned_url(
+            "get_object",
+            Params={"Bucket": bucket, "Key": k},
+            ExpiresIn=ttl_seconds,
+        )
+        for k in keys
+    ]
+    return keys, urls
+
+
+def export_presigned(
+    df: DataFrame,
+    bucket: str,
+    key_prefix: str,
+    fmt: str = "csv",
+    s3_client=None,
+    ttl_seconds: int = 3600,
+    header: bool = True,
+    write_path: str | None = None,
+) -> ExportResult:
+    """Distributed export + presigned URLs: ``df`` is written as part
+    files under ``s3a://bucket/key_prefix`` (S3A streams each part as a
+    multipart upload — no driver materialization, no temp files), then
+    every part object is presigned for ``ttl_seconds``.
+
+    ``write_path`` overrides the write target (tests write to ``file:``
+    and presign through a fake client); the listing/presign always goes
+    through ``s3_client``."""
+    if fmt not in ("csv", "xlsx"):
+        raise ValueError(f"fmt must be csv or xlsx, got {fmt!r}")
+    if s3_client is None:
+        try:
+            import boto3
+        except ImportError as e:  # pragma: no cover
+            raise NotImplementedError(
+                "export_presigned needs boto3 (or an injected s3_client) "
+                "to presign URLs"
+            ) from e
+        s3_client = boto3.client("s3")
+    key_prefix = key_prefix.rstrip("/") + "/"
+    path = write_path or f"s3a://{bucket}/{key_prefix}"
+    if fmt == "csv":
+        df.write.mode("overwrite").options(header=header).csv(path)
+        content_type = CSV_CONTENT_TYPE
+    else:
+        from excelstream_spark.sources.xlsx import register_xlsx
+
+        register_xlsx(df.sparkSession)
+        df.write.format("xlsx").mode("overwrite").save(path)
+        content_type = XLSX_CONTENT_TYPE
+    keys, urls = presign_prefix(bucket, key_prefix, s3_client, ttl_seconds)
+    return ExportResult(
+        content_type=content_type,
+        filename=key_prefix.rstrip("/").rsplit("/", 1)[-1] + "." + fmt,
+        urls=urls,
+        keys=keys,
+    )
+
+
+def serve_dataframe(
+    df: DataFrame,
+    filename: str,
+    fmt: str = "xlsx",
+    max_inline_rows: int = DEFAULT_MAX_ROWS,
+    bucket: str | None = None,
+    key_prefix: str | None = None,
+    s3_client=None,
+    ttl_seconds: int = 3600,
+    **fmt_opts,
+) -> ExportResult:
+    """The one-call HTTP export: try the bounded in-memory path first
+    (no count job — the row guard trips mid-stream), fall back to the
+    distributed presigned-URL path when the result is too large and a
+    destination is configured."""
+    try:
+        if fmt == "xlsx":
+            body = dataframe_to_xlsx_bytes(
+                df, max_rows=max_inline_rows, **fmt_opts
+            )
+            ct = XLSX_CONTENT_TYPE
+        elif fmt == "csv":
+            body = dataframe_to_csv_bytes(
+                df, max_rows=max_inline_rows, **fmt_opts
+            )
+            ct = CSV_CONTENT_TYPE
+        else:
+            raise ValueError(f"fmt must be csv or xlsx, got {fmt!r}")
+        return ExportResult(content_type=ct, filename=filename, body=body)
+    except ResultTooLargeError:
+        if bucket is None or key_prefix is None:
+            raise
+        return export_presigned(
+            df,
+            bucket,
+            key_prefix,
+            fmt=fmt,
+            s3_client=s3_client,
+            ttl_seconds=ttl_seconds,
+            header=fmt_opts.get("header", True),
+        )

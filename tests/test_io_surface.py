@@ -83,6 +83,97 @@ def test_http_max_rows_guard(spark):
         assert "presigned" in str(e)
 
 
+class _FakeS3:
+    """Minimal boto3-shaped client: paginated listing + URL formatting —
+    enough to strategy-test the presign path without cloud access."""
+
+    def __init__(self, keys, page_size=2):
+        self._keys = sorted(keys)
+        self._page = page_size
+        self.presigned = []
+
+    def list_objects_v2(self, Bucket, Prefix, ContinuationToken=None):
+        matches = [k for k in self._keys if k.startswith(Prefix)]
+        start = int(ContinuationToken or 0)
+        page = matches[start : start + self._page]
+        out = {"Contents": [{"Key": k} for k in page]}
+        if start + self._page < len(matches):
+            out["IsTruncated"] = True
+            out["NextContinuationToken"] = str(start + self._page)
+        return out
+
+    def generate_presigned_url(self, op, Params, ExpiresIn):
+        assert op == "get_object"
+        self.presigned.append((Params["Key"], ExpiresIn))
+        return f"https://{Params['Bucket']}.example/{Params['Key']}?ttl={ExpiresIn}"
+
+
+def test_presign_prefix_filters_and_orders():
+    """Only DATA part objects get presigned (_SUCCESS, .crc sidecars and
+    directory placeholders skipped), key-sorted so multi-part downloads
+    concatenate in part order; pagination is followed to the end."""
+    fake = _FakeS3(
+        [
+            "exports/q1/part-00001-x.csv",
+            "exports/q1/part-00000-x.csv",
+            "exports/q1/_SUCCESS",
+            "exports/q1/.part-00000-x.csv.crc",
+            "exports/q1/",
+            "exports/q2/part-00000-y.csv",  # other prefix
+            "exports/q1/part-00002-x.csv",
+        ],
+        page_size=2,
+    )
+    keys, urls = http.presign_prefix("bkt", "exports/q1/", fake, ttl_seconds=60)
+    assert keys == [
+        "exports/q1/part-00000-x.csv",
+        "exports/q1/part-00001-x.csv",
+        "exports/q1/part-00002-x.csv",
+    ]
+    assert urls == [f"https://bkt.example/{k}?ttl=60" for k in keys]
+
+
+def test_serve_dataframe_inline_then_presigned_fallback(spark, tmp_path):
+    """serve_dataframe: small results come back inline with no cloud
+    involved; past the row guard it falls back to the distributed write +
+    presigned URLs (exercised against file: storage + the fake client,
+    the same injection seam the cloud replicate tests use)."""
+    df = load_table(spark, SF_DIR, "region")
+    small = http.serve_dataframe(df, "regions.csv", fmt="csv")
+    assert small.inline and small.urls == []
+    assert small.body.decode().splitlines()[0] == "r_regionkey,r_name"
+
+    # guard trips -> presigned path (write target overridden to file:)
+    out = tmp_path / "exports" / "big"
+    res = http.export_presigned(
+        df,
+        bucket="bkt",
+        key_prefix="exports/big",
+        fmt="csv",
+        s3_client=_FakeS3([]),  # patched below after the write
+        write_path=f"file://{out}",
+    )
+    # the fake client saw no keys (it lists the BUCKET, not the file
+    # system) — now re-list with a client seeded from what Spark wrote
+    import glob as g
+
+    parts = sorted(
+        "exports/big/" + p.rsplit("/", 1)[-1]
+        for p in g.glob(f"{out}/part-*.csv")
+    )
+    assert parts, "expected csv part files written"
+    fake = _FakeS3(parts + ["exports/big/_SUCCESS"])
+    keys, urls = http.presign_prefix("bkt", "exports/big/", fake, 120)
+    assert keys == parts and len(urls) == len(parts)
+    assert res.content_type == http.CSV_CONTENT_TYPE
+
+    # no destination configured -> the guard error propagates
+    import pytest
+
+    with pytest.raises(http.ResultTooLargeError):
+        http.serve_dataframe(df, "r.csv", fmt="csv", max_inline_rows=2)
+
+
 def test_parquet_excel_parquet_cycle(spark, tmp_path):
     src = table_path(SF_DIR, "supplier")
     x = str(tmp_path / "sup_xlsx")
