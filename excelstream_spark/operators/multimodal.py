@@ -10,6 +10,10 @@ columns + typed metadata structs, processed with Arrow-batched
 * JPEG — PIL when importable (public package, optional); otherwise the
   SOF marker scan yields real width/height/channels and the pixel stats
   stay honestly null (pure-Python JPEG entropy decode is not reasonable).
+* WAV — decoded FOR REAL with the stdlib only (RIFF chunk walk): sample
+  rate, channel count, frame count, and per-channel mean |amplitude| in
+  [0, 1] for 8/16/32-bit PCM; header-only (null means) for compressed
+  formats the stdlib can't decode.
 * anything else — the DETERMINISTIC FAKE decoder (pseudo-dimensions from
   byte length, no randomness) so the Spark-side plumbing stays
   oracle-checkable on text-derived fixtures.
@@ -41,7 +45,7 @@ from pyspark.sql import functions as F
 FEATURE_SCHEMA = (
     "doc_id bigint, modality string, byte_len int, content_md5 string, "
     "width int, height int, n_frames int, channels int, "
-    "channel_means array<double>, decoder string"
+    "channel_means array<double>, sample_rate int, decoder string"
 )
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
@@ -187,6 +191,57 @@ def _decode_jpeg_pil(payload: bytes) -> dict:
     }
 
 
+def _decode_wav(payload: bytes) -> dict:
+    """Stdlib-only WAV decode: RIFF chunk walk for the ``fmt `` and
+    ``data`` chunks.  PCM (format 1) at 8/16/32 bits gets real
+    per-channel mean |amplitude| normalized to [0, 1]; anything else
+    (float, ADPCM, mu-law) reports real rate/channels/frames with null
+    means — header facts, honestly labeled ``wav-header``."""
+    import numpy as np
+
+    pos = 12  # past RIFF<size>WAVE
+    n = len(payload)
+    fmt = None
+    data = None
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + clen]
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("WAV without fmt/data chunk")
+    audio_format, channels, sample_rate, _brate, block_align, bits = fmt
+    if not channels or not block_align:
+        raise ValueError("WAV with zero channels/block_align")
+    n_samples = len(data) // block_align
+    info = {
+        "width": None,
+        "height": None,
+        "n_frames": int(n_samples),
+        "channels": int(channels),
+        "channel_means": None,
+        "sample_rate": int(sample_rate),
+        "decoder": "wav-header",
+    }
+    pcm_dtypes = {8: np.uint8, 16: np.int16, 32: np.int32}
+    if audio_format == 1 and bits in pcm_dtypes and n_samples:
+        arr = np.frombuffer(
+            data[: n_samples * block_align], dtype=pcm_dtypes[bits]
+        ).reshape(n_samples, channels).astype(np.float64)
+        if bits == 8:  # 8-bit WAV is unsigned, midpoint 128
+            arr = arr - 128.0
+        scale = float(2 ** (bits - 1))
+        info["channel_means"] = [
+            round(float(m), 6) for m in np.abs(arr / scale).mean(axis=0)
+        ]
+        info["decoder"] = "wav-stdlib"
+    return info
+
+
 def attach_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Simulate a multimodal table: utf-8 payload bytes + metadata struct.
 
@@ -236,6 +291,18 @@ def _decode_payload(payload: bytes) -> dict:
                 "channel_means": None,
                 "decoder": "corrupt",
             }
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        try:
+            return _decode_wav(payload)
+        except Exception:
+            return {
+                "width": None,
+                "height": None,
+                "n_frames": 0,
+                "channels": None,
+                "channel_means": None,
+                "decoder": "corrupt",
+            }
     # deterministic fake for non-image payloads (the text-derived fixture
     # path): pseudo-dimensions from byte length only, NO randomness —
     # oracle-checkable downstream
@@ -272,6 +339,7 @@ def extract_features(multimodal: DataFrame) -> DataFrame:
                     "n_frames": [d["n_frames"] for d in decoded],
                     "channels": [d["channels"] for d in decoded],
                     "channel_means": [d["channel_means"] for d in decoded],
+                    "sample_rate": [d.get("sample_rate") for d in decoded],
                     "decoder": [d["decoder"] for d in decoded],
                 }
             )

@@ -918,10 +918,64 @@ def test_jpeg_header_decode_and_fake_fallback():
     )
 
 
+def _encode_wav(samples, sample_rate: int, sampwidth: int = 2) -> bytes:
+    """Build a PCM WAV with the stdlib ``wave`` module (independent
+    encoder — the decoder under test never sees ``wave``)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    arr = np.asarray(samples)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(arr.shape[1])
+        w.setsampwidth(sampwidth)
+        w.setframerate(sample_rate)
+        w.writeframes(arr.tobytes())
+    return buf.getvalue()
+
+
+def test_wav_stdlib_decode_real_samples():
+    """The stdlib WAV path decodes REAL audio: sample rate, channels,
+    frame count, and per-channel mean |amplitude| on PCM16 — plus the
+    corrupt fallback on a truncated payload."""
+    import numpy as np
+
+    from excelstream_spark.operators.multimodal import _decode_payload
+
+    rng = np.random.default_rng(11)
+    pcm = rng.integers(-(2**15), 2**15, size=(500, 2), dtype=np.int16)
+    wav = _encode_wav(pcm, sample_rate=16000)
+    d = _decode_payload(wav)
+    assert d["decoder"] == "wav-stdlib"
+    assert (d["sample_rate"], d["channels"], d["n_frames"]) == (16000, 2, 500)
+    assert (d["width"], d["height"]) == (None, None)
+    want = [
+        round(float(m), 6)
+        for m in np.abs(pcm.astype(np.float64) / 32768.0).mean(axis=0)
+    ]
+    assert d["channel_means"] == want
+
+    # mono 8-bit unsigned PCM: midpoint-128 normalization
+    pcm8 = np.array([[128], [255], [0], [192]], dtype=np.uint8)
+    d8 = _decode_payload(_encode_wav(pcm8, sample_rate=8000, sampwidth=1))
+    assert d8["decoder"] == "wav-stdlib"
+    assert (d8["sample_rate"], d8["channels"], d8["n_frames"]) == (8000, 1, 4)
+    assert d8["channel_means"] == [
+        round((0 + 127 + 128 + 64) / (4 * 128.0), 6)
+    ]
+
+    # truncated mid-header -> honest 'corrupt', not a crash
+    bad = _decode_payload(wav[:16])
+    assert bad["decoder"] == "corrupt" and bad["n_frames"] == 0
+
+
 def test_extract_features_mixed_payloads(spark):
     """End-to-end through mapInPandas with a MIXED batch: a real PNG, a
-    JPEG header, a corrupt PNG and a text payload in one DataFrame — each
-    row labeled by the decoder that produced it, real pixels decoded."""
+    JPEG header, a real WAV, a corrupt PNG and a text payload in one
+    DataFrame — each row labeled by the decoder that produced it, real
+    pixels/samples decoded."""
     import numpy as np
 
     from excelstream_spark.operators import multimodal as MM
@@ -929,11 +983,15 @@ def test_extract_features_mixed_payloads(spark):
     img = np.full((4, 6, 3), 200, dtype=np.uint8)
     img[:, :, 1] = 100  # distinct per-channel means
     png = _encode_png(img, filters=[0, 1, 2, 4])
+    wav = _encode_wav(
+        np.full((100, 1), 2**14, dtype=np.int16), sample_rate=44100
+    )
     rows = [
         (1, bytearray(png), ("image/png", len(png))),
         (2, bytearray(b"\xff\xd8\xff\xc0\x00\x0b\x08\x00\x10\x00\x20\x01\x01\x11\x00"), ("image/jpeg", 15)),
         (3, bytearray(b"\x89PNG\r\n\x1a\nbroken"), ("image/png", 14)),
         (4, bytearray(b"hello world"), ("text/plain", 11)),
+        (5, bytearray(wav), ("audio/wav", len(wav))),
     ]
     mm = spark.createDataFrame(
         rows,
@@ -944,7 +1002,11 @@ def test_extract_features_mixed_payloads(spark):
     assert got[1]["decoder"] == "png-stdlib"
     assert (got[1]["width"], got[1]["height"], got[1]["channels"]) == (6, 4, 3)
     assert got[1]["channel_means"] == [200.0, 100.0, 200.0]
+    assert got[1]["sample_rate"] is None
     assert got[2]["decoder"] in ("jpeg-header", "pil")
     assert (got[2]["width"], got[2]["height"]) == (32, 16)
     assert got[3]["decoder"] == "corrupt" and got[3]["width"] is None
     assert got[4]["decoder"] == "fake"
+    assert got[5]["decoder"] == "wav-stdlib"
+    assert (got[5]["sample_rate"], got[5]["n_frames"]) == (44100, 100)
+    assert got[5]["channel_means"] == [round(2**14 / 2**15, 6)]
