@@ -215,6 +215,23 @@ def main() -> None:
         "chunk_documents",
         lambda: noop(chunk_documents(docs_full, max_tokens=64, overlap=8)),
     )
+    # curation: split-assign + per-domain cap + two-phase token budget,
+    # one composed plan (pytest-oracled; outside the catalog window)
+    from excelstream_spark.operators import curation as CU
+
+    def curation():
+        capped = CU.cap_per_domain(
+            CU.assign_splits(docs_full, seed=1),
+            domain_col="source", max_docs=200,
+            order_col="n_chars", descending=True,
+        )
+        noop(CU.token_budget_head(
+            capped, budget=500_000, token_col="n_chars",
+            order_col="n_chars", descending=True,
+        ))
+
+    run("corpus_curation", curation)
+
     emb = load_table(spark, SF_DIR, "embeddings")
     qcorpus = quantize_embeddings(emb).persist()
     qcorpus.count()

@@ -1,0 +1,229 @@
+"""Corpus curation: deterministic split assignment, contamination-safe
+cluster-aware splits, per-domain caps, and token-budget selection.
+
+These are the decisions a training-data pipeline makes AFTER cleaning
+and dedup: which documents land in train/val/test, how much any single
+domain may contribute, and which documents fill a fixed token budget.
+The reference engine has no analogue (it stops at I/O + row transforms);
+this module extends the training-pipeline surface the same way
+operators/packing.py and operators/sampling.py do.
+
+Design rules shared by every function here:
+
+* **Deterministic under re-runs and engine changes.** Assignment hashes
+  are md5-derived (first 8 hex chars -> bigint), NOT Spark's hash() or
+  xxhash64 — md5 is bit-identical in every engine (DuckDB:
+  ``('0x' || substr(md5(x), 1, 8))::bigint``), so split membership is
+  reproducible from the data alone, survives a Spark upgrade, and is
+  SQL-oracle-checkable.  A seed folds into the hashed string.
+* **No driver-side data.** The only collect in this module is the
+  per-partition token-count totals in ``token_budget_head`` (one row per
+  partition — same bounded pattern as sampling.py's reservoir guard).
+* **Codegen'd hot path.** Everything else is built-in expressions +
+  window functions; no Python UDFs.
+
+100 TB notes per operator are on the docstrings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from excelstream_spark.operators.components import connected_components
+
+#: bucket space for split assignment — 2^32 hash values fold into this
+#: many buckets; weights are quantized to 1/SPLIT_BUCKETS resolution
+SPLIT_BUCKETS = 10_000
+
+
+def split_bucket(id_col: Column | str, seed: int = 0) -> Column:
+    """Deterministic bucket in [0, SPLIT_BUCKETS) from an id + seed.
+
+    md5 of ``"{seed}:{id}"``, first 8 hex chars as a bigint, mod
+    buckets.  Identical in DuckDB as
+    ``('0x' || substr(md5(seed || ':' || id), 1, 8))::bigint % buckets``.
+    """
+    key = F.concat(
+        F.lit(str(seed)), F.lit(":"), F.col(id_col).cast("string")
+        if isinstance(id_col, str)
+        else id_col.cast("string"),
+    )
+    return (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
+        % SPLIT_BUCKETS
+    )
+
+
+def _split_expr(bucket: Column, weights: dict[str, float]) -> Column:
+    """CASE over cumulative bucket thresholds, in dict order; the LAST
+    split absorbs rounding remainder so every bucket is assigned."""
+    if not weights or abs(sum(weights.values()) - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {weights}")
+    names = list(weights)
+    expr = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = bucket < int(round(cum * SPLIT_BUCKETS))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    last = F.lit(names[-1])
+    return last if expr is None else expr.otherwise(last)
+
+
+def assign_splits(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Add a ``split`` column: train/val/test by deterministic hash.
+
+    100 TB: pure map-side expression — no shuffle, no state; split
+    membership is a function of (id, seed) alone, so late-arriving data
+    joins the same splits and two pipelines agree without coordination.
+    """
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    return df.withColumn(
+        "split", _split_expr(split_bucket(id_col, seed), weights)
+    )
+
+
+def cluster_aware_splits(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    weights: dict[str, float] | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Split assignment where near-duplicate CLUSTERS move together.
+
+    Hashing raw doc ids leaks near-duplicates across the train/test
+    boundary (the classic contamination bug: a paraphrase of a test
+    document lands in train).  Here the unit of assignment is the
+    connected component of the near-dup pair graph: every doc hashes its
+    component representative (min id in the cluster; the doc's own id
+    when it has no near-dups), so a whole cluster lands in one split.
+
+    ``pairs`` is any operators/dedup.py output (minhash/simhash/jaccard/
+    embedding).  100 TB: components is the O(edges)-per-round plan from
+    operators/components.py; the doc-side join is on the component map,
+    which is |nodes-in-pairs| rows — broadcastable whenever near-dups
+    are a small fraction of the corpus (the usual case), and the split
+    expression itself stays map-side.
+    """
+    comp = connected_components(pairs, id_a=id_a, id_b=id_b)
+    rep = F.coalesce(F.col("component"), F.col(id_col))
+    joined = docs.join(
+        F.broadcast(comp.withColumnRenamed("id", id_col)), id_col, "left"
+    )
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    return joined.withColumn(
+        "split", _split_expr(split_bucket(rep, seed), weights)
+    ).drop("component")
+
+
+def cap_per_domain(
+    df: DataFrame,
+    domain_col: str = "source",
+    max_docs: int = 100,
+    order_col: str = "doc_id",
+    descending: bool = False,
+) -> DataFrame:
+    """Keep at most ``max_docs`` documents per domain, by priority.
+
+    The web-scale corpus guard: one mirror-heavy domain must not drown
+    the mixture.  row_number() over (domain, priority) keeps the top N.
+
+    100 TB: one shuffle on domain.  Giant domains (the exact ones being
+    capped) are the skew risk; AQE skew-join split does not apply to
+    window shuffles, but the rank-then-filter shape means each domain
+    partition streams once — and since only the top ``max_docs`` rows
+    per domain survive, a pre-aggregation per (domain, input-partition)
+    would bound any single task at map side.  Kept as the plain window:
+    the cap is the cheap stage compared to dedup upstream.
+    """
+    from pyspark.sql.window import Window
+
+    order = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    w = Window.partitionBy(domain_col).orderBy(order, F.col("doc_id"))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= max_docs)
+        .drop("_rn")
+    )
+
+
+def token_budget_head(
+    df: DataFrame,
+    budget: int,
+    token_col: str = "n_tokens",
+    order_col: str = "doc_id",
+    descending: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Keep the highest-priority documents whose cumulative token count
+    fits ``budget`` (a document is kept iff the running total THROUGH it
+    is <= budget — the prefix of the priority ordering that fits).
+
+    A naive ``sum() over (order by priority)`` collapses to ONE task at
+    scale (global ordering = single-partition window).  This is the
+    scalable two-phase prefix sum instead:
+
+    1. range-partition by the priority ordering (repartitionByRange
+       keeps ordered ranges in separate partitions);
+    2. per-partition token totals -> driver (ONE row per partition, the
+       same bounded-collect pattern as sampling.py's reservoir guard);
+    3. exclusive prefix offsets per partition, broadcast back as a CASE
+       lookup; each partition then computes its LOCAL running sum in
+       parallel and keeps rows where offset + local_cumsum <= budget.
+
+    Equivalent to the single-window SQL (the pytest oracle) for every
+    input, but every stage is partition-parallel.
+    """
+    from pyspark.sql.window import Window
+
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    order = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    ranged = df.repartitionByRange(n_parts, order, F.col("doc_id")).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    # one scalar per partition reaches the driver; partitions may be
+    # fewer than requested (small inputs) or empty (skipped ranges)
+    totals = {
+        r["_pid"]: r["tot"]
+        for r in ranged.groupBy("_pid")
+        .agg(F.sum(F.col(token_col)).alias("tot"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid] or 0
+    # map-literal lookup (flat, stays shallow at thousands of partitions
+    # where a when/otherwise chain would nest that deep)
+    kv: list[Column] = []
+    for pid, off in offsets.items():
+        kv += [F.lit(pid), F.lit(off).cast("long")]
+    offset_expr = (
+        F.coalesce(F.element_at(F.create_map(*kv), F.col("_pid")), F.lit(0))
+        if kv
+        else F.lit(0).cast("long")
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(order, F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranged.withColumn(
+            "_cum", offset_expr + F.sum(F.col(token_col)).over(w)
+        )
+        .where(F.col("_cum") <= budget)
+        .drop("_pid", "_cum")
+    )

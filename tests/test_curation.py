@@ -1,0 +1,149 @@
+"""Corpus curation operators (operators/curation.py): split assignment,
+cluster-aware contamination-safe splits, per-domain caps, token-budget
+selection — each against a DuckDB SQL oracle plus invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from excelstream_spark.operators import curation as CU
+from excelstream_spark.tables import load_table
+
+from .conftest import SF_DIR, assert_matches_oracle
+
+
+def test_assign_splits_vs_sql_oracle(spark, duck):
+    """Split membership is an md5-derived pure function of (id, seed) —
+    DuckDB reproduces every assignment bit-for-bit."""
+    docs = load_table(spark, SF_DIR, "documents")
+    got = CU.assign_splits(docs, seed=7).select("doc_id", "split")
+    assert_matches_oracle(
+        got,
+        duck,
+        """
+        SELECT doc_id,
+               CASE WHEN b < 9000 THEN 'train'
+                    WHEN b < 9500 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+                     ('0x' || substr(md5('7:' || doc_id), 1, 8))::BIGINT
+                       % 10000 AS b
+              FROM documents)
+        """,
+    )
+
+
+def test_assign_splits_semantics(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    out = CU.assign_splits(docs, seed=0)
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(counts.values())
+    # weights hold loosely on a real corpus slice (binomial spread)
+    assert counts["train"] / total == pytest.approx(0.9, abs=0.05)
+    assert set(counts) == {"train", "val", "test"}
+    # deterministic: re-run identical, different seed differs somewhere
+    a = {r["doc_id"]: r["split"] for r in out.select("doc_id", "split").collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in CU.assign_splits(docs, seed=0).select("doc_id", "split").collect()}
+    c = {r["doc_id"]: r["split"]
+         for r in CU.assign_splits(docs, seed=1).select("doc_id", "split").collect()}
+    assert a == b
+    assert a != c
+    with pytest.raises(ValueError, match="sum to 1"):
+        CU.assign_splits(docs, weights={"train": 0.5, "test": 0.4})
+
+
+def test_cluster_aware_splits(spark):
+    """Near-dup clusters land in ONE split (no train/test straddle), and
+    docs outside any cluster match plain assign_splits exactly."""
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 201)], "doc_id long, text string"
+    )
+    # components: {1,2,3,4} (chained) and {10,11}; rest singletons
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    out = CU.cluster_aware_splits(docs, pairs, seed=3)
+    split = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(split) == 200
+    assert len({split[i] for i in (1, 2, 3, 4)}) == 1
+    assert split[10] == split[11]
+    # cluster hashes its representative (min id)
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in CU.assign_splits(docs, seed=3).collect()
+    }
+    assert split[2] == plain[1]
+    assert split[11] == plain[10]
+    # singletons: identical to plain hashing
+    for i in (5, 6, 7, 100, 200):
+        assert split[i] == plain[i]
+
+
+def test_cap_per_domain_vs_sql_oracle(spark, duck):
+    docs = load_table(spark, SF_DIR, "documents")
+    got = CU.cap_per_domain(
+        docs, domain_col="source", max_docs=25,
+        order_col="n_chars", descending=True,
+    ).select("doc_id", "source", "n_chars")
+    assert_matches_oracle(
+        got,
+        duck,
+        """
+        SELECT doc_id, source, n_chars
+        FROM (SELECT doc_id, source, n_chars,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY n_chars DESC, doc_id) AS rn
+              FROM documents)
+        WHERE rn <= 25
+        """,
+    )
+    # every domain at or under the cap
+    over = (
+        CU.cap_per_domain(docs, max_docs=25, order_col="n_chars",
+                          descending=True)
+        .groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 25).count()
+    )
+    assert over == 0
+
+
+def test_token_budget_head_vs_sql_oracle(spark, duck):
+    """The two-phase partition-parallel prefix sum selects EXACTLY the
+    rows the naive global-window SQL selects."""
+    docs = load_table(spark, SF_DIR, "documents")
+    got = CU.token_budget_head(
+        docs, budget=30_000, token_col="n_chars",
+        order_col="n_chars", descending=True, num_partitions=8,
+    ).select("doc_id", "n_chars")
+    assert_matches_oracle(
+        got,
+        duck,
+        """
+        SELECT doc_id, n_chars
+        FROM (SELECT doc_id, n_chars,
+                     sum(n_chars) OVER (ORDER BY n_chars DESC, doc_id
+                                        ROWS UNBOUNDED PRECEDING) AS cum
+              FROM documents)
+        WHERE cum <= 30000
+        """,
+    )
+
+
+def test_token_budget_head_scalable_plan(spark):
+    """The plan range-partitions (parallel windows), never collapsing to
+    a single-partition global window."""
+    docs = load_table(spark, SF_DIR, "documents")
+    out = CU.token_budget_head(
+        docs, budget=10_000, token_col="n_chars",
+        order_col="n_chars", num_partitions=8,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+    assert "singlepartition" not in plan.lower()
+    # budget smaller than any row -> empty, not an error
+    assert CU.token_budget_head(
+        docs, budget=0, token_col="n_chars", order_col="doc_id"
+    ).count() == 0
