@@ -1,0 +1,200 @@
+"""Streaming NEAR-duplicate detection: minhash-LSH band buckets kept in
+stream state.
+
+``streaming/stateful.py``'s ``streaming_dedup`` suppresses exact
+re-deliveries by key; this module extends the idea to near-duplicates —
+the shape an ingest pipeline needs when paraphrased/boilerplate copies
+arrive over time and the corpus must not re-admit them.
+
+Semantics: every incoming document is minhashed with EXACTLY the batch
+hash family (``operators/dedup.py``: xxhash64 shingles ->
+``min(xxhash64(i, s))`` signatures -> ``hash()`` of each band slice —
+parity asserted in tests), then exploded to (band, band_hash) entries.
+State lives per band bucket: the first document ever seen in a bucket
+owns it; every later document that lands in an owned bucket emits a
+FLAG row ``(doc_id, band, bh, first_doc_id)``.  A document with zero
+flag rows across all bands collided with nobody — the stream-side
+candidate filter.  Downstream, flagged docs are dropped outright
+(aggressive dedup) or exact-verified against their ``first_doc_id``
+(the batch verify join), exactly like the batch LSH pipeline's
+candidates stage.
+
+Why flags rather than a kept-docs stream: deciding "no band collided"
+needs a second per-doc aggregation after the per-bucket stateful pass —
+a second stateful operator in the same query, which Structured
+Streaming restricts.  Emitting the collision evidence keeps the query
+single-stateful and lets the consumer choose drop-vs-verify.
+
+Scale: state is one long per OCCUPIED band bucket, hash-partitioned
+across the cluster's state stores, and expires at an event-time TTL
+past the watermark (bounded state on unbounded streams).  The per-row
+signature cost is ``bands * rows_per_band`` xxhash64 evaluations per
+shingle inside higher-order transforms — interpreted, not codegen'd,
+which is acceptable at streaming ingest rates; a backfill over a
+100 TB corpus should use the batch ``dedup_minhash_lsh`` (codegen'd
+min-aggregation) and seed the stream's state from its buckets.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+from excelstream_spark.functions import text as TXT
+
+FLAG_OUTPUT = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("band", IntegerType()),
+        StructField("bh", LongType()),
+        StructField("first_doc_id", LongType()),
+    ]
+)
+
+_BUCKET_STATE = StructType([StructField("owner", LongType())])
+
+#: how far past the watermark a bucket's owner survives (the near-dup
+#: horizon; mirrors stateful.py's TTL rationale)
+_BUCKET_TTL_MS = 24 * 3_600_000
+
+
+_MAX_LONG = (1 << 63) - 1
+
+
+def band_hash_array(
+    text_col: Column | str,
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> Column:
+    """array<bigint> of LSH band hashes for one document's text, in the
+    batch hash family (see module docstring).  Documents with fewer than
+    3 tokens (no 3-shingle) yield an empty array.
+
+    Expression-shape constraints this encoding respects (both verified
+    the hard way):
+
+    * N separate ``transform(...)`` calls with Python lambdas in one
+      projection COLLAPSE to the first lambda (PySpark names every
+      lambda variable identically, and the analyzer unifies them) —
+      everything must be ONE nested expression.
+    * anything referenced inside a lambda BODY re-evaluates per element
+      (and Catalyst's project-collapsing inlines upstream columns into
+      lambda bodies, so staging through a select doesn't protect it) —
+      every expensive subtree below is a higher-order-function ARGUMENT,
+      evaluated once per row: shingles via zip_with over the token array
+      (no token-array reference in any lambda body), minhash + banding
+      via ONE aggregate whose merge does O(num_hashes) work per shingle
+      and whose finish emits the band hashes from the final signature.
+    """
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    n = bands * rows_per_band
+    tok = TXT.tokens(col)
+    big = 1 << 30
+    # 3-shingle strings "a b c" by zipping tok with its own 1- and
+    # 2-shifted slices; zip_with pads the shorter side with null and
+    # concat propagates it, so the trailing incomplete shingles filter
+    # out.  Byte-identical to shingle_rows' concat_ws(" ", ...) strings.
+    pair = F.zip_with(
+        tok, F.slice(tok, 2, big), lambda x, y: F.concat(x, F.lit(" "), y)
+    )
+    tri = F.zip_with(
+        pair, F.slice(tok, 3, big), lambda xy, z: F.concat(xy, F.lit(" "), z)
+    )
+    sh = F.array_distinct(
+        F.transform(
+            F.filter(tri, lambda s: s.isNotNull()), lambda s: F.xxhash64(s)
+        )
+    )
+    idx = F.sequence(F.lit(0), F.lit(n - 1))
+    sig_and_bands = F.aggregate(
+        sh,
+        F.array_repeat(F.lit(_MAX_LONG), n),
+        lambda acc, h: F.zip_with(
+            acc, idx, lambda a, i: F.least(a, F.xxhash64(i, h))
+        ),
+        lambda acc: F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda j: F.hash(
+                F.slice(acc, j * rows_per_band + 1, rows_per_band)
+            ).cast("long"),
+        ),
+    )
+    # >= 3 tokens <=> >= 1 shingle; guards the empty-aggregate case
+    # (whose accumulator would band-hash the MAX_LONG zero vector)
+    return F.when(F.size(tok) >= 3, sig_and_bands).otherwise(
+        F.array().cast("array<long>")
+    )
+
+
+def _bucket_fn(
+    key: Tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        state.remove()
+        return
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    if len(pdf) == 0:
+        return
+    if state.exists:
+        (owner,) = state.get
+        flagged = pdf
+    else:
+        # first batch this bucket appears in: the smallest doc_id owns it
+        # (deterministic whatever the within-batch row order), the rest
+        # of the batch is flagged against it
+        owner = int(pdf["doc_id"].min())
+        flagged = pdf[pdf["doc_id"] != owner]
+    state.update((owner,))
+    # TTL anchored at max(watermark, batch event time): on the FIRST
+    # batch the watermark is still 0, and watermark+TTL would expire the
+    # moment the watermark jumps — silently dropping every bucket not
+    # re-seen in the very next batch (caught by the 3-batch parity test)
+    ev_ms = int(pdf["ts"].astype("int64").max() // 1_000_000)
+    state.setTimeoutTimestamp(
+        max(state.getCurrentWatermarkMs(), ev_ms) + _BUCKET_TTL_MS
+    )
+    if len(flagged):
+        out = flagged[["doc_id"]].copy()
+        out["band"] = int(key[0])
+        out["bh"] = int(key[1])
+        out["first_doc_id"] = owner
+        yield out[["doc_id", "band", "bh", "first_doc_id"]]
+
+
+def streaming_neardup_flags(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    bands: int = 16,
+    rows_per_band: int = 4,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Band-collision flags over a streaming documents source (must carry
+    an event-time column ``ts_col``).  Output: one row per (flagged doc,
+    colliding band) — ``first_doc_id`` is the bucket owner to verify
+    against.  ``distinct doc_id`` of this stream = the docs to drop."""
+    entries = (
+        docs.withWatermark(ts_col, watermark)
+        .select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(ts_col),
+            F.posexplode(
+                band_hash_array(text_col, bands, rows_per_band)
+            ).alias("band", "bh"),
+        )
+    )
+    return entries.groupBy("band", "bh").applyInPandasWithState(
+        _bucket_fn,
+        outputStructType=FLAG_OUTPUT,
+        stateStructType=_BUCKET_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -69,21 +69,28 @@ def _dedup_fn(
     first_batch = not state.exists
     if first_batch:
         state.update((1,))
+    pdf = pd.concat(list(pdfs), ignore_index=True)
     # event-time TTL: the dedup horizon advances with the WATERMARK, so it
     # is deterministic under replay/reprocessing — and (unlike a
     # processing-time timeout) an availableNow catch-up run terminates
     # instead of spinning empty batches until wall-clock TTLs fire.
-    state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + _DEDUP_TTL_MS)
+    # Anchored at max(watermark, batch event time): on the first batch
+    # the watermark is still 0, and watermark+TTL alone would expire as
+    # soon as the watermark jumps — dropping every key not re-seen in
+    # the very next batch (a dup re-delivered 2+ batches later would be
+    # re-admitted; caught by the 3-batch suppression test).
+    ev_ms = (
+        int(pdf["ts"].astype("int64").max() // 1_000_000) if len(pdf) else 0
+    )
+    state.setTimeoutTimestamp(
+        max(state.getCurrentWatermarkMs(), ev_ms) + _DEDUP_TTL_MS
+    )
     if first_batch:
         # emit ONE representative row for the key: the lowest event_id of
         # the first batch it appears in (deterministic under replays)
-        pdf = pd.concat(list(pdfs), ignore_index=True)
         rep = pdf.sort_values("event_id").head(1).copy()
         rep["key"] = str(key[0])
         yield rep[["key", "event_id", "ts", "user_id", "event_type", "value"]]
-    else:
-        for _ in pdfs:  # must drain the iterator
-            pass
 
 
 def streaming_dedup(
@@ -166,8 +173,12 @@ def _tracker_fn(
         first_us = lo if first_us is None else min(first_us, lo)
         last_us = hi if last_us is None else max(last_us, hi)
     state.update((n, total_micros, first_us, last_us))
-    # watermark-based TTL bounds state size; see _dedup_fn for rationale
-    state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + _TRACKER_TTL_MS)
+    # watermark-based TTL bounds state size; anchored at the key's last
+    # event time for the same first-batch cold-start reason as _dedup_fn
+    last_ms = (last_us or 0) // 1000
+    state.setTimeoutTimestamp(
+        max(state.getCurrentWatermarkMs(), last_ms) + _TRACKER_TTL_MS
+    )
     yield pd.DataFrame(
         {
             "user_id": [int(key[0])],

@@ -1,0 +1,152 @@
+"""Streaming near-dup band-bucket flagging (streaming/neardup.py):
+batch hash-family parity, cross-batch flag semantics against a
+batch-derived expectation, and dup/unique guarantees."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from excelstream_spark.streaming import neardup as ND
+from excelstream_spark.streaming.pipelines import run_available_now
+from excelstream_spark.tables import load_table
+
+from .conftest import SF_DIR
+
+BANDS, ROWS = 16, 4
+
+
+def test_band_hash_family_matches_batch_minhash(spark):
+    """band_hash_array reproduces the batch pipeline's band hashes
+    exactly: min(xxhash64(i, shingle)) signatures sliced and hash()ed —
+    so stream state can be seeded from a batch backfill's buckets."""
+    from excelstream_spark.operators.dedup import minhash_signatures
+
+    docs = load_table(spark, SF_DIR, "documents").limit(80)
+    batch = minhash_signatures(docs, num_hashes=BANDS * ROWS)
+    batch_bands = batch.select(
+        "id",
+        F.array(
+            *[
+                F.hash(F.slice("sig", j * ROWS + 1, ROWS)).cast("long")
+                for j in range(BANDS)
+            ]
+        ).alias("bh_arr"),
+    )
+    stream_expr = docs.select(
+        F.col("doc_id").alias("id"),
+        ND.band_hash_array("text", bands=BANDS, rows_per_band=ROWS).alias(
+            "bh_arr"
+        ),
+    )
+    b = {r["id"]: r["bh_arr"] for r in batch_bands.collect()}
+    s = {r["id"]: r["bh_arr"] for r in stream_expr.collect()}
+    # minhash_signatures drops <3-token docs; the expression yields []
+    assert set(b) == {k for k, v in s.items() if v}
+    for k in b:
+        assert s[k] == b[k], f"band hashes diverge for doc {k}"
+
+
+def _doc_batches(spark, tmp_path, n_batches=3):
+    """Split sf documents into ordered micro-batch files (synthetic
+    event time; mtimes force the file-source processing order)."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    pdf = docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+    pdf["ts"] = pd.Timestamp("2024-01-01 12:00:00")
+    d = str(tmp_path / "batches")
+    os.makedirs(d)
+    size = (len(pdf) + n_batches - 1) // n_batches
+    batch_of = {}
+    for i in range(n_batches):
+        part = pdf.iloc[i * size : (i + 1) * size]
+        p = f"{d}/b{i}.parquet"
+        part.to_parquet(p, index=False, coerce_timestamps="us")
+        os.utime(p, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+        for doc_id in part["doc_id"]:
+            batch_of[int(doc_id)] = i
+    return d, batch_of
+
+
+def test_streaming_flags_match_batch_expectation(spark, tmp_path):
+    """Replaying the corpus in 3 micro-batches: exactly the non-owner
+    entries of every band bucket get flagged, each against the bucket's
+    first-arrival owner (min (batch, doc_id)) — the same rows a batch
+    window over arrival order selects."""
+    d, batch_of = _doc_batches(spark, tmp_path)
+    stream = spark.readStream.schema(
+        "doc_id bigint, text string, ts timestamp"
+    ).option("maxFilesPerTrigger", 1).parquet(d)
+    got = run_available_now(
+        ND.streaming_neardup_flags(stream, bands=BANDS, rows_per_band=ROWS),
+        "t_neardup_flags",
+    )
+    got_rows = {
+        (r["doc_id"], r["band"], r["bh"], r["first_doc_id"])
+        for r in got.collect()
+    }
+
+    entries = (
+        load_table(spark, SF_DIR, "documents")
+        .select(
+            F.col("doc_id"),
+            F.posexplode(
+                ND.band_hash_array("text", bands=BANDS, rows_per_band=ROWS)
+            ).alias("band", "bh"),
+        )
+        .toPandas()
+    )
+    entries["batch"] = entries["doc_id"].map(batch_of)
+    expected = set()
+    for (band, bh), grp in entries.groupby(["band", "bh"]):
+        owner = grp.sort_values(["batch", "doc_id"]).iloc[0]["doc_id"]
+        for doc in grp["doc_id"]:
+            if doc != owner:
+                expected.add((int(doc), int(band), int(bh), int(owner)))
+    assert got_rows == expected
+    assert len(expected) > 0  # the corpus genuinely has near-dups
+
+
+def test_streaming_flags_dup_and_unique_guarantees(spark, tmp_path):
+    """An exact re-delivery is flagged on EVERY band against the
+    original; a shingle-disjoint unique doc is flagged on none."""
+    d = str(tmp_path / "b")
+    os.makedirs(d)
+    ts = pd.Timestamp("2024-01-01 12:00:00")
+    b1 = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [
+                "alpha beta gamma delta epsilon zeta",
+                "one two three four five six seven",
+            ],
+            "ts": [ts, ts],
+        }
+    )
+    b2 = pd.DataFrame(
+        {
+            "doc_id": [3, 4],
+            "text": [
+                "alpha beta gamma delta epsilon zeta",  # exact dup of 1
+                "red green blue cyan magenta yellow",   # fully unique
+            ],
+            "ts": [ts, ts],
+        }
+    )
+    b1.to_parquet(f"{d}/b1.parquet", index=False, coerce_timestamps="us")
+    b2.to_parquet(f"{d}/b2.parquet", index=False, coerce_timestamps="us")
+    os.utime(f"{d}/b1.parquet", (1_700_000_000, 1_700_000_000))
+    os.utime(f"{d}/b2.parquet", (1_700_000_100, 1_700_000_100))
+    stream = spark.readStream.schema(
+        "doc_id bigint, text string, ts timestamp"
+    ).option("maxFilesPerTrigger", 1).parquet(d)
+    got = run_available_now(
+        ND.streaming_neardup_flags(stream, bands=BANDS, rows_per_band=ROWS),
+        "t_neardup_dup",
+    ).toPandas()
+    by_doc = got.groupby("doc_id")
+    # doc 3 collides with doc 1 in every band (identical signatures)
+    assert set(got["doc_id"]) == {3}
+    assert len(by_doc.get_group(3)) == BANDS
+    assert (by_doc.get_group(3)["first_doc_id"] == 1).all()

@@ -96,6 +96,34 @@ def test_user_activity_tracker_running_totals(spark, replayed_stream):
     assert (m["last_seen"] == m["max_ts"]).all()
 
 
+def test_streaming_dedup_suppresses_across_batch_gap(spark, tmp_path):
+    """A key seen ONLY in batch 1 and re-delivered in batch 3 (a batch
+    with no sight of it in between) is still suppressed.  Regression:
+    the first batch ran with watermark 0, so a watermark-anchored TTL
+    expired batch-1 state the moment the watermark advanced — dupes
+    re-delivered 2+ batches later were silently re-admitted."""
+    import pandas as pd
+
+    d = str(tmp_path / "gap")
+    os.makedirs(d)
+    ts = pd.to_datetime("2024-01-01 12:00:00")
+    cols = dict(event_type=["a"], value=[1.0], props=["{}"])
+    b1 = pd.DataFrame({"event_id": [1], "ts": [ts], "user_id": [7], **cols})
+    b2 = pd.DataFrame({"event_id": [2], "ts": [ts], "user_id": [8], **cols})
+    b3 = pd.DataFrame({"event_id": [1], "ts": [ts], "user_id": [7], **cols})
+    for i, b in enumerate((b1, b2, b3)):
+        p = f"{d}/b{i}.parquet"
+        b.to_parquet(p, index=False, coerce_timestamps="us")
+        os.utime(p, (1_700_000_000 + i * 100,) * 2)
+
+    from excelstream_spark.streaming.pipelines import _open_events_stream
+
+    stream = _open_events_stream(spark, d, f"{d}/b0.parquet", maxFilesPerTrigger=1)
+    out = run_available_now(ST.streaming_dedup(stream), "t_dedup_gap")
+    got = sorted(r["event_id"] for r in out.collect())
+    assert got == [1, 2]  # the batch-3 re-delivery of event 1 suppressed
+
+
 def test_xlsx_streaming_source_incremental(spark, tmp_path):
     """readStream.format('xlsx'): files appearing between runs are picked
     up exactly once; reruns without new files add nothing."""
