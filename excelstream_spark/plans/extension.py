@@ -364,10 +364,12 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     PLUS frame-index sampling (every 2nd frame) over the decoded
     n_frames — the former multimodal_frame_sample entry folded in (one
     driver-window slot, both operators hash-checked: one output row per
-    sampled frame carrying its document's features).  The decode is a
-    deterministic stub (media libs absent) — the Spark plumbing (binary
-    column, metadata struct, batch iterator, explode shape, schema) is
-    the real thing and the oracle checks it end-to-end."""
+    sampled frame carrying its document's features).  The decoder is
+    real for PNG (stdlib chunk walk + unfilter), WAV (RIFF/PCM) and
+    JPEG headers (operators/multimodal.py); THIS fixture's payloads are
+    text bytes, so the oracled rows go through the deterministic fake
+    path — the decode-derived columns live outside the projection and
+    are pytest-proven on real image/audio fixtures."""
     feats = MM.extract_features(MM.attach_payload(_docs(spark, sf_dir)))
     # joinless: exploding ON the feature rows keeps the decode to ONE
     # mapInPandas pass (a frames-x-feats join would re-evaluate the
