@@ -258,6 +258,110 @@ def attach_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def encode_png(width: int, height: int, pixels: bytes, channels: int = 1) -> bytes:
+    """Minimal REAL PNG encoder (stdlib only): 8-bit, non-interlaced,
+    filter type 0 on every scanline.  ``pixels`` is row-major interleaved
+    (``width * height * channels`` bytes).  Round-trips through
+    :func:`_decode_png` bit-exactly — the encode half of the multimodal
+    fixture/oracle story (the driver entry decodes payloads built here
+    and the oracle recomputes the pixel statistics arithmetically)."""
+    if len(pixels) != width * height * channels:
+        raise ValueError(
+            f"pixels: got {len(pixels)} bytes, need {width * height * channels}"
+        )
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    stride = width * channels
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(height)
+    )
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def encode_wav(
+    sample_rate: int, samples: list[int], channels: int = 1, bits: int = 16
+) -> bytes:
+    """Minimal REAL RIFF/WAVE PCM encoder (stdlib only).  ``samples`` is
+    interleaved signed ints (unsigned for 8-bit, per the WAV spec).
+    Round-trips through :func:`_decode_wav` bit-exactly."""
+    fmt_codes = {8: "B", 16: "h", 32: "i"}
+    block_align = channels * bits // 8
+    n_frames = len(samples) // channels
+    data = struct.pack(f"<{len(samples)}{fmt_codes[bits]}", *samples)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate,
+        sample_rate * block_align, block_align, bits,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def synthesize_payloads(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic multimodal fixture: REAL media payloads derived from
+    ``doc_id`` arithmetic alone, so a SQL oracle can recompute what the
+    decoders must report.  Per document, by ``doc_id % 3``:
+
+    * 0 — grayscale PNG, ``width = 2 + 2*(doc_id % 2)``, ``height = 2``,
+      pixel ``i`` (row-major) = ``(doc_id*31 + i*7) % 256``.  The pixel
+      count is always 4 or 8, so the mean is an exact multiple of 1/8
+      and the decoder's round-to-3 is the identity (no cross-engine
+      rounding hazard).
+    * 1 — 16-bit PCM mono WAV, ``sample_rate = 8000 + (doc_id % 5) *
+      1000``, ``4 + doc_id % 5`` frames of alternating-sign amplitude
+      ``(doc_id % 32) * 1024`` — mean |amplitude| is exactly
+      ``(doc_id % 32) / 32`` (5 decimals, round-to-6 identity).
+    * 2 — the raw utf-8 text bytes (the deterministic-fake decode path).
+
+    The encode runs in the same Arrow-batched mapInPandas shape as the
+    decode: embarrassingly parallel, no shuffle, binary column out."""
+    schema = (
+        "doc_id bigint, payload binary, "
+        "meta struct<content_type: string, byte_len: int>"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                d = int(doc_id)
+                m = d % 3
+                if m == 0:
+                    w = 2 + 2 * (d % 2)
+                    px = bytes((d * 31 + i * 7) % 256 for i in range(w * 2))
+                    payload, ctype = encode_png(w, 2, px), "image/png"
+                elif m == 1:
+                    n = 4 + d % 5
+                    amp = (d % 32) * 1024
+                    samples = [amp if i % 2 == 0 else -amp for i in range(n)]
+                    payload = encode_wav(8000 + (d % 5) * 1000, samples)
+                    ctype = "audio/wav"
+                else:
+                    payload, ctype = str(text or "").encode("utf-8"), "text/plain"
+                rows.append((d, payload, {"content_type": ctype, "byte_len": len(payload)}))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload", "meta"])
+
+    return docs.select("doc_id", text_col).mapInPandas(gen, schema=schema)
+
+
 def _decode_payload(payload: bytes) -> dict:
     """Magic-byte dispatch (see module docstring).  A corrupt image
     payload yields null dimensions with ``decoder='corrupt'`` rather

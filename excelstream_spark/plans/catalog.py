@@ -61,7 +61,7 @@ PRIORITY: tuple[str, ...] = (
     "agg_distinct_count",
     "null_semantics",
     "json_extract_props",
-    "agg_arrays",
+    "agg_percentiles_arrays",
 )
 
 

@@ -337,40 +337,76 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "multimodal_features",
     oracle="""
-        WITH feats AS (
+        WITH png AS (
+          SELECT doc_id, 'image/png' AS modality, 'png-stdlib' AS decoder,
+                 CAST(2 + 2 * (doc_id % 2) AS INT)              AS width,
+                 CAST(2 AS INT)                                 AS height,
+                 CAST(1 AS INT)                                 AS channels,
+                 CAST(1 AS INT)                                 AS n_frames,
+                 CAST(NULL AS INT)                              AS sample_rate
+          FROM documents WHERE doc_id % 3 = 0
+        ),
+        px AS (
           SELECT doc_id,
-                 'image/fake'                                        AS modality,
-                 CAST(octet_length(encode(text)) AS INT)             AS byte_len,
-                 md5(text)                                           AS content_md5,
+                 (doc_id * 31
+                  + unnest(generate_series(0, (2 + 2 * (doc_id % 2)) * 2 - 1)) * 7
+                 ) % 256 AS g
+          FROM documents WHERE doc_id % 3 = 0
+        ),
+        pngm AS (
+          SELECT png.*, m.mean0
+          FROM png JOIN (SELECT doc_id, avg(g) AS mean0 FROM px GROUP BY doc_id) m
+          USING (doc_id)
+        ),
+        wav AS (
+          SELECT doc_id, 'audio/wav' AS modality, 'wav-stdlib' AS decoder,
+                 CAST(NULL AS INT)                              AS width,
+                 CAST(NULL AS INT)                              AS height,
+                 CAST(1 AS INT)                                 AS channels,
+                 CAST(4 + doc_id % 5 AS INT)                    AS n_frames,
+                 CAST(8000 + (doc_id % 5) * 1000 AS INT)        AS sample_rate,
+                 (doc_id % 32) / 32.0                           AS mean0
+          FROM documents WHERE doc_id % 3 = 1
+        ),
+        txt AS (
+          SELECT doc_id, 'text/plain' AS modality, 'fake' AS decoder,
                  CAST(octet_length(encode(text)) % 640 AS INT)       AS width,
                  CAST((octet_length(encode(text)) * 7) % 480 AS INT) AS height,
-                 CAST(1 + octet_length(encode(text)) % 8 AS INT)     AS n_frames
-          FROM documents
+                 CAST(NULL AS INT)                                   AS channels,
+                 CAST(1 + octet_length(encode(text)) % 8 AS INT)     AS n_frames,
+                 CAST(NULL AS INT)                                   AS sample_rate,
+                 CAST(NULL AS DOUBLE)                                AS mean0
+          FROM documents WHERE doc_id % 3 = 2
         ),
-        frames AS (
-          SELECT doc_id, CAST(f AS INT) AS frame_idx
-          FROM (SELECT doc_id, unnest(generate_series(0, n_frames - 1)) AS f
-                FROM feats)
-          WHERE f % 2 = 0
+        feats AS (
+          SELECT * FROM pngm UNION ALL SELECT * FROM wav UNION ALL SELECT * FROM txt
         )
-        SELECT fr.doc_id, fr.frame_idx, fe.modality, fe.byte_len,
-               fe.content_md5, fe.width, fe.height, fe.n_frames
-        FROM frames fr JOIN feats fe USING (doc_id)
+        SELECT doc_id, CAST(f AS INT) AS frame_idx, modality, decoder,
+               width, height, channels, n_frames, sample_rate, mean0
+        FROM (SELECT *, unnest(generate_series(0, n_frames - 1)) AS f FROM feats)
+        WHERE f % 2 = 0
     """,
     tags=("multimodal",),
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-payload feature extraction via Arrow-batched mapInPandas,
-    PLUS frame-index sampling (every 2nd frame) over the decoded
-    n_frames — the former multimodal_frame_sample entry folded in (one
-    driver-window slot, both operators hash-checked: one output row per
-    sampled frame carrying its document's features).  The decoder is
-    real for PNG (stdlib chunk walk + unfilter), WAV (RIFF/PCM) and
-    JPEG headers (operators/multimodal.py); THIS fixture's payloads are
-    text bytes, so the oracled rows go through the deterministic fake
-    path — the decode-derived columns live outside the projection and
-    are pytest-proven on real image/audio fixtures."""
-    feats = MM.extract_features(MM.attach_payload(_docs(spark, sf_dir)))
+    """REAL media decode, hash-checked end-to-end: synthesize_payloads
+    builds genuine PNG (stdlib encoder: IHDR/IDAT/IEND + zlib + CRC) and
+    RIFF/PCM WAV payloads whose pixel/sample values are pure doc_id
+    arithmetic, extract_features decodes them with the stdlib decoders
+    (chunk walk + unfilter for PNG, RIFF walk + amplitude stats for WAV),
+    and the oracle recomputes the decoded facts — dimensions, channels,
+    frame counts, sample rate, per-channel means — arithmetically in SQL.
+    Every dispatch branch is exercised in one entry: PNG (doc_id%3=0),
+    WAV (%3=1), and the deterministic text-fake path (%3=2).  The means
+    are exact multiples of 1/8 resp. 1/32 by construction, so the
+    decoders' round-to-3/round-to-6 is the identity on both engines (no
+    banker's-vs-half-away hazard).  Frame-index sampling (every 2nd
+    frame) is folded in as before: one row per sampled frame.  md5/
+    byte_len of the compressed payloads are intentionally outside the
+    projection (zlib output is not SQL-recomputable); they are
+    pytest-proven.  No shuffle anywhere: encode and decode are one
+    mapInPandas pass each."""
+    feats = MM.extract_features(MM.synthesize_payloads(_docs(spark, sf_dir)))
     # joinless: exploding ON the feature rows keeps the decode to ONE
     # mapInPandas pass (a frames-x-feats join would re-evaluate the
     # decode subtree on both branches)
@@ -378,11 +414,13 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)).alias("frame_idx"),
         "modality",
-        "byte_len",
-        "content_md5",
+        "decoder",
         "width",
         "height",
+        "channels",
         "n_frames",
+        "sample_rate",
+        F.element_at("channel_means", 1).alias("mean0"),
     ).filter((F.col("frame_idx") % 2) == 0)
 
 

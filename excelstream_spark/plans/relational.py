@@ -378,18 +378,28 @@ def join_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
           FROM orders
         ) WHERE rn <= 3
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 25
     """,
-    tags=("window",),
+    tags=("window", "sort", "topk"),
 )
 def window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 orders per customer: row_number window (deterministic
-    tie-break on orderkey), filter rn<=3.  One shuffle on custkey."""
+    """Top-3 orders per customer (row_number window, deterministic
+    tie-break on orderkey, one shuffle on custkey) finished with a
+    GLOBAL top-25 of those winners — the former standalone sort_topk
+    entry folded in.  Both physical operators are in one plan and both
+    stay scale-correct: the window shuffles once on custkey, and the
+    global cut compiles to TakeOrderedAndProject (per-partition heap +
+    driver merge of k rows — never a full sort; shape-guarded in
+    tests/test_scale_plans.py)."""
     w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
     return (
         _t(spark, sf_dir, "orders")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(25)
     )
 
 
@@ -527,27 +537,6 @@ def setop_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = h1.intersect(h2).withColumn("bucket", F.lit("both"))
     early = h1.exceptAll(h2).withColumn("bucket", F.lit("early_only"))
     return both.unionAll(early)
-
-
-@query(
-    "sort_topk",
-    oracle="""
-        SELECT l_orderkey, l_linenumber, l_extendedprice
-        FROM lineitem
-        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
-        LIMIT 25
-    """,
-    tags=("sort", "topk"),
-)
-def sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global top-k: Spark plans TakeOrderedAndProject (per-partition heap
-    + driver merge of k rows), never a full sort at scale."""
-    return (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_linenumber", "l_extendedprice")
-        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
-        .limit(25)
-    )
 
 
 @query(
@@ -730,27 +719,46 @@ def exists_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "agg_percentiles",
+    "agg_percentiles_arrays",
     oracle="""
         SELECT event_type,
                quantile_cont(value, 0.5)  AS p50,
                quantile_cont(value, 0.95) AS p95,
-               quantile_cont(value, 0.99) AS p99
+               quantile_cont(value, 0.99) AS p99,
+               array_to_string(list_sort(list(DISTINCT user_id)), '|')   AS users_sorted,
+               array_to_string(
+                 list_transform((list_sort(list(CAST(value AS DECIMAL(18,6)))))[1:5],
+                                x -> CAST(x AS VARCHAR)), '|')           AS smallest5,
+               CAST(len(list(DISTINCT user_id)) AS INT)                  AS n_users
         FROM events
         GROUP BY event_type
     """,
-    tags=("agg",),
+    tags=("agg", "array"),
 )
-def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles per group: Spark ``percentile`` and
-    DuckDB ``quantile_cont`` share the same linear-interpolation
-    definition, so this is hash-exact.  (At 100 TB switch to
-    ``approx_percentile`` — same call shape, sketch-based, one pass.)"""
+def agg_percentiles_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles + array aggregation per group in
+    ONE aggregate (the former agg_percentiles and agg_arrays entries
+    merged — same grouping key, one driver-window slot, every merged
+    operator still hash-proven).  Spark ``percentile`` and DuckDB
+    ``quantile_cont`` share the same linear-interpolation definition, so
+    the percentiles are hash-exact; at 100 TB switch to
+    ``approx_percentile`` — same call shape, sketch-based, one pass.
+    collect_set/sort_array/slice are engine-identical once sorted
+    (collection order is undefined in both, so sorting is part of the
+    contract); arrays serialize to '|'-joined strings (doubles via
+    fixed-scale DECIMAL) because the driver's canonicalizer cannot hash
+    list columns (CORRECTNESS_r01 TypeError)."""
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.percentile("value", 0.5).alias("p50"),
         F.percentile("value", 0.95).alias("p95"),
         F.percentile("value", 0.99).alias("p99"),
+        F.concat_ws("|", F.sort_array(F.collect_set("user_id"))).alias("users_sorted"),
+        F.concat_ws(
+            "|",
+            F.slice(F.sort_array(F.collect_list(_dec("value", 6))), 1, 5).cast("array<string>"),
+        ).alias("smallest5"),
+        F.size(F.collect_set("user_id")).alias("n_users"),
     )
 
 
@@ -828,38 +836,6 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_totalprice").alias("n_distinct_price"),
         _dsum(F.coalesce("o_totalprice", F.lit(0.0))).alias("total_coalesced"),
         F.count(F.nullif(F.col("c_acctbal") > 0, F.lit(False))).alias("n_positive_bal"),
-    )
-
-
-@query(
-    "agg_arrays",
-    oracle="""
-        SELECT event_type,
-               array_to_string(list_sort(list(DISTINCT user_id)), '|')   AS users_sorted,
-               array_to_string(
-                 list_transform((list_sort(list(CAST(value AS DECIMAL(18,6)))))[1:5],
-                                x -> CAST(x AS VARCHAR)), '|')           AS smallest5,
-               CAST(len(list(DISTINCT user_id)) AS INT)                  AS n_users
-        FROM events
-        GROUP BY event_type
-    """,
-    tags=("agg", "array"),
-)
-def agg_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array aggregation + array functions: collect_set/sort_array/slice
-    — engine-identical once sorted (collection order is undefined in
-    both, so sorting is part of the contract).  Arrays are serialized to
-    '|'-joined strings (doubles via fixed-scale DECIMAL so the rendering
-    is identical) because the driver's canonicalizer cannot hash list
-    columns (CORRECTNESS_r01 TypeError)."""
-    ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.concat_ws("|", F.sort_array(F.collect_set("user_id"))).alias("users_sorted"),
-        F.concat_ws(
-            "|",
-            F.slice(F.sort_array(F.collect_list(_dec("value", 6))), 1, 5).cast("array<string>"),
-        ).alias("smallest5"),
-        F.size(F.collect_set("user_id")).alias("n_users"),
     )
 
 
