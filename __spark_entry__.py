@@ -12,9 +12,17 @@ round 4 every entry has a DuckDB oracle (zero rows-only entries) and every
 operator family has a driver row — sequence packing, int8 quantization +
 quantized top-k, corpus sampling, connected-components dedup clustering
 and the streaming xlsx sink got dedicated entries by consolidating
-low-value relational slots (see plans/catalog.py PRIORITY).  Operators
-whose values are engine-specific (approx sketches, trained-k-means IVF)
-are deliberately outside the window and oracle/recall-checked in pytest.
+low-value relational slots (see plans/catalog.py PRIORITY).  Round 5
+continues the pattern: agg_percentiles + agg_arrays merged into one
+groupBy aggregate and sort_topk folded into window_topn_per_group (every
+merged operator still hash-proven), freeing slots for corpus_curation
+(cluster-aware splits + domain caps + token budget, recursive-CTE + md5
+oracle) and streaming_neardup_replay (stateful LSH buckets under exact
+redelivery); multimodal_features now decodes REAL synthesized PNG/WAV
+payloads with the oracle recomputing the pixel/sample statistics
+arithmetically.  Operators whose values are engine-specific (approx
+sketches, trained-k-means IVF) are deliberately outside the window and
+oracle/recall-checked in pytest.
 """
 
 from __future__ import annotations

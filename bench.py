@@ -216,7 +216,8 @@ def main() -> None:
         lambda: noop(chunk_documents(docs_full, max_tokens=64, overlap=8)),
     )
     # curation: split-assign + per-domain cap + two-phase token budget,
-    # one composed plan (pytest-oracled; outside the catalog window)
+    # one composed plan (the catalog's corpus_curation entry runs the
+    # cluster-aware variant; this leg benches the hash-split chain)
     from excelstream_spark.operators import curation as CU
 
     def curation():

@@ -882,3 +882,96 @@ def corpus_sampling_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sampled = stratified_sample_exact(_docs(spark, sf_dir), "lang", 100)
     return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
+# --------------------------------------------------------------------------
+# Corpus curation (operators/curation.py)
+# --------------------------------------------------------------------------
+
+@query(
+    "corpus_curation",
+    oracle=f"""
+        WITH RECURSIVE jp AS (
+          {_SQL_JACCARD_PAIRS.strip()}
+        ),
+        p AS (SELECT doc_a, doc_b FROM jp WHERE jaccard >= 0.5),
+        nodes AS (SELECT doc_a AS n FROM p UNION SELECT doc_b FROM p),
+        edges AS (SELECT doc_a AS u, doc_b AS v FROM p
+                  UNION SELECT doc_b, doc_a FROM p),
+        cc(node, lbl) AS (
+          SELECT n, n FROM nodes
+          UNION
+          SELECT e.v, cc.lbl FROM cc JOIN edges e ON e.u = cc.node
+          WHERE cc.lbl < e.v
+        ),
+        comp AS (SELECT node AS doc_id, min(lbl) AS component FROM cc GROUP BY node),
+        withsplit AS (
+          SELECT doc_id, source, n_chars,
+                 CASE WHEN b < 9000 THEN 'train'
+                      WHEN b < 9500 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM (
+            SELECT d.doc_id, d.source, d.n_chars,
+                   CAST(concat('0x', substr(md5(
+                     concat('5:', CAST(coalesce(c.component, d.doc_id) AS VARCHAR))
+                   ), 1, 8)) AS BIGINT) % 10000 AS b
+            FROM documents d LEFT JOIN comp c USING (doc_id)
+          )
+        ),
+        capped AS (
+          SELECT doc_id, source, n_chars, split FROM (
+            SELECT *, row_number() OVER (PARTITION BY source
+                                         ORDER BY n_chars DESC, doc_id) AS rn
+            FROM withsplit
+          ) WHERE rn <= 15
+        ),
+        budgeted AS (
+          SELECT doc_id, source, split, n_chars,
+                 sum(n_chars) OVER (ORDER BY n_chars DESC, doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum
+          FROM capped
+        )
+        SELECT doc_id, source, split, CAST(n_chars AS BIGINT) AS n_chars
+        FROM budgeted
+        WHERE cum <= (SELECT CAST(floor(sum(n_chars) / 3.0) AS BIGINT) FROM capped)
+    """,
+    tags=("curation", "graph", "window"),
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation chain (operators/curation.py), hash-checked
+    end-to-end in one entry:
+
+    1. **cluster-aware splits** — near-dup CLUSTERS (connected components
+       of the exact 3-gram-Jaccard >= 0.5 pair graph) are the unit of
+       train/val/test assignment, so a paraphrase of a test document can
+       never land in train.  Split = md5-bucket of the component
+       representative (engine-portable: the oracle recomputes the same
+       md5 arithmetic over the same recursive-CTE closure).
+    2. **per-domain cap** — top-15 docs per source by (n_chars DESC,
+       doc_id): one window shuffle on the domain key.
+    3. **token-budget head** — the (n_chars DESC, doc_id)-ordered prefix
+       whose running n_chars total fits a budget of one third of the
+       capped corpus (scale-relative so the stage bites at every SF).
+       The Spark side is the two-phase partition-parallel prefix sum
+       (range partition -> per-partition totals -> offset broadcast),
+       NEVER a single-partition global window; the oracle is the
+       single-window SQL it must equal.
+    """
+    from excelstream_spark.operators import curation as CU
+
+    docs = _docs(spark, sf_dir)
+    pairs = DD.dedup_ngram_jaccard(docs, threshold=0.5)
+    split = CU.cluster_aware_splits(docs, pairs, seed=5)
+    capped = CU.cap_per_domain(
+        split, domain_col="source", max_docs=15,
+        order_col="n_chars", descending=True,
+    )
+    budget = int(
+        capped.agg(F.floor(F.sum("n_chars") / 3.0).cast("long")).collect()[0][0]
+    )
+    head = CU.token_budget_head(
+        capped, budget=budget, token_col="n_chars",
+        order_col="n_chars", descending=True,
+    )
+    return head.select("doc_id", "source", "split", F.col("n_chars").cast("long").alias("n_chars"))

@@ -159,3 +159,60 @@ def streaming_xlsx_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .schema("event_id long, user_id long, event_type string, value double")
         .load(out)
     )
+
+
+@query(
+    "streaming_neardup_replay",
+    oracle="""
+        SELECT doc_id,
+               CAST(8 AS BIGINT) AS n_bands,
+               CAST(0 AS BIGINT)  AS n_owner_violations
+        FROM documents
+        WHERE coalesce(len(regexp_split_to_array(trim(lower(text)), '\\s+')), 0) >= 3
+    """,
+    tags=("streaming", "stateful", "dedup", "lsh"),
+)
+def streaming_neardup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-dup detection (streaming/neardup.py) under exact
+    redelivery, hash-checked: the documents table is delivered TWICE
+    across two micro-batches; minhash-LSH band buckets live in
+    applyInPandasWithState state, so on the second delivery EVERY
+    shingled document lands in a bucket owned since batch one and must
+    be flagged on ALL 8 bands.  The oracled facts per flagged doc:
+
+    * membership — exactly the >=3-token documents (fewer tokens -> no
+      3-shingle -> empty band array -> never flagged); an implementation
+      that loses bucket state between micro-batches would miss
+      singleton docs entirely and fail the row count;
+    * ``n_bands`` = 8 distinct colliding bands (the entry runs the
+      8x4 banding config; the module default is 16x4) — posexplode of the
+      full banded signature (a truncated or mis-indexed band array
+      changes the count);
+    * ``n_owner_violations`` = 0 — every emitted bucket owner is the
+      MINIMUM doc_id ever seen in that bucket, so ``first_doc_id <=
+      doc_id`` must hold on every flag row (broken first-arrival
+      bookkeeping shows up here).
+
+    Pair-level flag parity with the batch LSH family (stream state can
+    be seeded from a batch backfill) is proven separately in
+    tests/test_streaming_neardup.py."""
+    from pyspark.sql import functions as F
+
+    from excelstream_spark.streaming.neardup import streaming_neardup_flags
+    from excelstream_spark.streaming.pipelines import (
+        replayed_docs_stream,
+        run_available_now,
+    )
+
+    stream = replayed_docs_stream(spark, table_path(sf_dir, "documents"))
+    flags = run_available_now(
+        streaming_neardup_flags(stream, bands=8, rows_per_band=4),
+        f"snr_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+    return flags.groupBy("doc_id").agg(
+        F.countDistinct("band").cast("long").alias("n_bands"),
+        F.sum(
+            F.when(F.col("first_doc_id") > F.col("doc_id"), 1).otherwise(0)
+        ).cast("long").alias("n_owner_violations"),
+    )

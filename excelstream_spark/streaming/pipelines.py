@@ -121,6 +121,41 @@ def replayed_events_stream(
     return _open_events_stream(spark, d, src_file, maxFilesPerTrigger=1)
 
 
+#: Read schema for the ``documents`` table as a stream source.
+DOCS_SCHEMA = (
+    "doc_id bigint, text string, lang string, source string, n_chars bigint"
+)
+
+
+def replayed_docs_stream(
+    spark: SparkSession,
+    src_file: str,
+    link_dir: str | None = None,
+    copies: int = 2,
+) -> DataFrame:
+    """Exact-redelivery source over the ``documents`` table (same
+    symlink-per-micro-batch mechanics as :func:`replayed_events_stream`).
+    Documents carry no event time, so a deterministic synthetic ``ts``
+    is derived from ``doc_id`` (base epoch + doc_id-spread seconds) —
+    identical on every delivery, exactly like a replayed upstream queue
+    would re-deliver the original ingest timestamps."""
+    import os
+
+    src_file = os.path.abspath(src_file)
+    d = link_dir or tempfile.mkdtemp(prefix="esspark_docreplay_")
+    for i in range(copies):
+        os.symlink(src_file, os.path.join(d, f"batch{i + 1}.parquet"))
+    raw = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    return raw.withColumn(
+        "ts",
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id") % 600),
+    )
+
+
 def hourly_windowed_counts(
     events: DataFrame, watermark: str = "2 hours"
 ) -> DataFrame:

@@ -1010,3 +1010,53 @@ def test_extract_features_mixed_payloads(spark):
     assert got[5]["decoder"] == "wav-stdlib"
     assert (got[5]["sample_rate"], got[5]["n_frames"]) == (44100, 100)
     assert got[5]["channel_means"] == [round(2**14 / 2**15, 6)]
+
+
+def test_media_encoders_round_trip_and_cross_validate():
+    """The production encoders (operators/multimodal.encode_png /
+    encode_wav — the driver entry's payload synthesizers) must (a)
+    round-trip bit-exactly through the stdlib decoders and (b) agree
+    with an INDEPENDENT reader (the stdlib ``wave`` module) on the WAV
+    container layout, so the entry's hash-green can't be two mirrored
+    bugs in one module."""
+    import io
+    import wave as wavemod
+
+    from excelstream_spark.operators.multimodal import (
+        _decode_payload,
+        encode_png,
+        encode_wav,
+    )
+
+    for d in (0, 3, 6, 9, 33, 96):
+        w = 2 + 2 * (d % 2)
+        px = bytes((d * 31 + i * 7) % 256 for i in range(w * 2))
+        info = _decode_payload(encode_png(w, 2, px))
+        assert (info["decoder"], info["width"], info["height"], info["channels"]) == (
+            "png-stdlib", w, 2, 1,
+        )
+        assert info["channel_means"] == [round(sum(px) / len(px), 3)]
+
+    # RGB variant exercises the multi-channel stride path of the encoder
+    rgb = bytes(range(2 * 2 * 3))
+    info = _decode_payload(encode_png(2, 2, rgb, channels=3))
+    assert info["channels"] == 3 and info["width"] == 2
+    assert info["channel_means"] == [
+        round(sum(rgb[c::3]) / 4, 3) for c in range(3)
+    ]
+
+    for d in (1, 4, 7, 31, 64):
+        n = 4 + d % 5
+        amp = (d % 32) * 1024
+        samples = [amp if i % 2 == 0 else -amp for i in range(n)]
+        payload = encode_wav(8000 + (d % 5) * 1000, samples)
+        info = _decode_payload(payload)
+        assert (info["decoder"], info["n_frames"], info["channels"]) == (
+            "wav-stdlib", n, 1,
+        )
+        assert info["sample_rate"] == 8000 + (d % 5) * 1000
+        assert info["channel_means"] == [round((d % 32) / 32, 6)]
+        # independent container check: stdlib wave reads the same facts
+        with wavemod.open(io.BytesIO(payload), "rb") as r:
+            assert (r.getnchannels(), r.getsampwidth(), r.getframerate(),
+                    r.getnframes()) == (1, 2, 8000 + (d % 5) * 1000, n)

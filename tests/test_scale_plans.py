@@ -240,9 +240,10 @@ def test_round4_entry_plans_shuffle_budget(spark):
     from excelstream_spark.sources.csvzip import read_csv_zip
 
     mm_plan = _plan(EXT.multimodal_features(spark, SF_DIR))
-    # joinless shape: ONE decode pass (a frames-x-feats join would run
-    # the MapInPandas decode subtree on both branches), explode only
-    assert mm_plan.count("MapInPandas") == 1, mm_plan[:800]
+    # joinless shape: exactly TWO chained Arrow passes (payload encode +
+    # decode) pipelined in one stage — a frames-x-feats join would run
+    # the decode subtree on both branches and add a third
+    assert mm_plan.count("MapInPandas") == 2, mm_plan[:800]
     assert "Join" not in mm_plan, mm_plan[:800]
     assert "Exchange hashpartitioning" not in mm_plan, mm_plan[:800]
 
