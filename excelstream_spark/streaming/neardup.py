@@ -142,15 +142,24 @@ def _bucket_fn(
     pdf = pd.concat(list(pdfs), ignore_index=True)
     if len(pdf) == 0:
         return
+    seeds = pdf[pdf["seed"]]
+    real = pdf[~pdf["seed"]]
     if state.exists:
         (owner,) = state.get
-        flagged = pdf
+        flagged = real
+    elif len(seeds):
+        # backfill-seeded bucket: the batch pipeline's owner takes the
+        # bucket unconditionally — the backfill happened BEFORE the
+        # stream, so even a smaller streamed doc_id arriving in the same
+        # micro-batch is a later arrival and gets flagged
+        owner = int(seeds["doc_id"].min())
+        flagged = real
     else:
         # first batch this bucket appears in: the smallest doc_id owns it
         # (deterministic whatever the within-batch row order), the rest
         # of the batch is flagged against it
-        owner = int(pdf["doc_id"].min())
-        flagged = pdf[pdf["doc_id"] != owner]
+        owner = int(real["doc_id"].min())
+        flagged = real[real["doc_id"] != owner]
     state.update((owner,))
     # TTL anchored at max(watermark, batch event time): on the FIRST
     # batch the watermark is still 0, and watermark+TTL would expire the
@@ -176,11 +185,21 @@ def streaming_neardup_flags(
     bands: int = 16,
     rows_per_band: int = 4,
     watermark: str = "2 hours",
+    seed_entries: DataFrame | None = None,
 ) -> DataFrame:
     """Band-collision flags over a streaming documents source (must carry
     an event-time column ``ts_col``).  Output: one row per (flagged doc,
     colliding band) — ``first_doc_id`` is the bucket owner to verify
-    against.  ``distinct doc_id`` of this stream = the docs to drop."""
+    against.  ``distinct doc_id`` of this stream = the docs to drop.
+
+    ``seed_entries`` (optional) is a second STREAMING source of
+    pre-exploded backfill buckets ``(doc_id=owner, ts, band, bh)`` — see
+    :func:`bucket_owner_backfill` / :func:`seed_entries_stream`.  Seeded
+    buckets are owned by the backfill owner unconditionally (the
+    backfill precedes the stream), seed rows never emit flags, and the
+    stream never re-hashes the backfill corpus: at 100 TB the corpus is
+    minhashed ONCE by the codegen'd batch pipeline and the stream starts
+    from its buckets — per-bucket state rows, not per-document text."""
     entries = (
         docs.withWatermark(ts_col, watermark)
         .select(
@@ -189,8 +208,19 @@ def streaming_neardup_flags(
             F.posexplode(
                 band_hash_array(text_col, bands, rows_per_band)
             ).alias("band", "bh"),
+            F.lit(False).alias("seed"),
         )
     )
+    if seed_entries is not None:
+        entries = entries.unionByName(
+            seed_entries.withWatermark("ts", watermark).select(
+                F.col("doc_id").cast("long"),
+                F.col("ts"),
+                F.col("band").cast("int"),
+                F.col("bh").cast("long"),
+                F.lit(True).alias("seed"),
+            )
+        )
     return entries.groupBy("band", "bh").applyInPandasWithState(
         _bucket_fn,
         outputStructType=FLAG_OUTPUT,
@@ -198,3 +228,73 @@ def streaming_neardup_flags(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def bucket_owner_backfill(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """BATCH computation of the stream state a backfill would leave
+    behind: one ``(band, bh, doc_id=owner)`` row per occupied band
+    bucket, owner = minimum document id in the bucket.  Runs the
+    codegen'd batch minhash pipeline (operators/dedup.minhash_signatures
+    — ONE HashAggregate of mins, not the stream's interpreted
+    higher-order expressions), whose hash family is asserted identical
+    to :func:`band_hash_array`; output feeds
+    :func:`seed_entries_stream`."""
+    from excelstream_spark.operators.dedup import minhash_signatures
+
+    sigs = minhash_signatures(
+        docs, text_col=text_col, id_col=id_col, k=3,
+        num_hashes=bands * rows_per_band,
+    )
+    entry = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("band"),
+                    F.hash(
+                        F.slice("sig", j * rows_per_band + 1, rows_per_band)
+                    ).cast("long").alias("bh"),
+                )
+                for j in range(bands)
+            ]
+        )
+    ).alias("b")
+    return (
+        sigs.select(F.col("id"), entry)
+        .select("b.band", "b.bh", F.col("id").alias("doc_id"))
+        .groupBy("band", "bh")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+
+
+def write_seed_batch(backfill: DataFrame, seed_dir: str, as_of: str) -> None:
+    """Materialize a :func:`bucket_owner_backfill` result as the parquet
+    seed fileset ``seed_entries_stream`` monitors.  ``as_of`` is the
+    backfill completion time (an event-time literal): it anchors the
+    seeded buckets' TTL, so a bucket not re-seen by the stream expires
+    ``_BUCKET_TTL_MS`` after the BACKFILL time — the same horizon a
+    bucket last touched by a live event gets.  Do NOT pass an ancient
+    timestamp: the first watermark advance would expire every
+    seed-only bucket (the cold-start expiry class the TTL anchor fix
+    in stateful.py guards against)."""
+    backfill.select(
+        F.col("doc_id").cast("long"),
+        F.lit(as_of).cast("timestamp").alias("ts"),
+        F.col("band").cast("int"),
+        F.col("bh").cast("long"),
+    ).write.mode("overwrite").parquet(seed_dir)
+
+
+def seed_entries_stream(spark, seed_dir: str) -> DataFrame:
+    """readStream over a :func:`write_seed_batch` directory — the second
+    source unioned into :func:`streaming_neardup_flags`.  All seed files
+    are consumed in the first micro-batch (no maxFilesPerTrigger cap):
+    state is fully seeded before any real document can take a bucket."""
+    return spark.readStream.schema(
+        "doc_id bigint, ts timestamp, band int, bh bigint"
+    ).parquet(seed_dir)

@@ -150,3 +150,89 @@ def test_streaming_flags_dup_and_unique_guarantees(spark, tmp_path):
     assert set(got["doc_id"]) == {3}
     assert len(by_doc.get_group(3)) == BANDS
     assert (by_doc.get_group(3)["first_doc_id"] == 1).all()
+
+
+def test_backfill_seeded_stream_matches_batch_state(spark, tmp_path):
+    """Seeding stream state from a batch backfill: even-id docs are
+    backfilled via bucket_owner_backfill (batch minhash, NEVER
+    re-hashed by the stream); odd-id docs + exact re-deliveries of two
+    backfilled docs stream in afterwards.  Expectation (computed with
+    the batch hash family): a streamed doc is flagged on band j iff its
+    bucket is backfill-owned (owner = backfill min unconditionally) or
+    contains a smaller streamed doc; seed rows themselves never appear
+    in the output."""
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 200)
+    )
+    backfill_docs = docs.filter(F.col("doc_id") % 2 == 0)
+    seed_dir = str(tmp_path / "seeds")
+    ND.write_seed_batch(
+        ND.bucket_owner_backfill(backfill_docs, bands=BANDS, rows_per_band=ROWS),
+        seed_dir,
+        as_of="2024-01-01 11:00:00",
+    )
+
+    stream_pdf = (
+        docs.filter((F.col("doc_id") % 2 == 1) | F.col("doc_id").isin(0, 42))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # the re-delivered backfill docs stream under NEW ids (ingest dedupe
+    # would catch same-id redelivery; near-dup must catch same-content)
+    stream_pdf.loc[stream_pdf["doc_id"] == 0, "doc_id"] = 100_000
+    stream_pdf.loc[stream_pdf["doc_id"] == 42, "doc_id"] = 100_042
+    stream_pdf["ts"] = pd.Timestamp("2024-01-01 12:00:00")
+    d = str(tmp_path / "stream")
+    os.makedirs(d)
+    stream_pdf.to_parquet(f"{d}/b1.parquet", index=False, coerce_timestamps="us")
+
+    stream = spark.readStream.schema(
+        "doc_id bigint, text string, ts timestamp"
+    ).parquet(d)
+    got = run_available_now(
+        ND.streaming_neardup_flags(
+            stream,
+            bands=BANDS,
+            rows_per_band=ROWS,
+            seed_entries=ND.seed_entries_stream(spark, seed_dir),
+        ),
+        "t_neardup_seeded",
+    )
+    got_rows = {
+        (r["doc_id"], r["band"], r["bh"], r["first_doc_id"])
+        for r in got.collect()
+    }
+
+    # batch-family expectation
+    def entries_of(df):
+        return (
+            df.select(
+                "doc_id",
+                F.posexplode(
+                    ND.band_hash_array("text", bands=BANDS, rows_per_band=ROWS)
+                ).alias("band", "bh"),
+            ).toPandas()
+        )
+
+    bf = entries_of(backfill_docs)
+    st = entries_of(spark.createDataFrame(stream_pdf[["doc_id", "text"]]))
+    bf_owner = bf.groupby(["band", "bh"])["doc_id"].min()
+    expected = set()
+    for (band, bh), grp in st.groupby(["band", "bh"]):
+        if (band, bh) in bf_owner.index:
+            owner = int(bf_owner.loc[(band, bh)])
+            members = grp["doc_id"]  # every streamed row is a later arrival
+        else:
+            owner = int(grp["doc_id"].min())
+            members = grp["doc_id"][grp["doc_id"] != owner]
+        for doc in members:
+            expected.add((int(doc), int(band), int(bh), owner))
+    assert got_rows == expected
+    # the re-deliveries are flagged on every band, against their ORIGINAL
+    redeliv = {r for r in got_rows if r[0] in (100_000, 100_042)}
+    assert len(redeliv) == 2 * BANDS
+    assert {r[3] for r in redeliv if r[0] == 100_000} == {0}
+    assert {r[3] for r in redeliv if r[0] == 100_042} == {42}
