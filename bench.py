@@ -233,6 +233,18 @@ def main() -> None:
 
     run("corpus_curation", curation)
 
+    # incremental gate: odd-id docs (plus nothing new) against the
+    # even-id standing corpus — exact fp anti-join + broadcast-increment
+    # LSH candidates + exact verify, corpus never reshuffled
+    from excelstream_spark.operators import incremental as INC
+
+    def increment_gate():
+        corpus = docs_full.filter(F.col("doc_id") % 2 == 0)
+        new = docs_full.filter(F.col("doc_id") % 2 == 1)
+        noop(INC.dedup_increment(new, corpus))
+
+    run("dedup_increment", increment_gate)
+
     emb = load_table(spark, SF_DIR, "embeddings")
     qcorpus = quantize_embeddings(emb).persist()
     qcorpus.count()

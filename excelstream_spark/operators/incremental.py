@@ -1,0 +1,205 @@
+"""Incremental corpus maintenance: dedup a NEW increment (today's crawl)
+against an EXISTING corpus without reshuffling the corpus.
+
+The batch analogue of streaming/neardup.py's seeded stream: a production
+training-data pipeline re-ingests continuously, and re-running full-corpus
+dedup per increment is O(corpus) work for O(increment) new data.  The
+operators here split the cost the right way:
+
+* **Corpus-side artifacts are precomputable and reusable** —
+  :func:`corpus_fingerprints` (exact) and :func:`corpus_band_index`
+  (minhash-LSH band membership) are one-pass jobs over the corpus whose
+  outputs are small relative to the text (16-byte fp / (band, bh, id)
+  rows).  Materialize them once per corpus version; every increment
+  reuses them.  At 100 TB, store the fingerprint artifact BUCKETED on
+  ``fp`` (``.write.bucketBy(4096, 'fp').sortBy('fp').saveAsTable``) so
+  the per-increment anti-join shuffles only the increment: the corpus
+  side is already hash-partitioned on the join key.
+* **Increment-side work is broadcast, never shuffled against the
+  corpus** — the increment's band entries join the corpus band index
+  with the INCREMENT as the broadcast build side, so the corpus index
+  streams through map tasks; candidate verification joins tiny candidate
+  id lists back to the two shingle-set tables.
+
+Hash-family parity with operators/dedup.py (same shingle hashing, same
+xxhash64 min family, same band slicing) means a corpus_band_index built
+today keeps working as the batch and streaming pipelines evolve together
+— it is the same artifact streaming/neardup.py's ``write_seed_batch``
+derives seeds from, minus the owner reduction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from excelstream_spark.functions import text as TXT
+from excelstream_spark.operators.dedup import (
+    _scoped_persist,
+    minhash_signatures,
+)
+
+
+def corpus_fingerprints(
+    corpus: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(fp) — distinct md5 fingerprints of normalized text: the exact-dup
+    membership artifact.  One codegen'd projection + one distinct."""
+    return corpus.select(
+        TXT.fingerprint(F.col(text_col)).alias("fp")
+    ).distinct()
+
+
+def _band_entries(
+    sigs: DataFrame, bands: int, rows_per_band: int
+) -> DataFrame:
+    """(id, band, bh) full band-bucket membership from a
+    minhash_signatures output — the SAME slicing/hash family as
+    dedup.dedup_minhash_lsh and streaming/neardup.band_hash_array."""
+    return sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.hash(
+                            F.slice("sig", j * rows_per_band + 1, rows_per_band)
+                        ).cast("long").alias("bh"),
+                    )
+                    for j in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "b.band", "b.bh")
+
+
+def corpus_band_index(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+) -> DataFrame:
+    """(band, bh, id) — full minhash-LSH band-bucket membership of the
+    corpus: the near-dup membership artifact.  Unlike
+    streaming/neardup.bucket_owner_backfill this keeps EVERY member, so
+    increment candidates pair with their actual near-duplicates, not
+    just bucket owners."""
+    sigs = minhash_signatures(corpus, text_col, id_col, k, num_hashes)
+    return _band_entries(sigs, bands, num_hashes // bands).select(
+        "band", "bh", "id"
+    )
+
+
+def dedup_increment_exact(
+    new_docs: DataFrame,
+    corpus_fps: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """New documents whose normalized-text fingerprint does NOT exist in
+    the corpus — a LEFT ANTI join on ``fp``.
+
+    100 TB: the anti-join hashes both sides on ``fp``; with the corpus
+    fingerprint artifact stored bucketed on ``fp`` (module docstring)
+    only the increment moves.  Within-increment duplicates are a
+    separate concern — compose with operators/dedup.dedup_exact."""
+    return (
+        new_docs.withColumn("fp", TXT.fingerprint(F.col(text_col)))
+        .join(corpus_fps, "fp", "left_anti")
+        .drop("fp")
+    )
+
+
+def neardup_increment_pairs(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+    threshold: float = 0.8,
+    band_index: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_new, doc_corpus, jaccard) — exact-verified near-dup pairs
+    BETWEEN the increment and the corpus (within-increment pairs are
+    operators/dedup.dedup_minhash_lsh's job).
+
+    Pass a precomputed ``band_index`` (:func:`corpus_band_index`) to
+    skip re-minhashing the corpus — the intended steady-state call.
+
+    Plan shape, corpus-shuffle-free: the increment's band entries are
+    the BROADCAST side of the candidate join (the corpus index streams
+    map-side); candidate id pairs are then joined to the two shingle-set
+    tables for exact Jaccard.  The corpus shingle join is keyed on the
+    candidate ids — at 100 TB push it through a broadcast semi-join of
+    candidate ids first so only candidate documents are ever shingled."""
+    rows_per_band = num_hashes // bands
+    # ONE corpus signature plan feeds both the (fallback) band index and
+    # the verify join — persisting the same shingle subtree twice would
+    # both waste memory and spam "already cached" warnings
+    corpus_sigs = _scoped_persist(
+        minhash_signatures(corpus_docs, text_col, id_col, k, num_hashes)
+    )
+    if band_index is None:
+        band_index = _band_entries(corpus_sigs, bands, rows_per_band).select(
+            "band", "bh", "id"
+        )
+    new_sigs = _scoped_persist(
+        minhash_signatures(new_docs, text_col, id_col, k, num_hashes)
+    )
+    new_entries = _band_entries(new_sigs, bands, rows_per_band)
+
+    candidates = (
+        band_index.join(
+            F.broadcast(new_entries.withColumnRenamed("id", "doc_new")),
+            ["band", "bh"],
+        )
+        .select(F.col("doc_new"), F.col("id").alias("doc_corpus"))
+        .distinct()
+    )
+    sa = new_sigs.select(F.col("id").alias("doc_new"), F.col("sh").alias("sh_a"))
+    sb = corpus_sigs.select(
+        F.col("id").alias("doc_corpus"), F.col("sh").alias("sh_b")
+    )
+    joined = candidates.join(sa, "doc_new").join(sb, "doc_corpus")
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        joined.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_new", "doc_corpus", "jaccard")
+    )
+
+
+def dedup_increment(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+    threshold: float = 0.8,
+    corpus_fps: DataFrame | None = None,
+    band_index: DataFrame | None = None,
+) -> DataFrame:
+    """The composed increment gate: new documents that are neither exact
+    duplicates of the corpus (fingerprint anti-join) nor near-duplicates
+    of it (verified LSH pairs at ``threshold``).  Both corpus artifacts
+    accept precomputed inputs for steady-state reuse."""
+    if corpus_fps is None:
+        corpus_fps = corpus_fingerprints(corpus_docs, text_col, id_col)
+    exact_new = dedup_increment_exact(new_docs, corpus_fps, text_col)
+    near = neardup_increment_pairs(
+        exact_new, corpus_docs, text_col, id_col, k, num_hashes, bands,
+        threshold, band_index=band_index,
+    )
+    return exact_new.join(
+        near.select(F.col("doc_new").alias(id_col)).distinct(),
+        id_col,
+        "left_anti",
+    )
