@@ -187,10 +187,20 @@ def token_budget_head(
     """
     from pyspark.sql.window import Window
 
+    from excelstream_spark.operators.dedup import _scoped_persist
+
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     order = F.col(order_col).desc() if descending else F.col(order_col).asc()
-    ranged = df.repartitionByRange(n_parts, order, F.col("doc_id")).withColumn(
-        "_pid", F.spark_partition_id()
+    # PERSIST the ranged layout before reading it twice: range
+    # partitioning samples its boundaries (seeded from the fresh RDD id),
+    # so an unpinned plan could pick DIFFERENT boundaries for the totals
+    # job and the final job — a row would then apply an offset computed
+    # for a partition it no longer lives in, silently keeping documents
+    # past the budget.  Scoped like dedup's load-bearing persists.
+    ranged = _scoped_persist(
+        df.repartitionByRange(n_parts, order, F.col("doc_id")).withColumn(
+            "_pid", F.spark_partition_id()
+        )
     )
     # one scalar per partition reaches the driver; partitions may be
     # fewer than requested (small inputs) or empty (skipped ranges)

@@ -262,6 +262,35 @@ def minhash_signatures(
     return sets_.join(sigs, "id").select("id", "sh", "n", "sig")
 
 
+def band_entries(
+    sigs: DataFrame, bands: int, rows_per_band: int
+) -> DataFrame:
+    """(id, band, bh) LSH band-bucket membership from a
+    minhash_signatures output: ``bh = hash(slice(sig, band))`` cast to
+    long.  THE single definition of the banding family — consumed by
+    :func:`dedup_minhash_lsh`, the incremental corpus index
+    (operators/incremental.py) and the streaming backfill
+    (streaming/neardup.py), so batch, incremental and streaming buckets
+    can never drift apart (parity with the stream's expression form is
+    additionally asserted in tests/test_streaming_neardup.py)."""
+    return sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.hash(
+                            F.slice("sig", j * rows_per_band + 1, rows_per_band)
+                        ).cast("long").alias("bh"),
+                    )
+                    for j in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "b.band", "b.bh")
+
+
 def dedup_minhash_lsh(
     df: DataFrame,
     text_col: str = "text",
@@ -286,25 +315,10 @@ def dedup_minhash_lsh(
         minhash_signatures(df, text_col, id_col, k, num_hashes)
     )
 
-    band_entries = sigs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band"),
-                        F.hash(
-                            F.slice("sig", j * rows_per_band + 1, rows_per_band)
-                        ).alias("bh"),
-                    )
-                    for j in range(bands)
-                ]
-            )
-        ).alias("b"),
-    ).select("id", "b.band", "b.bh")
+    entries = band_entries(sigs, bands, rows_per_band)
 
-    lhs = band_entries.select(F.col("id").alias("doc_a"), "band", "bh")
-    rhs = band_entries.select(F.col("id").alias("doc_b"), "band", "bh")
+    lhs = entries.select(F.col("id").alias("doc_a"), "band", "bh")
+    rhs = entries.select(F.col("id").alias("doc_b"), "band", "bh")
     candidates = (
         lhs.join(rhs, ["band", "bh"])
         .filter(F.col("doc_a") < F.col("doc_b"))

@@ -36,7 +36,9 @@ from pyspark.sql import functions as F
 from excelstream_spark.functions import text as TXT
 from excelstream_spark.operators.dedup import (
     _scoped_persist,
+    band_entries,
     minhash_signatures,
+    shingle_sets,
 )
 
 
@@ -48,30 +50,6 @@ def corpus_fingerprints(
     return corpus.select(
         TXT.fingerprint(F.col(text_col)).alias("fp")
     ).distinct()
-
-
-def _band_entries(
-    sigs: DataFrame, bands: int, rows_per_band: int
-) -> DataFrame:
-    """(id, band, bh) full band-bucket membership from a
-    minhash_signatures output — the SAME slicing/hash family as
-    dedup.dedup_minhash_lsh and streaming/neardup.band_hash_array."""
-    return sigs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band"),
-                        F.hash(
-                            F.slice("sig", j * rows_per_band + 1, rows_per_band)
-                        ).cast("long").alias("bh"),
-                    )
-                    for j in range(bands)
-                ]
-            )
-        ).alias("b"),
-    ).select("id", "b.band", "b.bh")
 
 
 def corpus_band_index(
@@ -88,7 +66,7 @@ def corpus_band_index(
     increment candidates pair with their actual near-duplicates, not
     just bucket owners."""
     sigs = minhash_signatures(corpus, text_col, id_col, k, num_hashes)
-    return _band_entries(sigs, bands, num_hashes // bands).select(
+    return band_entries(sigs, bands, num_hashes // bands).select(
         "band", "bh", "id"
     )
 
@@ -137,20 +115,28 @@ def neardup_increment_pairs(
     candidate ids — at 100 TB push it through a broadcast semi-join of
     candidate ids first so only candidate documents are ever shingled."""
     rows_per_band = num_hashes // bands
-    # ONE corpus signature plan feeds both the (fallback) band index and
-    # the verify join — persisting the same shingle subtree twice would
-    # both waste memory and spam "already cached" warnings
-    corpus_sigs = _scoped_persist(
-        minhash_signatures(corpus_docs, text_col, id_col, k, num_hashes)
-    )
     if band_index is None:
-        band_index = _band_entries(corpus_sigs, bands, rows_per_band).select(
+        # ONE corpus signature plan feeds both the fallback band index
+        # and the verify join — persisting the same shingle subtree
+        # twice would waste memory and spam "already cached" warnings
+        corpus_sigs = _scoped_persist(
+            minhash_signatures(corpus_docs, text_col, id_col, k, num_hashes)
+        )
+        band_index = band_entries(corpus_sigs, bands, rows_per_band).select(
             "band", "bh", "id"
+        )
+        corpus_sets = corpus_sigs.select("id", "sh")
+    else:
+        # stored-index steady state: the verify join needs only shingle
+        # SETS — never rebuild the 128-min HashAggregate the artifact
+        # exists to amortize
+        corpus_sets = shingle_sets(corpus_docs, text_col, id_col, k).select(
+            "id", "sh"
         )
     new_sigs = _scoped_persist(
         minhash_signatures(new_docs, text_col, id_col, k, num_hashes)
     )
-    new_entries = _band_entries(new_sigs, bands, rows_per_band)
+    new_entries = band_entries(new_sigs, bands, rows_per_band)
 
     candidates = (
         band_index.join(
@@ -161,7 +147,7 @@ def neardup_increment_pairs(
         .distinct()
     )
     sa = new_sigs.select(F.col("id").alias("doc_new"), F.col("sh").alias("sh_a"))
-    sb = corpus_sigs.select(
+    sb = corpus_sets.select(
         F.col("id").alias("doc_corpus"), F.col("sh").alias("sh_b")
     )
     joined = candidates.join(sa, "doc_new").join(sb, "doc_corpus")

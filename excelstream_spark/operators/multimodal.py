@@ -152,6 +152,12 @@ def _decode_jpeg_header(payload: bytes) -> dict:
             pos += 1
             continue
         marker = payload[pos + 1]
+        if marker == 0xFF:
+            # JPEG permits any run of 0xFF fill bytes before a marker;
+            # treating the second 0xFF as a marker would read a bogus
+            # segment length and skip past the real SOF
+            pos += 1
+            continue
         if marker in _JPEG_SOF:
             h, w = struct.unpack(">HH", payload[pos + 5 : pos + 9])
             ncomp = payload[pos + 9]
@@ -355,7 +361,11 @@ def synthesize_payloads(docs: DataFrame, text_col: str = "text") -> DataFrame:
                     payload = encode_wav(8000 + (d % 5) * 1000, samples)
                     ctype = "audio/wav"
                 else:
-                    payload, ctype = str(text or "").encode("utf-8"), "text/plain"
+                    # None/NaN-safe: parquet nulls surface as None here,
+                    # but guard NaN too (`nan or ""` is truthy) — the
+                    # oracle's coalesce(text, '') must see the same bytes
+                    s = "" if text is None or (isinstance(text, float)) else str(text)
+                    payload, ctype = s.encode("utf-8"), "text/plain"
                 rows.append((d, payload, {"content_type": ctype, "byte_len": len(payload)}))
             yield pd.DataFrame(rows, columns=["doc_id", "payload", "meta"])
 
@@ -466,7 +476,14 @@ def sample_frames(
         if multimodal is None:
             raise ValueError("sample_frames needs multimodal or features")
         features = extract_features(multimodal)
+    # n_frames = 0 (corrupt payloads) must yield NO frames: sequence(0,-1)
+    # counts DOWN ([0, -1]) rather than producing an empty array
     return features.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)).alias("frame_idx"),
+        F.explode(
+            F.when(
+                F.col("n_frames") >= 1,
+                F.sequence(F.lit(0), F.col("n_frames") - 1),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("frame_idx"),
     ).filter((F.col("frame_idx") % every_n) == 0)

@@ -370,12 +370,12 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         txt AS (
           SELECT doc_id, 'text/plain' AS modality, 'fake' AS decoder,
-                 CAST(octet_length(encode(text)) % 640 AS INT)       AS width,
-                 CAST((octet_length(encode(text)) * 7) % 480 AS INT) AS height,
-                 CAST(NULL AS INT)                                   AS channels,
-                 CAST(1 + octet_length(encode(text)) % 8 AS INT)     AS n_frames,
-                 CAST(NULL AS INT)                                   AS sample_rate,
-                 CAST(NULL AS DOUBLE)                                AS mean0
+                 CAST(octet_length(encode(coalesce(text, ''))) % 640 AS INT)       AS width,
+                 CAST((octet_length(encode(coalesce(text, ''))) * 7) % 480 AS INT) AS height,
+                 CAST(NULL AS INT)                                                 AS channels,
+                 CAST(1 + octet_length(encode(coalesce(text, ''))) % 8 AS INT)     AS n_frames,
+                 CAST(NULL AS INT)                                                 AS sample_rate,
+                 CAST(NULL AS DOUBLE)                                              AS mean0
           FROM documents WHERE doc_id % 3 = 2
         ),
         feats AS (
@@ -409,10 +409,18 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = MM.extract_features(MM.synthesize_payloads(_docs(spark, sf_dir)))
     # joinless: exploding ON the feature rows keeps the decode to ONE
     # mapInPandas pass (a frames-x-feats join would re-evaluate the
-    # decode subtree on both branches)
+    # decode subtree on both branches).  The sequence is guarded for
+    # n_frames = 0 (corrupt-payload rows): sequence(0, -1) counts DOWN
+    # ([0, -1]), which would fabricate a frame row the oracle's
+    # generate_series (empty) does not have.
     return feats.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)).alias("frame_idx"),
+        F.explode(
+            F.when(
+                F.col("n_frames") >= 1,
+                F.sequence(F.lit(0), F.col("n_frames") - 1),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("frame_idx"),
         "modality",
         "decoder",
         "width",

@@ -69,22 +69,33 @@ def _split_records(text: str, quote: str) -> list[str]:
     """
     if not quote or quote not in text:
         return text.splitlines()
+    import re
+
+    # alternating [content, terminator, content, terminator, ...] —
+    # recognizing all three physical line endings (\r\n, \n, bare \r,
+    # exactly like splitlines() on the quote-free fast path) while
+    # keeping the terminator TEXT so endings inside an open quoted
+    # field survive verbatim as data
+    parts = re.split("(\r\n|\n|\r)", text)
     records: list[str] = []
     buf: list[str] = []
     open_q = 0
-    for line in text.split("\n"):
-        open_q ^= line.count(quote) & 1
-        buf.append(line)
-        if not open_q:
-            rec = "\n".join(buf)
-            records.append(rec[:-1] if rec.endswith("\r") else rec)
+    for i in range(0, len(parts), 2):
+        chunk = parts[i]
+        term = parts[i + 1] if i + 1 < len(parts) else ""
+        open_q ^= chunk.count(quote) & 1
+        buf.append(chunk)
+        if open_q:
+            buf.append(term)  # ending inside a quoted field is data
+        elif term or chunk or i + 1 < len(parts):
+            records.append("".join(buf))
             buf = []
-    if buf:  # unterminated quote at EOF — emit as-is, the parser decides
-        rec = "\n".join(buf)
-        records.append(rec[:-1] if rec.endswith("\r") else rec)
-    # drop the empty artifact of splitting a trailing final newline
-    # (splitlines() compatibility); interior blank lines remain records
-    if records and records[-1] == "" and text.endswith("\n"):
+    if buf and (joined := "".join(buf)):
+        # unterminated quote at EOF — emit as-is, the parser decides
+        records.append(joined)
+    # drop the empty artifact of a trailing final newline (splitlines()
+    # compatibility); interior blank lines remain records
+    if records and records[-1] == "" and text.endswith(("\n", "\r")):
         records.pop()
     return records
 

@@ -182,6 +182,9 @@ def export_presigned(
     s3_client=None,
     ttl_seconds: int = 3600,
     header: bool = True,
+    delimiter: str = ",",
+    gzip_compress: bool = False,
+    sheet_name: str = "Sheet1",
     write_path: str | None = None,
 ) -> ExportResult:
     """Distributed export + presigned URLs: ``df`` is written as part
@@ -206,13 +209,25 @@ def export_presigned(
     key_prefix = key_prefix.rstrip("/") + "/"
     path = write_path or f"s3a://{bucket}/{key_prefix}"
     if fmt == "csv":
-        df.write.mode("overwrite").options(header=header).csv(path)
+        # mirror the inline path's dialect options: a consumer promised
+        # ';'-separated gzip CSV must get it whichever path the row
+        # guard picks
+        opts: dict = {"header": header, "sep": delimiter}
+        if gzip_compress:
+            opts["compression"] = "gzip"
+        df.write.mode("overwrite").options(**opts).csv(path)
         content_type = CSV_CONTENT_TYPE
     else:
         from excelstream_spark.sources.xlsx import register_xlsx
 
         register_xlsx(df.sparkSession)
-        df.write.format("xlsx").mode("overwrite").save(path)
+        (
+            df.write.format("xlsx")
+            .option("sheetName", sheet_name)
+            .option("header", header)
+            .mode("overwrite")
+            .save(path)
+        )
         content_type = XLSX_CONTENT_TYPE
     keys, urls = presign_prefix(bucket, key_prefix, s3_client, ttl_seconds)
     return ExportResult(
@@ -263,4 +278,7 @@ def serve_dataframe(
             s3_client=s3_client,
             ttl_seconds=ttl_seconds,
             header=fmt_opts.get("header", True),
+            delimiter=fmt_opts.get("delimiter", ","),
+            gzip_compress=fmt_opts.get("gzip_compress", False),
+            sheet_name=fmt_opts.get("sheet_name", "Sheet1"),
         )

@@ -245,28 +245,15 @@ def bucket_owner_backfill(
     higher-order expressions), whose hash family is asserted identical
     to :func:`band_hash_array`; output feeds
     :func:`seed_entries_stream`."""
-    from excelstream_spark.operators.dedup import minhash_signatures
+    from excelstream_spark.operators.dedup import band_entries, minhash_signatures
 
     sigs = minhash_signatures(
         docs, text_col=text_col, id_col=id_col, k=3,
         num_hashes=bands * rows_per_band,
     )
-    entry = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(j).alias("band"),
-                    F.hash(
-                        F.slice("sig", j * rows_per_band + 1, rows_per_band)
-                    ).cast("long").alias("bh"),
-                )
-                for j in range(bands)
-            ]
-        )
-    ).alias("b")
     return (
-        sigs.select(F.col("id"), entry)
-        .select("b.band", "b.bh", F.col("id").alias("doc_id"))
+        band_entries(sigs, bands, rows_per_band)
+        .withColumnRenamed("id", "doc_id")
         .groupBy("band", "bh")
         .agg(F.min("doc_id").alias("doc_id"))
     )

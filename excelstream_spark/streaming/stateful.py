@@ -166,7 +166,11 @@ def _tracker_fn(
         # and order-independent (see _TRACKER_STATE).  Ties (a value*1e6
         # landing exactly on .5) cannot occur for the <= 2-decimal inputs
         # this tracks; nearest-int agrees with a DECIMAL(18,6) cast.
-        vals = pdf["value"].to_numpy()
+        # fillna BEFORE the int64 cast: a NULL value is NaN here, and
+        # NaN.astype(int64) is int64-min garbage (~-9.2e12 in the sum);
+        # 0 contribution == the skipna semantics of a float sum AND of
+        # the oracle's SQL SUM over a nullable column
+        vals = pdf["value"].fillna(0.0).to_numpy()
         total_micros += int((vals * 1e6).round().astype("int64").sum())
         ts_us = (pdf["ts"].astype("int64") // 1000).astype("int64")
         lo, hi = int(ts_us.min()), int(ts_us.max())

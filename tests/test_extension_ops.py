@@ -1060,3 +1060,73 @@ def test_media_encoders_round_trip_and_cross_validate():
         with wavemod.open(io.BytesIO(payload), "rb") as r:
             assert (r.getnchannels(), r.getsampwidth(), r.getframerate(),
                     r.getnframes()) == (1, 2, 8000 + (d % 5) * 1000, n)
+
+
+def test_corrupt_payload_yields_no_frames(spark):
+    """n_frames = 0 (corrupt payload) must produce ZERO sampled frames:
+    Spark's sequence(0, -1) counts DOWN ([0, -1]), so an unguarded
+    explode would fabricate frame_idx 0 for every corrupt doc."""
+    import pandas as pd
+
+    from excelstream_spark.operators import multimodal as MM
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "payload": [b"\x89PNG\r\n\x1a\nGARBAGE", b"ok text payload"],
+            "meta": [
+                {"content_type": "image/png", "byte_len": 15},
+                {"content_type": "text/plain", "byte_len": 15},
+            ],
+        }
+    )
+    mm = spark.createDataFrame(
+        pdf,
+        schema="doc_id bigint, payload binary, "
+        "meta struct<content_type: string, byte_len: int>",
+    )
+    feats = MM.extract_features(mm)
+    rows = {r["doc_id"]: r for r in feats.collect()}
+    assert rows[1]["decoder"] == "corrupt" and rows[1]["n_frames"] == 0
+    sampled = MM.sample_frames(features=feats).collect()
+    assert all(r["doc_id"] != 1 for r in sampled)  # no phantom frame
+    assert any(r["doc_id"] == 2 for r in sampled)
+
+
+def test_jpeg_header_skips_fill_bytes():
+    """JPEG allows runs of 0xFF fill bytes before a marker; the header
+    scanner must skip them rather than read a garbage segment length."""
+    import struct
+
+    from excelstream_spark.operators.multimodal import _decode_payload
+
+    sof = b"\xff\xc0" + struct.pack(">HBHHB", 8, 8, 31, 47, 3)
+    # SOI, APP0 with 2 fill bytes before it, fill bytes before SOF
+    app0 = b"\xff\xe0" + struct.pack(">H", 4) + b"JF"
+    payload = b"\xff\xd8" + b"\xff\xff" + app0 + b"\xff\xff\xff" + sof
+    d = _decode_payload(payload)
+    assert (d["decoder"], d["width"], d["height"], d["channels"]) == (
+        "jpeg-header", 47, 31, 3,
+    )
+
+
+def test_synthesize_payloads_null_text_symmetry(spark):
+    """A NULL text on the fake branch must encode as b'' (matching the
+    oracle's coalesce(text, '')), not the string 'None'/'nan'."""
+    import pandas as pd
+
+    from excelstream_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [2, 7], "text": [None, None]}).astype(
+            {"doc_id": "int64", "text": "object"}
+        )
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in MM.extract_features(MM.synthesize_payloads(docs)).collect()
+    }
+    assert rows[2]["byte_len"] == 0 and rows[2]["decoder"] == "fake"
+    assert rows[2]["width"] == 0 and rows[2]["n_frames"] == 1
+    # doc 7 takes the WAV branch regardless of text
+    assert rows[7]["decoder"] == "wav-stdlib"

@@ -372,3 +372,49 @@ def test_csv_zip_quoted_embedded_newlines(spark, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_export_presigned_honors_csv_dialect(spark, tmp_path):
+    """The distributed fallback must write the SAME dialect the inline
+    path promised: separator and gzip compression forward to the Spark
+    csv writer rather than silently reverting to defaults."""
+    import glob as g
+    import gzip
+
+    df = load_table(spark, SF_DIR, "region")
+    out = tmp_path / "exports" / "dialect"
+    http.export_presigned(
+        df,
+        bucket="bkt",
+        key_prefix="exports/dialect",
+        fmt="csv",
+        s3_client=_FakeS3([]),
+        write_path=f"file://{out}",
+        delimiter=";",
+        gzip_compress=True,
+        header=True,
+    )
+    parts = sorted(g.glob(f"{out}/part-*.csv.gz"))
+    assert parts, "expected gzipped csv part files"
+    text = gzip.decompress(open(parts[0], "rb").read()).decode()
+    assert text.splitlines()[0] == ";".join(df.columns)
+
+
+def test_csv_zip_bare_cr_line_endings(spark, tmp_path):
+    """Classic-Mac bare-\\r record terminators parse identically whether
+    or not the file contains quote characters (the quote-aware record
+    splitter recognizes all three physical endings)."""
+    import zipfile as zf
+
+    from excelstream_spark.sources.csvzip import read_csv_zip
+
+    d = tmp_path / "crzip"
+    d.mkdir()
+    body = 'a,desc\r1,"plain"\r2,"multi\rline"\r3,last\r'
+    with zf.ZipFile(d / "t.csv.zip", "w") as z:
+        z.writestr("t.csv", body)
+    got = read_csv_zip(
+        spark, str(d), "a int, desc string", header=True
+    ).collect()
+    rows = {r["a"]: r["desc"] for r in got}
+    assert rows == {1: "plain", 2: "multi\rline", 3: "last"}

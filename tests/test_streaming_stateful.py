@@ -460,3 +460,39 @@ def test_user_tracker_across_distinct_batches(spark, tmp_path):
     assert final.loc[8, "n_events"] == 2
     assert str(final.loc[8, "first_seen"]) == "2024-01-01 12:00:00"
     assert str(final.loc[8, "last_seen"]) == "2024-01-01 13:00:00"
+
+
+def test_tracker_null_values_contribute_zero(spark, tmp_path):
+    """A NULL event value must contribute 0 to the tracker's exact
+    micro-unit total (the skipna semantics of both a float sum and SQL
+    SUM) — not the int64-min garbage a NaN->int64 cast produces."""
+    import os
+
+    import pandas as pd
+
+    from excelstream_spark.streaming import stateful as ST
+    from excelstream_spark.streaming.pipelines import run_available_now
+
+    d = str(tmp_path / "ev")
+    os.makedirs(d)
+    ts = pd.Timestamp("2024-01-01 12:00:00")
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": [ts, ts, ts],
+            "user_id": [7, 7, 7],
+            "event_type": ["a", "a", "a"],
+            "value": [1.25, None, 2.5],
+            "props": ["{}", "{}", "{}"],
+        }
+    )
+    pdf.to_parquet(f"{d}/b.parquet", index=False, coerce_timestamps="us")
+    stream = spark.readStream.schema(
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string"
+    ).parquet(d)
+    out = run_available_now(
+        ST.user_activity_tracker(stream), "t_null_vals", output_mode="update"
+    ).toPandas()
+    assert out["n_events"].tolist() == [3]
+    assert out["total_value"].tolist() == [3.75]
