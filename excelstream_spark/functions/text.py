@@ -184,3 +184,18 @@ def clean_text(col) -> Column:
     # text, and deleting them would glue the neighbors together
     out = F.regexp_replace(out, CONTROL_PATTERN, " ")
     return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def dedup_lines(col, sep: str = "\n") -> Column:
+    """Remove DUPLICATE lines within one document, preserving first-
+    occurrence order (`array_distinct` keeps encounter order): the
+    intra-document twin of corpus-level dedup — repeated nav menus,
+    footers and list boilerplate collapse to one occurrence.  Pure
+    codegen'd array expressions, scan-speed at any corpus size."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_join(F.array_distinct(F.split(c, sep)), sep)
+
+
+def dedup_paragraphs(col, sep: str = "\n\n") -> Column:
+    """`dedup_lines` at paragraph granularity (blank-line separated)."""
+    return dedup_lines(col, sep)

@@ -509,3 +509,59 @@ def dedup_embedding_cosine(
         emb, None, vec_col=vec_col, id_col=id_col, threshold=threshold, upper_triangle=True
     )
     return pairs.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim_r"))
+
+
+def strip_boilerplate_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int = 10,
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Remove paragraphs that appear in MORE than ``max_df`` distinct
+    documents (the C4-style cross-document boilerplate cut: cookie
+    banners, license headers, nav blocks), preserving the remaining
+    paragraphs in original order.  Returns the input columns with
+    ``text_col`` rewritten (documents whose every paragraph was
+    boilerplate keep an empty string).
+
+    Execution shape, scale notes:
+
+    * paragraphs are xxhash64'd BEFORE the document-frequency shuffle
+      (same trick as shingle_rows: fixed-width longs, not text, move);
+    * the hot set (paragraphs above ``max_df``) is by construction
+      small — at most ``total_paragraphs / max_df`` rows — and joins
+      back as a broadcast LEFT ANTI against the exploded paragraphs;
+    * order restore is one groupBy with ``array_sort`` over (pos, para)
+      structs — array_sort on structs orders by the leading ``pos``
+      field, so the rebuild is a codegen'd aggregate, not a window.
+    """
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    ).withColumn("ph", F.xxhash64("para"))
+    hot = (
+        paras.groupBy("ph")
+        .agg(F.countDistinct(id_col).alias("pdf"))
+        .filter(F.col("pdf") > max_df)
+        .select("ph")
+    )
+    kept = paras.join(F.broadcast(hot), "ph", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias("_rebuilt")
+    )
+    others = [c for c in df.columns if c != text_col]
+    return (
+        df.join(rebuilt, id_col, "left")
+        .select(
+            *others,
+            F.coalesce("_rebuilt", F.lit("")).alias(text_col),
+        )
+        .select(*df.columns)
+    )

@@ -1130,3 +1130,46 @@ def test_synthesize_payloads_null_text_symmetry(spark):
     assert rows[2]["width"] == 0 and rows[2]["n_frames"] == 1
     # doc 7 takes the WAV branch regardless of text
     assert rows[7]["decoder"] == "wav-stdlib"
+
+
+def test_strip_boilerplate_paragraphs_and_line_dedup(spark):
+    """Cross-document boilerplate cut: paragraphs in > max_df docs are
+    removed everywhere, order of survivors preserved, all-boilerplate
+    docs come back empty; intra-doc dedup_lines keeps first occurrences
+    in order."""
+    import pandas as pd
+
+    from excelstream_spark.functions import text as TXT
+    from excelstream_spark.operators.dedup import strip_boilerplate_paragraphs
+
+    banner = "accept our cookies"
+    footer = "all rights reserved"
+    docs = [
+        (i, "\n\n".join([banner, f"unique body {i}", footer]), "en")
+        for i in range(8)
+    ] + [
+        (100, "\n\n".join([banner, footer]), "en"),       # pure boilerplate
+        (101, "solo content\n\nmore solo", "en"),          # untouched
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(docs, columns=["doc_id", "text", "lang"])
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in strip_boilerplate_paragraphs(df, max_df=5).collect()
+    }
+    assert out[3] == "unique body 3"
+    assert out[100] == ""
+    assert out[101] == "solo content\n\nmore solo"
+    assert set(out) == {*range(8), 100, 101}  # schema/rows preserved
+    # below the df threshold nothing is touched
+    out2 = {
+        r["doc_id"]: r["text"]
+        for r in strip_boilerplate_paragraphs(df, max_df=20).collect()
+    }
+    assert out2[3] == "\n\n".join([banner, "unique body 3", footer])
+
+    lines = spark.createDataFrame(
+        pd.DataFrame({"t": ["a\nb\na\nc\nb", "x"]})
+    ).select(TXT.dedup_lines("t").alias("d"))
+    assert [r["d"] for r in lines.collect()] == ["a\nb\nc", "x"]
