@@ -834,7 +834,8 @@ def sim_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(CASE WHEN n_tok > 512 THEN 1 ELSE 0 END) AS BIGINT)
                                                               AS n_oversize,
                CAST(0 AS BIGINT)                              AS overfull_bins
-        FROM (SELECT len({_SQL_TOKS}) AS n_tok FROM documents)
+        FROM (SELECT len({_SQL_TOKS}) AS n_tok FROM documents
+              WHERE text IS NOT NULL)
     """,
     tags=("packing",),
 )
@@ -851,8 +852,17 @@ def pack_sequences_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from excelstream_spark.operators.packing import pack_sequences
 
     max_tokens = 512
-    d = _docs(spark, sf_dir).select(
-        "doc_id", TXT.token_count(F.col("text")).cast("long").alias("n_tokens")
+    # NULL-text docs have no defined token length and cannot be packed:
+    # exclude them HERE (mirrored by the oracle's WHERE text IS NOT
+    # NULL) — the operator's own loud null guard stays armed for
+    # genuine upstream bugs
+    d = (
+        _docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            TXT.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        )
     )
     packed = pack_sequences(d, max_tokens=max_tokens)
     stats = packed.agg(

@@ -725,11 +725,15 @@ def exists_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
                quantile_cont(value, 0.5)  AS p50,
                quantile_cont(value, 0.95) AS p95,
                quantile_cont(value, 0.99) AS p99,
-               array_to_string(list_sort(list(DISTINCT user_id)), '|')   AS users_sorted,
-               array_to_string(
-                 list_transform((list_sort(list(CAST(value AS DECIMAL(18,6)))))[1:5],
-                                x -> CAST(x AS VARCHAR)), '|')           AS smallest5,
-               CAST(len(list(DISTINCT user_id)) AS INT)                  AS n_users
+               coalesce(array_to_string(list_sort(
+                 list(DISTINCT user_id) FILTER (user_id IS NOT NULL)), '|'), '')
+                                                                         AS users_sorted,
+               coalesce(array_to_string(
+                 list_transform((list_sort(
+                   list(CAST(value AS DECIMAL(18,6))) FILTER (value IS NOT NULL)))[1:5],
+                                x -> CAST(x AS VARCHAR)), '|'), '')      AS smallest5,
+               CAST(coalesce(len(list(DISTINCT user_id) FILTER (user_id IS NOT NULL)), 0)
+                    AS INT)                                              AS n_users
         FROM events
         GROUP BY event_type
     """,
@@ -747,7 +751,11 @@ def agg_percentiles_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     (collection order is undefined in both, so sorting is part of the
     contract); arrays serialize to '|'-joined strings (doubles via
     fixed-scale DECIMAL) because the driver's canonicalizer cannot hash
-    list columns (CORRECTNESS_r01 TypeError)."""
+    list columns (CORRECTNESS_r01 TypeError).  DuckDB's list() keeps
+    NULL elements and yields NULL for all-null groups where Spark's
+    collect_set/collect_list skip nulls and return []; the oracle's
+    FILTER + coalesce wrappers pin both engines to the skip-null
+    semantics (caught by the null-injected-fixture rehearsal)."""
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.percentile("value", 0.5).alias("p50"),

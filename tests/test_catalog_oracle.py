@@ -77,3 +77,49 @@ def test_simhash_null_text_parity(spark, tmp_path):
         assert injected == 3
     finally:
         con.close()
+
+
+def test_null_value_and_text_entry_symmetry(spark, tmp_path):
+    """Null-injected rehearsal for the two entries the round-5 sweep
+    caught: pack_sequences_audit must exclude NULL-text docs on BOTH
+    sides (the packer's loud null guard stays for upstream bugs), and
+    agg_percentiles_arrays must pin DuckDB's list() to Spark's skip-null
+    / empty-group-to-[] semantics."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from excelstream_spark.plans.catalog import CATALOG
+
+    d = tmp_path / "nulled"
+    d.mkdir()
+    docs = pq.read_table(table_path(SF_DIR, "documents"))
+    extra_docs = pa.Table.from_pylist(
+        [
+            {"doc_id": 900000 + i, "text": None, "lang": None,
+             "source": None, "n_chars": 0}
+            for i in range(3)
+        ],
+        schema=docs.schema,
+    )
+    pq.write_table(pa.concat_tables([docs, extra_docs]), str(d / "documents.parquet"))
+    ev = pq.read_table(table_path(SF_DIR, "events"))
+    rows = ev.slice(0, 3).to_pylist()
+    for i, r in enumerate(rows):
+        r["event_id"] = 900000 + i
+        r["value"] = None
+        r["event_type"] = None
+    pq.write_table(
+        pa.concat_tables([ev, pa.Table.from_pylist(rows, schema=ev.schema)]),
+        str(d / "events.parquet"),
+    )
+
+    con = duckdb.connect()
+    for t in ("documents", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    for name in ("pack_sequences_audit", "agg_percentiles_arrays"):
+        spec = CATALOG[name]
+        assert_matches_oracle(spec.fn(spark, str(d)), con, spec.oracle)
+    con.close()
