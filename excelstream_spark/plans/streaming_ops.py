@@ -28,6 +28,30 @@ from excelstream_spark.streaming.pipelines import (
 from excelstream_spark.tables import table_path
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _state_partitions(spark: SparkSession, n: int):
+    """Scope ``spark.sql.shuffle.partitions`` around ONE streaming query.
+
+    A stateful operator runs one state-store task per shuffle partition
+    per micro-batch, each a Python-worker round trip for the
+    applyInPandasWithState operators; at gate scale (thousands of state
+    rows) 32 partitions are pure overhead — measured 29s -> 7.5s on
+    streaming_neardup_replay with 8.  Safe to scope per query: every
+    entry uses a FRESH checkpoint (the partition count is pinned into a
+    checkpoint at first run, so long-lived production checkpoints must
+    pick their real target size up front — at 100 TB that is hundreds
+    of partitions, set once before the first start)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def _replayed_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unit-sniffed like the batch reader (tables.py) so a regenerated
     # fixture can't silently shift streamed event time 1000x
@@ -205,11 +229,12 @@ def streaming_neardup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     stream = replayed_docs_stream(spark, table_path(sf_dir, "documents"))
-    flags = run_available_now(
-        streaming_neardup_flags(stream, bands=8, rows_per_band=4),
-        f"snr_{uuid.uuid4().hex[:8]}",
-        output_mode="append",
-    )
+    with _state_partitions(spark, 8):
+        flags = run_available_now(
+            streaming_neardup_flags(stream, bands=8, rows_per_band=4),
+            f"snr_{uuid.uuid4().hex[:8]}",
+            output_mode="append",
+        )
     return flags.groupBy("doc_id").agg(
         F.countDistinct("band").cast("long").alias("n_bands"),
         F.sum(
