@@ -31,7 +31,15 @@ sustained steady-state throughput, e.g. README.md:519-523's rows/s claims):
 * ADAPTIVE RE-RUNS: when a leg's max/min spread exceeds 1.5x after the
   standard timed runs, up to 2 extra timed runs are added — a min taken
   from a tight set is trustworthy, a min from a 2-run set with a 2x+
-  spread is a coin flip.
+  spread is a coin flip.  A second rule targets JIT transients: while
+  the LATEST run is the minimum and still >10% faster than the run
+  before it (the sequence is still descending, i.e. HotSpot is still
+  compiling the generated code), keep adding runs up to a higher bound.
+  Measured on dedup_minhash_lsh at sf0.1: the identical physical plan
+  executes at 9.6s / 11.4s / 6.1s / 1.7s over four back-to-back runs —
+  the 128-min HashAggregate's generated methods take several
+  executions to reach C2-compiled steady state, and a min recorded
+  before that point reports the JIT warmup, not the operator.
 * SCALE LADDER: the shuffle-heavy dedup/graph legs re-run at 1x/3x/10x
   documents (union-inflated with per-copy token prefixes so copies share
   NO shingles — pair output scales linearly and the ladder measures the
@@ -105,6 +113,10 @@ def main() -> None:
     N_RUNS = 2
 
     MAX_EXTRA_RUNS = 2
+    #: bound for the still-descending (JIT warmup) rule — deeper than the
+    #: spread rule because a descending sequence is evidence the next run
+    #: will be faster, not just noisier
+    MAX_DESCENT_RUNS = 4
 
     def run(name: str, fn, warm_fn=None) -> None:
         (warm_fn or fn)()  # untimed steady-state warmup (see module docstring)
@@ -114,10 +126,18 @@ def main() -> None:
             fn()
             durs.append(round(time.perf_counter() - t0, 3))
         # adaptive: a min from a small set with a wide spread is a coin
-        # flip — keep adding runs (bounded) until the spread tightens
-        while (
-            max(durs) / max(min(durs), 1e-9) > 1.5
-            and len(durs) < N_RUNS + MAX_EXTRA_RUNS
+        # flip — keep adding runs (bounded) until the spread tightens;
+        # and while the sequence is still DESCENDING (last run is the
+        # min and >10% under its predecessor) the JIT hasn't reached
+        # steady state — keep going (see module docstring)
+        def widespread() -> bool:
+            return max(durs) / max(min(durs), 1e-9) > 1.5
+
+        def descending() -> bool:
+            return durs[-1] == min(durs) and durs[-1] < 0.9 * durs[-2]
+
+        while (widespread() and len(durs) < N_RUNS + MAX_EXTRA_RUNS) or (
+            descending() and len(durs) < N_RUNS + MAX_DESCENT_RUNS
         ):
             t0 = time.perf_counter()
             fn()
@@ -233,6 +253,17 @@ def main() -> None:
 
     run("corpus_curation", curation)
 
+    # quality rules: one codegen'd filter over text (the pre-dedup gate)
+    from excelstream_spark.operators.quality import gopher_quality_filter
+
+    run("gopher_filter", lambda: noop(gopher_quality_filter(docs_full)))
+
+    # SemDeDup: seeded-cell assignment + within-cell pairwise + keep-set
+    from excelstream_spark.operators.similarity import dedup_semantic
+
+    emb_sem = load_table(spark, SF_DIR, "embeddings")
+    run("dedup_semantic", lambda: noop(dedup_semantic(emb_sem, threshold=0.45)))
+
     # incremental gate: odd-id docs (plus nothing new) against the
     # even-id standing corpus — exact fp anti-join + broadcast-increment
     # LSH candidates + exact verify, corpus never reshuffled
@@ -274,10 +305,11 @@ def main() -> None:
     # prefix is a token-level bijection), pair/edge output scales
     # LINEARLY with the factor, and the ladder measures how the shuffle
     # pipeline scales — not a quadratic pair blowup among identical
-    # copies.  One timed run per rung (the operators are already JIT-warm
-    # from the headline legs; rung cost grows 14x across the ladder, so
-    # re-running each rung twice would double total bench wall-clock for
-    # a number the drift ratio doesn't need).
+    # copies.  Each rung gets its own untimed warmup: "JIT-warm from the
+    # headline legs" proved FALSE — every rung is new generated code and
+    # its cold first execution is JIT time, not operator time (measured
+    # 12.4s cold vs ~3s steady on the minhash 1x rung, inverting the
+    # ladder's monotonicity and flattening drift_10x to a bogus 0.07).
     from excelstream_spark.operators.components import connected_components
 
     import excelstream_spark.operators.dedup as DDo
@@ -310,27 +342,37 @@ def main() -> None:
             id_b="doc_b",
         ),
     }
-    def _timed_rung(make, factor: int) -> float:
-        DDo.release_persists()
+    def _rung(make, factor: int, n_timed: int) -> float:
+        # one UNTIMED warmup per rung before the timed runs: each rung's
+        # plan is new generated code (different union width), and a cold
+        # first execution times the JIT, not the operator — measured 4x
+        # inflation of the 1x rung (12.4s cold vs ~3s steady), which
+        # corrupted the drift DENOMINATOR into a flattering 0.07
         d = inflate(factor)
-        t0 = time.perf_counter()
+        DDo.release_persists()
         noop(make(d))
-        return round(time.perf_counter() - t0, 3)
+        durs = []
+        for _ in range(n_timed):
+            DDo.release_persists()
+            t0 = time.perf_counter()
+            noop(make(d))
+            durs.append(round(time.perf_counter() - t0, 3))
+        return min(durs)
 
     scale_ladder: dict[str, dict] = {}
     for name, make in LADDER_LEGS.items():
         # min-of-2 on the cheap rungs: a single stalled 1x run corrupts
         # the drift DENOMINATOR 4x (observed: an 11.7s outlier on a leg
-        # that repeatably runs ~3s).  The 10x rung runs once, then once
-        # more only if the ladder looks anomalous (non-monotonic or
-        # super-linear) — bounding worst-case ladder cost.
+        # that repeatably runs ~3s).  The 10x rung runs once after its
+        # warmup, then once more only if the ladder looks anomalous
+        # (non-monotonic or super-linear) — bounding worst-case cost.
         rungs = {
-            "1x": min(_timed_rung(make, 1) for _ in range(2)),
-            "3x": min(_timed_rung(make, 3) for _ in range(2)),
+            "1x": _rung(make, 1, 2),
+            "3x": _rung(make, 3, 2),
         }
-        rungs["10x"] = _timed_rung(make, 10)
+        rungs["10x"] = _rung(make, 10, 1)
         if rungs["10x"] < rungs["3x"] or rungs["10x"] > 13 * rungs["1x"]:
-            rungs["10x"] = min(rungs["10x"], _timed_rung(make, 10))
+            rungs["10x"] = min(rungs["10x"], _rung(make, 10, 1))
         DDo.release_persists()
         drift = round(rungs["10x"] / (10 * rungs["1x"]), 3)
         scale_ladder[name] = {"runs": rungs, "drift_10x": drift}

@@ -152,6 +152,94 @@ def quality_score(col) -> Column:
     )
 
 
+#: Gopher rule-filter stop list (Rae et al. 2021 §A1.1: a document must
+#: contain at least two of these words).  Distinct from STOPWORDS above,
+#: which drives the stopword-RATIO quality signal.
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_metrics(col) -> dict[str, Column]:
+    """The per-document measurements behind the Gopher quality rules
+    (Rae et al. 2021, public rule set) — every one a JVM-side
+    expression (no Python, no shuffle; the array-lambda fractions are
+    interpreted rather than codegen-fused, see operators/quality.py)
+    with an identical-semantics DuckDB formulation (tested
+    value-for-value in tests/test_quality_semantic.py):
+
+    * ``n_words`` / ``mean_word_len`` — whitespace tokens of the
+      normalized text;
+    * ``symbol_ratio`` — '#' or ellipsis occurrences per word;
+    * ``bullet_line_frac`` / ``ellipsis_line_frac`` — fraction of lines
+      starting with a bullet glyph / ending with an ellipsis;
+    * ``alpha_word_frac`` — fraction of words containing a letter;
+    * ``n_gopher_stopwords`` — distinct GOPHER_STOPWORDS present
+      (tokens stripped to [a-z] first, so "the," still counts).
+
+    NULL text is coalesced to '' (the oracle-symmetry rule: DuckDB's
+    list functions and Spark's higher-order functions disagree on NULL
+    propagation shape, the exact class behind the round-3 regression).
+    """
+    c = F.coalesce(col if isinstance(col, Column) else F.col(col), F.lit(""))
+    toks = tokens(c)
+    lines = F.split(c, "\n")
+    n_words = F.size(toks).cast("double")
+    n_lines = F.size(lines).cast("double")
+    word_lens = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+    stripped = F.transform(toks, lambda t: F.regexp_replace(t, "[^a-z]", ""))
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    return {
+        "n_words": F.size(toks),
+        "mean_word_len": word_lens / n_words,
+        "symbol_ratio": (
+            F.regexp_count(c, F.lit(r"#|\.\.\.|…")) / n_words
+        ),
+        "bullet_line_frac": (
+            F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•‣▪]")))
+            / n_lines
+        ),
+        "ellipsis_line_frac": (
+            F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$")))
+            / n_lines
+        ),
+        "alpha_word_frac": (
+            F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))) / n_words
+        ),
+        "n_gopher_stopwords": F.size(
+            F.array_intersect(F.array_distinct(stripped), stop_arr)
+        ),
+    }
+
+
+#: (metric, low, high) inclusive bounds per Gopher rule; None = unbounded.
+GOPHER_RULES: tuple[tuple[str, float | None, float | None], ...] = (
+    ("n_words", 50, 100_000),
+    ("mean_word_len", 3, 10),
+    ("symbol_ratio", None, 0.1),
+    ("bullet_line_frac", None, 0.9),
+    ("ellipsis_line_frac", None, 0.3),
+    ("alpha_word_frac", 0.8, None),
+    ("n_gopher_stopwords", 2, None),
+)
+
+
+def gopher_pass(col, rules=GOPHER_RULES) -> Column:
+    """True iff the document passes EVERY rule in ``rules`` (default:
+    the published Gopher bounds) over :func:`gopher_metrics` — the
+    composed keep predicate.  ``rules`` follows the GOPHER_RULES shape;
+    pass a tuned subset for corpora where a stock bound is known to be
+    inapplicable (e.g. the stop-word rule on non-English text)."""
+    m = gopher_metrics(col)
+    out = F.lit(True)
+    for name, lo, hi in rules:
+        if lo is not None:
+            out = out & (m[name] >= F.lit(lo))
+        if hi is not None:
+            out = out & (m[name] <= F.lit(hi))
+    return out
+
+
 #: BPE-ish piece pattern: alpha runs, digit runs, single non-space symbol —
 #: the coarse pre-tokenization GPT-style BPE applies before merges.  Kept to
 #: constructs with identical semantics in Java regex (Spark) and RE2

@@ -93,6 +93,78 @@ def mix_corpora(
     return out
 
 
+def temperature_rates(
+    counts: dict[str, int], temperature: float, target_rows: int
+) -> dict[str, float]:
+    """Per-source sampling rates for temperature-weighted mixing (the
+    multilingual/data-mixture standard: p_s ∝ n_s^τ).  τ=1 keeps natural
+    proportions; τ→0 flattens toward uniform-by-source; τ>1 sharpens
+    toward the biggest sources.  Rates are capped at 1.0 (no upsampling
+    — repetition/epoch weighting is a trainer concern, same contract as
+    mix_corpora), so the realized total can undershoot ``target_rows``
+    when a flattened small source saturates; callers wanting exactness
+    re-normalize over the unsaturated remainder (what
+    :func:`mix_corpora_temperature` does).
+
+    Pure driver arithmetic over per-source COUNTS (one scalar per
+    source) — the data never moves to compute the mixture.
+    """
+    if temperature < 0:
+        raise ValueError(f"temperature must be >= 0, got {temperature}")
+    if not counts:
+        raise ValueError("temperature_rates: no sources")
+    live = {s: c for s, c in counts.items() if c > 0}
+    rates = {s: 0.0 for s in counts}
+    remaining = float(target_rows)
+    # iterative water-filling: sources whose share exceeds their size
+    # saturate at rate 1.0 and the residual target re-spreads over the
+    # rest (at most |sources| rounds)
+    while live and remaining > 0:
+        weights = {s: c**temperature for s, c in live.items()}
+        tot = sum(weights.values())
+        saturated = [
+            s for s in live if remaining * weights[s] / tot >= live[s]
+        ]
+        if not saturated:
+            for s in live:
+                rates[s] = (remaining * weights[s] / tot) / live[s]
+            break
+        for s in saturated:
+            rates[s] = 1.0
+            remaining -= live[s]
+            del live[s]
+    return rates
+
+
+def mix_corpora_temperature(
+    sources: dict[str, DataFrame],
+    temperature: float = 0.7,
+    target_rows: int = 1_000_000,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    source_col: str = "source",
+) -> DataFrame:
+    """Temperature-weighted corpus mixing: counts each source (one
+    scalar aggregate per source), converts them to capped p ∝ n^τ rates
+    via :func:`temperature_rates`, and delegates the deterministic
+    per-row keep decision to :func:`mix_corpora` — same hash family,
+    same provenance tagging, same (0,1]-rate contract.
+
+    100 TB: the counts are the only extra cost (count(*) per source —
+    metadata-fast on parquet); the mix itself stays filter + union with
+    zero shuffle."""
+    counts = {name: df.count() for name, df in sources.items()}
+    rates = temperature_rates(counts, temperature, target_rows)
+    kept = {
+        name: (df, rates[name])
+        for name, df in sources.items()
+        if rates[name] > 0.0
+    }
+    if not kept:
+        raise ValueError("mix_corpora_temperature: target selects no rows")
+    return mix_corpora(kept, id_col=id_col, seed=seed, source_col=source_col)
+
+
 def stratified_sample_exact(
     df: DataFrame,
     stratum_col: str,

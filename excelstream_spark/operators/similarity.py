@@ -265,6 +265,82 @@ def lsh_candidate_pairs(
     )
 
 
+def semantic_pairs(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_every: int = 50,
+    threshold: float = 0.45,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: cosine > ``threshold``
+    pairs WITHIN each IVF cell (Abbas et al. 2023: cluster the embedding
+    space, then compare only within clusters).  Same deterministic
+    seeded-centroid assignment as ``ivf_topk`` (nearest cosine, ties by
+    ascending centroid id), so the whole construction is a pure function
+    of the data and SQL-replayable.
+
+    Contrast with dedup.dedup_embedding_cosine (exact, but broadcasts
+    the full corpus matrix — bounded) and lsh_candidate_pairs (unbounded
+    but a candidate generator only): here the corpus is SHUFFLED ONCE by
+    cell id and the pairwise pass runs per cell.  At 100 TB: pair cost
+    drops from O(n^2) to O(sum of cell^2) ~ O(n^2 / |cells|) with cells
+    sized by centroid_every; misses only cross-cell pairs (the SemDeDup
+    trade — recall vs the exact path is asserted in tests).  Swap
+    ``kmeans_centroids`` in for trained cells in production.
+
+    Returns (id_a, id_b, cos_sim_r) with id_a < id_b, scores rounded to
+    6 decimals (BLAS ulp absorption, same as the other vector ops).
+    """
+    _, assigned = assign_ivf_cells(corpus, vec_col, id_col, centroid_every)
+    out_schema = StructType(
+        [
+            StructField("id_a", corpus.schema[id_col].dataType),
+            StructField("id_b", corpus.schema[id_col].dataType),
+            StructField("cos_sim", DoubleType()),
+        ]
+    )
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+        if len(pdf) < 2:
+            return empty
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+        ids = pdf["id"].to_numpy()
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0.0] = 1.0
+        N = V / norms[:, None]
+        S = N @ N.T
+        ai, bj = np.nonzero((S > threshold) & (ids[:, None] < ids[None, :]))
+        if len(ai) == 0:
+            return empty
+        return pd.DataFrame(
+            {"id_a": ids[ai], "id_b": ids[bj], "cos_sim": S[ai, bj]}
+        )
+
+    pairs = assigned.groupBy("cid").applyInPandas(cell_pairs, out_schema)
+    return pairs.select(
+        "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim_r")
+    )
+
+
+def dedup_semantic(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_every: int = 50,
+    threshold: float = 0.45,
+) -> DataFrame:
+    """The composed SemDeDup keep-set: one representative (minimum id)
+    per semantic-duplicate component, every unpaired row kept.  Pairs
+    from :func:`semantic_pairs`, clustering + keep policy from
+    operators/components.py — the same composition every other dedup
+    family uses."""
+    from excelstream_spark.operators.components import dedup_keep_representatives
+
+    pairs = semantic_pairs(corpus, vec_col, id_col, centroid_every, threshold)
+    return dedup_keep_representatives(corpus, pairs, id_col=id_col)
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     vec_col: str = "embedding",
