@@ -260,3 +260,28 @@ def test_round4_entry_plans_shuffle_budget(spark):
         z.writestr("t.csv", "a,b\n1,x\n")
     zip_plan = _plan(read_csv_zip(spark, d, "a int, b string", header=True))
     assert "Exchange" not in zip_plan, zip_plan[:800]
+
+
+def test_round5_quality_semantic_plans(spark):
+    """Plan audit for the round-5 operators:
+
+    - gopher_quality_filter: pure scan-stage predicate — zero
+      exchanges, zero Python eval nodes (rejection happens before any
+      shuffle sees a byte);
+    - semantic_pairs: exactly ONE hash exchange (the shuffle BY CELL)
+      feeding the per-cell pairwise FlatMapGroupsInPandas; the
+      centroid assignment itself is a broadcast-side mapInPandas with
+      no exchange."""
+    from excelstream_spark.operators.quality import gopher_quality_filter
+    from excelstream_spark.operators.similarity import semantic_pairs
+
+    docs = load_table(spark, SF_DIR, "documents")
+    g_plan = _plan(gopher_quality_filter(docs))
+    assert "Exchange" not in g_plan, g_plan[:800]
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in g_plan, g_plan[:800]
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    s_plan = _plan(semantic_pairs(emb))
+    assert s_plan.count("Exchange hashpartitioning") == 1, s_plan[:1200]
+    assert "FlatMapGroupsInPandas" in s_plan, s_plan[:1200]
