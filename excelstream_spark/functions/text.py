@@ -224,6 +224,99 @@ GOPHER_RULES: tuple[tuple[str, float | None, float | None], ...] = (
 )
 
 
+def _dup_char_count(arr: Column) -> Column:
+    """Characters contained in elements of ``arr`` that occur more than
+    once (ALL occurrences counted — two copies of a 40-char line
+    contribute 80).  Single O(L log L) pass: sort, then one aggregate
+    whose struct accumulator tracks the current run (value, length) and
+    flushes run_len * length(value) into the total when a run of >= 2
+    ends.  No lambda references an outer column, so nothing re-evaluates
+    per element (the project-collapse trap streaming/neardup.py
+    documents)."""
+    srt = F.array_sort(arr)
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("dup"),
+    )
+
+    def step(acc, x):
+        flushed = acc["dup"] + F.when(
+            acc["run"] >= 2, acc["run"] * F.length(acc["prev"])
+        ).otherwise(F.lit(0).cast("long"))
+        return F.when(
+            x == acc["prev"],
+            F.struct(
+                acc["prev"].alias("prev"),
+                (acc["run"] + 1).alias("run"),
+                acc["dup"].alias("dup"),
+            ),
+        ).otherwise(
+            F.struct(x.alias("prev"), F.lit(1).cast("long").alias("run"),
+                     flushed.alias("dup"))
+        )
+
+    def finish(acc):
+        return acc["dup"] + F.when(
+            acc["run"] >= 2, acc["run"] * F.length(acc["prev"])
+        ).otherwise(F.lit(0).cast("long"))
+
+    return F.aggregate(srt, init, step, finish)
+
+
+def repetition_metrics(col) -> dict[str, Column]:
+    """The Gopher REPETITION measurements at line and paragraph
+    granularity (Rae et al. 2021 §A1.1 "repetitious" filters; the
+    n-gram-level signals live in plans/extension.py corpus_governance):
+
+    * ``dup_line_frac`` / ``dup_para_frac`` — 1 - distinct/total
+      segments (what share of segments are repeats of an earlier one);
+    * ``dup_line_char_frac`` / ``dup_para_char_frac`` — share of
+      segment characters inside segments occurring more than once
+      (all occurrences counted).
+
+    Fractions are NULL for empty inputs (0 segments / 0 characters)
+    rather than a divide-by-zero surprise; the composed pass predicate
+    treats NULL as failing.  NULL text coalesces to '' first (oracle
+    symmetry).  Identical arithmetic runs in DuckDB via a group-by
+    formulation (tests/test_quality_semantic.py) — algorithm differs,
+    values must not."""
+    c = F.coalesce(col if isinstance(col, Column) else F.col(col), F.lit(""))
+    out: dict[str, Column] = {}
+    for label, sep in (("line", "\n"), ("para", "\n\n")):
+        segs = F.split(c, sep)
+        total = F.size(segs).cast("double")
+        total_chars = F.aggregate(
+            segs, F.lit(0).cast("long"), lambda a, s: a + F.length(s)
+        ).cast("double")
+        out[f"dup_{label}_frac"] = F.when(
+            total > 0, 1.0 - F.size(F.array_distinct(segs)) / total
+        )
+        out[f"dup_{label}_char_frac"] = F.when(
+            total_chars > 0, _dup_char_count(segs) / total_chars
+        )
+    return out
+
+
+#: Gopher repetition bounds (keep iff metric <= bound; NULL fails).
+REPETITION_RULES: tuple[tuple[str, float], ...] = (
+    ("dup_line_frac", 0.30),
+    ("dup_para_frac", 0.30),
+    ("dup_line_char_frac", 0.20),
+    ("dup_para_char_frac", 0.20),
+)
+
+
+def repetition_pass(col) -> Column:
+    """True iff every repetition metric is within its Gopher bound;
+    empty documents (NULL metrics) fail."""
+    m = repetition_metrics(col)
+    out = F.lit(True)
+    for name, bound in REPETITION_RULES:
+        out = out & (m[name] <= F.lit(bound))
+    return F.coalesce(out, F.lit(False))
+
+
 def gopher_pass(col, rules=GOPHER_RULES) -> Column:
     """True iff the document passes EVERY rule in ``rules`` (default:
     the published Gopher bounds) over :func:`gopher_metrics` — the

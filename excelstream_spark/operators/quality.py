@@ -57,6 +57,101 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def unigram_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(tok, cnt) — corpus unigram counts over the normalized whitespace
+    tokens.  One explode + one groupBy(token); the precomputable,
+    reusable artifact (store it per corpus version, like
+    operators/incremental.py's fingerprint/band artifacts)."""
+    toks = df.select(
+        F.explode(
+            TXT.tokens(F.coalesce(F.col(text_col), F.lit("")))
+        ).alias("tok")
+    )
+    return toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+#: pseudo-count for tokens absent from an externally-supplied vocab
+#: (never hit when the vocab is derived from the scored corpus itself)
+UNSEEN_TOKEN_COUNT = 0.5
+
+
+def unigram_logprob_score(
+    df: DataFrame,
+    vocab: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style quality proxy: mean per-token surprisal under the
+    corpus's own unigram distribution —
+    ``nll = avg(-log10(cnt(tok) / total))`` per document.  CCNet ranks
+    documents by KenLM 5-gram perplexity and keeps the low-perplexity
+    head; with no external LM in scope, the unigram self-model is the
+    honest stand-in: same shape (low = ordinary language, high = rare-
+    token soup), exact corpus statistics, SQL-replayable.  Pass a
+    precomputed/stored ``vocab`` for steady-state reuse; unseen tokens
+    (external vocab only) get a pseudo-count of ``UNSEEN_TOKEN_COUNT``.
+
+    Returns (id_col, n_toks, nll_r) with nll rounded to 6 decimals
+    (engine log10/summation-order ulps).
+
+    100 TB: one explode + token-keyed join (the vocab side is ~millions
+    of rows — broadcastable; otherwise a plain hash join keyed on the
+    token) + one groupBy(doc).  The vocab build itself is the classic
+    word-count — partial aggregation does most of the work map-side.
+    """
+    if vocab is None:
+        vocab = unigram_vocab(df, text_col)
+    total = vocab.agg(F.sum("cnt").cast("double").alias("_total"))
+    ex = df.select(
+        F.col(id_col),
+        F.explode(
+            TXT.tokens(F.coalesce(F.col(text_col), F.lit("")))
+        ).alias("tok"),
+    )
+    joined = (
+        ex.join(vocab, "tok", "left")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "_nll",
+            -F.log10(
+                F.coalesce(F.col("cnt").cast("double"), F.lit(UNSEEN_TOKEN_COUNT))
+                / F.col("_total")
+            ),
+        )
+    )
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_toks"),
+        F.round(F.avg("_nll"), 6).alias("nll_r"),
+    )
+
+
+def repetition_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append the Gopher repetition metrics (duplicate line/paragraph
+    fractions and character fractions) plus per-rule booleans and the
+    composed ``repetition_pass`` flag.  Same audit-vs-filter split as
+    the quality rules; same zero-shuffle scan-stage execution (the
+    duplicate-character counter is one O(L log L) array aggregate per
+    document — see functions/text.py:_dup_char_count)."""
+    m = TXT.repetition_metrics(F.col(text_col))
+    out = df
+    for name, col in m.items():
+        out = out.withColumn(name, col)
+    for name, bound in TXT.REPETITION_RULES:
+        out = out.withColumn(
+            f"pass_{name}", F.coalesce(F.col(name) <= F.lit(bound), F.lit(False))
+        )
+    return out.withColumn(
+        "repetition_pass", TXT.repetition_pass(F.col(text_col))
+    )
+
+
+def repetition_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep only documents within every Gopher repetition bound; schema
+    unchanged.  Composes with gopher_quality_filter for the full
+    pre-dedup gate."""
+    return df.filter(TXT.repetition_pass(F.col(text_col)))
+
+
 def gopher_quality_filter(
     df: DataFrame, text_col: str = "text", rules=TXT.GOPHER_RULES
 ) -> DataFrame:

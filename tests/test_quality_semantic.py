@@ -271,3 +271,169 @@ def test_mix_corpora_temperature_flattens(spark):
         want = rates[name] * n_src
         got = by_src.get(name, 0)
         assert abs(got - want) <= max(25, 0.15 * want), (name, got, want)
+
+
+_SQL_REPETITION = """
+    WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+    seg AS (
+      SELECT doc_id, 'line' AS g, unnest(string_split(t, chr(10))) AS s FROM d
+      UNION ALL
+      SELECT doc_id, 'para' AS g,
+             unnest(string_split(t, chr(10) || chr(10))) AS s FROM d
+    ),
+    cnt AS (
+      SELECT doc_id, g, s, count(*) AS c, length(s) AS len
+      FROM seg GROUP BY doc_id, g, s
+    ),
+    agg AS (
+      SELECT doc_id, g,
+             CASE WHEN sum(c) > 0
+                  THEN 1.0 - count(*) * 1.0 / sum(c) END AS dup_frac,
+             CASE WHEN sum(len * c) > 0
+                  THEN sum(CASE WHEN c > 1 THEN len * c ELSE 0 END) * 1.0
+                       / sum(len * c) END AS dup_char_frac
+      FROM cnt GROUP BY doc_id, g
+    )
+    SELECT l.doc_id,
+           l.dup_frac AS dup_line_frac,
+           l.dup_char_frac AS dup_line_char_frac,
+           p.dup_frac AS dup_para_frac,
+           p.dup_char_frac AS dup_para_char_frac
+    FROM agg l JOIN agg p ON l.doc_id = p.doc_id
+    WHERE l.g = 'line' AND p.g = 'para'
+"""
+
+
+def test_repetition_metrics_vs_sql_oracle(spark, duck):
+    """The sorted-run duplicate-character aggregate must produce the
+    same values as DuckDB's group-by formulation on the fixture."""
+    docs = load_table(spark, SF_DIR, "documents")
+    m = TXT.repetition_metrics(F.col("text"))
+    df = docs.select(
+        "doc_id",
+        *[m[k].alias(k) for k in (
+            "dup_line_frac", "dup_line_char_frac",
+            "dup_para_frac", "dup_para_char_frac",
+        )],
+    )
+    assert_matches_oracle(df, duck, _SQL_REPETITION)
+
+
+def test_repetition_metrics_vs_sql_oracle_crafted(spark, tmp_path):
+    """Same comparison over documents BUILT to exercise runs: repeated
+    lines, repeated paragraphs, empty docs, null text, single-line docs,
+    and interleaved duplicates (sort must group them)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = [
+        "a\nb\na\nc\na",                    # 3x 'a' interleaved
+        "x\nx",                             # all duplicate
+        "",                                 # empty
+        None,                               # null text
+        "solo",                             # single line
+        "p1 line\n\np1 line\n\np2",         # duplicate paragraphs
+        "\n\n",                             # empty segments only
+        "longline with text\nlongline with text\nshort",
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    docs = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    m = TXT.repetition_metrics(F.col("text"))
+    df = docs.select(
+        "doc_id",
+        *[m[k].alias(k) for k in (
+            "dup_line_frac", "dup_line_char_frac",
+            "dup_para_frac", "dup_para_char_frac",
+        )],
+    )
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/documents.parquet')"
+        )
+        assert_matches_oracle(df, con, _SQL_REPETITION)
+    finally:
+        con.close()
+    # spot-check the arithmetic itself on doc 0 ("a\nb\na\nc\na"):
+    # 5 lines, 3 distinct; dup chars = 3 copies of 'a' = 3 of the 5
+    # single-char line chars (separators are not segment content)
+    r = {x.doc_id: x for x in df.collect()}
+    assert abs(r[0].dup_line_frac - (1 - 3 / 5)) < 1e-12
+    assert abs(r[0].dup_line_char_frac - 3 / 5) < 1e-12
+    # empty/null text -> one zero-length segment: the segment-count
+    # fraction is a well-defined 0.0, the CHAR fraction is NULL (0 chars)
+    assert r[2].dup_line_frac == 0.0 and r[2].dup_line_char_frac is None
+    assert r[3].dup_line_frac == 0.0 and r[3].dup_line_char_frac is None
+
+
+def test_repetition_filter_and_flags(spark):
+    """Composed pass: clean docs keep, repetitious docs drop, empty and
+    null docs drop (NULL metrics fail closed); flag columns agree with
+    the single-predicate filter."""
+    edge = spark.createDataFrame(
+        [
+            (1, "one\ntwo\nthree\nfour"),
+            (2, "spam\nspam\nspam\nspam"),
+            (3, None),
+            (4, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    kept = [r.doc_id for r in QL.repetition_filter(edge).collect()]
+    assert kept == [1]
+    flags = {r.doc_id: r for r in QL.repetition_flags(edge).collect()}
+    assert flags[1].repetition_pass
+    assert not flags[2].repetition_pass and not flags[2].pass_dup_line_frac
+    assert not flags[3].repetition_pass and not flags[4].repetition_pass
+    docs = load_table(spark, SF_DIR, "documents")
+    assert QL.repetition_filter(docs).count() == docs.filter(
+        TXT.repetition_pass(F.col("text"))
+    ).count()
+
+
+def test_unigram_logprob_vs_sql_oracle(spark, duck):
+    """The self-model unigram surprisal score bit-matches the SQL
+    formulation (vocab build + total + per-doc mean -log10 p)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    df = QL.unigram_logprob_score(docs)
+    oracle = """
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(
+                   trim(lower(coalesce(text, ''))), '\\s+')) AS tok
+          FROM documents
+        ),
+        v AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        t AS (SELECT sum(c) AS s FROM v)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+               round(avg(-log10(c * 1.0 / s)), 6) AS nll_r
+        FROM toks JOIN v USING (tok) CROSS JOIN t
+        GROUP BY doc_id
+    """
+    assert_matches_oracle(df, duck, oracle)
+
+
+def test_unigram_logprob_semantics(spark):
+    """Rare-token documents must score HIGHER surprisal than common-
+    token documents; a stored external vocab reproduces the self-model
+    scores for seen tokens and smooths unseen ones instead of dropping
+    rows."""
+    docs = spark.createDataFrame(
+        [(1, "common common common common"),
+         (2, "common rare1 rare2 rare3")],
+        "doc_id bigint, text string",
+    )
+    scores = {r.doc_id: r.nll_r for r in QL.unigram_logprob_score(docs).collect()}
+    assert scores[2] > scores[1]
+    # external vocab missing a token: the unseen pseudo-count applies,
+    # the row survives, and surprisal exceeds any seen token's
+    vocab = QL.unigram_vocab(docs).filter(F.col("tok") != "rare3")
+    ext = {r.doc_id: r for r in QL.unigram_logprob_score(docs, vocab=vocab).collect()}
+    assert ext[2].n_toks == 4
+    assert ext[2].nll_r > scores[2]

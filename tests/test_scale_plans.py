@@ -281,6 +281,13 @@ def test_round5_quality_semantic_plans(spark):
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in g_plan, g_plan[:800]
 
+    from excelstream_spark.operators.quality import repetition_filter
+
+    r_plan = _plan(repetition_filter(docs))
+    assert "Exchange" not in r_plan, r_plan[:800]
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in r_plan, r_plan[:800]
+
     emb = load_table(spark, SF_DIR, "embeddings")
     s_plan = _plan(semantic_pairs(emb))
     assert s_plan.count("Exchange hashpartitioning") == 1, s_plan[:1200]
