@@ -352,6 +352,40 @@ URL_PATTERN = r"https?://[^\s]+"
 TAG_PATTERN = r"<[^>]*>"
 CONTROL_PATTERN = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
 
+#: PII patterns (same Java/RE2 dual-engine constraint) and their
+#: replacement tokens, in application order: emails first (so the IP
+#: pattern cannot nibble a dotted local-part), then IPv4, then
+#: international phone numbers.
+PII_EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP_PATTERN = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_PATTERN = r"\+\d{9,15}"
+PII_REPLACEMENTS: tuple[tuple[str, str, str], ...] = (
+    ("emails", PII_EMAIL_PATTERN, "<EMAIL>"),
+    ("ips", PII_IP_PATTERN, "<IP>"),
+    ("phones", PII_PHONE_PATTERN, "<PHONE>"),
+)
+
+
+def pii_counts(col) -> dict[str, Column]:
+    """``n_emails`` / ``n_ips`` / ``n_phones`` occurrence counts —
+    codegen'd regexp_count, the audit half of PII handling."""
+    c = F.coalesce(col if isinstance(col, Column) else F.col(col), F.lit(""))
+    return {
+        f"n_{name}": F.regexp_count(c, F.lit(pat))
+        for name, pat, _ in PII_REPLACEMENTS
+    }
+
+
+def redact_pii(col) -> Column:
+    """Text with every PII match replaced by its type token
+    (``<EMAIL>``/``<IP>``/``<PHONE>``) — chained codegen'd
+    regexp_replace, scan speed, idempotent (the tokens contain no
+    pattern-matchable characters)."""
+    out = F.coalesce(col if isinstance(col, Column) else F.col(col), F.lit(""))
+    for _, pat, repl in PII_REPLACEMENTS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
 
 def clean_text(col) -> Column:
     """Boilerplate cleaning for training corpora: strip URLs, markup

@@ -57,6 +57,23 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII pass for a training corpus: ``text_col`` rewritten with
+    every email/IPv4/international-phone match replaced by its type
+    token, plus ``n_emails``/``n_ips``/``n_phones`` audit counts
+    (counted BEFORE redaction).  Chained codegen'd regexes
+    (functions/text.py PII_REPLACEMENTS — the same patterns the
+    corpus_governance catalog entry's oracle embeds), zero shuffle,
+    idempotent.  This is redaction, not detection-grade PII discovery:
+    the pattern set is the deterministic SQL-checkable core; plug a
+    model-based detector upstream when recall beyond regexes is
+    required."""
+    out = df
+    for name, col in TXT.pii_counts(F.col(text_col)).items():
+        out = out.withColumn(name, col)
+    return out.withColumn(text_col, TXT.redact_pii(F.col(text_col)))
+
+
 def unigram_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(tok, cnt) — corpus unigram counts over the normalized whitespace
     tokens.  One explode + one groupBy(token); the precomputable,

@@ -529,9 +529,14 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.join(near, "doc_id", "left_anti").select("doc_id", "lang")
 
 
-_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
-_PII_PHONE = r"\+\d{9,15}"
+# single source of truth in functions/text.py (the reusable
+# pii_counts/redact_pii operators use the same patterns this entry's
+# oracle embeds)
+from excelstream_spark.functions.text import (  # noqa: E402
+    PII_EMAIL_PATTERN as _PII_EMAIL,
+    PII_IP_PATTERN as _PII_IP,
+    PII_PHONE_PATTERN as _PII_PHONE,
+)
 #: deterministic PII injected into a DERIVED column on both engines — the
 #: synthetic corpus contains none, and redaction must be verified against
 #: non-zero counts

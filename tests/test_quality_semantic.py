@@ -437,3 +437,58 @@ def test_unigram_logprob_semantics(spark):
     ext = {r.doc_id: r for r in QL.unigram_logprob_score(docs, vocab=vocab).collect()}
     assert ext[2].n_toks == 4
     assert ext[2].nll_r > scores[2]
+
+
+def test_redact_pii_vs_sql_and_idempotent(spark, tmp_path):
+    """Redaction + counts bit-match the DuckDB formulation on crafted
+    PII docs, and redacting twice equals redacting once."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = [
+        "mail a.user+tag@sub.example.co.uk now",
+        "server at 10.0.255.1 and 192.168.1.1, call +4915112345678",
+        "no pii here",
+        None,
+        "mixed bob@x.io from 8.8.8.8 +123456789",
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    docs = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    out = QL.redact_pii(docs).select(
+        "doc_id", "n_emails", "n_ips", "n_phones", F.col("text").alias("redacted")
+    )
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/documents.parquet')"
+        )
+        oracle = f"""
+            WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents)
+            SELECT doc_id,
+                   len(regexp_extract_all(t, '{TXT.PII_EMAIL_PATTERN}')) AS n_emails,
+                   len(regexp_extract_all(t, '{TXT.PII_IP_PATTERN}')) AS n_ips,
+                   len(regexp_extract_all(t, '{TXT.PII_PHONE_PATTERN}')) AS n_phones,
+                   regexp_replace(regexp_replace(regexp_replace(t,
+                     '{TXT.PII_EMAIL_PATTERN}', '<EMAIL>', 'g'),
+                     '{TXT.PII_IP_PATTERN}', '<IP>', 'g'),
+                     '{TXT.PII_PHONE_PATTERN}', '<PHONE>', 'g') AS redacted
+            FROM d
+        """
+        assert_matches_oracle(out, con, oracle)
+    finally:
+        con.close()
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[0].n_emails == 1 and "<EMAIL>" in rows[0].redacted
+    assert rows[1].n_ips == 2 and rows[1].n_phones == 1
+    assert rows[2].redacted == "no pii here"
+    assert rows[3].redacted == ""
+    # idempotence: a second pass changes nothing
+    twice = QL.redact_pii(QL.redact_pii(docs)).select("doc_id", "text")
+    once = QL.redact_pii(docs).select("doc_id", "text")
+    assert sorted(map(tuple, twice.collect())) == sorted(map(tuple, once.collect()))
