@@ -186,12 +186,11 @@ def gopher_metrics(col) -> dict[str, Column]:
     lines = F.split(c, "\n")
     n_words = F.size(toks).cast("double")
     n_lines = F.size(lines).cast("double")
-    word_lens = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
     stripped = F.transform(toks, lambda t: F.regexp_replace(t, "[^a-z]", ""))
     stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
     return {
         "n_words": F.size(toks),
-        "mean_word_len": word_lens / n_words,
+        "mean_word_len": avg_token_length(c),
         "symbol_ratio": (
             F.regexp_count(c, F.lit(r"#|\.\.\.|…")) / n_words
         ),
@@ -368,12 +367,22 @@ PII_REPLACEMENTS: tuple[tuple[str, str, str], ...] = (
 
 def pii_counts(col) -> dict[str, Column]:
     """``n_emails`` / ``n_ips`` / ``n_phones`` occurrence counts —
-    codegen'd regexp_count, the audit half of PII handling."""
+    codegen'd regexp_count, the audit half of PII handling.
+
+    Counts are taken SEQUENTIALLY on the progressively-redacted text
+    (n_ips counts the email-redacted text, n_phones the email+ip-
+    redacted text), so each count equals the number of replacement
+    tokens :func:`redact_pii` actually writes.  Counting every pattern
+    on the raw text instead would report phantom un-redacted PII: the
+    phone pattern matches inside ``user+123456789@example.com``'s
+    local-part, but redaction consumes the whole email first and never
+    writes a ``<PHONE>`` token."""
     c = F.coalesce(col if isinstance(col, Column) else F.col(col), F.lit(""))
-    return {
-        f"n_{name}": F.regexp_count(c, F.lit(pat))
-        for name, pat, _ in PII_REPLACEMENTS
-    }
+    out: dict[str, Column] = {}
+    for name, pat, repl in PII_REPLACEMENTS:
+        out[f"n_{name}"] = F.regexp_count(c, F.lit(pat))
+        c = F.regexp_replace(c, pat, repl)
+    return out
 
 
 def redact_pii(col) -> Column:

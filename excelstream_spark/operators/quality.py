@@ -46,14 +46,12 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
         if hi is not None:
             flag = flag & (F.col(name) <= F.lit(hi))
         out = out.withColumn(f"pass_{name}", flag)
+    from functools import reduce
+    from operator import and_
+
     return out.withColumn(
         "gopher_pass",
-        F.lit(True)
-        & F.aggregate(
-            F.array(*[F.col(f"pass_{name}") for name, _, _ in TXT.GOPHER_RULES]),
-            F.lit(True),
-            lambda acc, x: acc & x,
-        ),
+        reduce(and_, [F.col(f"pass_{name}") for name, _, _ in TXT.GOPHER_RULES]),
     )
 
 
@@ -117,7 +115,15 @@ def unigram_logprob_score(
     word-count — partial aggregation does most of the work map-side.
     """
     if vocab is None:
-        vocab = unigram_vocab(df, text_col)
+        # persist the built vocab: it feeds BOTH the total aggregate and
+        # the token join, and unpersisted those are two independent
+        # physical subtrees — the word-count stage (the dominant cost)
+        # would run twice over the corpus.  Scoped like dedup's
+        # load-bearing persists (released at the next catalog query /
+        # explicit release_persists()).
+        from excelstream_spark.operators.dedup import _scoped_persist
+
+        vocab = _scoped_persist(unigram_vocab(df, text_col))
     total = vocab.agg(F.sum("cnt").cast("double").alias("_total"))
     ex = df.select(
         F.col(id_col),
@@ -153,12 +159,20 @@ def repetition_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
     out = df
     for name, col in m.items():
         out = out.withColumn(name, col)
+    from functools import reduce
+    from operator import and_
+
     for name, bound in TXT.REPETITION_RULES:
         out = out.withColumn(
             f"pass_{name}", F.coalesce(F.col(name) <= F.lit(bound), F.lit(False))
         )
+    # compose from the flag COLUMNS just built (re-deriving via
+    # TXT.repetition_pass would run the O(L log L) dup-char aggregates a
+    # second time per row, and could silently diverge from the per-rule
+    # flags if the rule table ever changes)
     return out.withColumn(
-        "repetition_pass", TXT.repetition_pass(F.col(text_col))
+        "repetition_pass",
+        reduce(and_, [F.col(f"pass_{name}") for name, _ in TXT.REPETITION_RULES]),
     )
 
 

@@ -150,10 +150,25 @@ def mix_corpora_temperature(
     per-row keep decision to :func:`mix_corpora` — same hash family,
     same provenance tagging, same (0,1]-rate contract.
 
-    100 TB: the counts are the only extra cost (count(*) per source —
-    metadata-fast on parquet); the mix itself stays filter + union with
-    zero shuffle."""
-    counts = {name: df.count() for name, df in sources.items()}
+    100 TB: the counts are the only extra cost — ONE job over the
+    union of all sources (a bare-parquet source costs a metadata scan,
+    a filtered/derived source a real pass; either way the sources
+    count in parallel inside one job, not as N sequential driver-
+    blocking jobs); the mix itself stays filter + union with zero
+    shuffle."""
+    from functools import reduce
+
+    tagged = [
+        df.select(F.lit(name).alias("_src")) for name, df in sources.items()
+    ]
+    counted = (
+        reduce(lambda a, b: a.unionByName(b), tagged)
+        .groupBy("_src")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    by_src = {r["_src"]: r["_n"] for r in counted}
+    counts = {name: by_src.get(name, 0) for name in sources}
     rates = temperature_rates(counts, temperature, target_rows)
     kept = {
         name: (df, rates[name])

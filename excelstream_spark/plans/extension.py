@@ -92,7 +92,17 @@ _LANG_SQL_COUNTS = ", ".join(
                     WHEN c_fr >= c_zh AND c_fr > 0 THEN 'fr'
                     WHEN c_zh > 0 THEN 'zh'
                     ELSE 'und' END                                         AS predicted_lang,
-               quality, quality >= 0.5 AS keep
+               quality, quality >= 0.5 AS keep,
+               CAST(len(list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+'),
+                     x -> regexp_matches(x, '[a-z]'))) AS INT)             AS n_alpha_words,
+               CAST(len(list_intersect(
+                     list_distinct(list_transform(
+                       regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+'),
+                       x -> regexp_replace(x, '[^a-z]', '', 'g'))),
+                     ['the','be','to','of','and','that','have','with'])) AS INT)
+                                                                           AS n_gopher_stopwords,
+               len(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+'))
+                 BETWEEN 50 AND 100000                                     AS pass_word_count
         FROM scored
     """,
     tags=("text", "dedup"),
@@ -105,8 +115,16 @@ def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalized text (the cross-engine dedup key), marker-word language ID
     vs the labeled column, and the composite quality score + keep/drop
     decision.  All pure JVM-side codegen'd expressions — embarrassingly
-    parallel, no shuffle, no Python."""
+    parallel, no shuffle, no Python.
+
+    Round 5 adds three Gopher-rule measurements (functions/text.py
+    gopher_metrics) to put the quality-rule family under the driver's
+    hash gate: alpha-word count, Gopher stop-word count, and the
+    word-count rule flag — the three signals that actually vary on the
+    synthetic fixture (the line/symbol metrics are degenerate there
+    and stay pytest-oracled)."""
     t = F.col("text")
+    gm = TXT.gopher_metrics(t)
     return _docs(spark, sf_dir).select(
         "doc_id",
         "source",
@@ -120,6 +138,18 @@ def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         TXT.lang_id(t).alias("predicted_lang"),
         TXT.quality_score(t).alias("quality"),
         (TXT.quality_score(t) >= 0.5).alias("keep"),
+        # exact integer count (NOT frac * n_words: that round-trips
+        # through a double division and can truncate off-by-one)
+        F.size(
+            F.filter(
+                TXT.tokens(F.coalesce(t, F.lit(""))),
+                lambda x: x.rlike("[a-z]"),
+            )
+        ).alias("n_alpha_words"),
+        gm["n_gopher_stopwords"].alias("n_gopher_stopwords"),
+        ((gm["n_words"] >= 50) & (gm["n_words"] <= 100_000)).alias(
+            "pass_word_count"
+        ),
     )
 
 

@@ -452,6 +452,10 @@ def test_redact_pii_vs_sql_and_idempotent(spark, tmp_path):
         "no pii here",
         None,
         "mixed bob@x.io from 8.8.8.8 +123456789",
+        # phone-shaped run INSIDE an email local-part: the email-first
+        # redaction consumes it, so n_phones must be 0 (counts must
+        # match the tokens actually written, not raw-text matches)
+        "reach user+123456789@example.com today",
     ]
     tbl = pa.table({
         "doc_id": pa.array(range(len(texts)), pa.int64()),
@@ -468,17 +472,26 @@ def test_redact_pii_vs_sql_and_idempotent(spark, tmp_path):
             "CREATE VIEW documents AS SELECT * FROM "
             f"read_parquet('{tmp_path}/documents.parquet')"
         )
+        # sequential counts on progressively-redacted text, mirroring
+        # pii_counts' each-count-equals-tokens-written contract
         oracle = f"""
-            WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents)
-            SELECT doc_id,
-                   len(regexp_extract_all(t, '{TXT.PII_EMAIL_PATTERN}')) AS n_emails,
-                   len(regexp_extract_all(t, '{TXT.PII_IP_PATTERN}')) AS n_ips,
-                   len(regexp_extract_all(t, '{TXT.PII_PHONE_PATTERN}')) AS n_phones,
-                   regexp_replace(regexp_replace(regexp_replace(t,
-                     '{TXT.PII_EMAIL_PATTERN}', '<EMAIL>', 'g'),
-                     '{TXT.PII_IP_PATTERN}', '<IP>', 'g'),
-                     '{TXT.PII_PHONE_PATTERN}', '<PHONE>', 'g') AS redacted
-            FROM d
+            WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+            s1 AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(t, '{TXT.PII_EMAIL_PATTERN}')) AS n_emails,
+                     regexp_replace(t, '{TXT.PII_EMAIL_PATTERN}', '<EMAIL>', 'g') AS t1
+              FROM d
+            ),
+            s2 AS (
+              SELECT doc_id, n_emails,
+                     len(regexp_extract_all(t1, '{TXT.PII_IP_PATTERN}')) AS n_ips,
+                     regexp_replace(t1, '{TXT.PII_IP_PATTERN}', '<IP>', 'g') AS t2
+              FROM s1
+            )
+            SELECT doc_id, n_emails, n_ips,
+                   len(regexp_extract_all(t2, '{TXT.PII_PHONE_PATTERN}')) AS n_phones,
+                   regexp_replace(t2, '{TXT.PII_PHONE_PATTERN}', '<PHONE>', 'g') AS redacted
+            FROM s2
         """
         assert_matches_oracle(out, con, oracle)
     finally:
@@ -488,6 +501,10 @@ def test_redact_pii_vs_sql_and_idempotent(spark, tmp_path):
     assert rows[1].n_ips == 2 and rows[1].n_phones == 1
     assert rows[2].redacted == "no pii here"
     assert rows[3].redacted == ""
+    # each count equals the replacement tokens written: the phone-shaped
+    # run inside the email local-part is consumed by the email pass
+    assert rows[5].n_emails == 1 and rows[5].n_phones == 0
+    assert rows[5].redacted == "reach <EMAIL> today"
     # idempotence: a second pass changes nothing
     twice = QL.redact_pii(QL.redact_pii(docs)).select("doc_id", "text")
     once = QL.redact_pii(docs).select("doc_id", "text")
