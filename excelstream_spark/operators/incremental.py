@@ -71,6 +71,41 @@ def corpus_band_index(
     )
 
 
+def save_fingerprint_table(
+    fps: DataFrame, table_name: str, buckets: int = 64
+) -> None:
+    """Materialize a :func:`corpus_fingerprints` result as a BUCKETED,
+    sorted table on ``fp`` — the storage layout the module docstring's
+    100 TB plan calls for: the per-increment anti-join then reads the
+    corpus side pre-hash-partitioned and shuffles ONLY the increment
+    (plan-shape asserted in tests/test_incremental.py).  At scale use
+    ``buckets=4096``; the default keeps local tests light."""
+    (
+        fps.write.format("parquet")
+        .bucketBy(buckets, "fp")
+        .sortBy("fp")
+        .mode("overwrite")
+        .saveAsTable(table_name)
+    )
+
+
+def save_band_index_table(
+    index: DataFrame, table_name: str, buckets: int = 64
+) -> None:
+    """Materialize a :func:`corpus_band_index` result bucketed + sorted
+    on ``(band, bh)`` — the layout for increments too large to
+    broadcast (DEPLOYMENT.md's ~5 GB/day arithmetic): the candidate
+    join then shuffles only the increment's band entries to the index's
+    bucket layout.  At scale use ``buckets=4096``."""
+    (
+        index.write.format("parquet")
+        .bucketBy(buckets, "band", "bh")
+        .sortBy("band", "bh")
+        .mode("overwrite")
+        .saveAsTable(table_name)
+    )
+
+
 def dedup_increment_exact(
     new_docs: DataFrame,
     corpus_fps: DataFrame,
@@ -100,6 +135,7 @@ def neardup_increment_pairs(
     bands: int = 32,
     threshold: float = 0.8,
     band_index: DataFrame | None = None,
+    broadcast_increment: bool = True,
 ) -> DataFrame:
     """(doc_new, doc_corpus, jaccard) — exact-verified near-dup pairs
     BETWEEN the increment and the corpus (within-increment pairs are
@@ -113,7 +149,14 @@ def neardup_increment_pairs(
     map-side); candidate id pairs are then joined to the two shingle-set
     tables for exact Jaccard.  The corpus shingle join is keyed on the
     candidate ids — at 100 TB push it through a broadcast semi-join of
-    candidate ids first so only candidate documents are ever shingled."""
+    candidate ids first so only candidate documents are ever shingled.
+
+    ``broadcast_increment=False`` is the BIG-increment path: the band
+    entries exceed the broadcast ceiling (~5 GB for a 10 M-doc day), so
+    the candidate join runs as a plain hash join instead — store the
+    index via :func:`save_band_index_table` and only the increment's
+    entries move (the bucketed index scan is exchange-free,
+    plan-asserted in tests)."""
     rows_per_band = num_hashes // bands
     if band_index is None:
         # ONE corpus signature plan feeds both the fallback band index
@@ -138,11 +181,11 @@ def neardup_increment_pairs(
     )
     new_entries = band_entries(new_sigs, bands, rows_per_band)
 
+    inc_entries = new_entries.withColumnRenamed("id", "doc_new")
+    if broadcast_increment:
+        inc_entries = F.broadcast(inc_entries)
     candidates = (
-        band_index.join(
-            F.broadcast(new_entries.withColumnRenamed("id", "doc_new")),
-            ["band", "bh"],
-        )
+        band_index.join(inc_entries, ["band", "bh"])
         .select(F.col("doc_new"), F.col("id").alias("doc_corpus"))
         .distinct()
     )

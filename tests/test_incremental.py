@@ -152,3 +152,81 @@ def test_increment_gate_keeps_borderline_unique(spark):
     )
     out = INC.dedup_increment(probe, corpus)
     assert [r["doc_id"] for r in out.collect()] == [999_999]
+
+
+def test_bucketed_fp_artifact_only_increment_shuffles(spark):
+    """The stored-fingerprint steady state: with the corpus fingerprint
+    artifact saved bucketed on fp, the exact gate's anti-join reads the
+    corpus side pre-partitioned (bucketed scan, no exchange over it)
+    and shuffles only the increment — and selects exactly the same
+    documents as the unbucketed path."""
+    from excelstream_spark.operators.incremental import (
+        corpus_fingerprints,
+        dedup_increment_exact,
+        save_fingerprint_table,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    fps = corpus_fingerprints(corpus)
+    save_fingerprint_table(fps, "fp_artifact_test", buckets=8)
+    # at the 100 TB design point the fingerprint artifact is NOT
+    # broadcastable — that regime is what bucketing exists for; at
+    # fixture scale the planner would broadcast it (bucketing
+    # "disabled by query planner"), so force the shuffle-join regime
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        stored = spark.table("fp_artifact_test")
+        gate = dedup_increment_exact(new, stored)
+        plan = gate._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan, plan[:1500]
+        # the one hash exchange is the INCREMENT moving to the corpus's
+        # bucket layout; the bucketed scan itself is exchange-free
+        assert plan.count("Exchange hashpartitioning") == 1, plan[:1500]
+        baseline = dedup_increment_exact(new, fps)
+        assert sorted(r.doc_id for r in gate.collect()) == sorted(
+            r.doc_id for r in baseline.collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS fp_artifact_test")
+
+
+def test_bucketed_band_index_big_increment_path(spark):
+    """The big-increment regime (increment too large to broadcast):
+    with the band index stored bucketed on (band, bh) and
+    broadcast_increment=False, the candidate join reads the index
+    exchange-free and produces the same pairs as the broadcast path."""
+    from excelstream_spark.operators.incremental import (
+        corpus_band_index,
+        neardup_increment_pairs,
+        save_band_index_table,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    index = corpus_band_index(corpus)
+    save_band_index_table(index, "band_index_test", buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        stored = spark.table("band_index_test")
+        pairs = neardup_increment_pairs(
+            new, corpus, band_index=stored, broadcast_increment=False
+        )
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan, plan[:2000]
+        got = sorted(
+            (r.doc_new, r.doc_corpus) for r in pairs.collect()
+        )
+        base = neardup_increment_pairs(new, corpus, band_index=index)
+        want = sorted(
+            (r.doc_new, r.doc_corpus) for r in base.collect()
+        )
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS band_index_test")
