@@ -215,17 +215,21 @@ def dedup_increment(
     threshold: float = 0.8,
     corpus_fps: DataFrame | None = None,
     band_index: DataFrame | None = None,
+    broadcast_increment: bool = True,
 ) -> DataFrame:
     """The composed increment gate: new documents that are neither exact
     duplicates of the corpus (fingerprint anti-join) nor near-duplicates
     of it (verified LSH pairs at ``threshold``).  Both corpus artifacts
-    accept precomputed inputs for steady-state reuse."""
+    accept precomputed inputs for steady-state reuse;
+    ``broadcast_increment=False`` selects the big-increment candidate
+    join (see :func:`neardup_increment_pairs`)."""
     if corpus_fps is None:
         corpus_fps = corpus_fingerprints(corpus_docs, text_col, id_col)
     exact_new = dedup_increment_exact(new_docs, corpus_fps, text_col)
     near = neardup_increment_pairs(
         exact_new, corpus_docs, text_col, id_col, k, num_hashes, bands,
         threshold, band_index=band_index,
+        broadcast_increment=broadcast_increment,
     )
     return exact_new.join(
         near.select(F.col("doc_new").alias(id_col)).distinct(),

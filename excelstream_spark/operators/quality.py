@@ -25,6 +25,9 @@ identical arithmetic runs in DuckDB for the pytest oracle.
 
 from __future__ import annotations
 
+from functools import reduce
+from operator import and_
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -46,9 +49,6 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
         if hi is not None:
             flag = flag & (F.col(name) <= F.lit(hi))
         out = out.withColumn(f"pass_{name}", flag)
-    from functools import reduce
-    from operator import and_
-
     return out.withColumn(
         "gopher_pass",
         reduce(and_, [F.col(f"pass_{name}") for name, _, _ in TXT.GOPHER_RULES]),
@@ -58,8 +58,12 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
 def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     """PII pass for a training corpus: ``text_col`` rewritten with
     every email/IPv4/international-phone match replaced by its type
-    token, plus ``n_emails``/``n_ips``/``n_phones`` audit counts
-    (counted BEFORE redaction).  Chained codegen'd regexes
+    token, plus ``n_emails``/``n_ips``/``n_phones`` audit counts.
+    Counts follow the SEQUENTIAL contract of functions/text.py
+    pii_counts — each count equals the number of replacement tokens
+    this pass writes (a phone-shaped run inside an email local-part is
+    consumed by the email replacement and counts as nothing).
+    Chained codegen'd regexes
     (functions/text.py PII_REPLACEMENTS — the same patterns the
     corpus_governance catalog entry's oracle embeds), zero shuffle,
     idempotent.  This is redaction, not detection-grade PII discovery:
@@ -159,9 +163,6 @@ def repetition_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
     out = df
     for name, col in m.items():
         out = out.withColumn(name, col)
-    from functools import reduce
-    from operator import and_
-
     for name, bound in TXT.REPETITION_RULES:
         out = out.withColumn(
             f"pass_{name}", F.coalesce(F.col(name) <= F.lit(bound), F.lit(False))

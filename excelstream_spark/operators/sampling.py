@@ -158,6 +158,8 @@ def mix_corpora_temperature(
     shuffle."""
     from functools import reduce
 
+    if not sources:
+        raise ValueError("mix_corpora_temperature: no sources")
     tagged = [
         df.select(F.lit(name).alias("_src")) for name, df in sources.items()
     ]

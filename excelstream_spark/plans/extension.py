@@ -44,6 +44,14 @@ _SQL_JACCARD_PAIRS = f"""
 """
 
 _STOPLIST_SQL = "(" + ", ".join(f"'{w}'" for w in TXT.STOPWORDS) + ")"
+#: Gopher rule constants single-sourced from functions/text.py so the
+#: Spark side, this oracle, and the pytest SQL can never diverge
+_GOPHER_STOPLIST_SQL = (
+    "[" + ",".join(f"'{w}'" for w in TXT.GOPHER_STOPWORDS) + "]"
+)
+_GOPHER_WORDS_LO, _GOPHER_WORDS_HI = next(
+    (lo, hi) for name, lo, hi in TXT.GOPHER_RULES if name == "n_words"
+)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -99,10 +107,10 @@ _LANG_SQL_COUNTS = ", ".join(
                      list_distinct(list_transform(
                        regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+'),
                        x -> regexp_replace(x, '[^a-z]', '', 'g'))),
-                     ['the','be','to','of','and','that','have','with'])) AS INT)
+                     {_GOPHER_STOPLIST_SQL})) AS INT)
                                                                            AS n_gopher_stopwords,
                len(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+'))
-                 BETWEEN 50 AND 100000                                     AS pass_word_count
+                 BETWEEN {_GOPHER_WORDS_LO} AND {_GOPHER_WORDS_HI}         AS pass_word_count
         FROM scored
     """,
     tags=("text", "dedup"),
@@ -147,9 +155,10 @@ def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_alpha_words"),
         gm["n_gopher_stopwords"].alias("n_gopher_stopwords"),
-        ((gm["n_words"] >= 50) & (gm["n_words"] <= 100_000)).alias(
-            "pass_word_count"
-        ),
+        (
+            (gm["n_words"] >= _GOPHER_WORDS_LO)
+            & (gm["n_words"] <= _GOPHER_WORDS_HI)
+        ).alias("pass_word_count"),
     )
 
 

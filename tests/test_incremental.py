@@ -219,6 +219,11 @@ def test_bucketed_band_index_big_increment_path(spark):
         )
         plan = pairs._jdf.queryExecution().executedPlan().toString()
         assert "Bucketed: true" in plan, plan[:2000]
+        # exchange shape, not just the scan flag: exactly ONE side of the
+        # (band, bh)-keyed candidate join is exchanged — the increment's
+        # entries moving to the index's bucket layout (the verify joins
+        # key on doc ids, so their exchanges don't match this pattern)
+        assert plan.count("Exchange hashpartitioning(band") == 1, plan[:2500]
         got = sorted(
             (r.doc_new, r.doc_corpus) for r in pairs.collect()
         )

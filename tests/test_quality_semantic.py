@@ -100,7 +100,11 @@ def test_semantic_pairs_subset_of_exact(spark):
     assert sem == cocelled
 
 
-_SQL_GOPHER_METRICS = """
+_GOPHER_STOPLIST_SQL = (
+    "[" + ",".join(f"'{w}'" for w in TXT.GOPHER_STOPWORDS) + "]"
+)
+
+_SQL_GOPHER_METRICS = f"""
     WITH d AS (
       SELECT doc_id, coalesce(text, '') AS t FROM documents
     ),
@@ -129,7 +133,7 @@ _SQL_GOPHER_METRICS = """
            len(list_intersect(
                  list_distinct(list_transform(toks,
                    x -> regexp_replace(x, '[^a-z]', '', 'g'))),
-                 ['the','be','to','of','and','that','have','with']))
+                 {_GOPHER_STOPLIST_SQL}))
              AS n_gopher_stopwords
     FROM m
 """
