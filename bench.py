@@ -272,6 +272,14 @@ def main() -> None:
 
     run("unigram_scores", lambda: noop(unigram_logprob_score(docs_full)))
 
+    # block-level substring dedup: chunk + block-hash groupBy + rebuild
+    from excelstream_spark.operators.dedup import dedup_token_blocks
+
+    run(
+        "dedup_token_blocks",
+        lambda: noop(dedup_token_blocks(docs_full, block_tokens=16)),
+    )
+
     # SemDeDup: seeded-cell assignment + within-cell pairwise + keep-set
     from excelstream_spark.operators.similarity import dedup_semantic
 

@@ -565,3 +565,86 @@ def strip_boilerplate_paragraphs(
         )
         .select(*df.columns)
     )
+
+
+def dedup_token_blocks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_tokens: int = 64,
+    min_df: int = 2,
+) -> DataFrame:
+    """Exact SUBSTRING-level dedup at fixed token-block granularity —
+    the block approximation of suffix-array training-data dedup (Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): a verbatim passage repeated across documents (a license
+    header, a syndicated article body) is removed from every document
+    except one, while the unique remainder of each document survives.
+    Document-level dedup (exact/minhash) can't do this — a document
+    that is 30% boilerplate and 70% unique is not a near-dup of
+    anything, yet still carries the repeated passage into training.
+
+    Semantics: documents are split into NON-overlapping
+    ``block_tokens``-token blocks (operators/chunking.py boundaries, so
+    a SQL oracle reproduces them exactly); a block whose text occurs in
+    >= ``min_df`` DISTINCT documents keeps exactly ONE copy — in the
+    minimum-``id_col`` holder (deterministic) — and is removed from all
+    other documents; each document is rebuilt from its surviving
+    blocks in order.  The rebuild is at token granularity, so the
+    output ``text_col`` is the NORMALIZED text (lowercased,
+    whitespace-collapsed — the same canonical form every dedup
+    operator here fingerprints).  Within-document repeats inside the
+    keeper are intra-doc dedup's job (functions/text.dedup_lines).
+    Boundary caveat inherent to the block approximation: a passage
+    straddling a block boundary with different offsets in two
+    documents is NOT detected (suffix arrays would be; at corpus scale
+    run two passes with ``block_tokens`` offset by half a block to
+    halve the miss rate).
+
+    Execution shape at 100 TB: chunking is zero-shuffle scan work; the
+    block stats are ONE groupBy on the 8-byte xxhash64 of the block
+    (fixed-width keys move, not text — the shingle_rows trick); the
+    hot set is at most ``total_blocks / min_df`` rows and joins back
+    broadcast; the rebuild is the same codegen'd array_sort aggregate
+    strip_boilerplate_paragraphs uses.  Equality via xxhash64 admits a
+    ~2^-64-per-pair collision, identical to the shingle convention.
+    """
+    from excelstream_spark.operators.chunking import chunk_documents
+
+    blocks = chunk_documents(
+        df, text_col=text_col, id_col=id_col,
+        max_tokens=block_tokens, overlap=0,
+    ).select(
+        F.col("doc_id").alias(id_col), "chunk_idx",
+        "chunk_text", F.xxhash64("chunk_text").alias("bh"),
+    )
+    hot = (
+        blocks.groupBy("bh")
+        .agg(
+            F.countDistinct(id_col).alias("bdf"),
+            F.min(id_col).alias("_keeper"),
+        )
+        .filter(F.col("bdf") >= min_df)
+        .select("bh", "_keeper")
+    )
+    kept = blocks.join(F.broadcast(hot), "bh", "left").filter(
+        F.col("_keeper").isNull() | (F.col(id_col) == F.col("_keeper"))
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk_text"))),
+                lambda s: s["chunk_text"],
+            ),
+            " ",
+        ).alias("_rebuilt")
+    )
+    others = [c for c in df.columns if c != text_col]
+    return (
+        df.join(rebuilt, id_col, "left")
+        .select(
+            *others,
+            F.coalesce("_rebuilt", F.lit("")).alias(text_col),
+        )
+        .select(*df.columns)
+    )

@@ -513,3 +513,68 @@ def test_redact_pii_vs_sql_and_idempotent(spark, tmp_path):
     twice = QL.redact_pii(QL.redact_pii(docs)).select("doc_id", "text")
     once = QL.redact_pii(docs).select("doc_id", "text")
     assert sorted(map(tuple, twice.collect())) == sorted(map(tuple, once.collect()))
+
+
+def test_dedup_token_blocks_vs_sql_oracle(spark, duck):
+    """Block boundaries, hot-block detection, keeper choice and rebuild
+    all reproduce in SQL over the fixture (block grouping on TEXT in
+    the oracle vs xxhash64 in Spark — equal modulo 2^-64 collisions)."""
+    from excelstream_spark.operators.dedup import dedup_token_blocks
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    got = dedup_token_blocks(docs, block_tokens=16, min_df=2)
+    B = 16
+    oracle = f"""
+        WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+        tkn AS (SELECT doc_id,
+                       regexp_split_to_array(trim(lower(t)), '\\s+') AS tk
+                FROM d),
+        c AS (SELECT doc_id, tk,
+                     unnest(generate_series(
+                       0, greatest(1, (len(tk) + {B} - 1) // {B}) - 1)) AS i
+              FROM tkn),
+        blocks AS (SELECT doc_id, i AS chunk_idx,
+                          array_to_string(tk[i*{B}+1 : (i+1)*{B}], ' ') AS chunk_text
+                   FROM c),
+        hot AS (SELECT chunk_text, min(doc_id) AS keeper
+                FROM blocks GROUP BY chunk_text
+                HAVING count(DISTINCT doc_id) >= 2),
+        kept AS (SELECT b.doc_id, b.chunk_idx, b.chunk_text
+                 FROM blocks b LEFT JOIN hot h USING (chunk_text)
+                 WHERE h.keeper IS NULL OR b.doc_id = h.keeper),
+        r AS (SELECT doc_id,
+                     string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS txt
+              FROM kept GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(r.txt, '') AS text
+        FROM d LEFT JOIN r USING (doc_id)
+    """
+    assert_matches_oracle(got, duck, oracle)
+
+
+def test_dedup_token_blocks_semantics(spark):
+    """Crafted corpus: a shared 8-token passage at block position 0
+    survives only in the minimum-id document; unique tails survive
+    everywhere; a doc of pure boilerplate collapses to empty."""
+    from excelstream_spark.operators.dedup import dedup_token_blocks
+
+    shared = " ".join(f"b{i}" for i in range(8))          # one full block
+    docs = spark.createDataFrame(
+        [
+            (10, shared + " " + "u10a u10b u10c u10d u10e u10f u10g u10h"),
+            (20, shared + " " + "u20a u20b u20c u20d u20e u20f u20g u20h"),
+            (30, shared),                                  # pure boilerplate
+            (40, "solo only unique words here today friends ok"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r.doc_id: r.text
+        for r in dedup_token_blocks(docs, block_tokens=8, min_df=2).collect()
+    }
+    assert out[10] == shared + " u10a u10b u10c u10d u10e u10f u10g u10h"
+    assert out[20] == "u20a u20b u20c u20d u20e u20f u20g u20h"
+    assert out[30] == ""
+    assert out[40] == "solo only unique words here today friends ok"
+    # schema preserved, no rows lost
+    cols = dedup_token_blocks(docs, block_tokens=8, min_df=2).columns
+    assert cols == ["doc_id", "text"]
