@@ -262,6 +262,9 @@ def main() -> None:
 
     run("corpus_curation", curation)
 
+    # data-card statistics: one CUBE aggregation over provenance dims
+    run("corpus_report", lambda: noop(CU.corpus_report(docs_full)))
+
     # quality rules: one codegen'd filter over text (the pre-dedup gate)
     from excelstream_spark.operators.quality import gopher_quality_filter
 

@@ -127,6 +127,51 @@ def cluster_aware_splits(
     ).drop("component")
 
 
+def corpus_report(
+    df: DataFrame,
+    text_col: str = "text",
+    dims: tuple[str, ...] = ("source", "lang"),
+) -> DataFrame:
+    """Data-card statistics for a corpus in ONE aggregation pass: doc /
+    token / character totals and exact quality-score percentiles, CUBEd
+    over the provenance dimensions (every dim combination plus the
+    grand total in one job) — the observability table a pipeline
+    publishes alongside the corpus it ships.
+
+    ``gid`` is the grouping_id bitmask disambiguating "dimension value
+    is NULL" from "dimension aggregated out" (identical semantics to
+    SQL GROUPING()).  Quality is functions/text.quality_score — exact
+    arithmetic, and Spark ``percentile`` matches DuckDB
+    ``quantile_cont`` bit-for-bit (the agg_percentiles_arrays catalog
+    precedent), so the whole report is SQL-oracle-checkable.
+
+    100 TB: one shuffle (the cube's partial aggregation combines
+    map-side; output cardinality is the product of dim cardinalities —
+    KBs).  Token counting rides the same scan, no extra pass.
+    """
+    from excelstream_spark.functions import text as TXT
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    base = df.select(
+        *dims,
+        TXT.token_count(t).alias("_tok"),
+        F.length(t).alias("_chars"),
+        TXT.quality_score(t).alias("_q"),
+    )
+    return (
+        base.cube(*dims)
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_tok").alias("n_tokens"),
+            F.sum("_chars").alias("n_chars"),
+            F.round(F.avg("_q"), 6).alias("mean_quality_r"),
+            F.round(F.expr("percentile(_q, 0.5)"), 6).alias("p50_quality_r"),
+            F.round(F.expr("percentile(_q, 0.95)"), 6).alias("p95_quality_r"),
+        )
+    )
+
+
 def cap_per_domain(
     df: DataFrame,
     domain_col: str = "source",

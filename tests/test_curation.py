@@ -147,3 +147,43 @@ def test_token_budget_head_scalable_plan(spark):
     assert CU.token_budget_head(
         docs, budget=0, token_col="n_chars", order_col="doc_id"
     ).count() == 0
+
+
+def test_corpus_report_vs_sql_oracle(spark, duck):
+    """The one-pass data card reproduces in SQL: CUBE over
+    (source, lang) with doc/token/char totals, mean and exact
+    interpolated quality percentiles, and the grouping bitmask."""
+    from .conftest import assert_matches_oracle
+
+    docs = load_table(spark, SF_DIR, "documents")
+    got = CU.corpus_report(docs)
+    oracle = """
+        WITH b AS (
+          SELECT source, lang,
+                 len(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+')) AS tok,
+                 length(coalesce(text, '')) AS chars,
+                 0.4 * least(1.0, len(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+')) / 50.0)
+               + 0.3 * least(1.0, (len(list_filter(
+                     regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+'),
+                     t -> t IN ('the','a','an','and','or','of','to','in','is','it',
+                                'for','on','with','as','at','by','from','that','this')))
+                     * 1.0 / len(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+'))) * 5)
+               + 0.3 * (1 - least(1.0, (length(regexp_replace(coalesce(text, ''), '[^.,;:!?]', '', 'g'))
+                     * 1.0 / length(coalesce(text, ''))) * 10)) AS q
+          FROM documents
+        )
+        SELECT source, lang,
+               CAST(GROUPING(source) * 2 + GROUPING(lang) AS BIGINT) AS gid,
+               count(*) AS n_docs,
+               sum(tok) AS n_tokens,
+               sum(chars) AS n_chars,
+               round(avg(q), 6) AS mean_quality_r,
+               round(quantile_cont(q, 0.5), 6) AS p50_quality_r,
+               round(quantile_cont(q, 0.95), 6) AS p95_quality_r
+        FROM b
+        GROUP BY CUBE (source, lang)
+    """
+    assert_matches_oracle(got, duck, oracle)
+    # the cube actually fans out: grand total + per-dim + cross rows
+    gids = {r.gid for r in got.select("gid").distinct().collect()}
+    assert gids == {0, 1, 2, 3}
