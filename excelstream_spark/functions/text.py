@@ -143,7 +143,13 @@ def quality_score(col) -> Column:
     """
     nt = token_count(col).cast("double")
     sr = stopword_ratio(col)
-    pr = punct_count(col) / char_count(col)
+    # guard the zero-length denominator: under Spark 4's default ANSI
+    # mode ''/0 is a job-aborting DIVIDE_BY_ZERO, not a NULL (a corpus
+    # with one empty/coalesced-empty text would crash every consumer);
+    # the guarded form yields NULL exactly like DuckDB's 0/0, so every
+    # oracle comparison is unchanged
+    cc = char_count(col)
+    pr = F.when(cc > 0, punct_count(col) / cc)
     clamp = lambda c: F.least(F.lit(1.0), c)  # noqa: E731
     return (
         0.4 * clamp(nt / 50)

@@ -511,6 +511,59 @@ def dedup_embedding_cosine(
     return pairs.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim_r"))
 
 
+def _require_non_null_ids(df: DataFrame, id_col: str, op: str) -> DataFrame:
+    """Fail LOUDLY on NULL document ids: both text-rewrite operators
+    below rebuild via an equi-join on ``id_col``, and a NULL key never
+    matches — a NULL-id document's text would be silently wiped to ''
+    (and its blocks vanish from countDistinct df-statistics).  Same
+    raise-inside-a-filter-predicate trick as similarity.py's dim check,
+    so column pruning can't drop it."""
+    check = F.when(F.col(id_col).isNotNull(), F.lit(True)).otherwise(
+        F.raise_error(
+            F.lit(
+                f"{op}: NULL {id_col} — the rebuild joins on {id_col} and "
+                "would silently empty this document's text; assign ids first"
+            )
+        )
+    )
+    return df.filter(check)
+
+
+def _rebuild_text(
+    df: DataFrame,
+    kept: DataFrame,
+    id_col: str,
+    text_col: str,
+    pos_col: str,
+    part_col: str,
+    sep: str,
+) -> DataFrame:
+    """Shared epilogue of the text-rewrite operators: reassemble each
+    document from its surviving (position, fragment) rows in order —
+    array_sort on (pos, fragment) structs orders by the leading field,
+    so the rebuild is one codegen'd aggregate, not a window — then join
+    back onto the input (documents that lost every fragment coalesce to
+    '')."""
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(pos_col, part_col))),
+                lambda s: s[part_col],
+            ),
+            sep,
+        ).alias("_rebuilt")
+    )
+    others = [c for c in df.columns if c != text_col]
+    return (
+        df.join(rebuilt, id_col, "left")
+        .select(
+            *others,
+            F.coalesce("_rebuilt", F.lit("")).alias(text_col),
+        )
+        .select(*df.columns)
+    )
+
+
 def strip_boilerplate_paragraphs(
     df: DataFrame,
     text_col: str = "text",
@@ -536,6 +589,7 @@ def strip_boilerplate_paragraphs(
       structs — array_sort on structs orders by the leading ``pos``
       field, so the rebuild is a codegen'd aggregate, not a window.
     """
+    df = _require_non_null_ids(df, id_col, "strip_boilerplate_paragraphs")
     paras = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
@@ -547,24 +601,7 @@ def strip_boilerplate_paragraphs(
         .select("ph")
     )
     kept = paras.join(F.broadcast(hot), "ph", "left_anti")
-    rebuilt = kept.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "para"))),
-                lambda s: s["para"],
-            ),
-            sep,
-        ).alias("_rebuilt")
-    )
-    others = [c for c in df.columns if c != text_col]
-    return (
-        df.join(rebuilt, id_col, "left")
-        .select(
-            *others,
-            F.coalesce("_rebuilt", F.lit("")).alias(text_col),
-        )
-        .select(*df.columns)
-    )
+    return _rebuild_text(df, kept, id_col, text_col, "pos", "para", sep)
 
 
 def dedup_token_blocks(
@@ -597,20 +634,28 @@ def dedup_token_blocks(
     keeper are intra-doc dedup's job (functions/text.dedup_lines).
     Boundary caveat inherent to the block approximation: a passage
     straddling a block boundary with different offsets in two
-    documents is NOT detected (suffix arrays would be; at corpus scale
-    run two passes with ``block_tokens`` offset by half a block to
-    halve the miss rate).
+    documents is NOT detected (suffix arrays would be).  Mitigation
+    implementable with this API: run a SECOND pass with a coprime
+    ``block_tokens`` (e.g. 64 then 96) — the two grids' boundaries
+    never align except at multiples of their lcm, and any repeated
+    passage of >= 2*block_tokens-1 tokens contains a complete block in
+    EVERY grid, so long passages are always caught.
 
     Execution shape at 100 TB: chunking is zero-shuffle scan work; the
     block stats are ONE groupBy on the 8-byte xxhash64 of the block
     (fixed-width keys move, not text — the shingle_rows trick); the
-    hot set is at most ``total_blocks / min_df`` rows and joins back
-    broadcast; the rebuild is the same codegen'd array_sort aggregate
-    strip_boilerplate_paragraphs uses.  Equality via xxhash64 admits a
-    ~2^-64-per-pair collision, identical to the shingle convention.
+    hot-set join is left to the planner/AQE — at ``min_df=2`` the hot
+    set is NOT "small by construction" (up to total_blocks/2 rows on a
+    heavily-duplicated corpus; Lee et al. report whole-percent
+    duplication rates), so forcing a broadcast here would blow the
+    8 GB broadcast ceiling exactly when the operator matters most;
+    the rebuild is the shared codegen'd array_sort aggregate.
+    Equality via xxhash64 admits a ~2^-64-per-pair collision,
+    identical to the shingle convention.
     """
     from excelstream_spark.operators.chunking import chunk_documents
 
+    df = _require_non_null_ids(df, id_col, "dedup_token_blocks")
     blocks = chunk_documents(
         df, text_col=text_col, id_col=id_col,
         max_tokens=block_tokens, overlap=0,
@@ -627,24 +672,11 @@ def dedup_token_blocks(
         .filter(F.col("bdf") >= min_df)
         .select("bh", "_keeper")
     )
-    kept = blocks.join(F.broadcast(hot), "bh", "left").filter(
+    # no broadcast hint: the hot set is unbounded at min_df=2 (see
+    # docstring) — AQE picks broadcast when it actually fits
+    kept = blocks.join(hot, "bh", "left").filter(
         F.col("_keeper").isNull() | (F.col(id_col) == F.col("_keeper"))
     )
-    rebuilt = kept.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk_text"))),
-                lambda s: s["chunk_text"],
-            ),
-            " ",
-        ).alias("_rebuilt")
-    )
-    others = [c for c in df.columns if c != text_col]
-    return (
-        df.join(rebuilt, id_col, "left")
-        .select(
-            *others,
-            F.coalesce("_rebuilt", F.lit("")).alias(text_col),
-        )
-        .select(*df.columns)
+    return _rebuild_text(
+        df, kept, id_col, text_col, "chunk_idx", "chunk_text", " "
     )

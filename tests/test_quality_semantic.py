@@ -578,3 +578,45 @@ def test_dedup_token_blocks_semantics(spark):
     # schema preserved, no rows lost
     cols = dedup_token_blocks(docs, block_tokens=8, min_df=2).columns
     assert cols == ["doc_id", "text"]
+
+
+def test_text_rewrite_ops_null_id_fail_loudly(spark):
+    """A NULL document id would silently wipe the document's text in
+    the rebuild equi-join; both text-rewrite operators must refuse it
+    with a clear error instead."""
+    from excelstream_spark.operators.dedup import (
+        dedup_token_blocks,
+        strip_boilerplate_paragraphs,
+    )
+
+    bad = spark.createDataFrame(
+        [(None, "totally unique text never repeated anywhere")],
+        "doc_id bigint, text string",
+    )
+    for op in (
+        lambda d: dedup_token_blocks(d, block_tokens=8),
+        lambda d: strip_boilerplate_paragraphs(d, max_df=1),
+    ):
+        with pytest.raises(Exception, match="NULL doc_id"):
+            op(bad).collect()
+
+
+def test_corpus_report_survives_empty_and_null_text(spark):
+    """Empty/NULL text must not abort the report under ANSI mode (the
+    punct-ratio denominator is zero after coalesce): the quality score
+    for such docs is NULL (DuckDB 0/0 semantics), counts still tally."""
+    from excelstream_spark.operators.curation import corpus_report
+
+    docs = spark.createDataFrame(
+        [
+            (1, "real words here, punctuated!", "web", "en"),
+            (2, None, "web", "en"),
+            (3, "", "books", "en"),
+        ],
+        "doc_id bigint, text string, source string, lang string",
+    )
+    rows = {(r.source, r.lang, r.gid): r for r in corpus_report(docs).collect()}
+    total = rows[(None, None, 3)]
+    assert total.n_docs == 3 and total.n_chars == 28
+    # quality averaged over the one scorable doc only
+    assert total.mean_quality_r is not None
