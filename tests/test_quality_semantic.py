@@ -620,3 +620,59 @@ def test_corpus_report_survives_empty_and_null_text(spark):
     assert total.n_docs == 3 and total.n_chars == 28
     # quality averaged over the one scorable doc only
     assert total.mean_quality_r is not None
+
+
+def test_quality_gates_run_in_structured_streaming(spark, tmp_path):
+    """The Gopher quality and repetition predicates are stateless
+    projections, so the same gates run unchanged as a streaming filter
+    — proven end-to-end: a parquet stream filtered by
+    gopher_pass(subset) & repetition_pass lands exactly the batch
+    filter's survivors in the sink (guards against ever rewriting the
+    gates with a non-streamable construct)."""
+    import os
+
+    from excelstream_spark.operators.quality import gopher_quality_filter
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    good = "the words flow with that easy rhythm of " * 8  # passes subset
+    docs = [
+        (1, good.strip()),
+        (2, "spam\nspam\nspam\nspam " * 20),  # repetition fail
+        (3, "short"),                          # word-count fail
+        (4, None),                             # null text fail
+    ]
+    spark.createDataFrame(docs, "doc_id bigint, text string") \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    subset = tuple(
+        r for r in TXT.GOPHER_RULES if r[0] != "n_gopher_stopwords"
+    )
+    pred = TXT.gopher_pass(F.col("text"), subset) & TXT.repetition_pass(
+        F.col("text")
+    )
+    st = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+    q = (
+        st.filter(pred)
+        .writeStream.format("memory")
+        .queryName("quality_gate_stream")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    streamed = sorted(
+        r.doc_id for r in spark.sql(
+            "SELECT doc_id FROM quality_gate_stream"
+        ).collect()
+    )
+    batch = spark.createDataFrame(docs, "doc_id bigint, text string")
+    expected = sorted(
+        r.doc_id
+        for r in gopher_quality_filter(batch, rules=subset)
+        .filter(TXT.repetition_pass(F.col("text")))
+        .collect()
+    )
+    assert streamed == expected and streamed == [1]
