@@ -200,8 +200,17 @@ def neardup_increment_pairs(
         cand_ids = candidates.select(
             F.col("doc_corpus").alias(id_col)
         ).distinct()
+        # the candidate-id set scales with the INCREMENT (a dup-heavy
+        # big increment can yield tens of millions of distinct corpus
+        # candidates), so the broadcast hint mirrors inc_entries: forced
+        # only in the small-increment regime; in the big-increment
+        # regime (broadcast_increment=False) AQE chooses — forcing it
+        # there would blow the broadcast ceiling at exactly the design
+        # point the flag targets
+        if broadcast_increment:
+            cand_ids = F.broadcast(cand_ids)
         corpus_sets = shingle_sets(
-            corpus_docs.join(F.broadcast(cand_ids), id_col, "left_semi"),
+            corpus_docs.join(cand_ids, id_col, "left_semi"),
             text_col, id_col, k,
         ).select("id", "sh")
     sa = new_sigs.select(F.col("id").alias("doc_new"), F.col("sh").alias("sh_a"))
