@@ -230,11 +230,16 @@ GOPHER_RULES: tuple[tuple[str, float | None, float | None], ...] = (
 
 
 def _dup_char_count(arr: Column) -> Column:
-    """Characters contained in elements of ``arr`` that occur more than
-    once (ALL occurrences counted — two copies of a 40-char line
-    contribute 80).  Single O(L log L) pass: sort, then one aggregate
-    whose struct accumulator tracks the current run (value, length) and
-    flushes run_len * length(value) into the total when a run of >= 2
+    """Characters in REPEAT occurrences of duplicated elements of
+    ``arr`` — occurrences beyond the first, the standard Gopher
+    formulation (two copies of a 40-char line contribute 40, not 80),
+    so the published 0.20 char-fraction bounds mean what the paper
+    meant.  (Through round 5 this counted ALL occurrences, which made
+    the dup_*_char_frac filters materially stricter than Gopher's;
+    flagged by the round-5 advisor and fixed with the oracle.)  Single
+    O(L log L) pass: sort, then one aggregate whose struct accumulator
+    tracks the current run (value, length) and flushes
+    (run_len - 1) * length(value) into the total when a run of >= 2
     ends.  No lambda references an outer column, so nothing re-evaluates
     per element (the project-collapse trap streaming/neardup.py
     documents)."""
@@ -247,7 +252,7 @@ def _dup_char_count(arr: Column) -> Column:
 
     def step(acc, x):
         flushed = acc["dup"] + F.when(
-            acc["run"] >= 2, acc["run"] * F.length(acc["prev"])
+            acc["run"] >= 2, (acc["run"] - 1) * F.length(acc["prev"])
         ).otherwise(F.lit(0).cast("long"))
         return F.when(
             x == acc["prev"],
@@ -263,7 +268,7 @@ def _dup_char_count(arr: Column) -> Column:
 
     def finish(acc):
         return acc["dup"] + F.when(
-            acc["run"] >= 2, acc["run"] * F.length(acc["prev"])
+            acc["run"] >= 2, (acc["run"] - 1) * F.length(acc["prev"])
         ).otherwise(F.lit(0).cast("long"))
 
     return F.aggregate(srt, init, step, finish)
@@ -277,8 +282,9 @@ def repetition_metrics(col) -> dict[str, Column]:
     * ``dup_line_frac`` / ``dup_para_frac`` — 1 - distinct/total
       segments (what share of segments are repeats of an earlier one);
     * ``dup_line_char_frac`` / ``dup_para_char_frac`` — share of
-      segment characters inside segments occurring more than once
-      (all occurrences counted).
+      segment characters inside REPEAT occurrences of duplicated
+      segments (occurrences beyond the first — the standard Gopher
+      formulation, matching the published 0.20 bounds).
 
     Fractions are NULL for empty inputs (0 segments / 0 characters)
     rather than a divide-by-zero surprise; the composed pass predicate

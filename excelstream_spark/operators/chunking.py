@@ -78,3 +78,68 @@ def chunk_documents(
         )
         .select("doc_id", "c.chunk_idx", "c.chunk_text", "c.n_tokens")
     )
+
+
+def chunk_documents_cdc(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    avg_tokens: int = 16,
+) -> DataFrame:
+    """-> (doc_id, chunk_idx, chunk_text, n_tokens) with CONTENT-DEFINED
+    boundaries: a chunk ENDS at every token whose md5-derived hash is
+    ``0 (mod avg_tokens)`` — so boundary positions are a function of the
+    token stream itself, not of token offsets.  The same passage
+    embedded at ANY offset in two documents produces identical interior
+    chunks (the property :func:`~excelstream_spark.operators.dedup.
+    dedup_token_chunks_cdc` needs for offset-invariant substring dedup;
+    a fixed grid only matches offsets congruent mod the block size).
+    Chunk lengths are geometric with mean ``avg_tokens``; there is no
+    hard upper bound (a pathological boundary-free document yields one
+    doc-sized chunk — bounded by the document, so never a correctness
+    or memory hazard, only coarser dedup granularity for that doc).
+
+    The boundary hash is md5-derived (first 8 hex chars as bigint, the
+    curation.py convention) rather than xxhash64 so DuckDB replays
+    boundaries bit-identically: ``('0x' || substr(md5(tok), 1, 8))::
+    bigint % avg_tokens = 0``.
+
+    Execution shape: tokenization + boundary flags are scan-stage; the
+    exclusive prefix sum that numbers chunks is one window partitioned
+    by document (shuffle #1, the price of per-token running state), and
+    chunk assembly is a groupBy(doc, chunk) whose partial aggregation
+    combines map-side (shuffle #2 moves chunk-sized structs).  Heavier
+    than the zero-shuffle fixed grid — and far lighter than the
+    suffix-array build it approximates.  Skew bound: a document's
+    tokens land in one partition, so the per-partition bound is the
+    longest document, same as every per-doc window here."""
+    if avg_tokens < 2:
+        raise ValueError(f"need avg_tokens >= 2, got {avg_tokens}")
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            TXT.tokens(F.coalesce(F.col(text_col), F.lit("")))
+        ).alias("pos", "tok"),
+    )
+    h = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+    bnd = (h % avg_tokens == 0).cast("int")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_idx = toks.withColumn(
+        "chunk_idx", F.coalesce(F.sum(bnd).over(w), F.lit(0)).cast("int")
+    )
+    return with_idx.groupBy("doc_id", "chunk_idx").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("chunk_text"),
+        F.count(F.lit(1)).cast("int").alias("n_tokens"),
+    )

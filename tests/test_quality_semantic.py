@@ -294,7 +294,7 @@ _SQL_REPETITION = """
              CASE WHEN sum(c) > 0
                   THEN 1.0 - count(*) * 1.0 / sum(c) END AS dup_frac,
              CASE WHEN sum(len * c) > 0
-                  THEN sum(CASE WHEN c > 1 THEN len * c ELSE 0 END) * 1.0
+                  THEN sum(CASE WHEN c > 1 THEN len * (c - 1) ELSE 0 END) * 1.0
                        / sum(len * c) END AS dup_char_frac
       FROM cnt GROUP BY doc_id, g
     )
@@ -365,11 +365,12 @@ def test_repetition_metrics_vs_sql_oracle_crafted(spark, tmp_path):
     finally:
         con.close()
     # spot-check the arithmetic itself on doc 0 ("a\nb\na\nc\na"):
-    # 5 lines, 3 distinct; dup chars = 3 copies of 'a' = 3 of the 5
+    # 5 lines, 3 distinct; dup chars = the 2 REPEAT copies of 'a'
+    # (occurrences beyond the first — Gopher formulation) of the 5
     # single-char line chars (separators are not segment content)
     r = {x.doc_id: x for x in df.collect()}
     assert abs(r[0].dup_line_frac - (1 - 3 / 5)) < 1e-12
-    assert abs(r[0].dup_line_char_frac - 3 / 5) < 1e-12
+    assert abs(r[0].dup_line_char_frac - 2 / 5) < 1e-12
     # empty/null text -> one zero-length segment: the segment-count
     # fraction is a well-defined 0.0, the CHAR fraction is NULL (0 chars)
     assert r[2].dup_line_frac == 0.0 and r[2].dup_line_char_frac is None
@@ -516,16 +517,25 @@ def test_redact_pii_vs_sql_and_idempotent(spark, tmp_path):
 
 
 def test_dedup_token_blocks_vs_sql_oracle(spark, duck):
-    """Block boundaries, hot-block detection, keeper choice and rebuild
-    all reproduce in SQL over the fixture (block grouping on TEXT in
-    the oracle vs xxhash64 in Spark — equal modulo 2^-64 collisions)."""
+    """Block boundaries, hot-block detection, keeper choice, the
+    touched-only rebuild (untouched docs keep input text byte-for-byte,
+    incl. NULL) all reproduce in SQL over the fixture (block grouping on
+    TEXT in the oracle vs xxhash64 in Spark — equal modulo 2^-64
+    collisions)."""
     from excelstream_spark.operators.dedup import dedup_token_blocks
 
     docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
     got = dedup_token_blocks(docs, block_tokens=16, min_df=2)
-    B = 16
-    oracle = f"""
-        WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+    assert_matches_oracle(got, duck, _token_blocks_oracle(16))
+
+
+def _token_blocks_oracle(B: int) -> str:
+    """DuckDB replay of dedup_token_blocks at block size ``B``: touched
+    docs (lost >= 1 block) rebuild normalized from surviving blocks,
+    untouched docs keep original text (incl. NULL)."""
+    return f"""
+        WITH d AS (SELECT doc_id, text, coalesce(text, '') AS t
+                   FROM documents),
         tkn AS (SELECT doc_id,
                        regexp_split_to_array(trim(lower(t)), '\\s+') AS tk
                 FROM d),
@@ -539,16 +549,20 @@ def test_dedup_token_blocks_vs_sql_oracle(spark, duck):
         hot AS (SELECT chunk_text, min(doc_id) AS keeper
                 FROM blocks GROUP BY chunk_text
                 HAVING count(DISTINCT doc_id) >= 2),
+        lost AS (SELECT DISTINCT b.doc_id
+                 FROM blocks b JOIN hot h USING (chunk_text)
+                 WHERE b.doc_id <> h.keeper),
         kept AS (SELECT b.doc_id, b.chunk_idx, b.chunk_text
                  FROM blocks b LEFT JOIN hot h USING (chunk_text)
                  WHERE h.keeper IS NULL OR b.doc_id = h.keeper),
         r AS (SELECT doc_id,
                      string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS txt
-              FROM kept GROUP BY doc_id)
-        SELECT d.doc_id, coalesce(r.txt, '') AS text
-        FROM d LEFT JOIN r USING (doc_id)
+              FROM kept JOIN lost USING (doc_id) GROUP BY doc_id)
+        SELECT d.doc_id,
+               CASE WHEN l.doc_id IS NOT NULL THEN coalesce(r.txt, '')
+                    ELSE d.text END AS text
+        FROM d LEFT JOIN lost l USING (doc_id) LEFT JOIN r USING (doc_id)
     """
-    assert_matches_oracle(got, duck, oracle)
 
 
 def test_dedup_token_blocks_semantics(spark):
@@ -564,6 +578,7 @@ def test_dedup_token_blocks_semantics(spark):
             (20, shared + " " + "u20a u20b u20c u20d u20e u20f u20g u20h"),
             (30, shared),                                  # pure boilerplate
             (40, "solo only unique words here today friends ok"),
+            (50, "Unique WORDS\nwith   Formatting\n\nkept INTACT here ok"),
         ],
         "doc_id bigint, text string",
     )
@@ -571,13 +586,181 @@ def test_dedup_token_blocks_semantics(spark):
         r.doc_id: r.text
         for r in dedup_token_blocks(docs, block_tokens=8, min_df=2).collect()
     }
+    # doc 10 is the keeper and lost nothing -> untouched, text unchanged
     assert out[10] == shared + " u10a u10b u10c u10d u10e u10f u10g u10h"
     assert out[20] == "u20a u20b u20c u20d u20e u20f u20g u20h"
     assert out[30] == ""
     assert out[40] == "solo only unique words here today friends ok"
+    # untouched docs keep case/whitespace/newlines byte-for-byte (the
+    # round-5 advisor's ordering hazard: an untouched doc must not come
+    # back normalized or downstream line/paragraph ops see collapsed text)
+    assert out[50] == "Unique WORDS\nwith   Formatting\n\nkept INTACT here ok"
     # schema preserved, no rows lost
     cols = dedup_token_blocks(docs, block_tokens=8, min_df=2).columns
     assert cols == ["doc_id", "text"]
+
+
+def test_dedup_token_blocks_twopass_catches_straddle(spark):
+    """The documented single-pass miss, demonstrated then caught: a
+    20-token passage shared at cross-document offset shift d=5 straddles
+    every pass-1 (b=8) boundary incongruently (5 % 8 != 0) so pass 1
+    removes nothing; the coprime pass 2 (b=5, 5 % 5 == 0) aligns and
+    strips every shared full block from the non-keeper.  The keeper
+    stays byte-identical (untouched docs are never rewritten)."""
+    from excelstream_spark.operators.dedup import (
+        dedup_token_blocks,
+        dedup_token_blocks_twopass,
+    )
+
+    P = [f"p{i}" for i in range(20)]
+    a_text = "a0 a1 " + " ".join(P)                       # P at offset 2
+    b_text = " ".join(f"u{i}" for i in range(7)) + " " + " ".join(P)  # offset 7
+    docs = spark.createDataFrame(
+        [(1, a_text), (2, b_text)], "doc_id bigint, text string"
+    )
+    # single pass at b=8: no full 8-block of P occupies the same grid
+    # phase in both docs (shift 5 is incongruent mod 8) -> both unchanged
+    single = {
+        r.doc_id: r.text
+        for r in dedup_token_blocks(docs, block_tokens=8, min_df=2).collect()
+    }
+    assert single == {1: a_text, 2: b_text}
+    # two-pass (8, 5): the b=5 grid aligns (shift 5 ≡ 0 mod 5); doc 1
+    # (min id) keeps everything untouched, doc 2 loses the shared full
+    # 5-blocks [p3..p17] AND the shared tail block [p18 p19]
+    two = {
+        r.doc_id: r.text
+        for r in dedup_token_blocks_twopass(
+            docs, block_tokens=(8, 5), min_df=2
+        ).collect()
+    }
+    assert two[1] == a_text
+    assert two[2] == "u0 u1 u2 u3 u4 u5 u6 p0 p1 p2"
+    # non-coprime sizes are refused (both grids would share the miss set)
+    with pytest.raises(ValueError, match="coprime"):
+        dedup_token_blocks_twopass(docs, block_tokens=(8, 6))
+    with pytest.raises(ValueError, match=">= 2 block sizes"):
+        dedup_token_blocks_twopass(docs, block_tokens=(8,))
+
+
+def _cdc_oracle(avg_tokens: int, min_df: int, min_chunk: int) -> str:
+    """DuckDB replay of dedup_token_chunks_cdc: md5-derived boundary
+    rule, exclusive-prefix-sum chunk numbering, hot-set keeper logic,
+    touched-only rebuild."""
+    return f"""
+        WITH d AS (SELECT doc_id, text, coalesce(text, '') AS t
+                   FROM documents),
+        tkn AS (SELECT doc_id,
+                       regexp_split_to_array(trim(lower(t)), '\\s+') AS tk
+                FROM d),
+        tok AS (SELECT doc_id, i AS pos, tk[i] AS tok
+                FROM (SELECT doc_id, tk,
+                             unnest(generate_series(1, len(tk))) AS i
+                      FROM tkn)),
+        flagged AS (SELECT doc_id, pos, tok,
+                           CASE WHEN ('0x' || substr(md5(tok), 1, 8))::bigint
+                                     % {avg_tokens} = 0
+                                THEN 1 ELSE 0 END AS bnd
+                    FROM tok),
+        numbered AS (SELECT doc_id, pos, tok,
+                            coalesce(sum(bnd) OVER (
+                              PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0) AS chunk_idx
+                     FROM flagged),
+        chunks AS (SELECT doc_id, chunk_idx,
+                          string_agg(tok, ' ' ORDER BY pos) AS chunk_text,
+                          count(*) AS n_tokens
+                   FROM numbered GROUP BY doc_id, chunk_idx),
+        hot AS (SELECT chunk_text, min(doc_id) AS keeper
+                FROM chunks WHERE n_tokens >= {min_chunk}
+                GROUP BY chunk_text
+                HAVING count(DISTINCT doc_id) >= {min_df}),
+        lost AS (SELECT DISTINCT c.doc_id
+                 FROM chunks c JOIN hot h USING (chunk_text)
+                 WHERE c.doc_id <> h.keeper),
+        kept AS (SELECT c.doc_id, c.chunk_idx, c.chunk_text
+                 FROM chunks c LEFT JOIN hot h USING (chunk_text)
+                 WHERE h.keeper IS NULL OR c.doc_id = h.keeper),
+        r AS (SELECT doc_id,
+                     string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS txt
+              FROM kept JOIN lost USING (doc_id) GROUP BY doc_id)
+        SELECT d.doc_id,
+               CASE WHEN l.doc_id IS NOT NULL THEN coalesce(r.txt, '')
+                    ELSE d.text END AS text
+        FROM d LEFT JOIN lost l USING (doc_id) LEFT JOIN r USING (doc_id)
+    """
+
+
+def test_dedup_token_chunks_cdc_vs_sql_oracle(spark, duck):
+    """Content-defined boundaries, chunk numbering, hot-set keeper and
+    touched-only rebuild all reproduce in DuckDB over the fixture (the
+    md5-derived boundary hash is bit-identical in both engines)."""
+    from excelstream_spark.operators.dedup import dedup_token_chunks_cdc
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    got = dedup_token_chunks_cdc(docs, avg_tokens=16, min_df=2)
+    assert_matches_oracle(got, duck, _cdc_oracle(16, 2, 4))
+
+
+def test_dedup_token_chunks_cdc_offset_invariant(spark, tmp_path):
+    """The property neither fixed-grid form has: the same long passage
+    at ARBITRARY (incongruent) offsets is still deduplicated, because
+    chunk boundaries are functions of token content.  Shift here is 12
+    — incongruent mod every grid size in use elsewhere — and the
+    non-keeper still loses the passage's interior chunks; the keeper
+    stays byte-identical.  Values cross-checked against the DuckDB
+    replay on the same crafted docs."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from excelstream_spark.operators.dedup import (
+        dedup_token_blocks,
+        dedup_token_chunks_cdc,
+    )
+
+    P = " ".join(f"pass{i}age" for i in range(60))
+    a_text = "intro " + P + " outroa"                       # P at offset 1
+    b_text = " ".join(f"pre{i}" for i in range(13)) + " " + P  # offset 13
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array([a_text, b_text], pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    docs = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    # fixed grid at b=16: shift 12 is incongruent -> nothing removed
+    fixed = {
+        r.doc_id: r.text
+        for r in dedup_token_blocks(docs, block_tokens=16, min_df=2).collect()
+    }
+    assert fixed == {1: a_text, 2: b_text}
+    # CDC: interior chunks of P are identical in both docs at any offset
+    out = {
+        r.doc_id: r.text
+        for r in dedup_token_chunks_cdc(
+            docs, avg_tokens=4, min_df=2, min_chunk_tokens=2
+        ).collect()
+    }
+    assert out[1] == a_text                    # keeper untouched
+    assert out[2] != b_text                    # non-keeper lost chunks
+    assert len(out[2].split()) < len(b_text.split())
+    assert all(t.startswith(("pre", "pass")) for t in out[2].split())
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/documents.parquet')"
+        )
+        assert_matches_oracle(
+            dedup_token_chunks_cdc(
+                docs, avg_tokens=4, min_df=2, min_chunk_tokens=2
+            ),
+            con,
+            _cdc_oracle(4, 2, 2),
+        )
+    finally:
+        con.close()
 
 
 def test_text_rewrite_ops_null_id_fail_loudly(spark):
@@ -681,7 +864,8 @@ def test_quality_gates_run_in_structured_streaming(spark, tmp_path):
 def test_dup_char_count_property_vs_python(spark):
     """Hypothesis guard for the sorted-run duplicate-character
     aggregate: over random segment lists, the Spark expression equals a
-    direct Python counter (all occurrences of any repeated segment)."""
+    direct Python counter (repeat occurrences beyond the first of any
+    duplicated segment — the Gopher formulation)."""
     from hypothesis import given, settings, strategies as st
 
     from excelstream_spark.functions.text import _dup_char_count
@@ -694,7 +878,7 @@ def test_dup_char_count_property_vs_python(spark):
         from collections import Counter
 
         counts = Counter(segs)
-        want = sum(len(s) * c for s, c in counts.items() if c > 1)
+        want = sum(len(s) * (c - 1) for s, c in counts.items() if c > 1)
         got = (
             spark.range(1)
             .select(
