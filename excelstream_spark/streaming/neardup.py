@@ -17,7 +17,10 @@ flag rows across all bands collided with nobody — the stream-side
 candidate filter.  Downstream, flagged docs are dropped outright
 (aggressive dedup) or exact-verified against their ``first_doc_id``
 (the batch verify join), exactly like the batch LSH pipeline's
-candidates stage.
+candidates stage — the verify consumer ships as
+:func:`verify_neardup_flags` / :func:`neardup_drop_ids` (candidate
+pairs -> shingle-set join -> exact-Jaccard gate, run per micro-batch
+via ``foreachBatch`` or over the accumulated flag table).
 
 Why flags rather than a kept-docs stream: deciding "no band collided"
 needs a second per-doc aggregation after the per-bucket stateful pass —
@@ -227,6 +230,87 @@ def streaming_neardup_flags(
         stateStructType=_BUCKET_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def verify_neardup_flags(
+    flags: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """The candidates->verify stage for :func:`streaming_neardup_flags`
+    output — the composed consumer the module docstring describes
+    (round-5 verdict task #4), mirroring the batch LSH pipeline's exact
+    verification (operators/dedup.dedup_minhash_lsh): distinct
+    ``(doc_id, first_doc_id)`` candidate pairs from the flag rows join
+    both sides' shingle sets and pass an exact-Jaccard gate.
+
+    Returns ``(doc_id, first_doc_id, jaccard)`` — one row per verified
+    near-dup pair at ``>= threshold``; ``.select("doc_id").distinct()``
+    is the drop set (see :func:`neardup_drop_ids`).  Because the stream
+    and batch share one banding family (``band_entries``), every
+    verified pair here is by construction also a verified pair of the
+    batch pipeline run over the same corpus — asserted in
+    tests/test_streaming_neardup.py.
+
+    ``docs`` must cover both the flagged documents and their owners —
+    the document store an ingest pipeline maintains anyway.  Run it per
+    micro-batch via ``foreachBatch`` (flags arrive in append mode) or
+    over the accumulated flag table; either way the expensive shingle
+    work touches ONLY candidate documents (a broadcast-sized id
+    semi-join at typical per-batch flag volumes), exactly like the
+    incremental gate's stored-index path (operators/incremental.py).
+    """
+    from excelstream_spark.operators.dedup import shingle_sets
+
+    pairs = (
+        flags.select("doc_id", "first_doc_id")
+        .filter(F.col("doc_id") != F.col("first_doc_id"))
+        .distinct()
+    )
+    cand_ids = (
+        pairs.select(F.col("doc_id").alias(id_col))
+        .union(pairs.select(F.col("first_doc_id").alias(id_col)))
+        .distinct()
+    )
+    sets_ = shingle_sets(
+        docs.join(cand_ids, id_col, "left_semi"), text_col, id_col, k
+    ).select("id", "sh")
+    a = sets_.select(F.col("id").alias("doc_id"), F.col("sh").alias("sh_a"))
+    b = sets_.select(
+        F.col("id").alias("first_doc_id"), F.col("sh").alias("sh_b")
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        pairs.join(a, "doc_id")
+        .join(b, "first_doc_id")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id", "first_doc_id", "jaccard")
+    )
+
+
+def neardup_drop_ids(
+    flags: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Drop DECISIONS from flag rows: the distinct flagged documents
+    whose exact Jaccard against at least one of their bucket owners
+    meets ``threshold`` — the drop-vs-verify endpoint of the batch
+    pipeline, composed for the stream."""
+    return (
+        verify_neardup_flags(flags, docs, text_col, id_col, k, threshold)
+        .select("doc_id")
+        .distinct()
     )
 
 
