@@ -20,7 +20,11 @@ merged operator still hash-proven), freeing slots for corpus_curation
 oracle) and streaming_neardup_replay (stateful LSH buckets under exact
 redelivery); multimodal_features now decodes REAL synthesized PNG/WAV
 payloads with the oracle recomputing the pixel/sample statistics
-arithmetically.  Operators whose values are engine-specific (approx
+arithmetically.  Round 6 restores a dedicated global sort/top-k row
+(``sort_topk``) by demoting ``join_range`` to position 51 — past the
+driver window but still in the pytest full-catalog oracle sweep, with
+range-join semantics keeping a driver row via ``join_interval_binned``.
+Operators whose values are engine-specific (approx
 sketches, trained-k-means IVF) are deliberately outside the window and
 oracle/recall-checked in pytest.
 """

@@ -36,8 +36,8 @@ CATALOG: dict[str, QuerySpec] = {}
 #: 50), so the entries that prove the reference's core competency (xlsx/
 #: csv round-trips), the flagship pipeline, and the scale/streaming
 #: operators are exported FIRST; names not listed follow in registration
-#: order.  The whole catalog is kept <= 50 entries so every query gets a
-#: hard-signal row every round.
+#: order (DEMOTED entries last).  At most 50 entries precede the DEMOTED
+#: tail so every windowed query gets a hard-signal row every round.
 PRIORITY: tuple[str, ...] = (
     # round-1 driver window missed these — front of the line
     "xlsx_roundtrip_lineitem",
@@ -65,10 +65,21 @@ PRIORITY: tuple[str, ...] = (
 )
 
 
+#: Entries exported LAST — i.e. past the driver's 50-entry correctness
+#: window — but still registered (pytest's full-catalog oracle sweep
+#: covers them every run).  r6: join_range demoted to free a slot for
+#: the dedicated sort_topk row (round-5 verdict task #5); range-join
+#: semantics keep a driver row via join_interval_binned (the binned
+#: scale variant), so no operator family loses hard-signal coverage.
+DEMOTED: tuple[str, ...] = ("join_range",)
+
+
 def _ordered() -> list[QuerySpec]:
     head = [CATALOG[n] for n in PRIORITY if n in CATALOG]
-    in_head = set(PRIORITY)
-    return head + [s for n, s in CATALOG.items() if n not in in_head]
+    skip = set(PRIORITY) | set(DEMOTED)
+    mid = [s for n, s in CATALOG.items() if n not in skip]
+    tail = [CATALOG[n] for n in DEMOTED if n in CATALOG]
+    return head + mid + tail
 
 
 def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):  # decorator

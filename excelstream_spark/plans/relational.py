@@ -404,6 +404,44 @@ def window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sort_topk",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                 AS net_price
+        FROM lineitem
+        ORDER BY net_price DESC, l_orderkey, l_linenumber
+        LIMIT 100
+    """,
+    tags=("sort", "topk"),
+)
+def sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedicated GLOBAL sort / top-k driver row (restored per the
+    round-5 verdict after the r5 window consolidation): multi-key global
+    ORDER BY over the largest table with a computed sort key, unique
+    (orderkey, linenumber) tie-breaks, LIMIT 100.  The selected set is
+    exactly the order-dependent artifact, so the driver's value hash
+    covers the global sort.  Compiles to TakeOrderedAndProject —
+    per-partition k-row heaps merged on the driver, never a full global
+    sort (shape-guarded in tests/test_scale_plans.py); the sort key uses
+    exact decimal arithmetic so both engines rank identical doubles."""
+    li = _t(spark, sf_dir, "lineitem")
+    net = (
+        _dec("l_extendedprice")
+        * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    ).cast("double")
+    return (
+        li.select(
+            "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount",
+            net.alias("net_price"),
+        )
+        .orderBy(F.col("net_price").desc(), "l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+@query(
     "window_analytics",
     oracle="""
         SELECT o_orderkey, o_custkey, o_totalprice,

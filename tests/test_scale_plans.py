@@ -221,6 +221,21 @@ def test_new_operator_plans_shuffle_budget(spark):
     assert shuf_plan.count("Exchange") == 1, shuf_plan[:800]
 
 
+def test_global_topk_plans_as_take_ordered(spark):
+    """The dedicated sort_topk catalog entry (and window_topn's folded
+    global cut) must compile to TakeOrderedAndProject — per-partition
+    k-row heaps merged on the driver — never a full global sort
+    (rangepartitioning exchange + Sort), which would materialize the
+    whole table ordered at 100 TB just to keep 100 rows."""
+    import excelstream_spark.plans.relational  # noqa: F401
+    from excelstream_spark.plans.catalog import CATALOG
+
+    for name in ("sort_topk", "window_topn_per_group"):
+        plan = _plan(CATALOG[name].fn(spark, SF_DIR))
+        assert "TakeOrderedAndProject" in plan, (name, plan[:800])
+        assert "rangepartitioning" not in plan, (name, plan[:800])
+
+
 def test_round4_entry_plans_shuffle_budget(spark):
     """Plan audit for the round-4 catalog entries: the shapes that must
     survive a 100x scale-up.
