@@ -107,7 +107,30 @@ def _truthy(value: str | bool | None, default: bool = False) -> bool:
     return str(value).strip().lower() in ("1", "true", "yes", "y")
 
 
+def _local_path(path: str) -> str:
+    """Normalize a ``file:``/``file://`` URI to a plain local path.  The
+    xlsx DataSource runs PYTHON-side (os/glob/open), so only
+    locally-visible paths are valid — but callers reasonably pass the
+    same URI form Spark's JVM sources accept (export_presigned's
+    ``write_path`` contract does exactly that), which previously created
+    a literal ``./file:`` directory and wrote nowhere useful.  Non-file
+    schemes fail loudly instead of silently doing the same."""
+    if path.startswith("file:") or "://" in path:
+        from urllib.parse import urlparse
+
+        u = urlparse(path)
+        if u.scheme in ("", "file"):
+            return u.path or path
+        raise ValueError(
+            f"xlsx source/sink is Python-filesystem-backed and cannot "
+            f"open {u.scheme}:// paths directly; mount the object store "
+            f"or write locally and replicate (sources/cloud.py)"
+        )
+    return path
+
+
 def _list_xlsx_files(path: str) -> list[str]:
+    path = _local_path(path)
     if os.path.isdir(path):
         files = sorted(
             f
@@ -622,6 +645,7 @@ class _XlsxWriteOptions:
         self.path = options.get("path")
         if self.path is None:
             raise ValueError("xlsx sink requires a path")
+        self.path = _local_path(self.path)
         self.header = _truthy(options.get("header"), True)
         self.sheet_name = options.get("sheetname", "Sheet1")
         self.compression = int(options.get("compression", 6))

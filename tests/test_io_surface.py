@@ -174,6 +174,113 @@ def test_serve_dataframe_inline_then_presigned_fallback(spark, tmp_path):
         http.serve_dataframe(df, "r.csv", fmt="csv", max_inline_rows=2)
 
 
+class _DirS3:
+    """Directory-backed in-process S3 (round-5 verdict task #8): the
+    'bucket' is a local directory tree, ``list_objects_v2`` pages over
+    the REAL objects Spark wrote (not a hand-fed key list), and
+    presigned GETs are ``file://`` URLs that genuinely dereference — the
+    closest full-path rehearsal the sandbox allows (no boto3/moto/cloud
+    baked in)."""
+
+    def __init__(self, root, page_size=2):
+        from pathlib import Path
+
+        self._root = Path(root)
+        self._page = page_size
+        self.list_calls = 0
+
+    def _all_keys(self):
+        return sorted(
+            str(p.relative_to(self._root)).replace("\\", "/")
+            for p in self._root.rglob("*")
+            if p.is_file()
+        )
+
+    def list_objects_v2(self, Bucket, Prefix, ContinuationToken=None):
+        self.list_calls += 1
+        matches = [k for k in self._all_keys() if k.startswith(Prefix)]
+        start = int(ContinuationToken or 0)
+        page = matches[start : start + self._page]
+        out = {"Contents": [{"Key": k} for k in page]}
+        if start + self._page < len(matches):
+            out["IsTruncated"] = True
+            out["NextContinuationToken"] = str(start + self._page)
+        return out
+
+    def generate_presigned_url(self, op, Params, ExpiresIn):
+        assert op == "get_object"
+        return (self._root / Params["Key"]).as_uri() + f"?ttl={ExpiresIn}"
+
+
+def test_export_presigned_end_to_end_roundtrip(spark, tmp_path):
+    """The FULL presigned-export path, not just listing/ordering: 3-part
+    distributed CSV write -> list the objects actually on 'storage'
+    (paginated, sidecars filtered) -> presign -> dereference every URL
+    and compare bytes to the stored objects -> reassemble the parts in
+    key order and recover the exact input rows."""
+    import csv as csvmod
+    import io as iomod
+    from urllib.request import urlopen
+
+    df = load_table(spark, SF_DIR, "customer").repartition(3)
+    bucket_root = tmp_path / "bucket"
+    out = bucket_root / "exports" / "cust"
+    fake = _DirS3(bucket_root, page_size=2)
+    res = http.export_presigned(
+        df,
+        bucket="bkt",
+        key_prefix="exports/cust",
+        fmt="csv",
+        s3_client=fake,
+        ttl_seconds=90,
+        write_path=f"file://{out}",
+    )
+    assert not res.inline and res.content_type == http.CSV_CONTENT_TYPE
+    assert res.filename == "cust.csv"
+    # one data object per partition; sidecars (_SUCCESS, .crc) filtered;
+    # key-sorted; pagination genuinely followed (3+ objects, page=2)
+    assert len(res.keys) == 3 and res.keys == sorted(res.keys)
+    assert all(k.rsplit("/", 1)[-1].startswith("part-") for k in res.keys)
+    assert fake.list_calls >= 2
+    # dereference each presigned URL: bytes equal the stored object
+    datas = []
+    for k, u in zip(res.keys, res.urls):
+        assert u.endswith("?ttl=90")
+        with urlopen(u.split("?")[0]) as fh:
+            b = fh.read()
+        assert b == (bucket_root / k).read_bytes(), k
+        datas.append(b)
+    # concatenating parts in URL order recovers the full result (every
+    # part carries the header when header=True)
+    rows = []
+    for b in datas:
+        part_rows = list(csvmod.reader(iomod.StringIO(b.decode())))
+        assert part_rows[0] == df.columns
+        rows.extend(part_rows[1:])
+    assert len(rows) == df.count()
+    got_keys = sorted(int(r[0]) for r in rows)
+    want_keys = sorted(
+        r.c_custkey for r in df.select("c_custkey").collect()
+    )
+    assert got_keys == want_keys
+
+    # xlsx flavor: distributed sink parts presign the same way and the
+    # objects are real zip containers
+    out_x = bucket_root / "exports" / "cust_x"
+    res_x = http.export_presigned(
+        df,
+        bucket="bkt",
+        key_prefix="exports/cust_x",
+        fmt="xlsx",
+        s3_client=fake,
+        write_path=f"file://{out_x}",
+    )
+    assert res_x.content_type == http.XLSX_CONTENT_TYPE and res_x.keys
+    for k, u in zip(res_x.keys, res_x.urls):
+        with urlopen(u.split("?")[0]) as fh:
+            assert fh.read(2) == b"PK", k
+
+
 def test_parquet_excel_parquet_cycle(spark, tmp_path):
     src = table_path(SF_DIR, "supplier")
     x = str(tmp_path / "sup_xlsx")
