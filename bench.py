@@ -118,6 +118,7 @@ LEG_SCOPE = {
     "components_dedup_clusters": "meas-v2:r6 timed post-ladder at C2 steady state",
     "unigram_scores_stored": "v1:r6 new leg (stored-vocab reuse path)",
     "dedup_token_blocks_twopass": "v1:r6 new leg (coprime two-pass)",
+    "dedup_token_chunks_cdc": "v1:r6 new leg (content-defined chunks)",
 }
 
 
@@ -338,6 +339,24 @@ def main() -> None:
     run(
         "dedup_token_blocks",
         lambda: noop(dedup_token_blocks(docs_full, block_tokens=16)),
+    )
+
+    # the two composed substring-dedup mitigations (r6): coprime
+    # two-pass fixed grid, and offset-invariant content-defined chunks
+    from excelstream_spark.operators.dedup import (
+        dedup_token_blocks_twopass,
+        dedup_token_chunks_cdc,
+    )
+
+    run(
+        "dedup_token_blocks_twopass",
+        lambda: noop(
+            dedup_token_blocks_twopass(docs_full, block_tokens=(16, 11))
+        ),
+    )
+    run(
+        "dedup_token_chunks_cdc",
+        lambda: noop(dedup_token_chunks_cdc(docs_full, avg_tokens=16)),
     )
 
     # SemDeDup: seeded-cell assignment + within-cell pairwise + keep-set
