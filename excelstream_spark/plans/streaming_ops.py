@@ -144,7 +144,7 @@ def _sweep_sink_scratch() -> None:
 @query(
     "streaming_xlsx_sink",
     oracle="""
-        SELECT event_id, user_id, event_type, value FROM events
+        SELECT event_id, user_id, event_type, value, ts FROM events
     """,
     tags=("streaming", "sink", "xlsx"),
 )
@@ -154,8 +154,14 @@ def streaming_xlsx_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     in part workbooks via writeStream.format('xlsx') (temp-then-rename
     commits, AvailableNow), and is read back through the xlsx batch
     reader — the result must value-hash-equal a plain SELECT of the
-    batch table.  Timestamps are excluded here (Excel serial precision
-    is its own oracle-checked entry, excel_serial_dates); restart/replay
+    batch table.  ``ts`` is INCLUDED (round 6; the r4/r5 oracle
+    excluded it): the Excel-serial round-trip is µs-exact for
+    fixture-era timestamps — the writer stores ``days + frac`` whose
+    worst-case representation error is half an ulp of a ~45k-day
+    serial ≈ 0.45 µs, the reader recovers frac exactly (Sterbenz) and
+    ``rint``s to integer µs with a 0.5 µs margin — so the read-back
+    timestamp equals the source timestamp bit-for-bit at µs precision
+    and the oracle is a plain SELECT of ``ts``.  Restart/replay
     idempotence and complete-mode truncation are asserted in
     tests/test_streaming_stateful.py."""
     from excelstream_spark.sources.xlsx import register_xlsx
@@ -167,7 +173,7 @@ def streaming_xlsx_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = tempfile.mkdtemp(prefix="esspark_sink_ckpt_")
     _SINK_SCRATCH.extend([out, ckpt])
     q = (
-        stream.select("event_id", "user_id", "event_type", "value")
+        stream.select("event_id", "user_id", "event_type", "value", "ts")
         .writeStream.format("xlsx")
         .option("checkpointLocation", ckpt)
         .option("path", out)
@@ -180,7 +186,10 @@ def streaming_xlsx_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise TimeoutError("streaming_xlsx_sink did not finish in 180s")
     return (
         spark.read.format("xlsx")
-        .schema("event_id long, user_id long, event_type string, value double")
+        .schema(
+            "event_id long, user_id long, event_type string, "
+            "value double, ts timestamp"
+        )
         .load(out)
     )
 
