@@ -184,6 +184,69 @@ def repetition_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.filter(TXT.repetition_pass(F.col(text_col)))
 
 
+def ngram_repetition_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append the Gopher N-GRAM repetition metrics (top-2/3/4-gram char
+    fractions, duplicated-5..10-gram token-coverage fractions — see
+    functions/text.ngram_repetition_metrics_py for the semantics, the
+    one documented deviation, and why this family is Arrow-batched
+    Python rather than Column expressions) plus per-rule booleans and
+    the composed ``ngram_repetition_pass`` flag.  Same audit-vs-filter
+    split as the line/paragraph rules; execution is one mapInPandas in
+    the scan stage — zero shuffle, vectorized batches, never
+    row-at-a-time UDFs."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    metric_names = [name for name, _ in TXT.NGRAM_REPETITION_RULES]
+    bounds = dict(TXT.NGRAM_REPETITION_RULES)
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(n, T.DoubleType()) for n in metric_names]
+        + [T.StructField(f"pass_{n}", T.BooleanType()) for n in metric_names]
+        + [T.StructField("ngram_repetition_pass", T.BooleanType())]
+    )
+    tcol = text_col
+
+    def compute(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = [
+                TXT.ngram_repetition_metrics_py(t)
+                for t in pdf[tcol].tolist()
+            ]
+            out = pdf.copy()
+            composed = pd.Series(True, index=pdf.index)
+            for n in metric_names:
+                vals = pd.Series([r[n] for r in rows], index=pdf.index)
+                flag = vals <= bounds[n]
+                out[n] = vals
+                out[f"pass_{n}"] = flag
+                composed &= flag
+            out["ngram_repetition_pass"] = composed
+            yield out
+
+    return df.mapInPandas(compute, schema=schema)
+
+
+def ngram_repetition_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep only documents within every Gopher n-gram repetition bound;
+    schema unchanged.  ``repetition_filter`` then this is the COMPLETE
+    published Gopher repetition gate (:func:`full_repetition_filter`)."""
+    flagged = ngram_repetition_flags(df, text_col)
+    return flagged.filter(F.col("ngram_repetition_pass")).select(*df.columns)
+
+
+def full_repetition_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The COMPLETE published Gopher repetition gate: line/paragraph
+    rules then the n-gram rules; schema unchanged.  The cheap codegen'd
+    line/paragraph predicate runs FIRST so the Arrow-batched n-gram
+    pass only prices the survivors."""
+    return ngram_repetition_filter(
+        repetition_filter(df, text_col), text_col
+    )
+
+
 def gopher_quality_filter(
     df: DataFrame, text_col: str = "text", rules=TXT.GOPHER_RULES
 ) -> DataFrame:

@@ -861,6 +861,162 @@ def test_quality_gates_run_in_structured_streaming(spark, tmp_path):
     assert streamed == expected and streamed == [1]
 
 
+_NGRAM_TOPS = (2, 3, 4)
+_NGRAM_DUPS = (5, 6, 7, 8, 9, 10)
+
+
+def _ngram_repetition_oracle() -> str:
+    """DuckDB replay of ngram_repetition_metrics: per-n gram tables,
+    top-gram char counting (count >= 2 required), duplicated-gram start
+    positions and the exact interval-union token coverage."""
+    norm = "trim(regexp_replace(lower(t), '\\s+', ' ', 'g'))"
+    ctes = [
+        "d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents)",
+        f"""tkn AS (SELECT doc_id,
+                regexp_split_to_array(trim(lower(t)), '\\s+') AS tk,
+                length({norm}) AS total_chars
+            FROM d)""",
+    ]
+    joins, cols = [], []
+    for n in _NGRAM_TOPS + _NGRAM_DUPS:
+        ctes.append(f"""g{n} AS (
+            SELECT doc_id, j,
+                   array_to_string(tk[j : j + {n - 1}], ' ') AS gram
+            FROM (SELECT doc_id, tk,
+                         unnest(generate_series(1, len(tk) - {n} + 1)) AS j
+                  FROM tkn))""")
+    for n in _NGRAM_TOPS:
+        ctes.append(f"""top{n} AS (
+            SELECT doc_id, max(cnt * length(gram)) AS chars
+            FROM (SELECT doc_id, gram, count(*) AS cnt
+                  FROM g{n} GROUP BY doc_id, gram HAVING count(*) >= 2)
+            GROUP BY doc_id)""")
+        joins.append(f"LEFT JOIN top{n} USING (doc_id)")
+        cols.append(
+            f"CASE WHEN len(tk) >= {n} AND total_chars > 0 "
+            f"THEN coalesce(top{n}.chars, 0) * 1.0 / total_chars "
+            f"ELSE 0.0 END AS top_{n}_gram_char_frac"
+        )
+    for n in _NGRAM_DUPS:
+        ctes.append(f"""dup{n} AS (
+            SELECT doc_id, j - 1 AS p FROM (
+              SELECT doc_id, j,
+                     count(*) OVER (PARTITION BY doc_id, gram) AS c
+              FROM g{n})
+            WHERE c >= 2)""")
+        ctes.append(f"""cov{n} AS (
+            SELECT doc_id,
+                   sum(greatest(0, p + {n}
+                       - greatest(p, coalesce(last_end, -1)))) AS covered
+            FROM (SELECT doc_id, p,
+                         max(p + {n}) OVER (
+                           PARTITION BY doc_id ORDER BY p
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS last_end
+                  FROM dup{n})
+            GROUP BY doc_id)""")
+        joins.append(f"LEFT JOIN cov{n} USING (doc_id)")
+        cols.append(
+            f"CASE WHEN len(tk) >= {n} "
+            f"THEN coalesce(cov{n}.covered, 0) * 1.0 / len(tk) "
+            f"ELSE 0.0 END AS dup_{n}_gram_token_frac"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT doc_id, " + ", ".join(cols)
+        + "\nFROM tkn " + " ".join(joins)
+    )
+
+
+def test_ngram_repetition_vs_sql_oracle(spark, duck):
+    """All nine Gopher n-gram repetition metrics (top-2/3/4-gram char
+    fractions, dup-5..10-gram token-coverage fractions), computed by the
+    Arrow-batched mapInPandas operator, value-match the DuckDB
+    group-by/window formulation over the fixture."""
+    from excelstream_spark.operators.quality import ngram_repetition_flags
+
+    docs = load_table(spark, SF_DIR, "documents")
+    names = sorted(n for n, _ in TXT.NGRAM_REPETITION_RULES)
+    df = ngram_repetition_flags(docs).select("doc_id", *names)
+    assert_matches_oracle(df, duck, _ngram_repetition_oracle())
+
+
+def test_ngram_repetition_semantics_crafted(spark, tmp_path):
+    """Hand-computed values on constructed docs: alternating bigrams,
+    a repeated 5-gram at disjoint offsets, overlapping occurrences of a
+    duplicated n-gram (union coverage must cap at 1.0, never double
+    count), and short/empty/null docs (trivially 0.0)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = [
+        "a b a b a b",                                # 0: top-2 'a b' x3
+        "x1 x2 x3 x4 x5 q x1 x2 x3 x4 x5",            # 1: dup 5-gram, 2 hits
+        "y y y y y y y",                              # 2: overlap union
+        "w1 w2 w3",                                   # 3: too short for n=5
+        "",                                           # 4
+        None,                                         # 5
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    docs = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    from excelstream_spark.operators.quality import ngram_repetition_flags
+
+    names = sorted(n for n, _ in TXT.NGRAM_REPETITION_RULES)
+    df = ngram_repetition_flags(docs).select("doc_id", *names)
+    r = {x.doc_id: x for x in df.collect()}
+    # doc 0: 2-grams [ab, ba, ab, ba, ab] -> top 'a b' count 3, 3 chars
+    # each = 9 over 11 normalized chars
+    assert abs(r[0].top_2_gram_char_frac - 9 / 11) < 1e-12
+    # its 3-grams: 'a b a' x2, 'b a b' x2 -> max 2*5 = 10 / 11
+    assert abs(r[0].top_3_gram_char_frac - 10 / 11) < 1e-12
+    # no 5-gram repeats in doc 0
+    assert r[0].dup_5_gram_token_frac == 0.0
+    # doc 1: 5-gram 'x1..x5' at starts 0 and 6 -> union covers all 10
+    # passage tokens of 11 total
+    assert abs(r[1].dup_5_gram_token_frac - 10 / 11) < 1e-12
+    # doc 2: 'y y y y y' at starts 0,1,2 all equal -> union [0,7) = 1.0
+    # (double counting would give 15/7 > 1)
+    assert r[2].dup_5_gram_token_frac == 1.0
+    # top-2 on doc 2 exceeds 1 by construction (overlapping occurrences
+    # each count their chars — the reference-implementation convention)
+    assert r[2].top_2_gram_char_frac > 1.0
+    # short/empty/null: all metrics 0.0 (trivial pass)
+    for doc in (3, 4, 5):
+        assert r[doc].dup_5_gram_token_frac == 0.0
+        assert r[doc].dup_10_gram_token_frac == 0.0
+    assert r[4].top_2_gram_char_frac == 0.0
+    assert r[5].top_2_gram_char_frac == 0.0
+    # the crafted docs also bit-match the SQL oracle
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/documents.parquet')"
+        )
+        assert_matches_oracle(df, con, _ngram_repetition_oracle())
+    finally:
+        con.close()
+    # the composed flag and the filter agree, with the expected keeps
+    from excelstream_spark.operators.quality import ngram_repetition_filter
+
+    flags = {
+        x.doc_id: x for x in ngram_repetition_flags(docs).collect()
+    }
+    kept = {x.doc_id for x in ngram_repetition_filter(docs).collect()}
+    for doc, row in flags.items():
+        assert (doc in kept) == row.ngram_repetition_pass, doc
+    assert flags[0].ngram_repetition_pass is False   # top-2 9/11 >> 0.20
+    assert flags[1].ngram_repetition_pass is False   # dup-5 10/11 >> 0.15
+    assert flags[3].ngram_repetition_pass is True    # short doc passes
+    # filter preserves the input schema
+    assert ngram_repetition_filter(docs).columns == docs.columns
+
+
 def test_dup_char_count_property_vs_python(spark):
     """Hypothesis guard for the sorted-run duplicate-character
     aggregate: over random segment lists, the Spark expression equals a

@@ -296,12 +296,24 @@ def test_round5_quality_semantic_plans(spark):
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in g_plan, g_plan[:800]
 
-    from excelstream_spark.operators.quality import repetition_filter
+    from excelstream_spark.operators.quality import (
+        ngram_repetition_filter,
+        repetition_filter,
+    )
 
     r_plan = _plan(repetition_filter(docs))
     assert "Exchange" not in r_plan, r_plan[:800]
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in r_plan, r_plan[:800]
+
+    # the n-gram gate is DELIBERATELY Arrow-batched Python (measured:
+    # the expression form runs ~14 ms/doc interpreted — see
+    # functions/text.ngram_repetition_metrics_py) — one MapInPandas in
+    # the scan stage, still zero exchanges, never row-at-a-time Python
+    ng_plan = _plan(ngram_repetition_filter(docs))
+    assert "Exchange" not in ng_plan, ng_plan[:800]
+    assert "MapInPandas" in ng_plan, ng_plan[:800]
+    assert "BatchEvalPython" not in ng_plan, ng_plan[:800]
 
     emb = load_table(spark, SF_DIR, "embeddings")
     s_plan = _plan(semantic_pairs(emb))
