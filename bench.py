@@ -119,6 +119,7 @@ LEG_SCOPE = {
     "unigram_scores_stored": "v1:r6 new leg (stored-vocab reuse path)",
     "dedup_token_blocks_twopass": "v1:r6 new leg (coprime two-pass)",
     "dedup_token_chunks_cdc": "v1:r6 new leg (content-defined chunks)",
+    "repetition_full_gate": "v1:r6 new leg (line/para + 9 n-gram Gopher rules)",
 }
 
 
@@ -314,10 +315,26 @@ def main() -> None:
 
     run("gopher_filter", lambda: noop(gopher_quality_filter(docs_full)))
 
+    # the COMPLETE published repetition gate (r6): codegen'd line/para
+    # rules, then the nine n-gram rules Arrow-batched (mapInPandas) on
+    # the survivors — zero shuffle; prices the full published set
+    from excelstream_spark.operators.quality import full_repetition_filter
+
+    run(
+        "repetition_full_gate",
+        lambda: noop(full_repetition_filter(docs_full)),
+    )
+
     # unigram surprisal scoring: vocab build + token join + per-doc mean
+    from excelstream_spark.operators.dedup import release_persists
     from excelstream_spark.operators.quality import unigram_logprob_score
 
-    run("unigram_scores", lambda: noop(unigram_logprob_score(docs_full)))
+    def unigram_cold():
+        release_persists()  # the vocab build scope-persists (see the
+        # increment legs' comment): release between runs
+        noop(unigram_logprob_score(docs_full))
+
+    run("unigram_scores", unigram_cold)
 
     # steady-state variant: vocab artifact PRECOMPUTED (the stored-vocab
     # reuse path quality.py documents — the word-count stage amortizes
@@ -371,6 +388,11 @@ def main() -> None:
     from excelstream_spark.operators import incremental as INC
 
     def increment_gate():
+        # release the previous run's scoped persists (the catalog legs
+        # get this from the @query wrapper; direct-operator legs must do
+        # it themselves or repeated runs re-persist identical subtrees —
+        # memory growth + CacheManager "already cached" warning spam)
+        release_persists()
         corpus = docs_full.filter(F.col("doc_id") % 2 == 0)
         new = docs_full.filter(F.col("doc_id") % 2 == 1)
         noop(INC.dedup_increment(new, corpus))
@@ -392,6 +414,8 @@ def main() -> None:
     fps_stored.count(), idx_stored.count()
 
     def increment_gate_stored():
+        release_persists()  # scoped only — never touches the two
+        # explicitly-persisted stored artifacts above
         noop(INC.dedup_increment(
             new_inc, corpus_inc,
             corpus_fps=fps_stored, band_index=idx_stored,
