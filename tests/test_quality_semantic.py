@@ -819,12 +819,18 @@ def test_quality_gates_run_in_structured_streaming(spark, tmp_path):
     src = str(tmp_path / "src")
     ckpt = str(tmp_path / "ckpt")
     os.makedirs(src)
-    good = "the words flow with that easy rhythm of " * 8  # passes subset
+    # 56 distinct letter-only words: passes the subset, the line/para
+    # repetition rules AND the n-gram rules (an 8x-repeated phrase, the
+    # previous fixture, would rightly fail dup_8_gram now that the
+    # n-gram gate is part of the streamed pipeline)
+    good = " ".join(f"w{a}{b}ord" for a in "abcdefgh" for b in "abcdefg")
     docs = [
-        (1, good.strip()),
+        (1, good),
         (2, "spam\nspam\nspam\nspam " * 20),  # repetition fail
         (3, "short"),                          # word-count fail
         (4, None),                             # null text fail
+        (5, " ".join(["repeat this exact phrase of eight words now"] * 9)),
+        #  ^ passes the subset + line rules but fails the n-gram gate
     ]
     spark.createDataFrame(docs, "doc_id bigint, text string") \
         .coalesce(1).write.mode("append").parquet(src)
@@ -835,9 +841,13 @@ def test_quality_gates_run_in_structured_streaming(spark, tmp_path):
     pred = TXT.gopher_pass(F.col("text"), subset) & TXT.repetition_pass(
         F.col("text")
     )
+    # the n-gram gate is a stateless mapInPandas — also streamable;
+    # including it proves the COMPLETE published gate runs on a stream
+    from excelstream_spark.operators.quality import ngram_repetition_filter
+
     st = spark.readStream.schema("doc_id bigint, text string").parquet(src)
     q = (
-        st.filter(pred)
+        ngram_repetition_filter(st.filter(pred))
         .writeStream.format("memory")
         .queryName("quality_gate_stream")
         .option("checkpointLocation", ckpt)
@@ -854,9 +864,11 @@ def test_quality_gates_run_in_structured_streaming(spark, tmp_path):
     batch = spark.createDataFrame(docs, "doc_id bigint, text string")
     expected = sorted(
         r.doc_id
-        for r in gopher_quality_filter(batch, rules=subset)
-        .filter(TXT.repetition_pass(F.col("text")))
-        .collect()
+        for r in ngram_repetition_filter(
+            gopher_quality_filter(batch, rules=subset).filter(
+                TXT.repetition_pass(F.col("text"))
+            )
+        ).collect()
     )
     assert streamed == expected and streamed == [1]
 
