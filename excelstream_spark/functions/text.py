@@ -340,6 +340,20 @@ NGRAM_DUP_NS: tuple[int, ...] = (5, 6, 7, 8, 9, 10)
 _JAVA_TRIM_CHARS = "".join(chr(i) for i in range(0x21))
 
 
+def tokens_py(text: str | None) -> list[str]:
+    """Python mirror of the shared JVM ``tokens()`` — Java ``trim``
+    strips chars <= U+0020 and Java ``\\s`` is ASCII-only (Python's
+    default ``str.split`` is unicode-aware and would diverge on e.g.
+    non-breaking spaces).  Empty/NULL text yields [''] exactly like
+    ``F.split('', '\\s+')``.  Shared by every Arrow-batched text
+    operator so Python-side and JVM-side tokenizations can never
+    drift."""
+    import re
+
+    t = (text or "").lower().strip(_JAVA_TRIM_CHARS)
+    return re.split(r"[ \t\n\x0b\f\r]+", t) if t else [""]
+
+
 def ngram_repetition_metrics_py(text: str | None) -> dict[str, float]:
     """The Gopher n-gram repetition measurements for ONE document (Rae
     et al. 2021 §A1.1, completing the line/paragraph set above) — plain
@@ -373,14 +387,9 @@ def ngram_repetition_metrics_py(text: str | None) -> dict[str, float]:
     engine-checked against a DuckDB SQL replay either way
     (tests/test_quality_semantic.py).
 
-    Tokenization mirrors the shared JVM ``tokens()`` exactly:
-    Java ``trim`` strips chars <= U+0020 and Java ``\\s`` is ASCII-only
-    (Python's default ``str.split`` is unicode-aware and would diverge
-    on e.g. non-breaking spaces)."""
-    import re
-
-    t = (text or "").lower().strip(_JAVA_TRIM_CHARS)
-    toks = re.split(r"[ \t\n\x0b\f\r]+", t) if t else [""]
+    Tokenization mirrors the shared JVM ``tokens()`` exactly via
+    :func:`tokens_py`."""
+    toks = tokens_py(text)
     n_tok = len(toks)
     out: dict[str, float] = {}
     total_chars = len(" ".join(toks))

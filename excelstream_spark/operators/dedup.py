@@ -191,8 +191,17 @@ def dedup_ngram_jaccard(
         rows.withColumn("n", F.count(F.lit(1)).over(W.partitionBy("id")))
     )
     if max_shingle_df is not None:
-        keep = ex.groupBy("s").count().filter(F.col("count") <= max_shingle_df)
-        ex = ex.join(F.broadcast(keep.select("s")), "s")
+        # anti-join the HOT set (bounded: <= distinct_shingles /
+        # max_shingle_df rows by construction) rather than semi-joining
+        # the keep set — broadcasting "everything except the hot keys"
+        # is the unbounded-broadcast class the round-5 advisor flagged
+        # in the incremental path
+        hot = (
+            ex.groupBy("s").count()
+            .filter(F.col("count") > max_shingle_df)
+            .select("s")
+        )
+        ex = ex.join(F.broadcast(hot), "s", "left_anti")
     # explicit DataFrame aliases: both sides of the self-join descend from
     # the same persisted plan, and attribute-based conditions (a.s == b.s)
     # resolve to the same expression id — correct, but Spark logs a

@@ -1,0 +1,186 @@
+"""Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+SIGMOD 2003 — the MOSS local document fingerprinting algorithm) and the
+fingerprint-overlap near-dup signal built on them.
+
+The brief's "document fingerprinting (rolling hash)" item: hash every
+k-token gram, slide a window of ``w`` consecutive gram hashes over the
+document, and in each window SELECT the minimum hash (rightmost
+position on ties); the distinct selected (hash, position) pairs are the
+document's fingerprints.  The winnowing guarantee: any shared passage
+of at least ``w + k - 1`` tokens yields at least one IDENTICAL
+fingerprint hash in both documents, at ANY cross-document offset —
+density ~2/(w+1) of the grams, so the sketch is a tunable fraction of
+the shingle volume minhash moves while staying exact-match-based
+(no probabilistic banding).  Alongside ``dedup_token_chunks_cdc`` this
+is the second offset-invariant substring signal, at sketch (not
+rewrite) granularity.
+
+The reference (an Excel I/O library) has no analogue; this extends the
+training-pipeline surface (SURVEY.md BASELINE extension).
+
+Execution shape, 100 TB notes:
+
+* fingerprint extraction is ONE Arrow-batched ``mapInPandas`` in the
+  scan stage — zero shuffle; per doc it is a numpy
+  ``sliding_window_view`` min + rightmost-argmin (the original paper's
+  rolling hash is an optimization of gram hashing on 1978 hardware;
+  hashing each gram directly changes nothing about the selection, and
+  md5-derived hashes make every value bit-reproducible in DuckDB:
+  ``('0x' || substr(md5(gram), 1, 8))::bigint`` — the curation.py
+  convention);
+* the pair stage is the inverted-index shape shared with
+  ``dedup_ngram_jaccard``: group by the 8-byte fingerprint hash, cap
+  pathological document frequency (``max_fp_df`` bounds the hottest
+  posting list, the same hot-key bound as ``max_shingle_df``), emit
+  co-occurring pairs, ONE groupBy on (a, b) counts shared fingerprints,
+  then overlap = shared / min(|A|, |B|) via a join against the per-doc
+  fingerprint counts.  Fixed-width longs shuffle, never text.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from excelstream_spark.functions import text as TXT
+
+
+def winnow_fingerprints_py(
+    text: str | None, k: int = 5, w: int = 4
+) -> list[tuple[int, int]]:
+    """Fingerprints of one document: distinct (pos, fp) pairs in
+    position order; pos is the 0-based token index of the selected
+    gram.  Pure Python/numpy — the single definition the Spark operator
+    ships to workers and the tests replay directly."""
+    import numpy as np
+
+    toks = TXT.tokens_py(text)
+    g = len(toks) - k + 1
+    if g <= 0 or toks == [""]:
+        return []
+    grams = [" ".join(toks[j : j + k]) for j in range(g)]
+    h = np.array(
+        [int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in grams],
+        dtype=np.int64,
+    )
+    if g <= w:
+        m = int(h.min())
+        pos = int(np.flatnonzero(h == m)[-1])  # rightmost minimum
+        return [(pos, m)]
+    win = np.lib.stride_tricks.sliding_window_view(h, w)
+    mins = win.min(axis=1)
+    # rightmost index of the minimum within each window
+    rev_arg = np.argmax(win[:, ::-1] == mins[:, None], axis=1)
+    pos = np.arange(g - w + 1) + (w - 1 - rev_arg)
+    out: list[tuple[int, int]] = []
+    seen: set[tuple[int, int]] = set()
+    for p, m in zip(pos.tolist(), mins.tolist()):
+        key = (int(p), int(m))
+        if key not in seen:
+            seen.add(key)
+            out.append(key)
+    return out
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """(doc_id, pos, fp) — one row per selected fingerprint (module
+    docstring).  Documents with fewer than ``k`` tokens (incl.
+    empty/NULL text) emit no rows.  Zero shuffle: one mapInPandas in
+    the scan stage."""
+    tcol, icol = text_col, id_col
+
+    def compute(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, poss, fps = [], [], []
+            for i, t in zip(pdf[icol].tolist(), pdf[tcol].tolist()):
+                for p, m in winnow_fingerprints_py(t, k, w):
+                    ids.append(i)
+                    poss.append(p)
+                    fps.append(m)
+            yield pd.DataFrame(
+                {"doc_id": ids, "pos": poss, "fp": fps}
+            ).astype({"doc_id": "int64", "pos": "int32", "fp": "int64"})
+
+    return df.select(F.col(icol), F.col(tcol)).mapInPandas(
+        compute, schema="doc_id bigint, pos int, fp bigint"
+    )
+
+
+def dedup_winnowing_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    threshold: float = 0.5,
+    max_fp_df: int = 1000,
+) -> DataFrame:
+    """(doc_a, doc_b, shared, overlap) — document pairs whose
+    fingerprint-set overlap coefficient ``shared / min(|A|, |B|)``
+    meets ``threshold``; doc_a < doc_b.  The MOSS similarity report
+    shape: exact fingerprint matches, offset-invariant, no
+    probabilistic banding.  ``max_fp_df`` drops fingerprints appearing
+    in more than that many documents before pairing (universal
+    boilerplate would otherwise create a quadratic posting list — the
+    ``max_shingle_df`` hot-key bound)."""
+    from pyspark.sql import Window as W
+
+    from excelstream_spark.operators.dedup import _scoped_persist
+
+    fps = winnow_fingerprints(df, text_col, id_col, k, w)
+    # distinct fp per doc (a fp selected at several positions counts
+    # once in the set semantics) + per-doc set size via a count window;
+    # persisted because BOTH sides of the inverted-index self-join read
+    # it — the dedup_ngram_jaccard posting-list shape exactly
+    ex = _scoped_persist(
+        fps.select("doc_id", "fp")
+        .distinct()
+        .withColumn("n", F.count(F.lit(1)).over(W.partitionBy("doc_id")))
+    )
+    # the HOT side is the bounded one (<= distinct_fps / max_fp_df by
+    # construction) — broadcast anti-join it; broadcasting the KEEP set
+    # (nearly every fingerprint) would be the unbounded-broadcast class
+    hot = (
+        ex.groupBy("fp").count().filter(F.col("count") > max_fp_df).select("fp")
+    )
+    ex = ex.join(F.broadcast(hot), "fp", "left_anti")
+    a = ex.select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "fp"
+    ).alias("A")
+    b = ex.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "fp"
+    ).alias("B")
+    pairs = (
+        a.join(
+            b,
+            (F.col("A.fp") == F.col("B.fp"))
+            & (F.col("A.doc_a") < F.col("B.doc_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+    )
+    return (
+        pairs.withColumn(
+            "overlap", F.col("shared") / F.least(F.col("na"), F.col("nb"))
+        )
+        .filter(F.col("overlap") >= threshold)
+        .select(
+            "doc_a", "doc_b", "shared", F.round("overlap", 6).alias("overlap")
+        )
+    )

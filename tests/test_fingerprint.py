@@ -1,0 +1,219 @@
+"""Winnowing fingerprints (operators/fingerprint.py): reference-
+implementation equality, the winnowing guarantee, SQL-oracle parity for
+both the fingerprint extraction and the pair stage."""
+
+from __future__ import annotations
+
+from excelstream_spark.operators import fingerprint as FP
+from excelstream_spark.tables import load_table
+
+from .conftest import SF_DIR, assert_matches_oracle
+
+K, W = 5, 4
+
+
+def _naive_winnow(toks, k, w):
+    """Direct per-window transcription of Schleimer et al. §4: min hash
+    per window, rightmost on ties, distinct selections in order."""
+    import hashlib
+
+    g = len(toks) - k + 1
+    if g <= 0 or toks == [""]:
+        return []
+    h = [
+        int(
+            hashlib.md5(" ".join(toks[j : j + k]).encode()).hexdigest()[:8],
+            16,
+        )
+        for j in range(g)
+    ]
+    out, seen = [], set()
+    for i in range(max(1, g - w + 1)):
+        window = h[i : i + w]
+        m = min(window)
+        pos = i + max(j for j, v in enumerate(window) if v == m)
+        if (pos, m) not in seen:
+            seen.add((pos, m))
+            out.append((pos, m))
+    return out
+
+
+def test_winnow_py_matches_naive_reference():
+    """The vectorized numpy selection equals the per-window loop over
+    random-ish token lists covering: shorter than k, exactly k, fewer
+    grams than w, ties (repeated tokens), and long inputs."""
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"t{i}" for i in range(7)]  # small vocab -> frequent ties
+    cases = [
+        [],
+        ["a"],
+        ["a", "b", "c", "d", "e"],                  # exactly one gram
+        ["x"] * 12,                                  # all ties
+    ] + [
+        [rng.choice(vocab) for _ in range(n)]
+        for n in (6, 9, 17, 40, 160)
+        for _ in range(8)
+    ]
+    for toks in cases:
+        text = " ".join(toks)
+        got = FP.winnow_fingerprints_py(text, K, W)
+        want = _naive_winnow(toks if toks else [""], K, W)
+        assert got == want, (toks, got, want)
+
+
+def test_winnowing_guarantee_offset_invariant():
+    """The paper's guarantee: two documents sharing a passage of
+    >= w + k - 1 tokens share at least one fingerprint HASH, at any
+    cross-document offset (here shifts 1, 3, 11 — incongruent mod
+    every fixed-grid size used elsewhere)."""
+    passage = [f"p{i}q" for i in range(W + K - 1)]  # exactly w+k-1 tokens
+    base = " ".join(["lead0"] + passage + ["tail0"])
+    base_fps = {m for _, m in FP.winnow_fingerprints_py(base, K, W)}
+    for shift in (1, 3, 11):
+        other = " ".join(
+            [f"u{i}v" for i in range(1 + shift)] + passage + ["zz"]
+        )
+        other_fps = {m for _, m in FP.winnow_fingerprints_py(other, K, W)}
+        assert base_fps & other_fps, f"guarantee violated at shift {shift}"
+
+
+def _fps_oracle_ctes(k: int, w: int) -> str:
+    return f"""
+        d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+        tkn AS (SELECT doc_id,
+                       regexp_split_to_array(trim(lower(t)), '\\s+') AS tk
+                FROM d),
+        g AS (SELECT doc_id, j,
+                     ('0x' || substr(md5(
+                        array_to_string(tk[j : j + {k - 1}], ' ')
+                      ), 1, 8))::bigint AS h,
+                     len(tk) - {k} + 1 AS ng
+              FROM (SELECT doc_id, tk,
+                           unnest(generate_series(1, len(tk) - {k} + 1)) AS j
+                    FROM tkn)),
+        win AS (SELECT g.doc_id, i.i, g.j, g.h
+                FROM (SELECT doc_id,
+                             unnest(generate_series(
+                               1, greatest(1, ng - {w} + 1))) AS i
+                      FROM (SELECT DISTINCT doc_id, ng FROM g)) i
+                JOIN g ON g.doc_id = i.doc_id
+                WHERE g.j >= i.i AND g.j < i.i + {w}),
+        sel AS (SELECT doc_id, i, min(h) AS m
+                FROM win GROUP BY doc_id, i),
+        fps AS (SELECT DISTINCT doc_id, jj - 1 AS pos, m AS fp
+                FROM (SELECT w2.doc_id, w2.i, s.m, max(w2.j) AS jj
+                      FROM win w2
+                      JOIN sel s ON w2.doc_id = s.doc_id AND w2.i = s.i
+                                 AND w2.h = s.m
+                      GROUP BY w2.doc_id, w2.i, s.m))
+    """
+
+
+def test_winnow_fingerprints_vs_sql_oracle(spark, duck):
+    """The mapInPandas extraction reproduces in DuckDB (window join +
+    rightmost-min selection; md5-derived hashes bit-identical)."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    got = FP.winnow_fingerprints(docs, k=K, w=W)
+    oracle = (
+        "WITH " + _fps_oracle_ctes(K, W)
+        + "SELECT doc_id, pos, fp FROM fps"
+    )
+    assert_matches_oracle(got, duck, oracle)
+
+
+def test_dedup_winnowing_pairs_vs_sql_oracle_and_semantics(spark, duck):
+    """The full pair stage (distinct fp sets, hot-fp cut, inverted-index
+    self-join, overlap coefficient) replays in SQL over the fixture; a
+    crafted check asserts a copied document pairs with overlap 1.0."""
+    import pandas as pd
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    got = FP.dedup_winnowing_pairs(docs, k=K, w=W, threshold=0.5)
+    oracle = (
+        "WITH " + _fps_oracle_ctes(K, W) + f""",
+        df2 AS (SELECT DISTINCT doc_id, fp FROM fps),
+        sizes AS (SELECT doc_id, count(*) AS n FROM df2 GROUP BY doc_id),
+        kept AS (SELECT * FROM df2 WHERE fp NOT IN (
+                   SELECT fp FROM df2 GROUP BY fp HAVING count(*) > 1000)),
+        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     count(*) AS shared
+              FROM kept a JOIN kept b
+                ON a.fp = b.fp AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+        SELECT doc_a, doc_b, shared,
+               round(shared * 1.0 / least(sa.n, sb.n), 6) AS overlap
+        FROM p
+        JOIN sizes sa ON sa.doc_id = p.doc_a
+        JOIN sizes sb ON sb.doc_id = p.doc_b
+        WHERE shared * 1.0 / least(sa.n, sb.n) >= 0.5
+    """
+    )
+    assert_matches_oracle(got, duck, oracle)
+
+    body = " ".join(f"c{i}word" for i in range(40))
+    crafted = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "intro " + body,
+                    " ".join(["pre0", "pre1", "pre2"]) + " " + body,  # shifted copy
+                    " ".join(f"z{i}other" for i in range(40)),        # unrelated
+                ],
+            }
+        )
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.overlap
+        for r in FP.dedup_winnowing_pairs(crafted, k=K, w=W, threshold=0.3).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.7   # offset-invariant match
+    assert all(3 not in p for p in pairs)            # unrelated stays unpaired
+
+
+def test_hot_key_caps_drop_ultra_common_keys(spark):
+    """The df-cap in both inverted-index pair ops (r6: flipped to a
+    broadcast ANTI-join of the bounded hot set) actually drops
+    over-the-cap keys: documents whose only common material is an
+    ultra-common passage stop pairing once its keys exceed the cap."""
+    import pandas as pd
+
+    from excelstream_spark.operators.dedup import dedup_ngram_jaccard
+
+    boiler = " ".join(f"b{i}x" for i in range(12))
+    rows = [(i, boiler + f" unique{i}a unique{i}b unique{i}c") for i in range(8)]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    # uncapped: every pair shares the boilerplate shingles
+    uncapped = dedup_ngram_jaccard(docs, threshold=0.3)
+    assert uncapped.count() > 0
+    # capped below the boilerplate df (8 docs): the shared shingles drop,
+    # nothing pairs
+    capped = dedup_ngram_jaccard(docs, threshold=0.3, max_shingle_df=4)
+    assert capped.count() == 0
+    # winnowing's cap: the all-doc boilerplate fingerprints (selected
+    # identically inside the shared region — winnowing is local) drop;
+    # edge-window selections legitimately differ per doc and may keep
+    # small-df fps, so the contract is "no posting list above the cap
+    # feeds pairs", observable as high-overlap pairs disappearing
+    fp_uncapped = FP.dedup_winnowing_pairs(
+        docs, k=K, w=W, threshold=0.5, max_fp_df=1000
+    )
+    assert fp_uncapped.count() > 0
+    fp_capped = FP.dedup_winnowing_pairs(
+        docs, k=K, w=W, threshold=0.5, max_fp_df=4
+    )
+    assert fp_capped.count() < fp_uncapped.count()
+    # and the bulk boilerplate fps (df = all 8 docs) are provably gone:
+    # every surviving pair shares strictly fewer fps than uncapped pairs
+    shared_cap = {
+        (r.doc_a, r.doc_b): r.shared for r in fp_capped.collect()
+    }
+    shared_unc = {
+        (r.doc_a, r.doc_b): r.shared for r in fp_uncapped.collect()
+    }
+    for p, s in shared_cap.items():
+        assert s < shared_unc[p], p
