@@ -120,6 +120,13 @@ LEG_SCOPE = {
     "dedup_token_blocks_twopass": "v1:r6 new leg (coprime two-pass)",
     "dedup_token_chunks_cdc": "v1:r6 new leg (content-defined chunks)",
     "repetition_full_gate": "v1:r6 new leg (line/para + 9 n-gram Gopher rules)",
+    "dedup_increment": "meas-v2:r6 scoped persists released per run (r5 and "
+    "earlier runs were flattered by lingering caches from prior runs — the "
+    "'already cached' warning spam; numbers are now honest and higher)",
+    "dedup_increment_stored": "meas-v2:r6 scoped persists released per run "
+    "(see dedup_increment)",
+    "unigram_scores": "meas-v2:r6 scoped persists released per run",
+    "dedup_winnowing": "v1:r6 new leg (winnowing fingerprint overlap)",
 }
 
 
@@ -350,6 +357,16 @@ def main() -> None:
     )
     vocab_stored.unpersist()
 
+    # winnowing fingerprint near-dup (r6): mapInPandas sketch extraction
+    # + the ngram_jaccard-shaped inverted-index overlap join
+    from excelstream_spark.operators.fingerprint import dedup_winnowing_pairs
+
+    def winnow_pairs():
+        release_persists()  # the posting list scope-persists
+        noop(dedup_winnowing_pairs(docs_full, threshold=0.5))
+
+    run("dedup_winnowing", winnow_pairs)
+
     # block-level substring dedup: chunk + block-hash groupBy + rebuild
     from excelstream_spark.operators.dedup import dedup_token_blocks
 
@@ -492,6 +509,15 @@ def main() -> None:
             DDo.dedup_ngram_jaccard(d, threshold=0.5),
             id_a="doc_a",
             id_b="doc_b",
+        ),
+        # r6: the substring-dedup forms (per-copy token prefixes keep
+        # within-copy duplicate structure while copies share no blocks/
+        # chunks, so hot-set size scales linearly like the real corpus)
+        "dedup_token_blocks": lambda d: DDo.dedup_token_blocks(
+            d, block_tokens=16
+        ),
+        "dedup_token_chunks_cdc": lambda d: DDo.dedup_token_chunks_cdc(
+            d, avg_tokens=16
         ),
     }
     def _rung(make, factor: int, n_timed: int) -> float:
