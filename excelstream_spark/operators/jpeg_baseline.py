@@ -1,0 +1,531 @@
+"""Baseline JPEG codec in stdlib + numpy: a real entropy decoder for
+the multimodal pipeline's JPEG branch when PIL is absent, and a minimal
+encoder used to synthesize test payloads.
+
+Scope (ITU-T T.81 baseline): SOF0/SOF1 sequential DCT, 8-bit samples,
+Huffman entropy coding, 1 or 3 components, sampling factors 1 or 2
+(4:4:4 / 4:2:2 / 4:2:0), restart intervals (DRI/RSTn), 0xFF00 byte
+stuffing.  Progressive (SOF2) and arithmetic coding are out of scope —
+the caller falls back to the SOF header scan for those.
+
+Positioning: PIL/libjpeg remains the production path (multimodal.py
+tries it first).  A Python bit-reader decodes on the order of 100 KB/s
+of entropy data — perfectly fine for validating the decode plumbing
+end-to-end and for small payloads, not for photo corpora; the
+multimodal dispatch therefore caps the payload size it will hand this
+decoder.  Everything here is written from the public T.81 spec; the
+Huffman tables travel IN the file (DHT), so the encoder emits its own
+canonical tables and nothing is copied from any implementation.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+# --- shared tables ---------------------------------------------------------
+
+def _zigzag() -> list[tuple[int, int]]:
+    """The T.81 zigzag scan order, generated (not transcribed)."""
+    out, r, c = [], 0, 0
+    for _ in range(64):
+        out.append((r, c))
+        if (r + c) % 2 == 0:  # moving up-right
+            if c == 7:
+                r += 1
+            elif r == 0:
+                c += 1
+            else:
+                r -= 1
+                c += 1
+        else:  # moving down-left
+            if r == 7:
+                c += 1
+            elif c == 0:
+                r += 1
+            else:
+                r += 1
+                c -= 1
+    return out
+
+
+_ZZ = _zigzag()
+_ZZ_ROWS = np.array([r for r, _ in _ZZ])
+_ZZ_COLS = np.array([c for _, c in _ZZ])
+
+
+def _dct_basis() -> np.ndarray:
+    """T[u, x] = 0.5 * c(u) * cos((2x+1) u pi / 16); forward DCT of
+    block B is T @ B @ T.T, inverse is T.T @ F @ T."""
+    T = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1.0 / np.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            T[u, x] = 0.5 * cu * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    return T
+
+
+_T = _dct_basis()
+
+
+# --- decoder ---------------------------------------------------------------
+
+class _BitReader:
+    """MSB-first reader over entropy-coded data with 0xFF00 stuffing
+    removed by the caller."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            # past the end: T.81 pads the final byte with 1-bits; keep
+            # returning 1 so a trailing partial code resolves
+            return 1
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _build_huffman(counts: list[int], symbols: list[int]) -> dict:
+    """(length, code) -> symbol from the DHT wire format (canonical
+    assignment: codes of each length are consecutive, starting from
+    twice the previous length's end)."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(reader: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 EXTEND: map s value bits to the signed coefficient."""
+    if s == 0:
+        return 0
+    if v < (1 << (s - 1)):
+        return v - (1 << s) + 1
+    return v
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Decode a baseline JPEG to a HxWxC uint8 array (C = 1 or 3; color
+    output is RGB via the BT.601 full-range transform).  Raises
+    ValueError on anything outside the documented scope."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    n = len(payload)
+    qt: dict[int, np.ndarray] = {}
+    dc_tables: dict[int, dict] = {}
+    ac_tables: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = payload[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
+        body = payload[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                i += 1
+                if pq == 0:
+                    vals = np.frombuffer(body[i : i + 64], dtype=np.uint8)
+                    i += 64
+                else:
+                    vals = np.frombuffer(
+                        body[i : i + 128], dtype=">u2"
+                    ).astype(np.int64)
+                    i += 128
+                q = np.zeros((8, 8), dtype=np.int64)
+                q[_ZZ_ROWS, _ZZ_COLS] = vals
+                qt[tq] = q
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                i += 1
+                counts = list(body[i : i + 16])
+                i += 16
+                nsym = sum(counts)
+                symbols = list(body[i : i + nsym])
+                i += nsym
+                table = _build_huffman(counts, symbols)
+                (dc_tables if tc == 0 else ac_tables)[th] = table
+            pos += seglen
+            continue
+        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1
+            prec = body[0]
+            if prec != 8:
+                raise ValueError("only 8-bit samples supported")
+            h, w = struct.unpack(">HH", body[1:5])
+            nc = body[5]
+            comps = []
+            for ci in range(nc):
+                cid = body[6 + ci * 3]
+                hv = body[7 + ci * 3]
+                tq = body[8 + ci * 3]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
+                )
+            frame = {"h": int(h), "w": int(w), "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline SOF not supported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            scan = []
+            for si in range(ns):
+                cs = body[1 + si * 2]
+                tt = body[2 + si * 2]
+                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                scan.append((comp, tt >> 4, tt & 0xF))
+            data_start = pos + seglen
+            return _decode_scan(
+                payload, data_start, frame, scan, qt, dc_tables,
+                ac_tables, restart_interval,
+            )
+        pos += seglen
+    raise ValueError("no SOS segment")
+
+
+def _decode_scan(payload, start, frame, scan, qt, dc_tables, ac_tables,
+                 restart_interval):
+    # strip stuffing, find EOI, split on RST markers
+    segments: list[bytearray] = [bytearray()]
+    i = start
+    n = len(payload)
+    while i < n:
+        b = payload[i]
+        if b != 0xFF:
+            segments[-1].append(b)
+            i += 1
+            continue
+        m = payload[i + 1] if i + 1 < n else 0xD9
+        if m == 0x00:
+            segments[-1].append(0xFF)
+            i += 2
+        elif 0xD0 <= m <= 0xD7:
+            segments.append(bytearray())
+            i += 2
+        elif m == 0xD9:
+            break
+        elif m == 0xFF:
+            i += 1
+        else:
+            raise ValueError(f"unexpected marker 0x{m:02x} in scan")
+    H, W = frame["h"], frame["w"]
+    comps = [c for c, _, _ in scan]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = -(-W // mcu_w)
+    mcus_y = -(-H // mcu_h)
+    planes = [
+        np.zeros((mcus_y * 8 * c["v"], mcus_x * 8 * c["h"]), dtype=np.float64)
+        for c in comps
+    ]
+    preds = [0] * len(comps)
+    reader = _BitReader(bytes(segments[0]))
+    seg_idx = 0
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if (
+                restart_interval
+                and mcu_count
+                and mcu_count % restart_interval == 0
+            ):
+                seg_idx += 1
+                reader = _BitReader(bytes(segments[seg_idx]))
+                preds = [0] * len(comps)
+            for ci, (comp, tdc, tac) in enumerate(scan):
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        coeffs = np.zeros(64, dtype=np.int64)
+                        s = _huff_decode(reader, dc_tables[tdc])
+                        diff = _extend(reader.read_bits(s), s)
+                        preds[ci] += diff
+                        coeffs[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(reader, ac_tables[tac])
+                            r, sz = rs >> 4, rs & 0xF
+                            if sz == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            coeffs[k] = _extend(reader.read_bits(sz), sz)
+                            k += 1
+                        block = np.zeros((8, 8), dtype=np.int64)
+                        block[_ZZ_ROWS, _ZZ_COLS] = coeffs
+                        block = block * qt[comp["tq"]]
+                        pix = _T.T @ block.astype(np.float64) @ _T
+                        y0 = (my * comp["v"] + by) * 8
+                        x0 = (mx * comp["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix
+            mcu_count += 1
+    out_planes = []
+    for ci, comp in enumerate(comps):
+        p = planes[ci]
+        p = np.repeat(p, hmax // comp["h"], axis=1)
+        p = np.repeat(p, vmax // comp["v"], axis=0)
+        out_planes.append(p[:H, :W] + 128.0)
+    if len(out_planes) == 1:
+        gray = np.clip(np.rint(out_planes[0]), 0, 255).astype(np.uint8)
+        return gray[:, :, None]
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+# --- minimal encoder (test-payload generation) -----------------------------
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.acc = (self.acc << pad) | ((1 << pad) - 1)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.nbits = 0
+
+
+def _fixed_length_table(symbols: list[int]) -> tuple[list[int], dict]:
+    """Canonical table with every symbol at one code length L chosen so
+    2^L > len(symbols) (keeps the all-ones code unused, as T.81
+    requires).  Returns (DHT counts[16], symbol -> (code, L))."""
+    nsym = len(symbols)
+    length = 1
+    while (1 << length) <= nsym:
+        length += 1
+    counts = [0] * 16
+    counts[length - 1] = nsym
+    enc = {sym: (i, length) for i, sym in enumerate(symbols)}
+    return counts, enc
+
+
+_DC_SYMS = list(range(12))
+_AC_SYMS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+
+
+def _category(v: int) -> tuple[int, int]:
+    """(size, value-bits) for a signed coefficient (T.81 F.1.2.1)."""
+    s = 0
+    a = abs(v)
+    while a:
+        s += 1
+        a >>= 1
+    bits = v if v >= 0 else v + (1 << s) - 1
+    return s, bits
+
+
+def encode_jpeg_baseline(
+    arr: np.ndarray,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode a HxW (grayscale) or HxWx3 (RGB) uint8 array as a
+    baseline JPEG with ALL-ONES quantization tables (the DCT itself is
+    then the only loss source — flat regions round-trip exactly) and
+    encoder-generated canonical Huffman tables carried in DHT.  Images
+    are edge-padded to the MCU grid; SOF carries the true dimensions
+    so decoders must crop (which exercises that path)."""
+    if arr.dtype != np.uint8:
+        raise ValueError("uint8 input required")
+    gray = arr.ndim == 2
+    H, W = arr.shape[:2]
+    if gray:
+        comps = [{"id": 1, "h": 1, "v": 1}]
+        planes = [arr.astype(np.float64)]
+    else:
+        if subsampling == "4:4:4":
+            sub = (1, 1)
+        elif subsampling == "4:2:0":
+            sub = (2, 2)
+        else:
+            raise ValueError("subsampling must be 4:4:4 or 4:2:0")
+        r = arr[:, :, 0].astype(np.float64)
+        g = arr[:, :, 1].astype(np.float64)
+        b = arr[:, :, 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        comps = [
+            {"id": 1, "h": sub[0], "v": sub[1]},
+            {"id": 2, "h": 1, "v": 1},
+            {"id": 3, "h": 1, "v": 1},
+        ]
+        planes = [y, cb, cr]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = -(-W // mcu_w)
+    mcus_y = -(-H // mcu_h)
+
+    def pad_to(p: np.ndarray, th: int, tw: int) -> np.ndarray:
+        return np.pad(
+            p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge"
+        )
+
+    prepared = []
+    for c, p in zip(comps, planes):
+        if c["h"] != hmax or c["v"] != vmax:
+            fy, fx = vmax // c["v"], hmax // c["h"]
+            p = pad_to(p, mcus_y * mcu_h, mcus_x * mcu_w)
+            p = p.reshape(
+                p.shape[0] // fy, fy, p.shape[1] // fx, fx
+            ).mean(axis=(1, 3))
+        th, tw = mcus_y * 8 * c["v"], mcus_x * 8 * c["h"]
+        prepared.append(pad_to(p, th, tw) - 128.0)
+
+    dc_counts, dc_enc = _fixed_length_table(_DC_SYMS)
+    ac_counts, ac_enc = _fixed_length_table(_AC_SYMS)
+    writer = _BitWriter()
+    preds = [0] * len(comps)
+    mcu_count = 0
+    rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if (
+                restart_interval
+                and mcu_count
+                and mcu_count % restart_interval == 0
+            ):
+                writer.flush()
+                writer.out += bytes([0xFF, 0xD0 + rst % 8])
+                rst += 1
+                preds = [0] * len(comps)
+            mcu_count += 1
+            for ci, c in enumerate(comps):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        block = prepared[ci][y0 : y0 + 8, x0 : x0 + 8]
+                        coeffs2d = np.rint(_T @ block @ _T.T).astype(
+                            np.int64
+                        )
+                        coeffs = coeffs2d[_ZZ_ROWS, _ZZ_COLS]
+                        diff = int(coeffs[0]) - preds[ci]
+                        preds[ci] = int(coeffs[0])
+                        s, bits = _category(diff)
+                        code, ln = dc_enc[s]
+                        writer.write(code, ln)
+                        if s:
+                            writer.write(bits, s)
+                        run = 0
+                        last_nz = (
+                            int(np.nonzero(coeffs[1:])[0][-1]) + 1
+                            if np.any(coeffs[1:])
+                            else 0
+                        )
+                        for k in range(1, last_nz + 1):
+                            v = int(coeffs[k])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                code, ln = ac_enc[0xF0]
+                                writer.write(code, ln)
+                                run -= 16
+                            s, bits = _category(v)
+                            code, ln = ac_enc[(run << 4) | s]
+                            writer.write(code, ln)
+                            writer.write(bits, s)
+                            run = 0
+                        if last_nz < 63:
+                            code, ln = ac_enc[0x00]
+                            writer.write(code, ln)
+    writer.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + b"\x01" * 64)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sof = bytearray(struct.pack(">BHHB", 8, H, W, len(comps)))
+    for c in comps:
+        sof += bytes([c["id"], (c["h"] << 4) | c["v"], 0])
+    out += seg(0xC0, bytes(sof))
+    dht = bytes([0x00]) + bytes(dc_counts) + bytes(_DC_SYMS)
+    out += seg(0xC4, dht)
+    dht = bytes([0x10]) + bytes(ac_counts) + bytes(_AC_SYMS)
+    out += seg(0xC4, dht)
+    sos = bytearray([len(comps)])
+    for c in comps:
+        sos += bytes([c["id"], 0x00])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, bytes(sos))
+    out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -7,9 +7,15 @@ columns + typed metadata structs, processed with Arrow-batched
 * PNG — decoded FOR REAL with the stdlib only (chunk walk, zlib inflate,
   scanline unfilter incl. Sub/Up/Average/Paeth): width/height/channels
   plus per-channel pixel means as real feature columns.
-* JPEG — PIL when importable (public package, optional); otherwise the
-  SOF marker scan yields real width/height/channels and the pixel stats
-  stay honestly null (pure-Python JPEG entropy decode is not reasonable).
+* JPEG — PIL when importable (public package, optional — the production
+  path); otherwise the REAL stdlib+numpy baseline decoder
+  (operators/jpeg_baseline.py: Huffman entropy decode, dequant, IDCT,
+  4:2:0/4:2:2 upsampling, restart intervals) for payloads up to
+  ``_JPEG_STDLIB_MAX`` bytes — a Python bit-reader prices at ~100 KB/s,
+  fine for small payloads and plumbing validation, wrong for photo
+  corpora, hence the cap; oversized / progressive / arithmetic inputs
+  fall back to the SOF marker scan (real width/height/channels, pixel
+  stats honestly null).
 * WAV — decoded FOR REAL with the stdlib only (RIFF chunk walk): sample
   rate, channel count, frame count, and per-channel mean |amplitude| in
   [0, 1] for 8/16/32-bit PCM; header-only (null means) for compressed
@@ -177,6 +183,31 @@ def _decode_jpeg_header(payload: bytes) -> dict:
     raise ValueError("JPEG without SOF marker")
 
 
+#: size cap for the Python baseline decoder (module docstring): beyond
+#: this, header facts only — a worker must never burn minutes on one row
+_JPEG_STDLIB_MAX = 262_144
+
+
+def _decode_jpeg_stdlib(payload: bytes) -> dict:
+    """REAL baseline JPEG decode without PIL (operators/jpeg_baseline):
+    full entropy decode -> pixel array -> per-channel means.  Raises
+    ValueError on non-baseline streams (caller falls back to the header
+    scan)."""
+    from excelstream_spark.operators.jpeg_baseline import decode_jpeg
+
+    arr = decode_jpeg(payload)
+    return {
+        "width": int(arr.shape[1]),
+        "height": int(arr.shape[0]),
+        "n_frames": 1,
+        "channels": int(arr.shape[2]),
+        "channel_means": [
+            round(float(m), 3) for m in arr.mean(axis=(0, 1))
+        ],
+        "decoder": "jpeg-stdlib",
+    }
+
+
 def _decode_jpeg_pil(payload: bytes) -> dict:
     import io
 
@@ -324,7 +355,7 @@ def encode_wav(
 def synthesize_payloads(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic multimodal fixture: REAL media payloads derived from
     ``doc_id`` arithmetic alone, so a SQL oracle can recompute what the
-    decoders must report.  Per document, by ``doc_id % 3``:
+    decoders must report.  Per document, by ``doc_id % 4``:
 
     * 0 — grayscale PNG, ``width = 2 + 2*(doc_id % 2)``, ``height = 2``,
       pixel ``i`` (row-major) = ``(doc_id*31 + i*7) % 256``.  The pixel
@@ -335,7 +366,13 @@ def synthesize_payloads(docs: DataFrame, text_col: str = "text") -> DataFrame:
       1000``, ``4 + doc_id % 5`` frames of alternating-sign amplitude
       ``(doc_id % 32) * 1024`` — mean |amplitude| is exactly
       ``(doc_id % 32) / 32`` (5 decimals, round-to-6 identity).
-    * 2 — the raw utf-8 text bytes (the deterministic-fake decode path).
+    * 2 — baseline JPEG (r6, operators/jpeg_baseline encoder): solid
+      gray ``value = doc_id % 256``, ``width = 8 + 8*(doc_id % 2)``,
+      ``height = 8``.  A flat image is DC-only, so the all-ones-quant
+      round-trip is EXACT and the decoded mean equals the integer gray
+      value (round-to-3 identity) — real Huffman/IDCT decode,
+      SQL-recomputable output.
+    * 3 — the raw utf-8 text bytes (the deterministic-fake decode path).
 
     The encode runs in the same Arrow-batched mapInPandas shape as the
     decode: embarrassingly parallel, no shuffle, binary column out."""
@@ -349,7 +386,7 @@ def synthesize_payloads(docs: DataFrame, text_col: str = "text") -> DataFrame:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
                 d = int(doc_id)
-                m = d % 3
+                m = d % 4
                 if m == 0:
                     w = 2 + 2 * (d % 2)
                     px = bytes((d * 31 + i * 7) % 256 for i in range(w * 2))
@@ -360,6 +397,17 @@ def synthesize_payloads(docs: DataFrame, text_col: str = "text") -> DataFrame:
                     samples = [amp if i % 2 == 0 else -amp for i in range(n)]
                     payload = encode_wav(8000 + (d % 5) * 1000, samples)
                     ctype = "audio/wav"
+                elif m == 2:
+                    import numpy as np
+
+                    from excelstream_spark.operators.jpeg_baseline import (
+                        encode_jpeg_baseline,
+                    )
+
+                    w = 8 + 8 * (d % 2)
+                    img = np.full((8, w), d % 256, dtype=np.uint8)
+                    payload = encode_jpeg_baseline(img)
+                    ctype = "image/jpeg"
                 else:
                     # None/NaN-safe: parquet nulls surface as None here,
                     # but guard NaN too (`nan or ""` is truthy) — the
@@ -394,7 +442,15 @@ def _decode_payload(payload: bytes) -> dict:
         try:
             try:
                 return _decode_jpeg_pil(payload)
-            except ImportError:  # PIL absent in this container — honest
+            except ImportError:  # PIL absent in this container
+                if len(payload) <= _JPEG_STDLIB_MAX:
+                    try:
+                        return _decode_jpeg_stdlib(payload)
+                    except Exception:
+                        # progressive/arithmetic/truncated -> the header
+                        # scan still extracts real dims (or raises into
+                        # the corrupt labeling below)
+                        pass
                 return _decode_jpeg_header(payload)
         except Exception:
             return {

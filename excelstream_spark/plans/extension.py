@@ -383,14 +383,14 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CAST(1 AS INT)                                 AS channels,
                  CAST(1 AS INT)                                 AS n_frames,
                  CAST(NULL AS INT)                              AS sample_rate
-          FROM documents WHERE doc_id % 3 = 0
+          FROM documents WHERE doc_id % 4 = 0
         ),
         px AS (
           SELECT doc_id,
                  (doc_id * 31
                   + unnest(generate_series(0, (2 + 2 * (doc_id % 2)) * 2 - 1)) * 7
                  ) % 256 AS g
-          FROM documents WHERE doc_id % 3 = 0
+          FROM documents WHERE doc_id % 4 = 0
         ),
         pngm AS (
           SELECT png.*, m.mean0
@@ -405,7 +405,17 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CAST(4 + doc_id % 5 AS INT)                    AS n_frames,
                  CAST(8000 + (doc_id % 5) * 1000 AS INT)        AS sample_rate,
                  (doc_id % 32) / 32.0                           AS mean0
-          FROM documents WHERE doc_id % 3 = 1
+          FROM documents WHERE doc_id % 4 = 1
+        ),
+        jpg AS (
+          SELECT doc_id, 'image/jpeg' AS modality, 'jpeg-real' AS decoder,
+                 CAST(8 + 8 * (doc_id % 2) AS INT)              AS width,
+                 CAST(8 AS INT)                                 AS height,
+                 CAST(1 AS INT)                                 AS channels,
+                 CAST(1 AS INT)                                 AS n_frames,
+                 CAST(NULL AS INT)                              AS sample_rate,
+                 CAST(doc_id % 256 AS DOUBLE)                   AS mean0
+          FROM documents WHERE doc_id % 4 = 2
         ),
         txt AS (
           SELECT doc_id, 'text/plain' AS modality, 'fake' AS decoder,
@@ -415,10 +425,11 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CAST(1 + octet_length(encode(coalesce(text, ''))) % 8 AS INT)     AS n_frames,
                  CAST(NULL AS INT)                                                 AS sample_rate,
                  CAST(NULL AS DOUBLE)                                              AS mean0
-          FROM documents WHERE doc_id % 3 = 2
+          FROM documents WHERE doc_id % 4 = 3
         ),
         feats AS (
-          SELECT * FROM pngm UNION ALL SELECT * FROM wav UNION ALL SELECT * FROM txt
+          SELECT * FROM pngm UNION ALL SELECT * FROM wav
+          UNION ALL SELECT * FROM jpg UNION ALL SELECT * FROM txt
         )
         SELECT doc_id, CAST(f AS INT) AS frame_idx, modality, decoder,
                width, height, channels, n_frames, sample_rate, mean0
@@ -435,11 +446,19 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (chunk walk + unfilter for PNG, RIFF walk + amplitude stats for WAV),
     and the oracle recomputes the decoded facts — dimensions, channels,
     frame counts, sample rate, per-channel means — arithmetically in SQL.
-    Every dispatch branch is exercised in one entry: PNG (doc_id%3=0),
-    WAV (%3=1), and the deterministic text-fake path (%3=2).  The means
-    are exact multiples of 1/8 resp. 1/32 by construction, so the
+    Every dispatch branch is exercised in one entry: PNG (doc_id%4=0),
+    WAV (%4=1), baseline JPEG (%4=2 — r6: solid-gray payloads from the
+    operators/jpeg_baseline encoder, REALLY entropy-decoded; a flat
+    image is DC-only so the all-ones-quant round-trip is exact and the
+    mean equals the integer gray value), and the deterministic
+    text-fake path (%4=3).  The means
+    are exact multiples of 1/8 resp. 1/32 (JPEG: integers) by
+    construction, so the
     decoders' round-to-3/round-to-6 is the identity on both engines (no
-    banker's-vs-half-away hazard).  Frame-index sampling (every 2nd
+    banker's-vs-half-away hazard).  The decoder label for JPEG is
+    normalized to 'jpeg-real' (PIL when importable, the stdlib baseline
+    decoder otherwise — both produce identical values on these
+    payloads), keeping the oracle environment-independent.  Frame-index sampling (every 2nd
     frame) is folded in as before: one row per sampled frame.  md5/
     byte_len of the compressed payloads are intentionally outside the
     projection (zlib output is not SQL-recomputable); they are
@@ -461,7 +480,11 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.array().cast("array<int>"))
         ).alias("frame_idx"),
         "modality",
-        "decoder",
+        # environment-independent JPEG label (docstring): PIL and the
+        # stdlib baseline decoder agree on these payloads' values
+        F.when(
+            F.col("decoder").isin("pil", "jpeg-stdlib"), F.lit("jpeg-real")
+        ).otherwise(F.col("decoder")).alias("decoder"),
         "width",
         "height",
         "channels",

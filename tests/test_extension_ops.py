@@ -1118,7 +1118,7 @@ def test_synthesize_payloads_null_text_symmetry(spark):
     from excelstream_spark.operators import multimodal as MM
 
     docs = spark.createDataFrame(
-        pd.DataFrame({"doc_id": [2, 7], "text": [None, None]}).astype(
+        pd.DataFrame({"doc_id": [3, 5], "text": [None, None]}).astype(
             {"doc_id": "int64", "text": "object"}
         )
     )
@@ -1126,10 +1126,54 @@ def test_synthesize_payloads_null_text_symmetry(spark):
         r["doc_id"]: r
         for r in MM.extract_features(MM.synthesize_payloads(docs)).collect()
     }
-    assert rows[2]["byte_len"] == 0 and rows[2]["decoder"] == "fake"
-    assert rows[2]["width"] == 0 and rows[2]["n_frames"] == 1
-    # doc 7 takes the WAV branch regardless of text
-    assert rows[7]["decoder"] == "wav-stdlib"
+    assert rows[3]["byte_len"] == 0 and rows[3]["decoder"] == "fake"
+    assert rows[3]["width"] == 0 and rows[3]["n_frames"] == 1
+    # doc 5 takes the WAV branch (doc_id % 4 == 1) regardless of text
+    assert rows[5]["decoder"] == "wav-stdlib"
+
+
+def test_jpeg_real_decode_branch(spark):
+    """The %4=2 branch round-trips a REAL baseline JPEG: the stdlib
+    entropy decoder (PIL absent here) reports exact dimensions and the
+    exact flat-gray mean; an arbitrary structured image decodes within
+    DCT rounding of the source."""
+    import numpy as np
+    import pandas as pd
+
+    from excelstream_spark.operators import multimodal as MM
+    from excelstream_spark.operators.jpeg_baseline import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [2, 6, 170], "text": ["a", "b", "c"]}).astype(
+            {"doc_id": "int64"}
+        )
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in MM.extract_features(MM.synthesize_payloads(docs)).collect()
+    }
+    for d in (2, 6, 170):
+        r = rows[d]
+        assert r["decoder"] == "jpeg-stdlib", r
+        assert (r["width"], r["height"], r["channels"]) == (
+            8 + 8 * (d % 2), 8, 1,
+        )
+        assert r["channel_means"] == [float(d % 256)]
+
+    # the codec itself: structured color content, 4:2:0 + restarts,
+    # decodes within +/-1 of the source (chroma subsampling rounding)
+    rng = np.random.default_rng(7)
+    img = (rng.integers(0, 8, (24, 40, 3)) * 32 + 16).astype(np.uint8)
+    img[:, :, 1] = img[:, :, 0]  # smooth chroma: keep 4:2:0 loss tiny
+    img[:, :, 2] = img[:, :, 0]
+    dec = decode_jpeg(
+        encode_jpeg_baseline(img, subsampling="4:4:4", restart_interval=3)
+    )
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 1
 
 
 def test_strip_boilerplate_paragraphs_and_line_dedup(spark):
