@@ -127,6 +127,10 @@ LEG_SCOPE = {
     "(see dedup_increment)",
     "unigram_scores": "meas-v2:r6 scoped persists released per run",
     "dedup_winnowing": "v1:r6 new leg (winnowing fingerprint overlap)",
+    "streaming_xlsx_sink": "v2:r6 ts column joined the sink round-trip "
+    "(one more column written + read)",
+    "multimodal_features": "v2:r6 fourth payload branch (real baseline "
+    "JPEG entropy decode, doc_id%4=2)",
 }
 
 
