@@ -118,6 +118,87 @@ def winnow_fingerprints(
     )
 
 
+def corpus_fingerprint_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """(doc_id, fp) — the DISTINCT-fingerprint corpus artifact the
+    incremental gate joins against (materialize it like the minhash
+    band index: write once, reuse for every future increment; bucket
+    on ``fp`` for an exchange-free scan, the incremental.py pattern)."""
+    return winnow_fingerprints(df, text_col, id_col, k, w).select(
+        "doc_id", "fp"
+    ).distinct()
+
+
+def neardup_increment_winnow(
+    new_docs: DataFrame,
+    corpus_fps: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    threshold: float = 0.5,
+    max_fp_df: int = 1000,
+    broadcast_increment: bool = True,
+) -> DataFrame:
+    """(doc_new, doc_corpus, shared, overlap) — increment documents
+    whose fingerprint overlap against the STANDING corpus meets
+    ``threshold``, without ever re-fingerprinting or reshuffling the
+    corpus: only the increment's documents are tokenized/winnowed, the
+    corpus side is the stored :func:`corpus_fingerprint_table`
+    artifact.  ``broadcast_increment=True`` streams the (small)
+    increment's fingerprints map-side past the bucketed corpus scan;
+    set False for duplicate-heavy bulk increments and let AQE choose
+    (the incremental.py convention).  ``max_fp_df`` caps corpus-side
+    posting lists (computed over the corpus artifact — cheap, and the
+    increment cannot inflate it)."""
+    from excelstream_spark.operators.dedup import _scoped_persist
+
+    inc_fps = _scoped_persist(
+        winnow_fingerprints(new_docs, text_col, id_col, k, w)
+        .select(F.col("doc_id").alias("doc_new"), "fp")
+        .distinct()
+    )
+    inc_sizes = inc_fps.groupBy("doc_new").agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    corpus = corpus_fps.select(F.col(id_col).alias("doc_corpus"), "fp")
+    hot = (
+        corpus.groupBy("fp").count()
+        .filter(F.col("count") > max_fp_df)
+        .select("fp")
+    )
+    corpus = corpus.join(F.broadcast(hot), "fp", "left_anti")
+    corpus_sizes = corpus.groupBy("doc_corpus").agg(
+        F.count(F.lit(1)).alias("n_corpus")
+    )
+    probe = inc_fps.join(F.broadcast(hot), "fp", "left_anti")
+    if broadcast_increment:
+        probe = F.broadcast(probe)
+    pairs = (
+        corpus.join(probe, "fp")
+        .groupBy("doc_new", "doc_corpus")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        pairs.join(inc_sizes, "doc_new")
+        .join(corpus_sizes, "doc_corpus")
+        .withColumn(
+            "overlap",
+            F.col("shared") / F.least(F.col("n_new"), F.col("n_corpus")),
+        )
+        .filter(F.col("overlap") >= threshold)
+        .select(
+            "doc_new", "doc_corpus", "shared",
+            F.round("overlap", 6).alias("overlap"),
+        )
+    )
+
+
 def dedup_winnowing_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -173,6 +173,53 @@ def test_dedup_winnowing_pairs_vs_sql_oracle_and_semantics(spark, duck):
     assert all(3 not in p for p in pairs)            # unrelated stays unpaired
 
 
+def test_neardup_increment_winnow_matches_batch(spark):
+    """The incremental gate (increment fingerprints vs the stored
+    corpus artifact — corpus never re-fingerprinted) must produce
+    exactly the batch pair stage's cross (new, corpus) pairs, in both
+    broadcast regimes."""
+    import pandas as pd
+
+    base = [
+        (i, " ".join(f"d{i}w{j}" for j in range(30))) for i in range(20)
+    ]
+    shared_a = " ".join(f"sh{j}ared" for j in range(25))
+    shared_b = " ".join(f"o{j}ther" for j in range(25))
+    docs_rows = base + [
+        (100, "intro " + shared_a),                 # corpus (even)
+        (101, "pre1 pre2 pre3 " + shared_a),        # increment (odd)
+        (102, shared_b + " tail"),                  # corpus (even)
+        (103, "x0 " + shared_b),                    # increment (odd)
+        (105, "y0 y1 " + shared_a),                 # increment (odd)
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame(docs_rows, columns=["doc_id", "text"])
+    )
+    corpus = docs.filter("doc_id % 2 = 0")
+    new = docs.filter("doc_id % 2 = 1")
+    batch = FP.dedup_winnowing_pairs(
+        docs, k=K, w=W, threshold=0.3, max_fp_df=10**6
+    )
+    expect = {}
+    for r in batch.collect():
+        if (r.doc_a % 2) != (r.doc_b % 2):
+            new_id, cor_id = (
+                (r.doc_a, r.doc_b) if r.doc_a % 2 == 1 else (r.doc_b, r.doc_a)
+            )
+            expect[(new_id, cor_id)] = (r.shared, r.overlap)
+    assert (101, 100) in expect and (103, 102) in expect  # non-vacuous
+    corpus_fps = FP.corpus_fingerprint_table(corpus, k=K, w=W)
+    for bc in (True, False):
+        got = {
+            (r.doc_new, r.doc_corpus): (r.shared, r.overlap)
+            for r in FP.neardup_increment_winnow(
+                new, corpus_fps, k=K, w=W, threshold=0.3,
+                max_fp_df=10**6, broadcast_increment=bc,
+            ).collect()
+        }
+        assert got == expect, bc
+
+
 def test_hot_key_caps_drop_ultra_common_keys(spark):
     """The df-cap in both inverted-index pair ops (r6: flipped to a
     broadcast ANTI-join of the bounded hot set) actually drops
