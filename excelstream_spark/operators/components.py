@@ -19,6 +19,23 @@ coalesced); lineage is cut with localCheckpoint every round so iteration
 does not stack exponential plans.  Convergence is detected by an edge
 fixpoint (no edge changes), with a hard ``max_iter`` guard.
 
+Checkpoint hygiene (round 6): localCheckpoint blocks are NOT
+cache-manager entries — ``unpersist()``/release_persists cannot free
+them, and Spark will not evict them (eviction would lose the only copy
+of a lineage-truncated RDD).  Before this fix every invocation leaked
+all of its round checkpoints until JVM GC happened to collect the RDD
+handles; a bench session that ran the 10x scale-ladder rungs then
+re-timed this operator measured 17 s on a plan whose steady state is
+~2.7 s — the leaked blocks had squatted on the unified memory pool.
+Now each round frees the PREVIOUS round's blocks (via the public
+JavaSparkContext.getPersistentRDDs handle) as soon as the next
+checkpoint is materialized, and the FINAL checkpoint — which the
+lazily-returned result still reads — is registered with
+dedup._scoped_release so the standard scope boundary
+(release_persists, called by every catalog query and bench leg) frees
+it.  Cleanup is defensive: a lookup miss degrades to the old
+GC-eventually behavior, never to an error.
+
 100 TB shape: state per round is the edge list itself (never adjacency
 materialization); each round's shuffle is O(|edges|); no driver-side
 graph structure — the driver only sees the per-round changed-edge count
@@ -70,13 +87,34 @@ def connected_components(
 ) -> DataFrame:
     """-> (id, component) for every id appearing in ``pairs``; component
     is the minimum id in the connected set (a stable canonical label)."""
-    edges = (
+    sc = pairs.sparkSession.sparkContext
+
+    def _storage_ids() -> set[int]:
+        return {r.id() for r in sc._jsc.sc().getRDDStorageInfo()}
+
+    def _ckpt(df: DataFrame) -> tuple[DataFrame, frozenset[int]]:
+        """Eager localCheckpoint + the storage ids it materialized (the
+        handle later cleanup needs — see module docstring)."""
+        before = _storage_ids()
+        out = df.localCheckpoint(eager=True)
+        return out, frozenset(_storage_ids() - before)
+
+    def _free(ids: frozenset[int]) -> None:
+        try:
+            jmap = sc._jsc.getPersistentRDDs()
+            for rid in ids:
+                jrdd = jmap.get(rid)
+                if jrdd is not None:
+                    jrdd.unpersist(True)
+        except Exception:
+            pass  # degrade to GC-eventually, never fail the computation
+
+    edges, live_ids = _ckpt(
         pairs.select(
             F.least(id_a, id_b).alias("u"), F.greatest(id_a, id_b).alias("v")
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
 
     def _edge_stats(e: DataFrame) -> tuple[int, int]:
@@ -95,11 +133,12 @@ def connected_components(
     prev = _edge_stats(edges)
     for i in range(max_iter):
         after_large = _star_round(edges, large=True)
-        after_small = _star_round(after_large, large=False).localCheckpoint(
-            eager=True
-        )
+        after_small, new_ids = _ckpt(_star_round(after_large, large=False))
         cur = _edge_stats(after_small)
-        edges = after_small
+        # the previous round's checkpoint blocks are garbage the moment
+        # the new one is materialized (the new plan reads only it)
+        _free(live_ids)
+        edges, live_ids = after_small, new_ids
         if cur == prev:  # fixpoint: the edge set stopped changing
             break
         prev = cur
@@ -107,6 +146,11 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
         )
+    # the RETURNED plan still reads the final checkpoint lazily — free
+    # its blocks at the standard scope boundary, not here
+    from excelstream_spark.operators.dedup import _scoped_release
+
+    _scoped_release(lambda ids=live_ids: _free(ids))
     # at the fixpoint every edge is (root, member)
     members = edges.select(F.col("v").alias("id"), F.col("u").alias("component"))
     roots = edges.select(F.col("u").alias("id")).distinct().withColumn(

@@ -54,6 +54,14 @@ def _scoped_persist(df: DataFrame) -> DataFrame:
     return df
 
 
+def _scoped_release(fn) -> None:
+    """Register a zero-arg cleanup callable to run at the next
+    :func:`release_persists` — for load-bearing storage that is NOT a
+    cache-manager persist and so cannot be freed with ``unpersist()``
+    (components.py's final localCheckpoint blocks)."""
+    _SCOPED_PERSISTS.append(fn)
+
+
 def release_persists() -> None:
     """Unpersist every DataFrame cached by dedup operators so far.  Safe
     to call between queries (a materialized result never needs its
@@ -70,7 +78,11 @@ def release_persists() -> None:
     of blocks); paying it deterministically at query entry beats paying
     an eviction storm mid-query."""
     while _SCOPED_PERSISTS:
-        _SCOPED_PERSISTS.pop().unpersist(blocking=True)
+        item = _SCOPED_PERSISTS.pop()
+        if isinstance(item, DataFrame):
+            item.unpersist(blocking=True)
+        else:
+            item()  # _scoped_release cleanup callable
 
 
 def dedup_exact(
