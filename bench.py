@@ -115,7 +115,9 @@ LEG_SCOPE = {
     "text_analysis": "v2:r5 catalog entry absorbed gopher quality metrics (+work vs r4)",
     "dedup_minhash_lsh": "meas-v2:r6 timed post-ladder at C2 steady state",
     "dedup_simhash": "meas-v2:r6 timed post-ladder at C2 steady state",
-    "components_dedup_clusters": "meas-v2:r6 timed post-ladder at C2 steady state",
+    "components_dedup_clusters": "meas-v3:r6 post-ladder steady state + the "
+    "localCheckpoint-leak fix (leaked non-evictable blocks from prior runs "
+    "previously inflated this leg up to 6x)",
     "unigram_scores_stored": "v1:r6 new leg (stored-vocab reuse path)",
     "dedup_token_blocks_twopass": "v1:r6 new leg (coprime two-pass)",
     "dedup_token_chunks_cdc": "v1:r6 new leg (content-defined chunks)",
