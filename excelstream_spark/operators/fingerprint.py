@@ -167,15 +167,19 @@ def neardup_increment_winnow(
         F.count(F.lit(1)).alias("n_new")
     )
     corpus = corpus_fps.select(F.col(id_col).alias("doc_corpus"), "fp")
+    # set sizes are PRE-cut on both sides (matching dedup_winnowing_pairs,
+    # whose per-doc window counts run before the hot anti-join): the cut
+    # prunes candidate GENERATION, not the overlap denominator — a
+    # post-cut corpus denominator would inflate overlaps asymmetrically
+    corpus_sizes = corpus.groupBy("doc_corpus").agg(
+        F.count(F.lit(1)).alias("n_corpus")
+    )
     hot = (
         corpus.groupBy("fp").count()
         .filter(F.col("count") > max_fp_df)
         .select("fp")
     )
     corpus = corpus.join(F.broadcast(hot), "fp", "left_anti")
-    corpus_sizes = corpus.groupBy("doc_corpus").agg(
-        F.count(F.lit(1)).alias("n_corpus")
-    )
     probe = inc_fps.join(F.broadcast(hot), "fp", "left_anti")
     if broadcast_increment:
         probe = F.broadcast(probe)

@@ -185,12 +185,20 @@ def test_neardup_increment_winnow_matches_batch(spark):
     ]
     shared_a = " ".join(f"sh{j}ared" for j in range(25))
     shared_b = " ".join(f"o{j}ther" for j in range(25))
+    boiler = " ".join(f"bp{j}lt" for j in range(12))
     docs_rows = base + [
         (100, "intro " + shared_a),                 # corpus (even)
         (101, "pre1 pre2 pre3 " + shared_a),        # increment (odd)
         (102, shared_b + " tail"),                  # corpus (even)
         (103, "x0 " + shared_b),                    # increment (odd)
         (105, "y0 y1 " + shared_a),                 # increment (odd)
+    ] + [
+        # boilerplate hot in the CORPUS ALONE (6 even docs > cap 4), so
+        # the corpus-artifact df-cut and the batch union df-cut agree
+        (200 + 2 * j, f"c{j}u1 c{j}u2 " + boiler) for j in range(6)
+    ] + [
+        (201, "z1 z2 z3 " + boiler),                # increment, boiler only
+        (203, boiler + " q8 q9"),                   # increment, boiler only
     ]
     docs = spark.createDataFrame(
         pd.DataFrame(docs_rows, columns=["doc_id", "text"])
@@ -218,6 +226,31 @@ def test_neardup_increment_winnow_matches_batch(spark):
             ).collect()
         }
         assert got == expect, bc
+
+    # ACTIVE df-cap parity: boiler fps are hot in the corpus alone, so
+    # both the batch (union-df) and incremental (corpus-artifact-df)
+    # cuts drop them — pairs whose only common material is boilerplate
+    # vanish identically, and overlap denominators stay PRE-cut on both
+    # sides (the regression this block guards)
+    batch_cap = {
+        (r.doc_a, r.doc_b): (r.shared, r.overlap)
+        for r in FP.dedup_winnowing_pairs(
+            docs, k=K, w=W, threshold=0.3, max_fp_df=4
+        ).collect()
+    }
+    expect_cap = {
+        ((a, b) if a % 2 == 1 else (b, a)): v
+        for (a, b), v in batch_cap.items()
+        if (a % 2) != (b % 2)
+    }
+    assert all(doc not in (201, 203) for doc, _ in expect_cap)
+    got_cap = {
+        (r.doc_new, r.doc_corpus): (r.shared, r.overlap)
+        for r in FP.neardup_increment_winnow(
+            new, corpus_fps, k=K, w=W, threshold=0.3, max_fp_df=4
+        ).collect()
+    }
+    assert got_cap == expect_cap and len(got_cap) > 0
 
 
 def test_hot_key_caps_drop_ultra_common_keys(spark):
