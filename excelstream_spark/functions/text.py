@@ -345,12 +345,16 @@ def tokens_py(text: str | None) -> list[str]:
     strips chars <= U+0020 and Java ``\\s`` is ASCII-only (Python's
     default ``str.split`` is unicode-aware and would diverge on e.g.
     non-breaking spaces).  Empty/NULL text yields [''] exactly like
-    ``F.split('', '\\s+')``.  Shared by every Arrow-batched text
+    ``F.split('', '\\s+')``.  NULLs guard against pandas' float-NaN
+    spelling too (``nan or ''`` is truthy — the trap multimodal.py's
+    fake branch documents).  Shared by every Arrow-batched text
     operator so Python-side and JVM-side tokenizations can never
     drift."""
     import re
 
-    t = (text or "").lower().strip(_JAVA_TRIM_CHARS)
+    if text is None or isinstance(text, float):  # None or pandas NaN
+        text = ""
+    t = text.lower().strip(_JAVA_TRIM_CHARS)
     return re.split(r"[ \t\n\x0b\f\r]+", t) if t else [""]
 
 
