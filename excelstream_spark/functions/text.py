@@ -39,8 +39,19 @@ def normalized(col) -> Column:
 
 
 def tokens(col) -> Column:
-    """Whitespace tokens of the normalized text."""
-    return F.split(F.trim(F.lower(col)), r"\s+")
+    """Whitespace tokens of the lowercased text, with empty edge tokens
+    removed — the single tokenization convention shared by the JVM
+    expressions, :func:`tokens_py`, and every DuckDB oracle
+    (``list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t
+    <> '')``).  ``split`` on ``\\s+`` can only produce empty strings at
+    the two EDGES (interior runs collapse), so ``array_remove`` exactly
+    strips leading/trailing whitespace of every kind — unlike the
+    pre-round-7 ``F.trim`` form, which stripped only 0x20 and counted
+    ``'\\nfoo\\n'`` as three tokens (the round-6 advisor's finding).
+    Empty / whitespace-only text tokenizes to ``[]`` (size 0), so every
+    per-token denominator downstream must guard the zero (``try_divide``
+    → NULL, matching DuckDB's x/0)."""
+    return F.array_remove(F.split(F.lower(col), r"\s+"), "")
 
 
 def token_count(col) -> Column:
@@ -62,13 +73,17 @@ def stopword_count(col) -> Column:
 
 
 def stopword_ratio(col) -> Column:
-    return stopword_count(col) / token_count(col)
+    # try_divide: token_count is 0 for empty/whitespace-only text and
+    # Spark 4's default ANSI mode makes x/0 a job-aborting error; NULL
+    # here matches DuckDB's x/0 so the oracles stay value-identical.
+    return F.try_divide(stopword_count(col), token_count(col))
 
 
 def avg_token_length(col) -> Column:
     toks = tokens(col)
     total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
-    return total / F.size(toks)
+    # NULL (not ANSI error) on 0 tokens, matching DuckDB's x/0
+    return F.try_divide(total, F.size(toks))
 
 
 def fingerprint(col) -> Column:
@@ -197,8 +212,8 @@ def gopher_metrics(col) -> dict[str, Column]:
     return {
         "n_words": F.size(toks),
         "mean_word_len": avg_token_length(c),
-        "symbol_ratio": (
-            F.regexp_count(c, F.lit(r"#|\.\.\.|…")) / n_words
+        "symbol_ratio": F.try_divide(
+            F.regexp_count(c, F.lit(r"#|\.\.\.|…")), n_words
         ),
         "bullet_line_frac": (
             F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•‣▪]")))
@@ -208,8 +223,8 @@ def gopher_metrics(col) -> dict[str, Column]:
             F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$")))
             / n_lines
         ),
-        "alpha_word_frac": (
-            F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))) / n_words
+        "alpha_word_frac": F.try_divide(
+            F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))), n_words
         ),
         "n_gopher_stopwords": F.size(
             F.array_intersect(F.array_distinct(stripped), stop_arr)
@@ -336,26 +351,27 @@ NGRAM_REPETITION_RULES: tuple[tuple[str, float], ...] = (
 NGRAM_TOP_NS: tuple[int, ...] = (2, 3, 4)
 NGRAM_DUP_NS: tuple[int, ...] = (5, 6, 7, 8, 9, 10)
 
-#: Java String.trim strips every char <= U+0020 (see tokens()).
-_JAVA_TRIM_CHARS = "".join(chr(i) for i in range(0x21))
-
-
 def tokens_py(text: str | None) -> list[str]:
-    """Python mirror of the shared JVM ``tokens()`` — Java ``trim``
-    strips chars <= U+0020 and Java ``\\s`` is ASCII-only (Python's
-    default ``str.split`` is unicode-aware and would diverge on e.g.
-    non-breaking spaces).  Empty/NULL text yields [''] exactly like
-    ``F.split('', '\\s+')``.  NULLs guard against pandas' float-NaN
-    spelling too (``nan or ''`` is truthy — the trap multimodal.py's
-    fake branch documents).  Shared by every Arrow-batched text
-    operator so Python-side and JVM-side tokenizations can never
-    drift."""
+    """Python mirror of the shared JVM ``tokens()``: split the
+    lowercased text on the Java ``\\s`` class (ASCII ``[ \\t\\n\\x0b
+    \\f\\r]`` — Python's default ``str.split`` is unicode-aware and
+    would diverge on e.g. non-breaking spaces) and drop empty tokens.
+    Splitting on a whitespace RUN can only produce empties at the two
+    edges, so the filter is exactly the JVM's ``array_remove(split(...),
+    '')``.  Empty / whitespace-only / NULL text yields ``[]``.  NULLs
+    guard against pandas' float-NaN spelling too (``nan or ''`` is
+    truthy — the trap multimodal.py's fake branch documents).  Shared by
+    every Arrow-batched text operator so Python-side and JVM-side
+    tokenizations can never drift; the round-6 advisor verified the
+    previous strip-chars-<=0x20 form diverged from the JVM on
+    ``'\\tfoo bar\\n'`` — this form is property-tested against the JVM
+    and DuckDB on edge-whitespace documents
+    (tests/test_quality_semantic.py)."""
     import re
 
     if text is None or isinstance(text, float):  # None or pandas NaN
         text = ""
-    t = text.lower().strip(_JAVA_TRIM_CHARS)
-    return re.split(r"[ \t\n\x0b\f\r]+", t) if t else [""]
+    return [t for t in re.split(r"[ \t\n\x0b\f\r]+", text.lower()) if t]
 
 
 def ngram_repetition_metrics_py(text: str | None) -> dict[str, float]:
@@ -406,13 +422,22 @@ def ngram_repetition_metrics_py(text: str | None) -> dict[str, float]:
         for j in range(n_tok - n + 1):
             g = tuple(toks[j : j + n])
             counts[g] = counts.get(g, 0) + 1
-        best = 0
-        for g, c in counts.items():
-            if c >= 2:
-                chars = c * (sum(map(len, g)) + n - 1)
-                if chars > best:
-                    best = chars
-        out[key] = best / total_chars
+        # The single MOST FREQUENT n-gram (Gopher / DataTrove
+        # Counter.most_common convention) — ties broken by earliest
+        # first occurrence, which is exactly Counter.most_common(1)'s
+        # stable-sort behavior since dicts preserve insertion order.
+        # (Through round 6 this picked the gram maximizing
+        # count*chars, a stricter filter than published — the round-6
+        # advisor's finding; the SQL oracle mirrors this rule via
+        # min(first_pos) among max-count grams.)
+        top_g = max(counts, key=counts.get)  # first-seen wins ties
+        top_c = counts[top_g]
+        if top_c >= 2:
+            out[key] = (
+                top_c * (sum(map(len, top_g)) + n - 1) / total_chars
+            )
+        else:
+            out[key] = 0.0
     for n in NGRAM_DUP_NS:
         key = f"dup_{n}_gram_token_frac"
         if n_tok < n:

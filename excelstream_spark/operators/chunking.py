@@ -50,8 +50,8 @@ def chunk_documents(
     stride = max_tokens - overlap
     # NULL text tokenizes to a null array, which would otherwise produce
     # a phantom full-size chunk (least(max_tokens, null) = max_tokens);
-    # treat it as empty text: one empty chunk, n_tokens counts the one
-    # empty token exactly like every other text operator's tokenizer
+    # treat it as empty text: one empty chunk with n_tokens = 0 (the
+    # shared tokenizer yields [] for empty/whitespace-only text)
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         TXT.tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("tk"),

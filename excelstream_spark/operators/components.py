@@ -89,15 +89,25 @@ def connected_components(
     is the minimum id in the connected set (a stable canonical label)."""
     sc = pairs.sparkSession.sparkContext
 
-    def _storage_ids() -> set[int]:
-        return {r.id() for r in sc._jsc.sc().getRDDStorageInfo()}
-
     def _ckpt(df: DataFrame) -> tuple[DataFrame, frozenset[int]]:
-        """Eager localCheckpoint + the storage ids it materialized (the
-        handle later cleanup needs — see module docstring)."""
-        before = _storage_ids()
+        """Eager localCheckpoint + the id of the RDD it persisted, read
+        off the checkpointed Dataset's OWN plan: ``Dataset
+        .localCheckpoint`` wraps the internally-persisted RDD in a
+        ``LogicalRDD``, so ``analyzed().rdd().id()`` names exactly the
+        block set this invocation owns.  Never a global
+        getRDDStorageInfo() before/after diff — in a shared
+        SparkSession a concurrent job's persist/checkpoint lands in
+        that diff and the later ``_free`` would unpersist ANOTHER
+        thread's RDD (for its localCheckpoint, destroying the only
+        copy) — the round-6 advisor's concurrency finding.  A plan-
+        introspection miss degrades to the old GC-eventually behavior
+        (empty id set), never to freeing someone else's blocks."""
         out = df.localCheckpoint(eager=True)
-        return out, frozenset(_storage_ids() - before)
+        try:
+            rid = out._jdf.queryExecution().analyzed().rdd().id()
+            return out, frozenset({rid})
+        except Exception:
+            return out, frozenset()
 
     def _free(ids: frozenset[int]) -> None:
         try:

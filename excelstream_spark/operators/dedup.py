@@ -381,6 +381,8 @@ def simhash_signatures(
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, simhash: bigint) — 64-bit SimHash over distinct tokens.
+    Token-less documents (NULL / empty / whitespace-only text) emit no
+    signature — see the explode comment below.
 
     bit b of the signature = sign of sum over tokens of ±1 depending on
     bit b of the token hash.
@@ -402,22 +404,20 @@ def simhash_signatures(
         so signatures are recomputable by the SQL oracle cross-engine.
     """
     df = fan_out(df)
-    # explode_OUTER: a NULL text column yields a null token array, which
-    # plain explode would DROP — losing the document from the output (the
-    # previous lambda formulation emitted signature 0 for it).  The
-    # null-token row's hash is kept null, every vote lands on -1, and the
-    # signature assembles to 0 — byte-equal with the old behavior.
+    # plain explode: token-LESS documents (NULL / empty / whitespace-only
+    # text tokenizes to NULL or [] under the shared convention) have no
+    # content to sketch and are DROPPED from the signature table — on
+    # both engines (the oracle's unnest drops them identically).  The
+    # alternative (signature 0 for all of them, the pre-round-7
+    # behavior) made every empty doc pair with every other at hamming 0:
+    # a quadratic mega-bucket on any web corpus with empty docs.  Empty
+    # docs belong to dedup_exact, not content sketching.
     tok_rows = df.select(
         F.col(id_col).alias("id"),
-        F.explode_outer(F.array_distinct(TXT.tokens(F.col(text_col)))).alias("tok"),
+        F.explode(F.array_distinct(TXT.tokens(F.col(text_col)))).alias("tok"),
     )
     if hash_fn == "xxhash64":
-        # guard: xxhash64(NULL) returns the SEED (42), not null — hash
-        # only real tokens so null-text docs vote all -1 -> signature 0
-        hashed = tok_rows.select(
-            "id",
-            F.when(F.col("tok").isNotNull(), F.xxhash64("tok")).alias("hl"),
-        )
+        hashed = tok_rows.select("id", F.xxhash64("tok").alias("hl"))
 
         def bit(b: int):
             return F.shiftrightunsigned(F.col("hl"), b).bitwiseAND(
@@ -771,19 +771,26 @@ def dedup_token_blocks_twopass(
     that text is what survives into training.  Cost = two single
     passes; each pass is the zero-shuffle chunk + one hash groupBy +
     touched-only rebuild of :func:`dedup_token_blocks`."""
+    import itertools
     import math
-    from functools import reduce
 
     if len(block_tokens) < 2:
         raise ValueError(
             f"need >= 2 block sizes (one size is just dedup_token_blocks), "
             f"got {block_tokens}"
         )
-    if reduce(math.gcd, block_tokens) != 1:
-        raise ValueError(
-            f"block sizes must be coprime (shared factor g means both "
-            f"grids miss every shift not divisible by g): {block_tokens}"
-        )
+    # PAIRWISE coprime, not merely gcd(all) == 1: (6, 10, 15) has
+    # overall gcd 1 yet every pair shares a factor, so no two grids'
+    # caught congruence classes would overlap only at their product —
+    # the docstring's union guarantee needs every pair coprime (the
+    # round-6 advisor's finding).
+    for a, b in itertools.combinations(block_tokens, 2):
+        if math.gcd(a, b) != 1:
+            raise ValueError(
+                f"block sizes must be PAIRWISE coprime (sizes {a} and "
+                f"{b} share factor {math.gcd(a, b)}; both grids miss "
+                f"every shift not divisible by it): {block_tokens}"
+            )
     out = df
     for bt in block_tokens:
         out = dedup_token_blocks(

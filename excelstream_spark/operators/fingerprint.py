@@ -58,7 +58,7 @@ def winnow_fingerprints_py(
 
     toks = TXT.tokens_py(text)
     g = len(toks) - k + 1
-    if g <= 0 or toks == [""]:
+    if g <= 0:
         return []
     grams = [" ".join(toks[j : j + k]) for j in range(g)]
     h = np.array(
@@ -91,11 +91,15 @@ def winnow_fingerprints(
     k: int = 5,
     w: int = 4,
 ) -> DataFrame:
-    """(doc_id, pos, fp) — one row per selected fingerprint (module
+    """(<id_col>, pos, fp) — one row per selected fingerprint (module
     docstring).  Documents with fewer than ``k`` tokens (incl.
     empty/NULL text) emit no rows.  Zero shuffle: one mapInPandas in
-    the scan stage."""
+    the scan stage.  The id column keeps its input NAME and TYPE
+    (string doc ids and non-default ``id_col`` both work — the round-6
+    advisor's finding: the previous form hard-coded ``doc_id``/int64
+    while the other dedup operators accept arbitrary id columns)."""
     tcol, icol = text_col, id_col
+    id_type = df.schema[icol].dataType.simpleString()
 
     def compute(batches):
         import pandas as pd
@@ -109,12 +113,13 @@ def winnow_fingerprints(
                     ids.append(i)
                     poss.append(p)
                     fps.append(m)
-            yield pd.DataFrame(
-                {"doc_id": ids, "pos": poss, "fp": fps}
-            ).astype({"doc_id": "int64", "pos": "int32", "fp": "int64"})
+            out = pd.DataFrame({icol: ids, "pos": poss, "fp": fps})
+            # Arrow coerces the id object column to the declared input
+            # type; pos/fp are always computed ints
+            yield out.astype({"pos": "int32", "fp": "int64"})
 
     return df.select(F.col(icol), F.col(tcol)).mapInPandas(
-        compute, schema="doc_id bigint, pos int, fp bigint"
+        compute, schema=f"`{icol}` {id_type}, pos int, fp bigint"
     )
 
 
@@ -125,12 +130,12 @@ def corpus_fingerprint_table(
     k: int = 5,
     w: int = 4,
 ) -> DataFrame:
-    """(doc_id, fp) — the DISTINCT-fingerprint corpus artifact the
+    """(<id_col>, fp) — the DISTINCT-fingerprint corpus artifact the
     incremental gate joins against (materialize it like the minhash
     band index: write once, reuse for every future increment; bucket
     on ``fp`` for an exchange-free scan, the incremental.py pattern)."""
     return winnow_fingerprints(df, text_col, id_col, k, w).select(
-        "doc_id", "fp"
+        id_col, "fp"
     ).distinct()
 
 
@@ -160,7 +165,7 @@ def neardup_increment_winnow(
 
     inc_fps = _scoped_persist(
         winnow_fingerprints(new_docs, text_col, id_col, k, w)
-        .select(F.col("doc_id").alias("doc_new"), "fp")
+        .select(F.col(id_col).alias("doc_new"), "fp")
         .distinct()
     )
     inc_sizes = inc_fps.groupBy("doc_new").agg(
@@ -230,7 +235,7 @@ def dedup_winnowing_pairs(
     # persisted because BOTH sides of the inverted-index self-join read
     # it — the dedup_ngram_jaccard posting-list shape exactly
     ex = _scoped_persist(
-        fps.select("doc_id", "fp")
+        fps.select(F.col(id_col).alias("doc_id"), "fp")
         .distinct()
         .withColumn("n", F.count(F.lit(1)).over(W.partitionBy("doc_id")))
     )

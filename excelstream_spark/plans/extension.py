@@ -21,7 +21,22 @@ from excelstream_spark.tables import load_table
 # Shared SQL fragments for the oracles (kept in lockstep with
 # functions/text.py — the Spark and SQL forms are the same algorithm).
 _SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
-_SQL_TOKS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+#: One tokenization convention everywhere (functions/text.py tokens()):
+#: split the lowercased text on \s+ and drop empty tokens — empties can
+#: only appear at the two edges, so this is exactly edge-whitespace
+#: stripping of every kind (the round-6 advisor's finding: the previous
+#: trim() form stripped only 0x20 and counted '\nfoo\n' as 3 tokens).
+_SQL_TOKS = (
+    "list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+    "x -> x <> '')"
+)
+#: NULL-coalescing variant for the Spark expressions that coalesce text
+#: to '' first (the Gopher-metric columns) — NULL text tokenizes to []
+#: there, not NULL.
+_SQL_TOKS_NN = (
+    "list_filter(regexp_split_to_array(lower(coalesce(text, '')), "
+    "'\\s+'), x -> x <> '')"
+)
 _SQL_SHINGLES = f"""
     SELECT doc_id,
            list_distinct(
@@ -101,15 +116,15 @@ _LANG_SQL_COUNTS = ", ".join(
                     WHEN c_zh > 0 THEN 'zh'
                     ELSE 'und' END                                         AS predicted_lang,
                quality, quality >= 0.5 AS keep,
-               CAST(len(list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+'),
+               CAST(len(list_filter({_SQL_TOKS_NN},
                      x -> regexp_matches(x, '[a-z]'))) AS INT)             AS n_alpha_words,
                CAST(len(list_intersect(
                      list_distinct(list_transform(
-                       regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+'),
+                       {_SQL_TOKS_NN},
                        x -> regexp_replace(x, '[^a-z]', '', 'g'))),
                      {_GOPHER_STOPLIST_SQL})) AS INT)
                                                                            AS n_gopher_stopwords,
-               len(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+'))
+               len({_SQL_TOKS_NN})
                  BETWEEN {_GOPHER_WORDS_LO} AND {_GOPHER_WORDS_HI}         AS pass_word_count
         FROM scored
     """,
@@ -207,11 +222,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_simhash",
-    oracle="""
+    oracle=f"""
         WITH toks AS (
           SELECT doc_id,
-                 unnest(list_distinct(
-                   regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+'))) AS tok
+                 unnest(list_distinct({_SQL_TOKS_NN})) AS tok
           FROM documents
         ),
         hashed AS (
@@ -517,7 +531,9 @@ def text_token_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         ws.alias("n_ws_tokens"),
         bpe.alias("n_bpe_pieces"),
-        (bpe * 1.0 / ws).alias("pieces_per_token"),
+        # try_divide: 0 whitespace tokens (empty doc) -> NULL, matching
+        # the oracle's x/0 in DuckDB rather than an ANSI error
+        F.try_divide(bpe * 1.0, ws).alias("pieces_per_token"),
     )
 
 

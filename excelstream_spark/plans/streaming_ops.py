@@ -201,7 +201,9 @@ def streaming_xlsx_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(8 AS BIGINT) AS n_bands,
                CAST(0 AS BIGINT)  AS n_owner_violations
         FROM documents
-        WHERE coalesce(len(regexp_split_to_array(trim(lower(text)), '\\s+')), 0) >= 3
+        WHERE coalesce(len(list_filter(
+                regexp_split_to_array(lower(text), '\\s+'),
+                x -> x <> '')), 0) >= 3
     """,
     tags=("streaming", "stateful", "dedup", "lsh"),
 )

@@ -35,13 +35,16 @@ def test_rows_only_runs(spark, name):
 
 
 def test_simhash_null_text_parity(spark, tmp_path):
-    """Regression for the NULL-text oracle asymmetry: Spark's explode_outer
-    keeps null-text docs while DuckDB's unnest of a NULL token list drops
-    them.  Both sides now coalesce(text, '') first, so a fixture that
-    grows null texts (the driver regenerates fixtures between rounds, and
-    FIXTURES.md declares columns nullable) cannot split the engines.  The
-    injected rows — two NULL texts and one whitespace-only text — all
-    tokenize to [''] on both engines and must pair up identically."""
+    """Regression for the NULL/empty-text oracle asymmetry: a fixture
+    that grows null or whitespace-only texts (the driver regenerates
+    fixtures between rounds, and FIXTURES.md declares columns nullable)
+    must not split the engines.  Under the shared round-7 convention
+    token-less documents carry NO simhash signature on EITHER side
+    (Spark explode of an empty/NULL token array = DuckDB unnest of an
+    empty list): the injected rows — two NULL texts and one
+    whitespace-only text — are absent from the pair output instead of
+    forming a bogus signature-0 clique (which at corpus scale would be
+    a quadratic mega-bucket of empty docs)."""
     import duckdb
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -71,10 +74,10 @@ def test_simhash_null_text_parity(spark, tmp_path):
             f"CREATE VIEW documents AS SELECT * FROM read_parquet('{out}')"
         )
         assert_matches_oracle(df, con, spec.oracle)
-        # the injected docs must be PRESENT (all three share the
-        # empty-token signature -> 3 hamming-0 pairs among them)
-        injected = df.filter("doc_a >= 900001").count()
-        assert injected == 3
+        # token-less docs are ABSENT from content sketching (no bogus
+        # hamming-0 clique among unrelated empty documents)
+        injected = df.filter("doc_a >= 900001 OR doc_b >= 900001").count()
+        assert injected == 0
     finally:
         con.close()
 

@@ -160,14 +160,14 @@ def test_corpus_report_vs_sql_oracle(spark, duck):
     oracle = """
         WITH b AS (
           SELECT source, lang,
-                 len(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+')) AS tok,
+                 len(list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'), x -> x <> '')) AS tok,
                  length(coalesce(text, '')) AS chars,
-                 0.4 * least(1.0, len(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+')) / 50.0)
+                 0.4 * least(1.0, len(list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'), x -> x <> '')) / 50.0)
                + 0.3 * least(1.0, (len(list_filter(
-                     regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+'),
+                     list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'), x -> x <> ''),
                      t -> t IN ('the','a','an','and','or','of','to','in','is','it',
                                 'for','on','with','as','at','by','from','that','this')))
-                     * 1.0 / len(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+'))) * 5)
+                     * 1.0 / len(list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'), x -> x <> ''))) * 5)
                + 0.3 * (1 - least(1.0, (length(regexp_replace(coalesce(text, ''), '[^.,;:!?]', '', 'g'))
                      * 1.0 / length(coalesce(text, ''))) * 10)) AS q
           FROM documents

@@ -575,7 +575,7 @@ def test_chunk_documents_vs_sql_oracle(spark, duck):
         duck,
         """
         WITH t AS (SELECT doc_id,
-                          regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+                          list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS tk
                    FROM documents),
         c AS (SELECT doc_id, tk,
                      unnest(generate_series(

@@ -83,7 +83,7 @@ def _fps_oracle_ctes(k: int, w: int) -> str:
     return f"""
         d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
         tkn AS (SELECT doc_id,
-                       regexp_split_to_array(trim(lower(t)), '\\s+') AS tk
+                       list_filter(regexp_split_to_array(lower(t), '\\s+'), x -> x <> '') AS tk
                 FROM d),
         g AS (SELECT doc_id, j,
                      ('0x' || substr(md5(
@@ -297,3 +297,37 @@ def test_hot_key_caps_drop_ultra_common_keys(spark):
     }
     for p, s in shared_cap.items():
         assert s < shared_unc[p], p
+
+
+def test_winnow_custom_id_column_and_string_ids(spark):
+    """winnow_fingerprints, the corpus artifact, the incremental gate
+    and the pair stage all accept a non-default id column name AND
+    string ids (round-6 advisor: the extraction hard-coded doc_id/int64
+    while every other dedup operator takes arbitrary id columns)."""
+    corpus = spark.createDataFrame(
+        [("docA", "the quick brown fox jumps over the lazy dog today"),
+         ("docB", "completely different words with no shared passage "
+                  "anywhere at all")],
+        "name string, text string",
+    )
+    fps = FP.winnow_fingerprints(corpus, id_col="name", k=K, w=W)
+    assert fps.columns == ["name", "pos", "fp"]
+    assert fps.schema["name"].dataType.simpleString() == "string"
+    assert fps.count() > 0
+    art = FP.corpus_fingerprint_table(corpus, id_col="name", k=K, w=W)
+    inc = spark.createDataFrame(
+        [("docC", "the quick brown fox jumps over the lazy dog today")],
+        "name string, text string",
+    )
+    hits = FP.neardup_increment_winnow(
+        inc, art, id_col="name", k=K, w=W, threshold=0.5
+    )
+    assert [(r.doc_new, r.doc_corpus) for r in hits.collect()] == [
+        ("docC", "docA")
+    ]
+    pairs = FP.dedup_winnowing_pairs(
+        corpus.union(inc), id_col="name", k=K, w=W, threshold=0.5
+    )
+    assert {(r.doc_a, r.doc_b) for r in pairs.collect()} == {
+        ("docA", "docC")
+    }

@@ -73,7 +73,7 @@ def test_neardup_increment_pairs_oracle(spark, duck):
                  list_distinct(list_transform(generate_series(1, len(t) - 2),
                                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
           FROM (SELECT doc_id,
-                       regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+                       list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS t
                 FROM alldocs)
         ),
         ex AS (SELECT doc_id, len(sh) n, unnest(sh) s FROM sets_ WHERE len(sh) > 0),

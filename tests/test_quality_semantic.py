@@ -110,7 +110,7 @@ _SQL_GOPHER_METRICS = f"""
     ),
     m AS (
       SELECT doc_id,
-             regexp_split_to_array(trim(lower(t)), '\\s+') AS toks,
+             list_filter(regexp_split_to_array(lower(t), '\\s+'), x -> x <> '') AS toks,
              string_split(t, chr(10)) AS lines,
              t
       FROM d
@@ -151,6 +151,54 @@ def test_gopher_metrics_vs_sql_oracle(spark, duck):
         )]
     )
     assert_matches_oracle(df, duck, _SQL_GOPHER_METRICS)
+
+
+def test_tokens_convention_three_way_parity(spark):
+    """The single tokenization convention (split lowercased text on
+    whitespace, drop empty tokens) holds identically across the JVM
+    ``tokens()`` expression, ``tokens_py``, and the DuckDB oracle form —
+    on exactly the edge-whitespace documents the round-6 advisor showed
+    diverging under the old forms (leading tab, trailing newline,
+    whitespace-only, empty).  NULL is excluded (consumers coalesce
+    first; ``tokens(NULL)`` is NULL by design, ``tokens_py(None)`` is
+    [])."""
+    import duckdb
+
+    texts = [
+        "\tfoo bar\n",      # the advisor's verified divergence case
+        "foo\nbar",
+        "  foo  ",
+        "Mixed \t CASE\r\n",
+        " ",
+        "\n\n",
+        "",
+        "a  b\r\nc",
+        "\x0bx y\x0b",      # vertical tab: Java \s includes it
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i bigint, text string"
+    )
+    jvm = {
+        r.i: list(r.tk)
+        for r in df.select("i", TXT.tokens(F.col("text")).alias("tk")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert jvm[i] == TXT.tokens_py(t), (i, t, jvm[i], TXT.tokens_py(t))
+    con = duckdb.connect()
+    try:
+        for i, t in enumerate(texts):
+            if "\x0b" in t:
+                # RE2's \s is [\t\n\f\r ] (no \x0b) — the one documented
+                # engine gap; fixtures avoid vertical tabs
+                continue
+            got = con.execute(
+                "SELECT list_filter(regexp_split_to_array(lower(?), "
+                "'\\s+'), x -> x <> '')",
+                [t],
+            ).fetchone()[0]
+            assert got == jvm[i], (i, t, got, jvm[i])
+    finally:
+        con.close()
 
 
 def test_gopher_filter_vs_sql_oracle(spark, duck):
@@ -410,8 +458,9 @@ def test_unigram_logprob_vs_sql_oracle(spark, duck):
     oracle = """
         WITH toks AS (
           SELECT doc_id,
-                 unnest(regexp_split_to_array(
-                   trim(lower(coalesce(text, ''))), '\\s+')) AS tok
+                 unnest(list_filter(regexp_split_to_array(
+                   lower(coalesce(text, '')), '\\s+'),
+                   x -> x <> '')) AS tok
           FROM documents
         ),
         v AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
@@ -537,7 +586,7 @@ def _token_blocks_oracle(B: int) -> str:
         WITH d AS (SELECT doc_id, text, coalesce(text, '') AS t
                    FROM documents),
         tkn AS (SELECT doc_id,
-                       regexp_split_to_array(trim(lower(t)), '\\s+') AS tk
+                       list_filter(regexp_split_to_array(lower(t), '\\s+'), x -> x <> '') AS tk
                 FROM d),
         c AS (SELECT doc_id, tk,
                      unnest(generate_series(
@@ -639,6 +688,11 @@ def test_dedup_token_blocks_twopass_catches_straddle(spark):
     # non-coprime sizes are refused (both grids would share the miss set)
     with pytest.raises(ValueError, match="coprime"):
         dedup_token_blocks_twopass(docs, block_tokens=(8, 6))
+    # PAIRWISE coprime, not gcd(all) == 1: (6, 10, 15) has overall gcd 1
+    # but every pair shares a factor (the round-6 advisor's example) —
+    # the advertised caught-shift union needs every pair coprime
+    with pytest.raises(ValueError, match="PAIRWISE"):
+        dedup_token_blocks_twopass(docs, block_tokens=(6, 10, 15))
     with pytest.raises(ValueError, match=">= 2 block sizes"):
         dedup_token_blocks_twopass(docs, block_tokens=(8,))
 
@@ -651,7 +705,7 @@ def _cdc_oracle(avg_tokens: int, min_df: int, min_chunk: int) -> str:
         WITH d AS (SELECT doc_id, text, coalesce(text, '') AS t
                    FROM documents),
         tkn AS (SELECT doc_id,
-                       regexp_split_to_array(trim(lower(t)), '\\s+') AS tk
+                       list_filter(regexp_split_to_array(lower(t), '\\s+'), x -> x <> '') AS tk
                 FROM d),
         tok AS (SELECT doc_id, i AS pos, tk[i] AS tok
                 FROM (SELECT doc_id, tk,
@@ -885,7 +939,8 @@ def _ngram_repetition_oracle() -> str:
     ctes = [
         "d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents)",
         f"""tkn AS (SELECT doc_id,
-                regexp_split_to_array(trim(lower(t)), '\\s+') AS tk,
+                list_filter(regexp_split_to_array(lower(t), '\\s+'),
+                            x -> x <> '') AS tk,
                 length({norm}) AS total_chars
             FROM d)""",
     ]
@@ -899,10 +954,13 @@ def _ngram_repetition_oracle() -> str:
                   FROM tkn))""")
     for n in _NGRAM_TOPS:
         ctes.append(f"""top{n} AS (
-            SELECT doc_id, max(cnt * length(gram)) AS chars
-            FROM (SELECT doc_id, gram, count(*) AS cnt
-                  FROM g{n} GROUP BY doc_id, gram HAVING count(*) >= 2)
-            GROUP BY doc_id)""")
+            SELECT doc_id, cnt * length(gram) AS chars
+            FROM (SELECT doc_id, gram, count(*) AS cnt,
+                         row_number() OVER (
+                           PARTITION BY doc_id
+                           ORDER BY count(*) DESC, min(j) ASC) AS rk
+                  FROM g{n} GROUP BY doc_id, gram)
+            WHERE rk = 1 AND cnt >= 2)""")
         joins.append(f"LEFT JOIN top{n} USING (doc_id)")
         cols.append(
             f"CASE WHEN len(tk) >= {n} AND total_chars > 0 "
@@ -969,6 +1027,9 @@ def test_ngram_repetition_semantics_crafted(spark, tmp_path):
         "w1 w2 w3",                                   # 3: too short for n=5
         "",                                           # 4
         None,                                         # 5
+        "\ta b a b a b\n",                            # 6: 0 + edge ws
+        " \n\t ",                                     # 7: whitespace-only
+        "e f e f ggg hhh ggg hhh",                    # 8: top-2 count tie
     ]
     tbl = pa.table({
         "doc_id": pa.array(range(len(texts)), pa.int64()),
@@ -997,12 +1058,23 @@ def test_ngram_repetition_semantics_crafted(spark, tmp_path):
     # top-2 on doc 2 exceeds 1 by construction (overlapping occurrences
     # each count their chars — the reference-implementation convention)
     assert r[2].top_2_gram_char_frac > 1.0
-    # short/empty/null: all metrics 0.0 (trivial pass)
-    for doc in (3, 4, 5):
+    # short/empty/null/whitespace-only: all metrics 0.0 (trivial pass)
+    for doc in (3, 4, 5, 7):
         assert r[doc].dup_5_gram_token_frac == 0.0
         assert r[doc].dup_10_gram_token_frac == 0.0
     assert r[4].top_2_gram_char_frac == 0.0
     assert r[5].top_2_gram_char_frac == 0.0
+    assert r[7].top_2_gram_char_frac == 0.0
+    # doc 6 = doc 0 with a leading tab and trailing newline: the shared
+    # tokenization strips edge whitespace of every kind, so EVERY metric
+    # is identical (the round-6 advisor's edge-whitespace fixture gap)
+    for name in names:
+        assert getattr(r[6], name) == getattr(r[0], name), name
+    # doc 8: 'e f' and 'ggg hhh' both occur twice — the MOST FREQUENT
+    # rule with first-seen tie-break picks 'e f' (2 * 3 chars = 6 of 23
+    # normalized chars), NOT the max-char-mass 'ggg hhh' (14/23) the
+    # pre-round-7 rule chose (stricter than the published convention)
+    assert abs(r[8].top_2_gram_char_frac - 6 / 23) < 1e-12
     # the crafted docs also bit-match the SQL oracle
     con = duckdb.connect()
     try:
