@@ -807,6 +807,7 @@ def dedup_token_chunks_cdc(
     avg_tokens: int = 16,
     min_df: int = 2,
     min_chunk_tokens: int = 4,
+    max_tokens: int | None = None,
 ) -> DataFrame:
     """OFFSET-INVARIANT substring dedup: content-defined chunk
     boundaries (chunking.chunk_documents_cdc — boundaries anchored to
@@ -837,7 +838,9 @@ def dedup_token_chunks_cdc(
     from excelstream_spark.operators.chunking import chunk_documents_cdc
 
     df = _require_non_null_ids(df, id_col, "dedup_token_chunks_cdc")
-    chunks = chunk_documents_cdc(df, text_col, id_col, avg_tokens).select(
+    chunks = chunk_documents_cdc(
+        df, text_col, id_col, avg_tokens, max_tokens
+    ).select(
         F.col("doc_id").alias(id_col), "chunk_idx", "chunk_text",
         "n_tokens", F.xxhash64("chunk_text").alias("bh"),
     )

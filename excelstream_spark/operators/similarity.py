@@ -265,12 +265,53 @@ def lsh_candidate_pairs(
     )
 
 
+def _semantic_block_tasks(
+    assigned: DataFrame, max_cell: int
+) -> DataFrame:
+    """Block-tile oversized IVF cells into bounded pairwise TASKS:
+    every cell is hash-partitioned into ``nb = ceil(n / max_cell)``
+    blocks and each row is replicated into the ``nb`` block-pair tasks
+    ``(min(b, j), max(b, j))`` it participates in, so the per-task
+    input is ~2 blocks (<= ~2*max_cell rows) and the per-task pair
+    work is ~max_cell^2 regardless of how degenerate a cell gets —
+    the mega-cell skew hardening the round-5/6 verdicts carried.
+    Unlike splitting cells by a secondary hyperplane (which silently
+    LOSES cross-subcell pairs), tiling changes only the execution
+    shape: every within-cell pair lands in exactly one task, so the
+    pair OUTPUT is bit-identical to the untiled form on every input.
+    Replication cost is nb copies of each oversized cell's rows —
+    O(n^2 / max_cell) vectors, the same order as the pair work itself.
+    Normal cells (nb == 1) collapse to the single task (0, 0)."""
+    from pyspark.sql import Window
+
+    # materialize the cell size first: a window expression cannot nest
+    # inside the explode/transform arguments below
+    sized = assigned.withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy("cid"))
+    )
+    nb = F.ceil(F.col("_n") / F.lit(max_cell)).cast("int")
+    blk = F.pmod(F.xxhash64("id"), nb).cast("int")
+    tasks = F.transform(
+        F.sequence(F.lit(0), nb - 1),
+        lambda j: F.struct(
+            F.least(blk, j).cast("int").alias("bi"),
+            F.greatest(blk, j).cast("int").alias("bj"),
+        ),
+    )
+    return (
+        sized.withColumn("blk", blk)
+        .withColumn("t", F.explode(tasks))
+        .select("cid", "id", "v", "blk", "t.bi", "t.bj")
+    )
+
+
 def semantic_pairs(
     corpus: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     centroid_every: int = 50,
     threshold: float = 0.45,
+    max_cell: int = 4096,
 ) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs: cosine > ``threshold``
     pairs WITHIN each IVF cell (Abbas et al. 2023: cluster the embedding
@@ -290,8 +331,19 @@ def semantic_pairs(
 
     Returns (id_a, id_b, cos_sim_r) with id_a < id_b, scores rounded to
     6 decimals (BLAS ulp absorption, same as the other vector ops).
+
+    ``max_cell`` bounds PER-TASK work when a cell degenerates (the
+    mega-cell skew risk): oversized cells are block-TILED into
+    block-pair tasks of <= ~2*max_cell rows each — see
+    :func:`_semantic_block_tasks`; the pair output is bit-identical to
+    the untiled form (every within-cell pair lands in exactly one
+    task), only the skew disappears.  Cells at or under ``max_cell``
+    run exactly as before (one task, nb == 1).
     """
     _, assigned = assign_ivf_cells(corpus, vec_col, id_col, centroid_every)
+    if max_cell < 2:
+        raise ValueError(f"need max_cell >= 2, got {max_cell}")
+    tasks = _semantic_block_tasks(assigned, max_cell)
     out_schema = StructType(
         [
             StructField("id_a", corpus.schema[id_col].dataType),
@@ -300,24 +352,51 @@ def semantic_pairs(
         ]
     )
 
+    def _normalized(rows: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in rows["v"]])
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0.0] = 1.0
+        return rows["id"].to_numpy(), V / norms[:, None]
+
     def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
         if len(pdf) < 2:
             return empty
-        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
-        ids = pdf["id"].to_numpy()
-        norms = np.linalg.norm(V, axis=1)
-        norms[norms == 0.0] = 1.0
-        N = V / norms[:, None]
-        S = N @ N.T
-        ai, bj = np.nonzero((S > threshold) & (ids[:, None] < ids[None, :]))
+        bi, bj = int(pdf["bi"].iloc[0]), int(pdf["bj"].iloc[0])
+        if bi == bj:
+            # diagonal task: ordinary within-set pairwise
+            ids, N = _normalized(pdf)
+            S = N @ N.T
+            ai, aj = np.nonzero(
+                (S > threshold) & (ids[:, None] < ids[None, :])
+            )
+            if len(ai) == 0:
+                return empty
+            return pd.DataFrame(
+                {"id_a": ids[ai], "id_b": ids[aj], "cos_sim": S[ai, aj]}
+            )
+        # cross-block task: pairs between the two disjoint blocks only
+        A, B = pdf[pdf["blk"] == bi], pdf[pdf["blk"] == bj]
+        if len(A) == 0 or len(B) == 0:
+            return empty
+        ids_a, NA = _normalized(A)
+        ids_b, NB = _normalized(B)
+        S = NA @ NB.T
+        ai, bj_ix = np.nonzero(S > threshold)
         if len(ai) == 0:
             return empty
+        x, y = ids_a[ai], ids_b[bj_ix]
         return pd.DataFrame(
-            {"id_a": ids[ai], "id_b": ids[bj], "cos_sim": S[ai, bj]}
+            {
+                "id_a": np.minimum(x, y),
+                "id_b": np.maximum(x, y),
+                "cos_sim": S[ai, bj_ix],
+            }
         )
 
-    pairs = assigned.groupBy("cid").applyInPandas(cell_pairs, out_schema)
+    pairs = tasks.groupBy("cid", "bi", "bj").applyInPandas(
+        cell_pairs, out_schema
+    )
     return pairs.select(
         "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim_r")
     )
@@ -329,6 +408,7 @@ def dedup_semantic(
     id_col: str = "vec_id",
     centroid_every: int = 50,
     threshold: float = 0.45,
+    max_cell: int = 4096,
 ) -> DataFrame:
     """The composed SemDeDup keep-set: one representative (minimum id)
     per semantic-duplicate component, every unpaired row kept.  Pairs
@@ -337,7 +417,9 @@ def dedup_semantic(
     family uses."""
     from excelstream_spark.operators.components import dedup_keep_representatives
 
-    pairs = semantic_pairs(corpus, vec_col, id_col, centroid_every, threshold)
+    pairs = semantic_pairs(
+        corpus, vec_col, id_col, centroid_every, threshold, max_cell
+    )
     return dedup_keep_representatives(corpus, pairs, id_col=id_col)
 
 

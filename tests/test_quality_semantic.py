@@ -80,6 +80,77 @@ def test_dedup_semantic_keepset_vs_sql_oracle(spark, duck):
     assert_matches_oracle(kept, duck, oracle)
 
 
+def test_semantic_pairs_mega_cell_tiling(spark):
+    """Mega-cell hardening (the one residual skew risk the round-5/6
+    verdicts carried): a crafted degenerate corpus whose vectors ALL
+    land in one IVF cell must (a) produce the bit-identical pair set
+    with tiling on vs effectively-off — tiling re-shapes execution,
+    never results — and (b) bound every pairwise task's input to ~2
+    blocks instead of the whole cell."""
+    import numpy as np
+
+    from excelstream_spark.operators.similarity import (
+        _semantic_block_tasks,
+        assign_ivf_cells,
+        dedup_semantic,
+        semantic_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=16)
+    rows = []
+    for i in range(240):
+        # tight cloud around one direction -> one centroid wins for all
+        v = base + rng.normal(scale=0.05, size=16)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    max_cell = 40
+    tiled = {
+        (r.id_a, r.id_b, r.cos_sim_r)
+        for r in semantic_pairs(
+            emb, centroid_every=1000, threshold=0.9, max_cell=max_cell
+        ).collect()
+    }
+    untiled = {
+        (r.id_a, r.id_b, r.cos_sim_r)
+        for r in semantic_pairs(
+            emb, centroid_every=1000, threshold=0.9, max_cell=10**9
+        ).collect()
+    }
+    assert tiled == untiled and len(tiled) > 0
+    # every task is ~2 blocks, never the whole 240-row cell
+    _, assigned = assign_ivf_cells(emb, centroid_every=1000)
+    tasks = _semantic_block_tasks(
+        assigned.select("cid", "id", "v"), max_cell
+    )
+    per_task = {
+        (r.cid, r.bi, r.bj): r.cnt
+        for r in tasks.groupBy("cid", "bi", "bj")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    nb = -(-240 // max_cell)  # 6 blocks
+    assert len(per_task) == nb * (nb + 1) // 2
+    # hash imbalance tolerated, but no task may approach cell size
+    assert max(per_task.values()) <= 3 * max_cell
+    # the composed keep-set is tiling-invariant too
+    kept_tiled = {
+        r.vec_id
+        for r in dedup_semantic(
+            emb, centroid_every=1000, threshold=0.9, max_cell=max_cell
+        ).select("vec_id").collect()
+    }
+    kept_untiled = {
+        r.vec_id
+        for r in dedup_semantic(
+            emb, centroid_every=1000, threshold=0.9, max_cell=10**9
+        ).select("vec_id").collect()
+    }
+    assert kept_tiled == kept_untiled
+
+
 def test_semantic_pairs_subset_of_exact(spark):
     """The SemDeDup trade, stated as a property: every within-cell pair
     is also an exact all-pairs pair (no false positives vs the exact
@@ -697,10 +768,16 @@ def test_dedup_token_blocks_twopass_catches_straddle(spark):
         dedup_token_blocks_twopass(docs, block_tokens=(8,))
 
 
-def _cdc_oracle(avg_tokens: int, min_df: int, min_chunk: int) -> str:
+def _cdc_oracle(
+    avg_tokens: int, min_df: int, min_chunk: int,
+    max_tokens: int | None = None,
+) -> str:
     """DuckDB replay of dedup_token_chunks_cdc: md5-derived boundary
-    rule, exclusive-prefix-sum chunk numbering, hot-set keeper logic,
-    touched-only rebuild."""
+    rule, the forced max_tokens boundary anchored to the last content
+    boundary, exclusive-prefix-sum chunk numbering, hot-set keeper
+    logic, touched-only rebuild."""
+    if max_tokens is None:
+        max_tokens = 8 * avg_tokens
     return f"""
         WITH d AS (SELECT doc_id, text, coalesce(text, '') AS t
                    FROM documents),
@@ -716,12 +793,24 @@ def _cdc_oracle(avg_tokens: int, min_df: int, min_chunk: int) -> str:
                                      % {avg_tokens} = 0
                                 THEN 1 ELSE 0 END AS bnd
                     FROM tok),
+        anch AS (SELECT doc_id, pos, tok, bnd,
+                        coalesce(max(CASE WHEN bnd = 1 THEN pos END) OVER (
+                          PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS lbc
+                 FROM flagged),
+        eff AS (SELECT doc_id, pos, tok,
+                       CASE WHEN bnd = 1
+                              OR ((pos - lbc) % {max_tokens} = 0
+                                  AND pos - lbc > 0)
+                            THEN 1 ELSE 0 END AS bnd
+                FROM anch),
         numbered AS (SELECT doc_id, pos, tok,
                             coalesce(sum(bnd) OVER (
                               PARTITION BY doc_id ORDER BY pos
                               ROWS BETWEEN UNBOUNDED PRECEDING
                                        AND 1 PRECEDING), 0) AS chunk_idx
-                     FROM flagged),
+                     FROM eff),
         chunks AS (SELECT doc_id, chunk_idx,
                           string_agg(tok, ' ' ORDER BY pos) AS chunk_text,
                           count(*) AS n_tokens
@@ -812,6 +901,74 @@ def test_dedup_token_chunks_cdc_offset_invariant(spark, tmp_path):
             ),
             con,
             _cdc_oracle(4, 2, 2),
+        )
+    finally:
+        con.close()
+
+
+def test_chunk_cdc_max_tokens_cap(spark, tmp_path):
+    """A boundary-free document (crafted: 40 tokens none of which hash
+    to a content boundary mod avg_tokens) must not yield one doc-sized
+    chunk when capped: forced boundaries fire every ``max_tokens``
+    tokens past the last content boundary (round-6 verdict #4 — at
+    web scale an uncapped boundary-free doc pushes a doc-sized struct
+    through the assembly shuffle).  Token order/content is conserved,
+    the rule replays bit-identically in DuckDB, and existing dedup
+    semantics are untouched (the other CDC tests run the same capped
+    default)."""
+    import duckdb
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from excelstream_spark.operators.chunking import chunk_documents_cdc
+    from excelstream_spark.operators.dedup import dedup_token_chunks_cdc
+
+    avg = 7
+    toks, i = [], 0
+    while len(toks) < 40:
+        t = f"bf{i}x"
+        if int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % avg != 0:
+            toks.append(t)
+        i += 1
+    text = " ".join(toks)
+    docs = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    # default cap 8*avg = 56 > 40: the doc is genuinely boundary-free
+    whole = chunk_documents_cdc(docs, avg_tokens=avg).collect()
+    assert len(whole) == 1 and whole[0].n_tokens == 40
+    # capped at 10: exactly ceil(40/10) chunks of exactly 10 tokens,
+    # conserving token order
+    rows = sorted(
+        chunk_documents_cdc(docs, avg_tokens=avg, max_tokens=10).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    assert [r.n_tokens for r in rows] == [10, 10, 10, 10]
+    assert " ".join(r.chunk_text for r in rows) == text
+    # invalid cap refused
+    with pytest.raises(ValueError, match="max_tokens"):
+        chunk_documents_cdc(docs, avg_tokens=avg, max_tokens=1)
+    # the capped dedup replays bit-identically in DuckDB (two docs, the
+    # boundary-free passage at different offsets)
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array([text, "zqj " + text], pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    both = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/documents.parquet')"
+        )
+        assert_matches_oracle(
+            dedup_token_chunks_cdc(
+                both, avg_tokens=avg, min_df=2, min_chunk_tokens=2,
+                max_tokens=10,
+            ),
+            con,
+            _cdc_oracle(avg, 2, 2, max_tokens=10),
         )
     finally:
         con.close()
