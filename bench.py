@@ -112,6 +112,14 @@ POST_LADDER = {"dedup_minhash_lsh", "dedup_simhash", "components_dedup_clusters"
 #: measurement methodology changes so same-named legs stay comparable
 #: across rounds.  Unlisted legs are implicitly "v1".
 LEG_SCOPE = {
+    "dedup_token_blocks": "v2:r6 touched-only rebuild (two extra joins: "
+    "touched marker + semi-restricted rebuild so untouched docs keep text "
+    "byte-for-byte — the r5 advisor's ordering hazard; this tag was the "
+    "one leg the r6 bookkeeping missed, flagged by the r6 verdict)",
+    "dedup_token_chunks_cdc": "v2:r7 max_tokens hard cap (one extra "
+    "running-max window over the same per-doc partition)",
+    "dedup_semantic": "v2:r7 mega-cell block tiling (cell-size window + "
+    "task explode; same pair output, bounded per-task work)",
     "text_analysis": "v2:r5 catalog entry absorbed gopher quality metrics (+work vs r4)",
     "dedup_minhash_lsh": "meas-v2:r6 timed post-ladder at C2 steady state",
     "dedup_simhash": "meas-v2:r6 timed post-ladder at C2 steady state",
@@ -120,7 +128,6 @@ LEG_SCOPE = {
     "previously inflated this leg up to 6x)",
     "unigram_scores_stored": "v1:r6 new leg (stored-vocab reuse path)",
     "dedup_token_blocks_twopass": "v1:r6 new leg (coprime two-pass)",
-    "dedup_token_chunks_cdc": "v1:r6 new leg (content-defined chunks)",
     "repetition_full_gate": "v1:r6 new leg (line/para + 9 n-gram Gopher rules)",
     "dedup_increment": "meas-v2:r6 scoped persists released per run (r5 and "
     "earlier runs were flattered by lingering caches from prior runs — the "
@@ -129,11 +136,45 @@ LEG_SCOPE = {
     "(see dedup_increment)",
     "unigram_scores": "meas-v2:r6 scoped persists released per run",
     "dedup_winnowing": "v1:r6 new leg (winnowing fingerprint overlap)",
+    "training_corpus_pipeline_v2": "v1:r7 new leg (composed gopher-subset "
+    "+ 13-rule repetition gate -> PII -> CDC substring dedup -> "
+    "minhash-LSH + components keep-set, one lazy plan)",
     "streaming_xlsx_sink": "v2:r6 ts column joined the sink round-trip "
     "(one more column written + read)",
     "multimodal_features": "v2:r6 fourth payload branch (real baseline "
     "JPEG entropy decode, doc_id%4=2)",
 }
+
+
+#: round-level scope notes that apply across many legs at once (the
+#: per-leg LEG_SCOPE stays the authoritative cross-round comparability
+#: signal; these document repo-wide changes that move MANY fingerprints)
+ROUND_SCOPE_NOTES = {
+    "r7": "shared tokenization convention changed (empty edge tokens "
+    "dropped on every engine — functions/text.tokens): every "
+    "text-tokenizing leg's plan fingerprint moves this round even where "
+    "the timed work is equivalent",
+}
+
+
+def _plan_fingerprint(df) -> str:
+    """16-hex fingerprint of a DataFrame's pre-execution physical plan,
+    normalized modulo per-session ids (expression #ids, plan_ids,
+    scratch paths, checkpoint RDD numbers) so the SAME plan hashes
+    identically across rounds and an UNTAGGED plan change flags itself
+    in the detail artifact (round-6 verdict #2: the r6 dedup_token_blocks
+    rebuild changed the plan +76% with no LEG_SCOPE tag and nothing
+    caught it)."""
+    import hashlib
+
+    s = df._jdf.queryExecution().executedPlan().toString()
+    s = re.sub(r"#\d+", "#", s)              # expression ids
+    s = re.sub(r"plan_id=\d+", "plan_id=", s)
+    s = re.sub(r"\[id=#?\d*\]", "[id=]", s)
+    s = re.sub(r"Statistics\([^)]*\)", "Statistics()", s)
+    s = re.sub(r"/[^\s,\])(]*(?:esspark|tmp|scratch)[^\s,\])(]*", "<path>", s)
+    s = re.sub(r"ExistingRDD RDD id \d+", "ExistingRDD RDD id N", s)
+    return hashlib.md5(s.encode()).hexdigest()[:16]
 
 
 def _sf_from_dir(path: str) -> float:
@@ -208,6 +249,19 @@ def main() -> None:
     def noop(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 
+    plan_fps: dict[str, str] = {}
+
+    def noop_fp(name: str, df) -> None:
+        """noop() + record the leg's normalized plan fingerprint ONCE
+        (on the warmup execution) so scope drift self-detects — see
+        _plan_fingerprint."""
+        if name not in plan_fps:
+            try:
+                plan_fps[name] = _plan_fingerprint(df)
+            except Exception:
+                plan_fps[name] = "n/a"
+        noop(df)
+
     scratch = _scratch_dir()
     try:
         # CSV throughput first — the purest JVM path, most sensitive to
@@ -274,7 +328,9 @@ def main() -> None:
 
     def run_catalog(name: str) -> None:
         spec = CATALOG[name]
-        fn = lambda spec=spec: noop(spec.fn(spark, SF_DIR))  # noqa: E731
+        fn = lambda spec=spec, name=name: noop_fp(  # noqa: E731
+            name, spec.fn(spark, SF_DIR)
+        )
         run(name, fn, warm_fn=(lambda fn=fn: (fn(), fn())) if name in JIT_HEAVY else None)
 
     for name in HEADLINE:
@@ -292,7 +348,7 @@ def main() -> None:
     docs_tok = load_table(spark, SF_DIR, "documents").select(
         "doc_id", F.size(F.split(F.col("text"), r"\s+")).alias("n_tokens")
     )
-    run("pack_sequences", lambda: noop(pack_sequences(docs_tok, max_tokens=2048)))
+    run("pack_sequences", lambda: noop_fp("pack_sequences", pack_sequences(docs_tok, max_tokens=2048)))
     from excelstream_spark.operators.chunking import chunk_documents
 
     docs_full = load_table(spark, SF_DIR, "documents")
@@ -300,7 +356,7 @@ def main() -> None:
     # actually splits (2-4 chunks/doc); 256 would pass everything whole
     run(
         "chunk_documents",
-        lambda: noop(chunk_documents(docs_full, max_tokens=64, overlap=8)),
+        lambda: noop_fp("chunk_documents", chunk_documents(docs_full, max_tokens=64, overlap=8)),
     )
     # curation: split-assign + per-domain cap + two-phase token budget,
     # one composed plan (the catalog's corpus_curation entry runs the
@@ -313,7 +369,7 @@ def main() -> None:
             domain_col="source", max_docs=200,
             order_col="n_chars", descending=True,
         )
-        noop(CU.token_budget_head(
+        noop_fp("corpus_curation", CU.token_budget_head(
             capped, budget=500_000, token_col="n_chars",
             order_col="n_chars", descending=True,
         ))
@@ -321,12 +377,12 @@ def main() -> None:
     run("corpus_curation", curation)
 
     # data-card statistics: one CUBE aggregation over provenance dims
-    run("corpus_report", lambda: noop(CU.corpus_report(docs_full)))
+    run("corpus_report", lambda: noop_fp("corpus_report", CU.corpus_report(docs_full)))
 
     # quality rules: one codegen'd filter over text (the pre-dedup gate)
     from excelstream_spark.operators.quality import gopher_quality_filter
 
-    run("gopher_filter", lambda: noop(gopher_quality_filter(docs_full)))
+    run("gopher_filter", lambda: noop_fp("gopher_filter", gopher_quality_filter(docs_full)))
 
     # the COMPLETE published repetition gate (r6): codegen'd line/para
     # rules, then the nine n-gram rules Arrow-batched (mapInPandas) on
@@ -335,7 +391,7 @@ def main() -> None:
 
     run(
         "repetition_full_gate",
-        lambda: noop(full_repetition_filter(docs_full)),
+        lambda: noop_fp("repetition_full_gate", full_repetition_filter(docs_full)),
     )
 
     # unigram surprisal scoring: vocab build + token join + per-doc mean
@@ -345,7 +401,7 @@ def main() -> None:
     def unigram_cold():
         release_persists()  # the vocab build scope-persists (see the
         # increment legs' comment): release between runs
-        noop(unigram_logprob_score(docs_full))
+        noop_fp("unigram_scores", unigram_logprob_score(docs_full))
 
     run("unigram_scores", unigram_cold)
 
@@ -359,7 +415,7 @@ def main() -> None:
     vocab_stored.count()
     run(
         "unigram_scores_stored",
-        lambda: noop(unigram_logprob_score(docs_full, vocab=vocab_stored)),
+        lambda: noop_fp("unigram_scores_stored", unigram_logprob_score(docs_full, vocab=vocab_stored)),
     )
     vocab_stored.unpersist()
 
@@ -369,7 +425,7 @@ def main() -> None:
 
     def winnow_pairs():
         release_persists()  # the posting list scope-persists
-        noop(dedup_winnowing_pairs(docs_full, threshold=0.5))
+        noop_fp("dedup_winnowing", dedup_winnowing_pairs(docs_full, threshold=0.5))
 
     run("dedup_winnowing", winnow_pairs)
 
@@ -378,7 +434,7 @@ def main() -> None:
 
     run(
         "dedup_token_blocks",
-        lambda: noop(dedup_token_blocks(docs_full, block_tokens=16)),
+        lambda: noop_fp("dedup_token_blocks", dedup_token_blocks(docs_full, block_tokens=16)),
     )
 
     # the two composed substring-dedup mitigations (r6): coprime
@@ -390,20 +446,21 @@ def main() -> None:
 
     run(
         "dedup_token_blocks_twopass",
-        lambda: noop(
-            dedup_token_blocks_twopass(docs_full, block_tokens=(16, 11))
+        lambda: noop_fp(
+            "dedup_token_blocks_twopass",
+            dedup_token_blocks_twopass(docs_full, block_tokens=(16, 11)),
         ),
     )
     run(
         "dedup_token_chunks_cdc",
-        lambda: noop(dedup_token_chunks_cdc(docs_full, avg_tokens=16)),
+        lambda: noop_fp("dedup_token_chunks_cdc", dedup_token_chunks_cdc(docs_full, avg_tokens=16)),
     )
 
     # SemDeDup: seeded-cell assignment + within-cell pairwise + keep-set
     from excelstream_spark.operators.similarity import dedup_semantic
 
     emb_sem = load_table(spark, SF_DIR, "embeddings")
-    run("dedup_semantic", lambda: noop(dedup_semantic(emb_sem, threshold=0.45)))
+    run("dedup_semantic", lambda: noop_fp("dedup_semantic", dedup_semantic(emb_sem, threshold=0.45)))
 
     # incremental gate: odd-id docs (plus nothing new) against the
     # even-id standing corpus — exact fp anti-join + broadcast-increment
@@ -418,7 +475,7 @@ def main() -> None:
         release_persists()
         corpus = docs_full.filter(F.col("doc_id") % 2 == 0)
         new = docs_full.filter(F.col("doc_id") % 2 == 1)
-        noop(INC.dedup_increment(new, corpus))
+        noop_fp("dedup_increment", INC.dedup_increment(new, corpus))
 
     run(
         "dedup_increment",
@@ -439,7 +496,7 @@ def main() -> None:
     def increment_gate_stored():
         release_persists()  # scoped only — never touches the two
         # explicitly-persisted stored artifacts above
-        noop(INC.dedup_increment(
+        noop_fp("dedup_increment_stored", INC.dedup_increment(
             new_inc, corpus_inc,
             corpus_fps=fps_stored, band_index=idx_stored,
         ))
@@ -456,7 +513,7 @@ def main() -> None:
     qcorpus = quantize_embeddings(emb).persist()
     qcorpus.count()
     queries = emb.orderBy("vec_id").limit(100)
-    run("sim_topk_quantized", lambda: noop(topk_quantized(qcorpus, queries, k=10)))
+    run("sim_topk_quantized", lambda: noop_fp("sim_topk_quantized", topk_quantized(qcorpus, queries, k=10)))
     qcorpus.unpersist()
 
     # round-4 extension legs (wall-clock accountability for the operators
@@ -467,6 +524,8 @@ def main() -> None:
         "components_dedup_clusters",
         "streaming_xlsx_sink",
         "chunk_documents",  # timed above (not a catalog entry)
+        "training_corpus_pipeline_v2",  # r7: the composed quality ->
+        # PII -> CDC substring dedup -> LSH+components chain
     ]
     for name in EXTENSION_LEGS:
         if name in timings or name in POST_LADDER:
@@ -525,6 +584,15 @@ def main() -> None:
         "dedup_token_chunks_cdc": lambda d: DDo.dedup_token_chunks_cdc(
             d, avg_tokens=16
         ),
+        # r7 (verdict #6): the two highest per-byte-cost Arrow-batched
+        # Python legs — per-copy token prefixes preserve each doc's
+        # internal repetition structure and keep winnowing posting lists
+        # disjoint across copies, so both scale linearly by construction
+        # and the ladder verifies the Arrow scan pipeline does too
+        "repetition_full_gate": lambda d: full_repetition_filter(d),
+        "dedup_winnowing": lambda d: dedup_winnowing_pairs(
+            d, threshold=0.5
+        ),
     }
     def _rung(make, factor: int, n_timed: int) -> float:
         # one UNTIMED warmup per rung before the timed runs: each rung's
@@ -570,6 +638,60 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # -- incremental-gate ladder (r7, round-6 verdict #3): corpus
+    # inflated 10x, increment FIXED at 1x — the steady-state design
+    # point (huge standing corpus, small increment) the 1:1 headline
+    # legs understate.  The claim under test: the STORED-artifact path's
+    # time is ~flat in corpus size (the corpus side is the precomputed
+    # fingerprint/band artifacts; only the increment is fingerprinted
+    # and shuffled), while the cold path must at least re-fingerprint
+    # the whole corpus, so its time grows with it.  Reported as the
+    # t_10x/t_1x ratio PER PATH (not /10: the increment work is
+    # constant, flatness not sub-linearity is the claim).
+    inc_new = docs_base.filter(F.col("doc_id") % 2 == 1)
+
+    def _inc_rung(make, n_timed: int = 2) -> float:
+        DDo.release_persists()
+        noop(make())
+        durs = []
+        for _ in range(n_timed):
+            DDo.release_persists()
+            t0 = time.perf_counter()
+            noop(make())
+            durs.append(round(time.perf_counter() - t0, 3))
+        return min(durs)
+
+    increment_ladder: dict[str, dict] = {}
+    for factor in (1, 10):
+        corpus_f = inflate(factor).filter(F.col("doc_id") % 2 == 0)
+        cold = _inc_rung(
+            lambda c=corpus_f: INC.dedup_increment(inc_new, c)
+        )
+        fps_f = INC.corpus_fingerprints(corpus_f).persist()
+        idx_f = INC.corpus_band_index(corpus_f).persist()
+        fps_f.count(), idx_f.count()
+        stored = _inc_rung(
+            lambda c=corpus_f, fp=fps_f, ix=idx_f: INC.dedup_increment(
+                inc_new, c, corpus_fps=fp, band_index=ix
+            )
+        )
+        fps_f.unpersist()
+        idx_f.unpersist()
+        increment_ladder[f"{factor}x"] = {"cold": cold, "stored": stored}
+    increment_ladder["corpus_10x_ratio"] = {
+        "cold": round(
+            increment_ladder["10x"]["cold"] / increment_ladder["1x"]["cold"], 3
+        ),
+        "stored": round(
+            increment_ladder["10x"]["stored"]
+            / increment_ladder["1x"]["stored"], 3
+        ),
+    }
+    print(
+        f"  increment_ladder: {increment_ladder}",
+        file=sys.stderr,
+    )
+
     # post-ladder steady-state legs: the ladder's 1x rungs just executed
     # these exact plans repeatedly, so the generated aggregates are
     # C2-compiled and the timing below reports the operator (module
@@ -589,6 +711,31 @@ def main() -> None:
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
     )
+    # SELF-DETECTING SCOPE DRIFT (round-6 verdict #2): compare this
+    # run's plan fingerprints against the previous detail file; a leg
+    # whose fingerprint moved while its LEG_SCOPE tag stayed identical
+    # is an UNTAGGED plan change — recorded in the artifact and warned,
+    # so the r6 dedup_token_blocks bookkeeping miss cannot recur
+    # silently.
+    untagged_drift: list[str] = []
+    try:
+        with open(detail_path) as fh:
+            prev = json.load(fh)
+        prev_fps = prev.get("plan_fingerprints", {})
+        prev_scopes = prev.get("leg_scopes", {})
+        for name, fp in plan_fps.items():
+            old = prev_fps.get(name)
+            if old and old != fp and prev_scopes.get(name) == LEG_SCOPE.get(name):
+                untagged_drift.append(name)
+    except (OSError, ValueError):
+        pass  # first fingerprinted round: establishes the baseline
+    if untagged_drift:
+        print(
+            "  WARNING untagged plan drift (fingerprint moved, scope tag "
+            f"unchanged): {sorted(untagged_drift)} — bump LEG_SCOPE or "
+            "explain via ROUND_SCOPE_NOTES",
+            file=sys.stderr,
+        )
     with open(detail_path, "w") as fh:
         json.dump(
             {
@@ -600,7 +747,11 @@ def main() -> None:
                 "queries": timings,
                 "runs": runs,
                 "scale_ladder": scale_ladder,
+                "increment_ladder": increment_ladder,
                 "leg_scopes": LEG_SCOPE,
+                "round_scope_notes": ROUND_SCOPE_NOTES,
+                "plan_fingerprints": dict(sorted(plan_fps.items())),
+                "untagged_plan_drift": sorted(untagged_drift),
                 "sf": sf,
             },
             fh,

@@ -68,10 +68,28 @@ PRIORITY: tuple[str, ...] = (
 #: Entries exported LAST — i.e. past the driver's 50-entry correctness
 #: window — but still registered (pytest's full-catalog oracle sweep
 #: covers them every run).  r6: join_range demoted to free a slot for
-#: the dedicated sort_topk row (round-5 verdict task #5); range-join
-#: semantics keep a driver row via join_interval_binned (the binned
-#: scale variant), so no operator family loses hard-signal coverage.
-DEMOTED: tuple[str, ...] = ("join_range",)
+#: the dedicated sort_topk row; range-join semantics keep a driver row
+#: via join_interval_binned.  r7 (verdict #1): four relational rows
+#: with overlapping family coverage rotate out to fund hard-signal rows
+#: for the round-6 operator families (dedup_token_chunks_cdc,
+#: dedup_winnowing, full_repetition_gate) plus the composed
+#: training_corpus_pipeline_v2 — no family loses its last driver row:
+#:   join_outer_coalesce  -> joins keep q3/q5-class, q19, asof,
+#:                           interval_binned, skew_salted, exists;
+#:   q5_region_revenue    -> the multi-join + agg + topk shape stays
+#:                           covered by q3_shipping_priority;
+#:   events_time_rollup   -> time/date keeps date_math_functions and
+#:                           sessionize_events; agg keeps q1 + three
+#:                           dedicated agg rows;
+#:   subquery_thresholds  -> the subquery family keeps
+#:                           exists_not_exists.
+DEMOTED: tuple[str, ...] = (
+    "join_outer_coalesce",
+    "q5_region_revenue",
+    "events_time_rollup",
+    "subquery_thresholds",
+    "join_range",
+)
 
 
 def _ordered() -> list[QuerySpec]:

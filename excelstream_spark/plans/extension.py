@@ -1076,3 +1076,130 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_col="n_chars", descending=True,
     )
     return head.select("doc_id", "source", "split", F.col("n_chars").cast("long").alias("n_chars"))
+
+
+# --------------------------------------------------------------------------
+# Round-7 driver rows: the round-6 operator families (winnowing, CDC
+# substring dedup, the complete repetition gate), promoted from
+# pytest-only oracles into the correctness window (round-6 verdict #1).
+# The SQL comes from plans/oracles.py — the SAME builders the pytest
+# suite imports, so the driver row and the test can never drift.
+# --------------------------------------------------------------------------
+
+from excelstream_spark.operators import fingerprint as FPo  # noqa: E402
+from excelstream_spark.operators import quality as QLo  # noqa: E402
+from excelstream_spark.plans import oracles as ORC  # noqa: E402
+
+
+@query(
+    "dedup_token_chunks_cdc",
+    oracle=ORC.cdc_dedup_oracle(16, 2, 4),
+    tags=("dedup", "substring"),
+)
+def dedup_token_chunks_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OFFSET-INVARIANT substring dedup (operators/dedup.
+    dedup_token_chunks_cdc): content-defined chunk boundaries (md5-
+    derived, hard-capped at 8x the 16-token mean — round-7), chunks in
+    >= 2 docs survive only in the min-id holder, touched docs rebuilt
+    normalized from surviving chunks, untouched docs byte-identical.
+    The recommended substring-dedup form (Lee et al. 2022's ExactSubstr
+    approximated at a fraction of the suffix-array cost)."""
+    return DD.dedup_token_chunks_cdc(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        avg_tokens=16, min_df=2,
+    )
+
+
+@query(
+    "dedup_winnowing",
+    oracle=ORC.winnow_pairs_oracle(5, 4, 0.5, 1000),
+    tags=("dedup", "fingerprint"),
+)
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint near-dup pairs (operators/fingerprint —
+    Schleimer et al. 2003, the MOSS sketch): k=5-gram hashes, w=4
+    windows, rightmost-min selection; pairs by exact fingerprint match
+    with the hot-fp cut, overlap = shared / min(|A|, |B|) >= 0.5.
+    Zero-shuffle Arrow extraction + the inverted-index pair shape."""
+    return FPo.dedup_winnowing_pairs(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        k=5, w=4, threshold=0.5, max_fp_df=1000,
+    )
+
+
+@query(
+    "full_repetition_gate",
+    oracle=ORC.repetition_gate_oracle(),
+    tags=("text", "quality", "repetition"),
+)
+def full_repetition_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE published Gopher repetition rule set as one audit
+    row per document: the 4 line/paragraph metrics (codegen'd sorted-run
+    aggregates), the 9 n-gram metrics (Arrow-batched mapInPandas), and
+    the composed keep flag — equivalent to full_repetition_filter's
+    keep/drop decision but with every metric under the driver's hash
+    gate.  Bounds single-sourced from functions/text.py rule tables on
+    both sides."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    flagged = QLo.ngram_repetition_flags(QLo.repetition_flags(docs))
+    metric_names = [n for n, _ in TXT.REPETITION_RULES] + [
+        n for n, _ in TXT.NGRAM_REPETITION_RULES
+    ]
+    keep = F.col("repetition_pass") & F.col("ngram_repetition_pass")
+    return flagged.select("doc_id", *metric_names, keep.alias("keep"))
+
+
+@query(
+    "training_corpus_pipeline_v2",
+    oracle=ORC.training_pipeline_v2_oracle(),
+    tags=("pipeline", "dedup", "text", "quality"),
+)
+def training_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-5/6 operator chain composed end-to-end in ONE lazy
+    plan (round-6 verdict #7 — unit oracles prove operators, this row
+    proves their COMPOSITION):
+
+    1. Gopher quality subset (the rules that discriminate on the
+       synthetic fixture — every rule except the stop-word count, which
+       the fixture's vocabulary makes vacuous): one codegen'd predicate
+       in the scan stage;
+    2. the COMPLETE 13-rule repetition gate (4 line/paragraph rules
+       codegen'd, then the 9 n-gram rules Arrow-batched over the
+       survivors only);
+    3. PII redaction (chained codegen'd regexp_replace);
+    4. CDC substring dedup (offset-invariant content-defined chunks,
+       min-id keeper, touched-only rebuild — the rewritten text feeds
+       the next stage, so passage-level copies are gone before
+       document-level pairing);
+    5. minhash-LSH >= 0.8 near-dup pairs over the REWRITTEN text,
+       connected components, one min-id representative per cluster.
+
+    Output: (doc_id, lang, n_tokens, fp) of the surviving corpus — the
+    final fingerprints hash-gate every stage's rewrite.  The oracle
+    replays all five stages in SQL (brute-force jaccard stands in for
+    LSH; recursive CTE for components).  100 TB shape: stages 1-3 are
+    scan-stage; stage 4 shuffles text once by (doc, chunk); stage 5
+    shuffles fixed-width shingle hashes and ids only."""
+    from excelstream_spark.operators.components import (
+        dedup_keep_representatives,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    subset = tuple(
+        r for r in TXT.GOPHER_RULES if r[0] != "n_gopher_stopwords"
+    )
+    gated = QLo.full_repetition_filter(
+        QLo.gopher_quality_filter(docs, rules=subset)
+    )
+    red = gated.withColumn("text", TXT.redact_pii(F.col("text")))
+    rewritten = DD.dedup_token_chunks_cdc(red, avg_tokens=16, min_df=2)
+    pairs = DD.dedup_minhash_lsh(rewritten, threshold=0.8)
+    kept = dedup_keep_representatives(
+        rewritten, pairs, id_col="doc_id", id_a="doc_a", id_b="doc_b"
+    )
+    return kept.select(
+        "doc_id",
+        "lang",
+        TXT.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        TXT.fingerprint(F.col("text")).alias("fp"),
+    )

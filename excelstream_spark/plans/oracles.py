@@ -1,0 +1,402 @@
+"""Shared DuckDB oracle SQL builders for the text-pipeline operator
+families that have BOTH catalog (driver) rows and pytest coverage:
+substring dedup via content-defined chunks, winnowing fingerprints, and
+the Gopher repetition rules.
+
+Single-sourced on purpose: through round 6 these oracles lived only in
+the test files, so promoting an operator into the driver's correctness
+window meant copying SQL — two copies that could drift.  The catalog
+entries (plans/extension.py) and the tests now import the same builder;
+rule bounds and n-gram orders come from functions/text.py's tables, so
+Spark code, driver oracle and pytest oracle can never disagree on a
+constant.
+
+Tokenization in every builder is the shared round-7 convention (split
+the lowercased text on ``\\s+``, drop empty tokens — see
+functions/text.tokens)."""
+
+from __future__ import annotations
+
+from excelstream_spark.functions import text as TXT
+
+
+def _toks(expr: str) -> str:
+    return (
+        f"list_filter(regexp_split_to_array(lower({expr}), '\\s+'), "
+        "x -> x <> '')"
+    )
+
+
+def cdc_dedup_oracle(
+    avg_tokens: int,
+    min_df: int,
+    min_chunk: int,
+    max_tokens: int | None = None,
+    src: str = "documents",
+) -> str:
+    """DuckDB replay of operators/dedup.dedup_token_chunks_cdc:
+    md5-derived content boundaries, the forced ``max_tokens`` boundary
+    anchored to the last content boundary, exclusive-prefix-sum chunk
+    numbering, hot-set keeper logic, touched-only rebuild (untouched
+    docs keep text byte-for-byte incl. NULL)."""
+    if max_tokens is None:
+        max_tokens = 8 * avg_tokens
+    return f"""
+        WITH d AS (SELECT doc_id, text, coalesce(text, '') AS t
+                   FROM {src}),
+        tkn AS (SELECT doc_id, {_toks('t')} AS tk FROM d),
+        tok AS (SELECT doc_id, i AS pos, tk[i] AS tok
+                FROM (SELECT doc_id, tk,
+                             unnest(generate_series(1, len(tk))) AS i
+                      FROM tkn)),
+        flagged AS (SELECT doc_id, pos, tok,
+                           CASE WHEN ('0x' || substr(md5(tok), 1, 8))::bigint
+                                     % {avg_tokens} = 0
+                                THEN 1 ELSE 0 END AS bnd
+                    FROM tok),
+        anch AS (SELECT doc_id, pos, tok, bnd,
+                        coalesce(max(CASE WHEN bnd = 1 THEN pos END) OVER (
+                          PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS lbc
+                 FROM flagged),
+        eff AS (SELECT doc_id, pos, tok,
+                       CASE WHEN bnd = 1
+                              OR ((pos - lbc) % {max_tokens} = 0
+                                  AND pos - lbc > 0)
+                            THEN 1 ELSE 0 END AS bnd
+                FROM anch),
+        numbered AS (SELECT doc_id, pos, tok,
+                            coalesce(sum(bnd) OVER (
+                              PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0) AS chunk_idx
+                     FROM eff),
+        chunks AS MATERIALIZED (SELECT doc_id, chunk_idx,
+                          string_agg(tok, ' ' ORDER BY pos) AS chunk_text,
+                          count(*) AS n_tokens
+                   FROM numbered GROUP BY doc_id, chunk_idx),
+        hot AS (SELECT chunk_text, min(doc_id) AS keeper
+                FROM chunks WHERE n_tokens >= {min_chunk}
+                GROUP BY chunk_text
+                HAVING count(DISTINCT doc_id) >= {min_df}),
+        lost AS (SELECT DISTINCT c.doc_id
+                 FROM chunks c JOIN hot h USING (chunk_text)
+                 WHERE c.doc_id <> h.keeper),
+        kept AS (SELECT c.doc_id, c.chunk_idx, c.chunk_text
+                 FROM chunks c LEFT JOIN hot h USING (chunk_text)
+                 WHERE h.keeper IS NULL OR c.doc_id = h.keeper),
+        r AS (SELECT doc_id,
+                     string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS txt
+              FROM kept JOIN lost USING (doc_id) GROUP BY doc_id)
+        SELECT d.doc_id,
+               CASE WHEN l.doc_id IS NOT NULL THEN coalesce(r.txt, '')
+                    ELSE d.text END AS text
+        FROM d LEFT JOIN lost l USING (doc_id) LEFT JOIN r USING (doc_id)
+    """
+
+
+def winnow_fps_ctes(k: int, w: int) -> str:
+    """CTE block ending in ``fps(doc_id, pos, fp)`` — the winnowing
+    fingerprint selection (window join + rightmost-min; md5-derived
+    hashes bit-identical to the Spark/numpy extraction)."""
+    return f"""
+        d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+        tkn AS (SELECT doc_id, {_toks('t')} AS tk FROM d),
+        g AS (SELECT doc_id, j,
+                     ('0x' || substr(md5(
+                        array_to_string(tk[j : j + {k - 1}], ' ')
+                      ), 1, 8))::bigint AS h,
+                     len(tk) - {k} + 1 AS ng
+              FROM (SELECT doc_id, tk,
+                           unnest(generate_series(1, len(tk) - {k} + 1)) AS j
+                    FROM tkn)),
+        win AS (SELECT g.doc_id, i.i, g.j, g.h
+                FROM (SELECT doc_id,
+                             unnest(generate_series(
+                               1, greatest(1, ng - {w} + 1))) AS i
+                      FROM (SELECT DISTINCT doc_id, ng FROM g)) i
+                JOIN g ON g.doc_id = i.doc_id
+                WHERE g.j >= i.i AND g.j < i.i + {w}),
+        sel AS (SELECT doc_id, i, min(h) AS m
+                FROM win GROUP BY doc_id, i),
+        fps AS (SELECT DISTINCT doc_id, jj - 1 AS pos, m AS fp
+                FROM (SELECT w2.doc_id, w2.i, s.m, max(w2.j) AS jj
+                      FROM win w2
+                      JOIN sel s ON w2.doc_id = s.doc_id AND w2.i = s.i
+                                 AND w2.h = s.m
+                      GROUP BY w2.doc_id, w2.i, s.m))
+    """
+
+
+def winnow_pairs_oracle(
+    k: int, w: int, threshold: float, max_fp_df: int
+) -> str:
+    """DuckDB replay of operators/fingerprint.dedup_winnowing_pairs:
+    distinct fp sets, pre-cut set sizes, the hot-fp cut, inverted-index
+    self-join, overlap coefficient >= ``threshold``."""
+    return (
+        "WITH " + winnow_fps_ctes(k, w) + f""",
+        df2 AS (SELECT DISTINCT doc_id, fp FROM fps),
+        sizes AS (SELECT doc_id, count(*) AS n FROM df2 GROUP BY doc_id),
+        kept AS (SELECT * FROM df2 WHERE fp NOT IN (
+                   SELECT fp FROM df2 GROUP BY fp
+                   HAVING count(*) > {max_fp_df})),
+        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     count(*) AS shared
+              FROM kept a JOIN kept b
+                ON a.fp = b.fp AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+        SELECT doc_a, doc_b, shared,
+               round(shared * 1.0 / least(sa.n, sb.n), 6) AS overlap
+        FROM p
+        JOIN sizes sa ON sa.doc_id = p.doc_a
+        JOIN sizes sb ON sb.doc_id = p.doc_b
+        WHERE shared * 1.0 / least(sa.n, sb.n) >= {threshold}
+    """
+    )
+
+
+def repetition_sql(src: str = "documents") -> str:
+    """Line/paragraph repetition metrics — a full SELECT of
+    (doc_id, dup_line_frac, dup_line_char_frac, dup_para_frac,
+    dup_para_char_frac); group-by formulation of the Spark side's
+    sorted-run aggregate (values must match, algorithm differs)."""
+    return f"""
+    WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM {src}),
+    seg AS (
+      SELECT doc_id, 'line' AS g, unnest(string_split(t, chr(10))) AS s FROM d
+      UNION ALL
+      SELECT doc_id, 'para' AS g,
+             unnest(string_split(t, chr(10) || chr(10))) AS s FROM d
+    ),
+    cnt AS (
+      SELECT doc_id, g, s, count(*) AS c, length(s) AS len
+      FROM seg GROUP BY doc_id, g, s
+    ),
+    agg AS (
+      SELECT doc_id, g,
+             CASE WHEN sum(c) > 0
+                  THEN 1.0 - count(*) * 1.0 / sum(c) END AS dup_frac,
+             CASE WHEN sum(len * c) > 0
+                  THEN sum(CASE WHEN c > 1 THEN len * (c - 1) ELSE 0 END) * 1.0
+                       / sum(len * c) END AS dup_char_frac
+      FROM cnt GROUP BY doc_id, g
+    )
+    SELECT l.doc_id,
+           l.dup_frac AS dup_line_frac,
+           l.dup_char_frac AS dup_line_char_frac,
+           p.dup_frac AS dup_para_frac,
+           p.dup_char_frac AS dup_para_char_frac
+    FROM agg l JOIN agg p ON l.doc_id = p.doc_id
+    WHERE l.g = 'line' AND p.g = 'para'
+"""
+
+
+#: back-compat alias over the default source table
+SQL_REPETITION = repetition_sql()
+
+
+def ngram_repetition_oracle(src: str = "documents") -> str:
+    """DuckDB replay of the nine Gopher n-gram repetition metrics
+    (operators/quality.ngram_repetition_flags): per-n gram tables, the
+    single MOST FREQUENT n-gram (count >= 2 required; ties broken by
+    earliest first occurrence — Counter.most_common's stable order),
+    duplicated-gram start positions and the exact interval-union token
+    coverage."""
+    norm = "trim(regexp_replace(lower(t), '\\s+', ' ', 'g'))"
+    ctes = [
+        f"d AS (SELECT doc_id, coalesce(text, '') AS t FROM {src})",
+        f"""tkn AS (SELECT doc_id, {_toks('t')} AS tk,
+                length({norm}) AS total_chars
+            FROM d)""",
+    ]
+    joins, cols = [], []
+    for n in TXT.NGRAM_TOP_NS + TXT.NGRAM_DUP_NS:
+        ctes.append(f"""g{n} AS (
+            SELECT doc_id, j,
+                   array_to_string(tk[j : j + {n - 1}], ' ') AS gram
+            FROM (SELECT doc_id, tk,
+                         unnest(generate_series(1, len(tk) - {n} + 1)) AS j
+                  FROM tkn))""")
+    for n in TXT.NGRAM_TOP_NS:
+        ctes.append(f"""top{n} AS (
+            SELECT doc_id, cnt * length(gram) AS chars
+            FROM (SELECT doc_id, gram, count(*) AS cnt,
+                         row_number() OVER (
+                           PARTITION BY doc_id
+                           ORDER BY count(*) DESC, min(j) ASC) AS rk
+                  FROM g{n} GROUP BY doc_id, gram)
+            WHERE rk = 1 AND cnt >= 2)""")
+        joins.append(f"LEFT JOIN top{n} USING (doc_id)")
+        cols.append(
+            f"CASE WHEN len(tk) >= {n} AND total_chars > 0 "
+            f"THEN coalesce(top{n}.chars, 0) * 1.0 / total_chars "
+            f"ELSE 0.0 END AS top_{n}_gram_char_frac"
+        )
+    for n in TXT.NGRAM_DUP_NS:
+        ctes.append(f"""dup{n} AS (
+            SELECT doc_id, j - 1 AS p FROM (
+              SELECT doc_id, j,
+                     count(*) OVER (PARTITION BY doc_id, gram) AS c
+              FROM g{n})
+            WHERE c >= 2)""")
+        ctes.append(f"""cov{n} AS (
+            SELECT doc_id,
+                   sum(greatest(0, p + {n}
+                       - greatest(p, coalesce(last_end, -1)))) AS covered
+            FROM (SELECT doc_id, p,
+                         max(p + {n}) OVER (
+                           PARTITION BY doc_id ORDER BY p
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS last_end
+                  FROM dup{n})
+            GROUP BY doc_id)""")
+        joins.append(f"LEFT JOIN cov{n} USING (doc_id)")
+        cols.append(
+            f"CASE WHEN len(tk) >= {n} "
+            f"THEN coalesce(cov{n}.covered, 0) * 1.0 / len(tk) "
+            f"ELSE 0.0 END AS dup_{n}_gram_token_frac"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT doc_id, " + ", ".join(cols)
+        + "\nFROM tkn " + " ".join(joins)
+    )
+
+
+def repetition_gate_oracle(src: str = "documents") -> str:
+    """The COMPLETE Gopher repetition gate as an audit row per document:
+    all 13 metrics (4 line/paragraph + 9 n-gram) plus the composed keep
+    flag.  Bounds come from the same rule tables the Spark side reads
+    (functions/text.REPETITION_RULES / NGRAM_REPETITION_RULES); NULL
+    line/para metrics (empty docs) fail their rule, exactly like the
+    Spark ``coalesce(flag, false)``."""
+    rep_rules = " AND ".join(
+        f"coalesce(rep.{name} <= {bound}, false)"
+        for name, bound in TXT.REPETITION_RULES
+    )
+    ng_rules = " AND ".join(
+        f"ng.{name} <= {bound}"
+        for name, bound in TXT.NGRAM_REPETITION_RULES
+    )
+    rep_cols = ", ".join(f"rep.{name}" for name, _ in TXT.REPETITION_RULES)
+    ng_cols = ", ".join(f"ng.{name}" for name, _ in TXT.NGRAM_REPETITION_RULES)
+    return f"""
+        WITH rep AS ({repetition_sql(src)}),
+        ng AS ({ngram_repetition_oracle(src)})
+        SELECT rep.doc_id, {rep_cols}, {ng_cols},
+               ({rep_rules} AND {ng_rules}) AS keep
+        FROM rep JOIN ng ON rep.doc_id = ng.doc_id
+    """
+
+
+def gopher_metrics_sql(src: str = "documents") -> str:
+    """The seven Gopher quality measurements per document (functions/
+    text.gopher_metrics) as a full SELECT — divisions yield NULL on 0
+    tokens exactly like the Spark side's try_divide."""
+    stoplist = "[" + ",".join(f"'{w}'" for w in TXT.GOPHER_STOPWORDS) + "]"
+    return f"""
+    WITH d AS (
+      SELECT doc_id, coalesce(text, '') AS t FROM {src}
+    ),
+    m AS (
+      SELECT doc_id, {_toks('t')} AS toks,
+             string_split(t, chr(10)) AS lines,
+             t
+      FROM d
+    )
+    SELECT doc_id,
+           len(toks) AS n_words,
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+             / len(toks) AS mean_word_len,
+           CAST(len(regexp_extract_all(t, '#|\\.\\.\\.|…')) AS DOUBLE)
+             / len(toks) AS symbol_ratio,
+           CAST(len(list_filter(lines,
+                 x -> regexp_matches(x, '^\\s*[-*•‣▪]'))) AS DOUBLE)
+             / len(lines) AS bullet_line_frac,
+           CAST(len(list_filter(lines,
+                 x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$'))) AS DOUBLE)
+             / len(lines) AS ellipsis_line_frac,
+           CAST(len(list_filter(toks,
+                 x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+             / len(toks) AS alpha_word_frac,
+           len(list_intersect(
+                 list_distinct(list_transform(toks,
+                   x -> regexp_replace(x, '[^a-z]', '', 'g'))),
+                 {stoplist}))
+             AS n_gopher_stopwords
+    FROM m
+    """
+
+
+def training_pipeline_v2_oracle() -> str:
+    """DuckDB replay of the composed round-5/6 training pipeline
+    (plans/extension.training_corpus_pipeline_v2): Gopher quality
+    subset -> the complete 13-rule repetition gate -> PII redaction ->
+    CDC substring dedup -> brute-force jaccard >= 0.8 standing in for
+    minhash-LSH (recall ~1 at 0.8, the dedup_minhash_lsh argument) ->
+    recursive-CTE connected components -> min-id representative per
+    cluster.  Every stage constant comes from the same tables the
+    Spark side reads."""
+    from excelstream_spark.functions.text import PII_REPLACEMENTS
+
+    gop_rules = " AND ".join(
+        (
+            f"g.{name} >= {lo}" if hi is None
+            else f"g.{name} <= {hi}" if lo is None
+            else f"g.{name} BETWEEN {lo} AND {hi}"
+        )
+        for name, lo, hi in TXT.GOPHER_RULES
+        if name != "n_gopher_stopwords"
+    )
+    redacted = "d.text"
+    for _, pat, repl in PII_REPLACEMENTS:
+        redacted = f"regexp_replace({redacted}, '{pat}', '{repl}', 'g')"
+    # DuckDB requires RECURSIVE on the top-level WITH; the nested
+    # builders contribute parenthesized sub-WITH bodies
+    return f"""
+        WITH RECURSIVE
+        g AS ({gopher_metrics_sql()}),
+        gate1 AS (SELECT doc_id FROM g g WHERE {gop_rules}),
+        gate2 AS (SELECT doc_id FROM ({repetition_gate_oracle()})
+                  WHERE keep),
+        src AS MATERIALIZED (SELECT d.doc_id, d.lang, {redacted} AS text
+                FROM documents d
+                JOIN gate1 USING (doc_id) JOIN gate2 USING (doc_id)),
+        cdc AS ({cdc_dedup_oracle(16, 2, 4, src='src')}),
+        base AS MATERIALIZED (SELECT c.doc_id, s.lang, c.text
+                 FROM cdc c JOIN src s USING (doc_id)),
+        tk AS (SELECT doc_id, {_toks('text')} AS t FROM base),
+        sets_ AS (SELECT doc_id,
+                         list_distinct(list_transform(
+                           generate_series(1, len(t) - 2),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+                  FROM tk),
+        ex AS (SELECT doc_id, len(sh) n, unnest(sh) s FROM sets_
+               WHERE len(sh) > 0),
+        pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                      count(*) AS inter,
+                      any_value(a.n) na, any_value(b.n) nb
+               FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+        sp AS (SELECT id_a, id_b FROM pr
+               WHERE inter * 1.0 / (na + nb - inter) >= 0.8),
+        nodes AS (SELECT id_a AS n FROM sp UNION SELECT id_b FROM sp),
+        edges AS (SELECT id_a AS u, id_b AS v FROM sp
+                  UNION SELECT id_b, id_a FROM sp),
+        cc(node, lbl) AS (
+          SELECT n, n FROM nodes
+          UNION
+          SELECT e.v, cc.lbl FROM cc JOIN edges e ON e.u = cc.node
+          WHERE cc.lbl < e.v
+        ),
+        comp AS (SELECT node, min(lbl) AS component FROM cc GROUP BY node),
+        removed AS (SELECT node FROM comp WHERE node != component)
+        SELECT b.doc_id, b.lang,
+               CAST(len({_toks('b.text')}) AS BIGINT) AS n_tokens,
+               md5(trim(regexp_replace(lower(b.text), '\\s+', ' ', 'g')))
+                 AS fp
+        FROM base b
+        WHERE b.doc_id NOT IN (SELECT node FROM removed)
+    """

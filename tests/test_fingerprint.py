@@ -5,6 +5,7 @@ both the fingerprint extraction and the pair stage."""
 from __future__ import annotations
 
 from excelstream_spark.operators import fingerprint as FP
+from excelstream_spark.plans import oracles as ORC
 from excelstream_spark.tables import load_table
 
 from .conftest import SF_DIR, assert_matches_oracle
@@ -79,36 +80,8 @@ def test_winnowing_guarantee_offset_invariant():
         assert base_fps & other_fps, f"guarantee violated at shift {shift}"
 
 
-def _fps_oracle_ctes(k: int, w: int) -> str:
-    return f"""
-        d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
-        tkn AS (SELECT doc_id,
-                       list_filter(regexp_split_to_array(lower(t), '\\s+'), x -> x <> '') AS tk
-                FROM d),
-        g AS (SELECT doc_id, j,
-                     ('0x' || substr(md5(
-                        array_to_string(tk[j : j + {k - 1}], ' ')
-                      ), 1, 8))::bigint AS h,
-                     len(tk) - {k} + 1 AS ng
-              FROM (SELECT doc_id, tk,
-                           unnest(generate_series(1, len(tk) - {k} + 1)) AS j
-                    FROM tkn)),
-        win AS (SELECT g.doc_id, i.i, g.j, g.h
-                FROM (SELECT doc_id,
-                             unnest(generate_series(
-                               1, greatest(1, ng - {w} + 1))) AS i
-                      FROM (SELECT DISTINCT doc_id, ng FROM g)) i
-                JOIN g ON g.doc_id = i.doc_id
-                WHERE g.j >= i.i AND g.j < i.i + {w}),
-        sel AS (SELECT doc_id, i, min(h) AS m
-                FROM win GROUP BY doc_id, i),
-        fps AS (SELECT DISTINCT doc_id, jj - 1 AS pos, m AS fp
-                FROM (SELECT w2.doc_id, w2.i, s.m, max(w2.j) AS jj
-                      FROM win w2
-                      JOIN sel s ON w2.doc_id = s.doc_id AND w2.i = s.i
-                                 AND w2.h = s.m
-                      GROUP BY w2.doc_id, w2.i, s.m))
-    """
+# single-sourced with the dedup_winnowing driver row
+_fps_oracle_ctes = ORC.winnow_fps_ctes
 
 
 def test_winnow_fingerprints_vs_sql_oracle(spark, duck):
@@ -131,26 +104,10 @@ def test_dedup_winnowing_pairs_vs_sql_oracle_and_semantics(spark, duck):
 
     docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
     got = FP.dedup_winnowing_pairs(docs, k=K, w=W, threshold=0.5)
-    oracle = (
-        "WITH " + _fps_oracle_ctes(K, W) + f""",
-        df2 AS (SELECT DISTINCT doc_id, fp FROM fps),
-        sizes AS (SELECT doc_id, count(*) AS n FROM df2 GROUP BY doc_id),
-        kept AS (SELECT * FROM df2 WHERE fp NOT IN (
-                   SELECT fp FROM df2 GROUP BY fp HAVING count(*) > 1000)),
-        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                     count(*) AS shared
-              FROM kept a JOIN kept b
-                ON a.fp = b.fp AND a.doc_id < b.doc_id
-              GROUP BY 1, 2)
-        SELECT doc_a, doc_b, shared,
-               round(shared * 1.0 / least(sa.n, sb.n), 6) AS overlap
-        FROM p
-        JOIN sizes sa ON sa.doc_id = p.doc_a
-        JOIN sizes sb ON sb.doc_id = p.doc_b
-        WHERE shared * 1.0 / least(sa.n, sb.n) >= 0.5
-    """
+    # the exact oracle the dedup_winnowing driver row ships
+    assert_matches_oracle(
+        got, duck, ORC.winnow_pairs_oracle(K, W, 0.5, 1000)
     )
-    assert_matches_oracle(got, duck, oracle)
 
     body = " ".join(f"c{i}word" for i in range(40))
     crafted = spark.createDataFrame(

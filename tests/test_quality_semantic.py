@@ -13,6 +13,7 @@ from excelstream_spark.operators import quality as QL
 from excelstream_spark.operators import sampling as SA
 from excelstream_spark.operators import similarity as SIM
 from excelstream_spark.operators.dedup import dedup_embedding_cosine
+from excelstream_spark.plans import oracles as ORC
 from excelstream_spark.tables import load_table
 
 from .conftest import SF_DIR, assert_matches_oracle
@@ -396,35 +397,8 @@ def test_mix_corpora_temperature_flattens(spark):
         assert abs(got - want) <= max(25, 0.15 * want), (name, got, want)
 
 
-_SQL_REPETITION = """
-    WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
-    seg AS (
-      SELECT doc_id, 'line' AS g, unnest(string_split(t, chr(10))) AS s FROM d
-      UNION ALL
-      SELECT doc_id, 'para' AS g,
-             unnest(string_split(t, chr(10) || chr(10))) AS s FROM d
-    ),
-    cnt AS (
-      SELECT doc_id, g, s, count(*) AS c, length(s) AS len
-      FROM seg GROUP BY doc_id, g, s
-    ),
-    agg AS (
-      SELECT doc_id, g,
-             CASE WHEN sum(c) > 0
-                  THEN 1.0 - count(*) * 1.0 / sum(c) END AS dup_frac,
-             CASE WHEN sum(len * c) > 0
-                  THEN sum(CASE WHEN c > 1 THEN len * (c - 1) ELSE 0 END) * 1.0
-                       / sum(len * c) END AS dup_char_frac
-      FROM cnt GROUP BY doc_id, g
-    )
-    SELECT l.doc_id,
-           l.dup_frac AS dup_line_frac,
-           l.dup_char_frac AS dup_line_char_frac,
-           p.dup_frac AS dup_para_frac,
-           p.dup_char_frac AS dup_para_char_frac
-    FROM agg l JOIN agg p ON l.doc_id = p.doc_id
-    WHERE l.g = 'line' AND p.g = 'para'
-"""
+# single-sourced with the full_repetition_gate driver row
+_SQL_REPETITION = ORC.SQL_REPETITION
 
 
 def test_repetition_metrics_vs_sql_oracle(spark, duck):
@@ -768,71 +742,8 @@ def test_dedup_token_blocks_twopass_catches_straddle(spark):
         dedup_token_blocks_twopass(docs, block_tokens=(8,))
 
 
-def _cdc_oracle(
-    avg_tokens: int, min_df: int, min_chunk: int,
-    max_tokens: int | None = None,
-) -> str:
-    """DuckDB replay of dedup_token_chunks_cdc: md5-derived boundary
-    rule, the forced max_tokens boundary anchored to the last content
-    boundary, exclusive-prefix-sum chunk numbering, hot-set keeper
-    logic, touched-only rebuild."""
-    if max_tokens is None:
-        max_tokens = 8 * avg_tokens
-    return f"""
-        WITH d AS (SELECT doc_id, text, coalesce(text, '') AS t
-                   FROM documents),
-        tkn AS (SELECT doc_id,
-                       list_filter(regexp_split_to_array(lower(t), '\\s+'), x -> x <> '') AS tk
-                FROM d),
-        tok AS (SELECT doc_id, i AS pos, tk[i] AS tok
-                FROM (SELECT doc_id, tk,
-                             unnest(generate_series(1, len(tk))) AS i
-                      FROM tkn)),
-        flagged AS (SELECT doc_id, pos, tok,
-                           CASE WHEN ('0x' || substr(md5(tok), 1, 8))::bigint
-                                     % {avg_tokens} = 0
-                                THEN 1 ELSE 0 END AS bnd
-                    FROM tok),
-        anch AS (SELECT doc_id, pos, tok, bnd,
-                        coalesce(max(CASE WHEN bnd = 1 THEN pos END) OVER (
-                          PARTITION BY doc_id ORDER BY pos
-                          ROWS BETWEEN UNBOUNDED PRECEDING
-                                   AND 1 PRECEDING), 0) AS lbc
-                 FROM flagged),
-        eff AS (SELECT doc_id, pos, tok,
-                       CASE WHEN bnd = 1
-                              OR ((pos - lbc) % {max_tokens} = 0
-                                  AND pos - lbc > 0)
-                            THEN 1 ELSE 0 END AS bnd
-                FROM anch),
-        numbered AS (SELECT doc_id, pos, tok,
-                            coalesce(sum(bnd) OVER (
-                              PARTITION BY doc_id ORDER BY pos
-                              ROWS BETWEEN UNBOUNDED PRECEDING
-                                       AND 1 PRECEDING), 0) AS chunk_idx
-                     FROM eff),
-        chunks AS (SELECT doc_id, chunk_idx,
-                          string_agg(tok, ' ' ORDER BY pos) AS chunk_text,
-                          count(*) AS n_tokens
-                   FROM numbered GROUP BY doc_id, chunk_idx),
-        hot AS (SELECT chunk_text, min(doc_id) AS keeper
-                FROM chunks WHERE n_tokens >= {min_chunk}
-                GROUP BY chunk_text
-                HAVING count(DISTINCT doc_id) >= {min_df}),
-        lost AS (SELECT DISTINCT c.doc_id
-                 FROM chunks c JOIN hot h USING (chunk_text)
-                 WHERE c.doc_id <> h.keeper),
-        kept AS (SELECT c.doc_id, c.chunk_idx, c.chunk_text
-                 FROM chunks c LEFT JOIN hot h USING (chunk_text)
-                 WHERE h.keeper IS NULL OR c.doc_id = h.keeper),
-        r AS (SELECT doc_id,
-                     string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS txt
-              FROM kept JOIN lost USING (doc_id) GROUP BY doc_id)
-        SELECT d.doc_id,
-               CASE WHEN l.doc_id IS NOT NULL THEN coalesce(r.txt, '')
-                    ELSE d.text END AS text
-        FROM d LEFT JOIN lost l USING (doc_id) LEFT JOIN r USING (doc_id)
-    """
+# single-sourced with the dedup_token_chunks_cdc driver row
+_cdc_oracle = ORC.cdc_dedup_oracle
 
 
 def test_dedup_token_chunks_cdc_vs_sql_oracle(spark, duck):
@@ -1088,71 +999,8 @@ _NGRAM_TOPS = (2, 3, 4)
 _NGRAM_DUPS = (5, 6, 7, 8, 9, 10)
 
 
-def _ngram_repetition_oracle() -> str:
-    """DuckDB replay of ngram_repetition_metrics: per-n gram tables,
-    top-gram char counting (count >= 2 required), duplicated-gram start
-    positions and the exact interval-union token coverage."""
-    norm = "trim(regexp_replace(lower(t), '\\s+', ' ', 'g'))"
-    ctes = [
-        "d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents)",
-        f"""tkn AS (SELECT doc_id,
-                list_filter(regexp_split_to_array(lower(t), '\\s+'),
-                            x -> x <> '') AS tk,
-                length({norm}) AS total_chars
-            FROM d)""",
-    ]
-    joins, cols = [], []
-    for n in _NGRAM_TOPS + _NGRAM_DUPS:
-        ctes.append(f"""g{n} AS (
-            SELECT doc_id, j,
-                   array_to_string(tk[j : j + {n - 1}], ' ') AS gram
-            FROM (SELECT doc_id, tk,
-                         unnest(generate_series(1, len(tk) - {n} + 1)) AS j
-                  FROM tkn))""")
-    for n in _NGRAM_TOPS:
-        ctes.append(f"""top{n} AS (
-            SELECT doc_id, cnt * length(gram) AS chars
-            FROM (SELECT doc_id, gram, count(*) AS cnt,
-                         row_number() OVER (
-                           PARTITION BY doc_id
-                           ORDER BY count(*) DESC, min(j) ASC) AS rk
-                  FROM g{n} GROUP BY doc_id, gram)
-            WHERE rk = 1 AND cnt >= 2)""")
-        joins.append(f"LEFT JOIN top{n} USING (doc_id)")
-        cols.append(
-            f"CASE WHEN len(tk) >= {n} AND total_chars > 0 "
-            f"THEN coalesce(top{n}.chars, 0) * 1.0 / total_chars "
-            f"ELSE 0.0 END AS top_{n}_gram_char_frac"
-        )
-    for n in _NGRAM_DUPS:
-        ctes.append(f"""dup{n} AS (
-            SELECT doc_id, j - 1 AS p FROM (
-              SELECT doc_id, j,
-                     count(*) OVER (PARTITION BY doc_id, gram) AS c
-              FROM g{n})
-            WHERE c >= 2)""")
-        ctes.append(f"""cov{n} AS (
-            SELECT doc_id,
-                   sum(greatest(0, p + {n}
-                       - greatest(p, coalesce(last_end, -1)))) AS covered
-            FROM (SELECT doc_id, p,
-                         max(p + {n}) OVER (
-                           PARTITION BY doc_id ORDER BY p
-                           ROWS BETWEEN UNBOUNDED PRECEDING
-                                    AND 1 PRECEDING) AS last_end
-                  FROM dup{n})
-            GROUP BY doc_id)""")
-        joins.append(f"LEFT JOIN cov{n} USING (doc_id)")
-        cols.append(
-            f"CASE WHEN len(tk) >= {n} "
-            f"THEN coalesce(cov{n}.covered, 0) * 1.0 / len(tk) "
-            f"ELSE 0.0 END AS dup_{n}_gram_token_frac"
-        )
-    return (
-        "WITH " + ",\n".join(ctes)
-        + "\nSELECT doc_id, " + ", ".join(cols)
-        + "\nFROM tkn " + " ".join(joins)
-    )
+# single-sourced with the full_repetition_gate driver row
+_ngram_repetition_oracle = ORC.ngram_repetition_oracle
 
 
 def test_ngram_repetition_vs_sql_oracle(spark, duck):
