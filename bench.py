@@ -663,7 +663,15 @@ def main() -> None:
 
     increment_ladder: dict[str, dict] = {}
     for factor in (1, 10):
-        corpus_f = inflate(factor).filter(F.col("doc_id") % 2 == 0)
+        # persist the inflated corpus: at the design point the corpus
+        # TEXT is a stored table (a cheap pruned scan), but inflate()
+        # synthesizes it with a regex per copy — without the persist the
+        # stored-path rung re-pays that synthesis on every corpus read
+        # and the ladder times the fixture generator, not the operator
+        corpus_f = (
+            inflate(factor).filter(F.col("doc_id") % 2 == 0).persist()
+        )
+        corpus_f.count()
         cold = _inc_rung(
             lambda c=corpus_f: INC.dedup_increment(inc_new, c)
         )
@@ -677,6 +685,7 @@ def main() -> None:
         )
         fps_f.unpersist()
         idx_f.unpersist()
+        corpus_f.unpersist()
         increment_ladder[f"{factor}x"] = {"cold": cold, "stored": stored}
     increment_ladder["corpus_10x_ratio"] = {
         "cold": round(

@@ -1217,3 +1217,48 @@ def test_strip_boilerplate_paragraphs_and_line_dedup(spark):
         pd.DataFrame({"t": ["a\nb\na\nc\nb", "x"]})
     ).select(TXT.dedup_lines("t").alias("d"))
     assert [r["d"] for r in lines.collect()] == ["a\nb\nc", "x"]
+
+
+def test_jpeg_huffman_long_codes_and_padding():
+    """Huffman codes longer than the 8-bit direct LUT (lengths 9-16)
+    decode through the fallback dict path, interleaved with short codes
+    and staying bit-aligned — the encoder's own fixed-length tables top
+    out at 8 bits, so the r7 fast reader's slow path needs its own
+    stream.  Also: reads past the end of a segment see T.81's 1-bit
+    padding."""
+    from excelstream_spark.operators.jpeg_baseline import (
+        _BitReader,
+        _build_huffman,
+        _huff_decode,
+        _prepare_huffman,
+    )
+
+    counts = [0] * 16
+    counts[2] = 2    # two 3-bit codes (fast path)
+    counts[8] = 3    # three 9-bit codes (slow path)
+    counts[11] = 2   # two 12-bit codes (slow path)
+    symbols = [10, 11, 20, 21, 22, 30, 31]
+    table = _build_huffman(counts, symbols)
+    prepared = _prepare_huffman(table)
+    inv = {sym: (length, code) for (length, code), sym in table.items()}
+    assert {inv[s][0] for s in symbols} == {3, 9, 12}
+    seq = [10, 20, 30, 22, 11, 31, 21, 10, 30]
+    bits = []
+    for s in seq:
+        length, code = inv[s]
+        bits += [(code >> (length - 1 - i)) & 1 for i in range(length)]
+    data = bytearray()
+    acc, n = 0, 0
+    for b in bits:
+        acc, n = (acc << 1) | b, n + 1
+        if n == 8:
+            data.append(acc)
+            acc, n = 0, 0
+    if n:
+        data.append((acc << (8 - n)) | ((1 << (8 - n)) - 1))  # 1-pad
+    r = _BitReader(bytes(data))
+    assert [_huff_decode(r, prepared) for _ in seq] == seq
+    # past-end reads return 1-bits (a trailing partial code resolves)
+    r2 = _BitReader(b"")
+    assert r2.read_bits(5) == 0b11111
+    assert r2.read_bits(0) == 0
