@@ -158,16 +158,25 @@ ROUND_SCOPE_NOTES = {
 
 
 def _plan_fingerprint(df) -> str:
-    """16-hex fingerprint of a DataFrame's pre-execution physical plan,
+    """16-hex fingerprint of a DataFrame's ANALYZED logical plan,
     normalized modulo per-session ids (expression #ids, plan_ids,
     scratch paths, checkpoint RDD numbers) so the SAME plan hashes
     identically across rounds and an UNTAGGED plan change flags itself
     in the detail artifact (round-6 verdict #2: the r6 dedup_token_blocks
     rebuild changed the plan +76% with no LEG_SCOPE tag and nothing
-    caught it)."""
+    caught it).
+
+    The analyzed plan — not executedPlan — on purpose: the optimizer
+    substitutes ANY currently-cached matching subtree as an
+    InMemoryRelation, so a leg's PHYSICAL plan depends on which
+    earlier legs' scoped persists happen to be live at fingerprint
+    time (observed: three legs false-flagged between two runs of
+    identical code).  The analyzed plan is the pure function of the
+    operator's DataFrame construction, which is exactly the thing a
+    code change moves."""
     import hashlib
 
-    s = df._jdf.queryExecution().executedPlan().toString()
+    s = df._jdf.queryExecution().analyzed().toString()
     s = re.sub(r"#\d+", "#", s)              # expression ids
     s = re.sub(r"plan_id=\d+", "plan_id=", s)
     s = re.sub(r"\[id=#?\d*\]", "[id=]", s)

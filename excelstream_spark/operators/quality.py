@@ -254,3 +254,109 @@ def gopher_quality_filter(
     set); schema unchanged.  The single-predicate form — one codegen'd
     filter in the scan stage."""
     return df.filter(TXT.gopher_pass(F.col(text_col), rules))
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination (round 7)
+# --------------------------------------------------------------------------
+
+def contamination_flags(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    n: int = 13,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Append ``n_contaminated_grams`` (distinct n-token grams of the
+    document that also appear anywhere in ``benchmark``) and the
+    ``contaminated`` flag — the GPT-3/PaLM-style eval-set
+    decontamination signal (Brown et al. 2020 appendix C use 13-gram
+    overlap; a training document sharing even one 13-gram with a
+    benchmark likely contains the benchmark item verbatim).  Documents
+    shorter than ``n`` tokens have no grams and are never flagged.
+
+    Tokenization is the shared convention (functions/text.tokens);
+    grams join on a 60-bit md5-derived hash
+    (``conv(substr(md5(gram), 1, 15), 16, 10)``) — engine-portable
+    (DuckDB replays it bit-identically), collision odds ~1e-9 even at
+    billions of distinct grams, and fixed-width longs join instead of
+    13-token strings.
+
+    100 TB shape: the benchmark side is DISTINCT gram hashes of the
+    eval corpus — tiny (a full eval suite is ~1e6-1e7 grams) and
+    broadcast by default, so the training corpus NEVER shuffles: gram
+    explode + hash + broadcast join + one partial-aggregated
+    groupBy(doc) count; only (doc_id, count) pairs move.  The final
+    audit join back onto ``df`` keys on the hit set — one (id, count)
+    row per CONTAMINATED doc, normally tiny and AQE-broadcast; the
+    anti-join in :func:`decontaminate` has the same shape.  Set
+    ``broadcast_benchmark=False`` for pathological benchmark sizes and
+    the join runs as a plain hash join (AQE decides)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    bt = F.coalesce(F.col(bench_text_col or text_col), F.lit(""))
+    bench_grams = (
+        benchmark.select(bt.alias("_t"))
+        .select(TXT.tokens(F.col("_t")).alias("_tk"))
+        .select(
+            F.explode(TXT.shingles_from_tokens(F.col("_tk"), n)).alias("_g")
+        )
+        .select(
+            F.conv(F.substring(F.md5("_g"), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("gh")
+        )
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
+    doc_grams = (
+        df.select(F.col(id_col), t.alias("_t"))
+        .select(id_col, TXT.tokens(F.col("_t")).alias("_tk"))
+        .select(
+            id_col,
+            F.explode(
+                F.array_distinct(TXT.shingles_from_tokens(F.col("_tk"), n))
+            ).alias("_g"),
+        )
+        .select(
+            id_col,
+            F.conv(F.substring(F.md5("_g"), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("gh"),
+        )
+    )
+    hits = (
+        doc_grams.join(bench_grams, "gh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_contaminated_grams"))
+    )
+    return (
+        df.join(hits, id_col, "left")
+        .withColumn(
+            "n_contaminated_grams",
+            F.coalesce("n_contaminated_grams", F.lit(0).cast("long")),
+        )
+        .withColumn("contaminated", F.col("n_contaminated_grams") > 0)
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    n: int = 13,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Drop every training document sharing >= 1 n-token gram with the
+    benchmark; schema unchanged.  The filter form of
+    :func:`contamination_flags` (same plan, anti-join instead of the
+    audit columns)."""
+    flagged = contamination_flags(
+        df, benchmark, text_col, id_col, bench_text_col, n,
+        broadcast_benchmark,
+    )
+    return flagged.filter(~F.col("contaminated")).select(*df.columns)

@@ -84,6 +84,8 @@ PRIORITY: tuple[str, ...] = (
 #:   subquery_thresholds  -> the subquery family keeps
 #:                           exists_not_exists.
 DEMOTED: tuple[str, ...] = (
+    "corpus_decontaminate",  # r7: born past the window (50 slots spoken
+    # for); fully oracled, swept by pytest's whole-catalog test
     "join_outer_coalesce",
     "q5_region_revenue",
     "events_time_rollup",

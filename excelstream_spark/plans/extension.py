@@ -1203,3 +1203,29 @@ def training_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         TXT.token_count(F.col("text")).cast("long").alias("n_tokens"),
         TXT.fingerprint(F.col("text")).alias("fp"),
     )
+
+
+@query(
+    "corpus_decontaminate",
+    oracle=ORC.decontamination_oracle(n=13, bench_mod=17),
+    tags=("text", "quality", "decontamination"),
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (Brown et al. 2020 appendix C — the
+    13-gram overlap rule): training documents sharing any 13-token gram
+    with the eval set are flagged; here a deterministic split of the
+    documents table (doc_id % 17 == 0) plays the benchmark and the rest
+    is scored.  Registered past the driver window (DEMOTED — the 50
+    slots are spoken for) but fully DuckDB-oracled and swept by
+    pytest's whole-catalog oracle test every round.
+
+    100 TB shape: the benchmark's distinct gram hashes broadcast
+    (an eval suite is ~1e6-1e7 grams); the training corpus never
+    shuffles — gram explode + 60-bit md5 hash in the scan stage, one
+    broadcast join, one partially-aggregated groupBy(doc) count."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    return QLo.contamination_flags(corpus, bench, n=13).select(
+        "doc_id", "n_contaminated_grams", "contaminated"
+    )

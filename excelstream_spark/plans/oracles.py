@@ -400,3 +400,38 @@ def training_pipeline_v2_oracle() -> str:
         FROM base b
         WHERE b.doc_id NOT IN (SELECT node FROM removed)
     """
+
+
+def decontamination_oracle(
+    n: int = 13, bench_mod: int = 17, src: str = "documents"
+) -> str:
+    """DuckDB replay of operators/quality.contamination_flags with the
+    catalog entry's deterministic benchmark split (``doc_id %
+    bench_mod == 0`` plays the eval set): distinct per-doc n-gram
+    hashes vs distinct benchmark gram hashes, inner-join count, flag.
+    The 60-bit md5-derived gram hash matches the Spark side
+    bit-for-bit."""
+    gh = "('0x' || substr(md5(g), 1, 15))::bigint"
+    return f"""
+        WITH tkx AS (SELECT doc_id,
+                            {_toks("lower(coalesce(text, ''))")} AS tk
+                     FROM {src}),
+        bg AS (SELECT DISTINCT {gh} AS gh
+               FROM (SELECT array_to_string(tk[j : j + {n - 1}], ' ') AS g
+                     FROM (SELECT tk, unnest(generate_series(
+                               1, len(tk) - {n} + 1)) AS j
+                           FROM tkx WHERE doc_id % {bench_mod} = 0))),
+        cg AS (SELECT DISTINCT doc_id, {gh} AS gh
+               FROM (SELECT doc_id,
+                            array_to_string(tk[j : j + {n - 1}], ' ') AS g
+                     FROM (SELECT doc_id, tk, unnest(generate_series(
+                               1, len(tk) - {n} + 1)) AS j
+                           FROM tkx WHERE doc_id % {bench_mod} <> 0))),
+        hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nh
+                 FROM cg JOIN bg USING (gh) GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(nh, 0) AS n_contaminated_grams,
+               coalesce(nh, 0) > 0 AS contaminated
+        FROM {src} d LEFT JOIN hits USING (doc_id)
+        WHERE d.doc_id % {bench_mod} <> 0
+    """

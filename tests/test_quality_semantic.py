@@ -1169,3 +1169,51 @@ def test_temperature_rates_property_conservation():
             counts, tau, target, rates)
 
     check()
+
+
+def test_decontamination_vs_sql_oracle(spark, duck):
+    """contamination_flags over the deterministic benchmark split
+    (doc_id % 17 == 0 plays the eval set) value-matches the DuckDB
+    replay on the fixture — including the 60-bit md5 gram hashes and
+    the natural contamination the fixture's near-dup docs provide."""
+    docs = load_table(spark, SF_DIR, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    df = QL.contamination_flags(corpus, bench, n=13).select(
+        "doc_id", "n_contaminated_grams", "contaminated"
+    )
+    assert_matches_oracle(df, duck, ORC.decontamination_oracle(13, 17))
+    # non-vacuous: the fixture's built-in near-dups straddle the split
+    assert df.filter("contaminated").count() > 0
+
+
+def test_decontamination_semantics_crafted(spark):
+    """The 13-gram rule, stated on constructed docs: a verbatim
+    benchmark passage is caught at ANY offset; a 12-token overlap is
+    NOT contamination; docs shorter than n are never flagged; the
+    filter form drops exactly the flagged docs and keeps the schema."""
+    bench_item = " ".join(f"q{i}uiz" for i in range(13))   # the eval item
+    bench = spark.createDataFrame(
+        [(1000, f"question: {bench_item} answer: yes")],
+        "doc_id bigint, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "intro words then " + bench_item + " trailing"),  # verbatim
+            (2, " ".join(f"q{i}uiz" for i in range(12)) + " zzz"),  # 12 only
+            (3, "totally unrelated text with many many words here"),
+            (4, "short doc"),                                      # < n
+        ],
+        "doc_id bigint, text string",
+    )
+    flags = {
+        r.doc_id: (r.contaminated, r.n_contaminated_grams)
+        for r in QL.contamination_flags(docs, bench, n=13).collect()
+    }
+    assert flags[1][0] is True and flags[1][1] >= 1
+    assert flags[2] == (False, 0)
+    assert flags[3] == (False, 0)
+    assert flags[4] == (False, 0)
+    kept = QL.decontaminate(docs, bench, n=13)
+    assert sorted(r.doc_id for r in kept.collect()) == [2, 3, 4]
+    assert kept.columns == docs.columns
