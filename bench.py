@@ -136,9 +136,11 @@ LEG_SCOPE = {
     "(see dedup_increment)",
     "unigram_scores": "meas-v2:r6 scoped persists released per run",
     "dedup_winnowing": "v1:r6 new leg (winnowing fingerprint overlap)",
-    "training_corpus_pipeline_v2": "v1:r7 new leg (composed gopher-subset "
+    "training_corpus_pipeline_v2": "v2:r7 new leg (composed gopher-subset "
     "+ 13-rule repetition gate -> PII -> CDC substring dedup -> "
-    "minhash-LSH + components keep-set, one lazy plan)",
+    "minhash-LSH + components keep-set); the CDC-rewritten corpus is "
+    "scope-persisted — it feeds both the LSH pair stage and the keep "
+    "join, unpersisted each subtree re-ran gates+PII+CDC end-to-end",
     "streaming_xlsx_sink": "v2:r6 ts column joined the sink round-trip "
     "(one more column written + read)",
     "multimodal_features": "v2:r6 fourth payload branch (real baseline "
@@ -183,7 +185,20 @@ def _plan_fingerprint(df) -> str:
     s = re.sub(r"Statistics\([^)]*\)", "Statistics()", s)
     s = re.sub(r"/[^\s,\])(]*(?:esspark|tmp|scratch)[^\s,\])(]*", "<path>", s)
     s = re.sub(r"ExistingRDD RDD id \d+", "ExistingRDD RDD id N", s)
+    # higher-order-function lambda variables carry a SESSION-GLOBAL
+    # counter (`lambda x_1` vs `lambda x_3` for the same transform(),
+    # depending on how many lambdas the session built earlier) — the
+    # source of the three false drift flags in the first r7 run
+    s = re.sub(r"lambda ([A-Za-z]+)_\d+", r"lambda \1_", s)
     return hashlib.md5(s.encode()).hexdigest()[:16]
+
+
+#: bump when _plan_fingerprint's NORMALIZATION changes: a normalizer
+#: change moves every fingerprint without any plan changing, so drift
+#: detection against a prior version's fingerprints would false-flag
+#: the whole board — instead the comparison is skipped once and the
+#: new version's fingerprints become the baseline.
+_FINGERPRINT_VERSION = 2
 
 
 def _sf_from_dir(path: str) -> float:
@@ -741,10 +756,11 @@ def main() -> None:
             prev = json.load(fh)
         prev_fps = prev.get("plan_fingerprints", {})
         prev_scopes = prev.get("leg_scopes", {})
-        for name, fp in plan_fps.items():
-            old = prev_fps.get(name)
-            if old and old != fp and prev_scopes.get(name) == LEG_SCOPE.get(name):
-                untagged_drift.append(name)
+        if prev.get("fingerprint_version") == _FINGERPRINT_VERSION:
+            for name, fp in plan_fps.items():
+                old = prev_fps.get(name)
+                if old and old != fp and prev_scopes.get(name) == LEG_SCOPE.get(name):
+                    untagged_drift.append(name)
     except (OSError, ValueError):
         pass  # first fingerprinted round: establishes the baseline
     if untagged_drift:
@@ -769,6 +785,7 @@ def main() -> None:
                 "leg_scopes": LEG_SCOPE,
                 "round_scope_notes": ROUND_SCOPE_NOTES,
                 "plan_fingerprints": dict(sorted(plan_fps.items())),
+                "fingerprint_version": _FINGERPRINT_VERSION,
                 "untagged_plan_drift": sorted(untagged_drift),
                 "sf": sf,
             },

@@ -1184,6 +1184,8 @@ def training_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_keep_representatives,
     )
 
+    from excelstream_spark.operators.dedup import _scoped_persist
+
     docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
     subset = tuple(
         r for r in TXT.GOPHER_RULES if r[0] != "n_gopher_stopwords"
@@ -1192,7 +1194,15 @@ def training_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         QLo.gopher_quality_filter(docs, rules=subset)
     )
     red = gated.withColumn("text", TXT.redact_pii(F.col("text")))
-    rewritten = DD.dedup_token_chunks_cdc(red, avg_tokens=16, min_df=2)
+    # persist the rewritten corpus: it feeds BOTH the LSH pair stage and
+    # the keep-set join below — unpersisted those are two independent
+    # physical subtrees, each re-running the gates (incl. the Arrow
+    # n-gram pass), the PII regexes and the CDC rewrite end-to-end
+    # (measured: the leg halves).  Scoped like every dedup persist —
+    # released at the next catalog query / bench-leg boundary.
+    rewritten = _scoped_persist(
+        DD.dedup_token_chunks_cdc(red, avg_tokens=16, min_df=2)
+    )
     pairs = DD.dedup_minhash_lsh(rewritten, threshold=0.8)
     kept = dedup_keep_representatives(
         rewritten, pairs, id_col="doc_id", id_a="doc_a", id_b="doc_b"
