@@ -136,6 +136,8 @@ LEG_SCOPE = {
     "(see dedup_increment)",
     "unigram_scores": "meas-v2:r6 scoped persists released per run",
     "dedup_winnowing": "v1:r6 new leg (winnowing fingerprint overlap)",
+    "dsir_select_resample": "v1:r7 new leg (DSIR hashed-ngram importance "
+    "resampling, Gumbel-top-k of 100 against the English-target model)",
     "training_corpus_pipeline_v2": "v2:r7 new leg (composed gopher-subset "
     "+ 13-rule repetition gate -> PII -> CDC substring dedup -> "
     "minhash-LSH + components keep-set); the CDC-rewritten corpus is "
@@ -539,6 +541,10 @@ def main() -> None:
     queries = emb.orderBy("vec_id").limit(100)
     run("sim_topk_quantized", lambda: noop_fp("sim_topk_quantized", topk_quantized(qcorpus, queries, k=10)))
     qcorpus.unpersist()
+
+    # DSIR targeted selection (r7): hashed-ngram bucket models + Gumbel
+    # top-k — broadcast 10k-row model, one groupBy(doc) shuffle
+    run_catalog("dsir_select_resample")
 
     # round-4 extension legs (wall-clock accountability for the operators
     # that joined the driver window this round); kept OUT of the headline

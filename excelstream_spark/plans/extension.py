@@ -1239,3 +1239,29 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return QLo.contamination_flags(corpus, bench, n=13).select(
         "doc_id", "n_contaminated_grams", "contaminated"
     )
+
+
+@query(
+    "dsir_select_resample",
+    oracle=ORC.dsir_select_oracle(k=100),
+    tags=("text", "selection", "sampling"),
+)
+def dsir_select_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR targeted data selection (Xie et al. 2023): hashed
+    unigram+bigram bucket models fit on the English subset (the target
+    distribution) vs the whole pool, per-doc log importance weights,
+    and Gumbel-top-k resampling of 100 documents without replacement.
+    All hashes md5-derived, so the weights, the Gumbel draws AND the
+    selected set replay bit-stably in DuckDB.  Registered past the
+    driver window (DEMOTED) but fully oracled and swept by pytest's
+    whole-catalog test.
+
+    100 TB shape: target model = 10k rows (broadcast); raw model =
+    map-side-combined word count; weights = one broadcast join on the
+    exploded grams + one groupBy(doc); selection =
+    TakeOrderedAndProject.  See operators/selection.py."""
+    from excelstream_spark.operators.selection import dsir_select
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    target = docs.filter(F.col("lang") == "en")
+    return dsir_select(docs, target, k=100)

@@ -435,3 +435,61 @@ def decontamination_oracle(
         FROM {src} d LEFT JOIN hits USING (doc_id)
         WHERE d.doc_id % {bench_mod} <> 0
     """
+
+
+def dsir_select_oracle(
+    k: int = 100,
+    n_buckets: int = 10_000,
+    seed: int = 0,
+    alpha: float = 1.0,
+    gumbel_seed: int = 1,
+    target_pred: str = "lang = 'en'",
+    src: str = "documents",
+) -> str:
+    """DuckDB replay of operators/selection.dsir_select: hashed
+    unigram+bigram bucket counts (md5-derived buckets — bit-identical
+    to the Spark side), Laplace-smoothed target/raw bucket models, the
+    per-doc log importance weight, the deterministic md5 Gumbel draw,
+    and Gumbel-top-k selection."""
+    bkt = f"('0x' || substr(md5('{seed}:' || gram), 1, 8))::bigint % {n_buckets}"
+    a_b = float(alpha) * n_buckets
+    return f"""
+        WITH d AS (SELECT doc_id, coalesce(text, '') AS t,
+                          ({target_pred}) AS is_tgt
+                   FROM {src}),
+        tkn AS (SELECT doc_id, is_tgt, {_toks('t')} AS tk FROM d),
+        grams AS (
+            SELECT doc_id, is_tgt, unnest(tk) AS gram FROM tkn
+            UNION ALL
+            SELECT doc_id, is_tgt,
+                   array_to_string(tk[j : j + 1], ' ') AS gram
+            FROM (SELECT doc_id, is_tgt, tk,
+                         unnest(generate_series(1, len(tk) - 1)) AS j
+                  FROM tkn)),
+        rb AS (SELECT doc_id, {bkt} AS b FROM grams),
+        rc AS (SELECT b, count(*) AS cnt FROM rb GROUP BY b),
+        tc AS (SELECT b, count(*) AS cnt
+               FROM (SELECT {bkt} AS b FROM grams
+                     WHERE coalesce(is_tgt, FALSE))
+               GROUP BY b),
+        tot AS (SELECT (SELECT coalesce(sum(cnt), 0) FROM tc) AS tt,
+                       (SELECT coalesce(sum(cnt), 0) FROM rc) AS rt),
+        lam AS (SELECT rc.b,
+                       ln((coalesce(tc.cnt, 0) + {float(alpha)})
+                          / (tt + {a_b}))
+                       - ln((rc.cnt + {float(alpha)}) / (rt + {a_b}))
+                         AS lam
+                FROM rc LEFT JOIN tc USING (b) CROSS JOIN tot),
+        w AS (SELECT rb.doc_id, sum(lam.lam) AS log_w
+              FROM rb JOIN lam USING (b) GROUP BY rb.doc_id),
+        scored AS (SELECT d.doc_id,
+                          coalesce(w.log_w, 0.0) AS log_w,
+                          coalesce(w.log_w, 0.0) + (-ln(-ln(
+                            (('0x' || substr(md5('gumbel:{gumbel_seed}:'
+                                || d.doc_id), 1, 8))::bigint + 0.5)
+                            / 4294967296.0))) AS score
+                   FROM d LEFT JOIN w USING (doc_id))
+        SELECT doc_id, round(log_w, 6) AS log_w_r,
+               round(score, 6) AS score_r
+        FROM scored ORDER BY score DESC LIMIT {k}
+    """
