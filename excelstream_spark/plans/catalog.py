@@ -87,6 +87,7 @@ DEMOTED: tuple[str, ...] = (
     "corpus_decontaminate",  # r7: born past the window (50 slots spoken
     # for); fully oracled, swept by pytest's whole-catalog test
     "dsir_select_resample",  # r7: same — born past the window
+    "bpe_train_merges",  # r7: same; rows-only (iterative — no SQL replay)
     "join_outer_coalesce",
     "q5_region_revenue",
     "events_time_rollup",

@@ -1265,3 +1265,26 @@ def dsir_select_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
     target = docs.filter(F.col("lang") == "en")
     return dsir_select(docs, target, k=100)
+
+
+@query(
+    "bpe_train_merges",
+    oracle=None,  # inherently iterative (each merge depends on the
+    # previous arg-max) — no single-query SQL replay exists; the driver
+    # records the rows-only check and pytest proves the merge sequence
+    # bit-equal to a pure-Python reference of the published algorithm
+    tags=("text", "tokenizer", "iterative"),
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016): 12
+    merges learned from the documents corpus' word-frequency table.
+    Each merge round is one vocabulary-sized shuffle + a ONE-ROW
+    collect; see operators/tokenizer.py for the 100 TB shape and
+    tests/test_tokenizer.py for the reference-equality proof."""
+    from excelstream_spark.operators.tokenizer import bpe_train
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    merges = bpe_train(docs, num_merges=12)
+    return spark.createDataFrame(
+        merges or [], "rank int, left string, right string, pair_count bigint"
+    )
