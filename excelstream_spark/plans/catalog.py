@@ -86,8 +86,14 @@ PRIORITY: tuple[str, ...] = (
 DEMOTED: tuple[str, ...] = (
     "corpus_decontaminate",  # r7: born past the window (50 slots spoken
     # for); fully oracled, swept by pytest's whole-catalog test
-    "dsir_select_resample",  # r7: same — born past the window
-    "bpe_train_merges",  # r7: same; rows-only (iterative — no SQL replay)
+    "bpe_train_merges",  # r7: born past the window; rows-only
+    # (iterative — no SQL replay); bit-equality vs the published
+    # algorithm's reference implementation proven in pytest
+    "date_math_functions",  # r7 late rotation: funds the
+    # dsir_select_resample driver row (new operator family); the
+    # scalar-function family keeps string_functions +
+    # json_extract_props, temporal semantics keep excel_serial_dates,
+    # join_asof_forward_tolerance and sessionize_events
     "join_outer_coalesce",
     "q5_region_revenue",
     "events_time_rollup",
