@@ -575,6 +575,7 @@ def main() -> None:
     # 12.4s cold vs ~3s steady on the minhash 1x rung, inverting the
     # ladder's monotonicity and flattening drift_10x to a bogus 0.07).
     from excelstream_spark.operators.components import connected_components
+    from excelstream_spark.operators.selection import dsir_select as _dsir_select
 
     import excelstream_spark.operators.dedup as DDo
 
@@ -622,6 +623,13 @@ def main() -> None:
         "repetition_full_gate": lambda d: full_repetition_filter(d),
         "dedup_winnowing": lambda d: dedup_winnowing_pairs(
             d, threshold=0.5
+        ),
+        # r7: DSIR — target model refit per rung on the doc_id%5 slice
+        # (target and pool both scale with the factor, the steady-state
+        # shape); gram explode + bucket word-count + one groupBy(doc)
+        # should all scale linearly
+        "dsir_select_resample": lambda d: _dsir_select(
+            d, d.where(F.col("doc_id") % 5 == 0), k=100
         ),
     }
     def _rung(make, factor: int, n_timed: int) -> float:

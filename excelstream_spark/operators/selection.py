@@ -211,6 +211,13 @@ def dsir_select(
     (id_col, log_w_r, score_r) — weights and perturbed scores rounded
     to 6 decimals for engine-stable hashing; selection itself uses the
     UNROUNDED scores."""
+    # NULL ids would give a NULL Gumbel key -> NULL score, and the two
+    # engines disagree on NULL placement under ORDER BY DESC (Spark:
+    # last; DuckDB: first) — exclude them up front on both sides (the
+    # target too, so both models see the same corpus slices)
+    raw = raw.where(F.col(id_col).isNotNull())
+    if target is not None:
+        target = target.where(F.col(id_col).isNotNull())
     w = dsir_importance_weights(
         raw, target, logratio, text_col, id_col, n_buckets, seed, alpha
     )
@@ -226,3 +233,88 @@ def dsir_select(
             F.round("score", 6).alias("score_r"),
         )
     )
+
+
+def dsir_score_mapside(
+    df: DataFrame,
+    logratio: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DEFAULT_BUCKETS,
+    seed: int = 0,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Shuffle-FREE DSIR scoring against a precomputed ``dsir_logratio``
+    artifact: adds ``log_w`` (and ``keep`` when ``threshold`` is set)
+    to every row with ZERO exchanges — tokenize/shingle/bucket stay JVM
+    expressions, and the per-doc sum over bucket log-ratios runs in one
+    Arrow-batched ``mapInPandas`` against a dense numpy copy of the
+    artifact (``n_buckets`` float64s — 80 KB at the default 10k,
+    bounded by construction; collected ONCE at plan build, the
+    broadcast-the-model shape).
+
+    Stateless, so it works identically on batch AND STREAMING
+    DataFrames — the production gate: fit the model in batch, apply it
+    to the ingest stream per micro-batch with no state store.  (The
+    JVM-side alternative — a 10k-entry map literal — is O(n) per
+    lookup in Spark's GetMapValue; the vectorized numpy take is why
+    this path exists.)
+
+    vs :func:`dsir_importance_weights`: same numbers (float summation
+    order aside), different plan — that one shuffles once on the id
+    and needs no Python; this one is for streams and for pipelines
+    that must keep the row (text and all) without re-joining."""
+    import numpy as np
+    import pandas as pd
+
+    lam_rows = logratio.collect()  # <= n_buckets rows by construction
+    lam = np.zeros(n_buckets, dtype=np.float64)
+    for r in lam_rows:
+        lam[int(r["b"])] = float(r["lam"])
+
+    tk = TXT.tokens(F.coalesce(F.col(text_col), F.lit("")))
+    grams = F.concat(tk, TXT.shingles_from_tokens(tk, 2))
+    buckets = F.transform(grams, lambda g: _bucket(g, n_buckets, seed))
+    with_b = df.withColumn("_buckets", buckets)
+
+    fields = [f for f in with_b.schema.fields if f.name != "_buckets"]
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType(fields + [StructField("log_w", DoubleType(), False)])
+
+    def score(batches):
+        for pdf in batches:
+            bl = pdf["_buckets"]
+            if len(bl):
+                flat = (
+                    np.concatenate([np.asarray(b, dtype=np.int64) for b in bl])
+                    if bl.map(len).sum()
+                    else np.empty(0, dtype=np.int64)
+                )
+                lens = bl.map(len).to_numpy(dtype=np.int64)
+                offs = np.zeros(len(lens), dtype=np.int64)
+                np.cumsum(lens[:-1], out=offs[1:])
+                vals = lam[flat]
+                # reduceat ONLY at the non-empty segments' offsets:
+                # consecutive non-empty offsets bound each segment
+                # exactly (empty segments occupy no positions between
+                # them), and the last runs to the end.  Including empty
+                # segments' offsets instead would both read garbage for
+                # them AND truncate the PRECEDING segment (its reduceat
+                # span would end at the empty segment's clamped offset).
+                log_w = np.zeros(len(lens), dtype=np.float64)
+                nz = lens > 0
+                if nz.any():
+                    log_w[nz] = np.add.reduceat(vals, offs[nz])
+            else:
+                log_w = np.empty(0, dtype=np.float64)
+            out = pdf.drop(columns=["_buckets"])
+            out["log_w"] = pd.Series(log_w, index=pdf.index, dtype="float64")
+            yield out
+
+    scored = with_b.mapInPandas(score, schema)
+    if threshold is not None:
+        scored = scored.withColumn(
+            "keep", F.col("log_w") >= F.lit(float(threshold))
+        )
+    return scored

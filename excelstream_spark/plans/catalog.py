@@ -86,6 +86,8 @@ PRIORITY: tuple[str, ...] = (
 DEMOTED: tuple[str, ...] = (
     "corpus_decontaminate",  # r7: born past the window (50 slots spoken
     # for); fully oracled, swept by pytest's whole-catalog test
+    "streaming_dsir_gate",  # r7: born past the window; the
+    # stream-vs-batch score-parity row for the selection family
     "bpe_train_merges",  # r7: born past the window; rows-only
     # (iterative — no SQL replay); bit-equality vs the published
     # algorithm's reference implementation proven in pytest

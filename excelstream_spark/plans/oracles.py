@@ -437,26 +437,23 @@ def decontamination_oracle(
     """
 
 
-def dsir_select_oracle(
-    k: int = 100,
-    n_buckets: int = 10_000,
-    seed: int = 0,
-    alpha: float = 1.0,
-    gumbel_seed: int = 1,
-    target_pred: str = "lang = 'en'",
-    src: str = "documents",
+def _dsir_weight_ctes(
+    n_buckets: int,
+    seed: int,
+    alpha: float,
+    target_pred: str,
+    src: str,
 ) -> str:
-    """DuckDB replay of operators/selection.dsir_select: hashed
-    unigram+bigram bucket counts (md5-derived buckets — bit-identical
-    to the Spark side), Laplace-smoothed target/raw bucket models, the
-    per-doc log importance weight, the deterministic md5 Gumbel draw,
-    and Gumbel-top-k selection."""
+    """Shared CTE chain for the DSIR oracles: hashed unigram+bigram
+    buckets (md5-derived — bit-identical to the Spark side), the
+    Laplace-smoothed target/raw bucket models, and per-doc log
+    importance weights in a final ``w(doc_id, log_w)`` CTE."""
     bkt = f"('0x' || substr(md5('{seed}:' || gram), 1, 8))::bigint % {n_buckets}"
     a_b = float(alpha) * n_buckets
     return f"""
-        WITH d AS (SELECT doc_id, coalesce(text, '') AS t,
-                          ({target_pred}) AS is_tgt
-                   FROM {src}),
+        d AS (SELECT doc_id, coalesce(text, '') AS t,
+                     ({target_pred}) AS is_tgt
+              FROM {src} WHERE doc_id IS NOT NULL),
         tkn AS (SELECT doc_id, is_tgt, {_toks('t')} AS tk FROM d),
         grams AS (
             SELECT doc_id, is_tgt, unnest(tk) AS gram FROM tkn
@@ -481,7 +478,25 @@ def dsir_select_oracle(
                          AS lam
                 FROM rc LEFT JOIN tc USING (b) CROSS JOIN tot),
         w AS (SELECT rb.doc_id, sum(lam.lam) AS log_w
-              FROM rb JOIN lam USING (b) GROUP BY rb.doc_id),
+              FROM rb JOIN lam USING (b) GROUP BY rb.doc_id)
+    """
+
+
+def dsir_select_oracle(
+    k: int = 100,
+    n_buckets: int = 10_000,
+    seed: int = 0,
+    alpha: float = 1.0,
+    gumbel_seed: int = 1,
+    target_pred: str = "lang = 'en'",
+    src: str = "documents",
+) -> str:
+    """DuckDB replay of operators/selection.dsir_select: the shared
+    weight CTEs plus the deterministic md5 Gumbel draw and Gumbel-top-k
+    selection."""
+    ctes = _dsir_weight_ctes(n_buckets, seed, alpha, target_pred, src)
+    return f"""
+        WITH {ctes},
         scored AS (SELECT d.doc_id,
                           coalesce(w.log_w, 0.0) AS log_w,
                           coalesce(w.log_w, 0.0) + (-ln(-ln(
@@ -492,4 +507,27 @@ def dsir_select_oracle(
         SELECT doc_id, round(log_w, 6) AS log_w_r,
                round(score, 6) AS score_r
         FROM scored ORDER BY score DESC LIMIT {k}
+    """
+
+
+def dsir_gate_oracle(
+    n_buckets: int = 10_000,
+    seed: int = 0,
+    alpha: float = 1.0,
+    target_pred: str = "lang = 'en'",
+    copies: int = 2,
+    src: str = "documents",
+) -> str:
+    """DuckDB replay of the STREAMING DSIR gate entry: per-doc log
+    weight under the batch-fit model, with the replayed-delivery
+    bookkeeping constants (every doc delivered ``copies`` times, every
+    delivery scored identically because the gate is stateless)."""
+    ctes = _dsir_weight_ctes(n_buckets, seed, alpha, target_pred, src)
+    return f"""
+        WITH {ctes}
+        SELECT d.doc_id,
+               CAST({copies} AS BIGINT) AS n_deliveries,
+               CAST(1 AS BIGINT) AS n_distinct_scores,
+               round(coalesce(w.log_w, 0.0), 6) AS log_w_r
+        FROM d LEFT JOIN w USING (doc_id)
     """

@@ -19,6 +19,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 from excelstream_spark.plans.catalog import query
+from excelstream_spark.plans import oracles as _ORC
 from excelstream_spark.streaming import stateful as ST
 from excelstream_spark.streaming.pipelines import (
     events_source,
@@ -251,4 +252,56 @@ def streaming_neardup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when(F.col("first_doc_id") > F.col("doc_id"), 1).otherwise(0)
         ).cast("long").alias("n_owner_violations"),
+    )
+
+
+@query(
+    "streaming_dsir_gate",
+    oracle=_ORC.dsir_gate_oracle(),
+    tags=("streaming", "selection", "text"),
+)
+def streaming_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING DSIR quality gate under exact redelivery: the bucket
+    log-ratio model is fit in BATCH (operators/selection.dsir_logratio
+    on the English-target slice vs the pool — the stored-artifact
+    shape), then applied to the document stream with
+    ``dsir_score_mapside`` — stateless, shuffle-free (tokenize/
+    shingle/bucket as JVM expressions + one Arrow-batched mapInPandas
+    against the dense 10k-float model), so it needs no state store and
+    every delivery of a doc scores identically.
+
+    The documents table is delivered TWICE across two micro-batches;
+    the oracled facts per doc: ``n_deliveries`` = 2 (append mode, no
+    dedup — proves both batches flowed), ``n_distinct_scores`` = 1
+    (bit-identical rescoring — a gate that accumulated state across
+    batches, or a nondeterministic model broadcast, breaks this), and
+    ``log_w_r`` equal to the BATCH importance weight replayed by the
+    DuckDB oracle — stream-vs-batch score parity, the
+    streaming_neardup precedent applied to the selection family."""
+    from pyspark.sql import functions as F
+
+    from excelstream_spark.operators.selection import (
+        dsir_logratio,
+        dsir_score_mapside,
+    )
+    from excelstream_spark.streaming.pipelines import replayed_docs_stream
+    from excelstream_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    lam = dsir_logratio(docs.where(F.col("lang") == "en"), docs)
+    stream = replayed_docs_stream(spark, table_path(sf_dir, "documents"))
+    scored = dsir_score_mapside(
+        stream.select("doc_id", "text"), lam
+    )
+    result = run_available_now(
+        scored, f"dsg_{uuid.uuid4().hex[:8]}", output_mode="append"
+    )
+    return result.where(F.col("doc_id").isNotNull()).groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_deliveries"),
+        F.countDistinct(F.round("log_w", 6)).cast("long").alias(
+            "n_distinct_scores"
+        ),
+        F.round(F.max("log_w"), 6).alias("log_w_r"),
     )

@@ -144,3 +144,54 @@ def test_select_plan_is_topk_not_global_sort(spark):
     df = dsir_select(rdf, tdf, k=3, n_buckets=64)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_mapside_scorer_matches_join_path(spark):
+    """dsir_score_mapside (shuffle-free Arrow path) must agree with
+    dsir_importance_weights (join+groupBy path) to float-sum noise,
+    including empty/null/whitespace-only docs interleaved with real
+    ones in one partition (the reduceat offset edge cases)."""
+    rows = EN + DE + EMPTY
+    rdf = spark.createDataFrame(rows, "doc_id bigint, text string").repartition(1)
+    tdf = spark.createDataFrame(EN, "doc_id bigint, text string")
+    from excelstream_spark.operators.selection import (
+        dsir_logratio,
+        dsir_score_mapside,
+    )
+
+    lam = dsir_logratio(tdf, rdf, n_buckets=256, seed=0)
+    join_w = {
+        r["doc_id"]: r["log_w"]
+        for r in dsir_importance_weights(
+            rdf, logratio=lam, n_buckets=256, seed=0
+        ).collect()
+    }
+    scored = dsir_score_mapside(rdf, lam, n_buckets=256, seed=0, threshold=0.0)
+    map_w = {r["doc_id"]: r["log_w"] for r in scored.collect()}
+    assert set(map_w) == set(join_w)
+    for i in map_w:
+        assert abs(map_w[i] - join_w[i]) < 1e-9, (i, map_w[i], join_w[i])
+    # original columns survive; keep is derived from the threshold
+    assert {"doc_id", "text", "log_w", "keep"} <= set(scored.columns)
+
+
+def test_mapside_scorer_plan_is_shuffle_free_arrow(spark):
+    """The scorer must compile to MapInPandas (Arrow) with ZERO
+    exchanges — the property that makes it streaming-safe."""
+    from excelstream_spark.operators.selection import (
+        dsir_logratio,
+        dsir_score_mapside,
+    )
+
+    rdf = spark.createDataFrame(EN + DE, "doc_id bigint, text string")
+    tdf = spark.createDataFrame(EN, "doc_id bigint, text string")
+    lam = dsir_logratio(tdf, rdf, n_buckets=64)
+    plan = (
+        dsir_score_mapside(rdf, lam, n_buckets=64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan  # never row-at-a-time Python
+    assert "Exchange" not in plan
