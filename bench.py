@@ -136,8 +136,9 @@ LEG_SCOPE = {
     "(see dedup_increment)",
     "unigram_scores": "meas-v2:r6 scoped persists released per run",
     "dedup_winnowing": "v1:r6 new leg (winnowing fingerprint overlap)",
-    "dsir_select_resample": "v1:r7 new leg (DSIR hashed-ngram importance "
-    "resampling, Gumbel-top-k of 100 against the English-target model)",
+    "dsir_select_resample": "v2:r7 new leg (DSIR hashed-ngram importance "
+    "resampling, Gumbel-top-k of 100 against the English-target model); "
+    "v2 = the zip_with shingle rewrite landed mid-round (9.8 -> 3.3s)",
     "training_corpus_pipeline_v2": "v2:r7 new leg (composed gopher-subset "
     "+ 13-rule repetition gate -> PII -> CDC substring dedup -> "
     "minhash-LSH + components keep-set); the CDC-rewritten corpus is "
