@@ -1217,3 +1217,38 @@ def test_decontamination_semantics_crafted(spark):
     kept = QL.decontaminate(docs, bench, n=13)
     assert sorted(r.doc_id for r in kept.collect()) == [2, 3, 4]
     assert kept.columns == docs.columns
+
+
+def test_shingles_from_tokens_property_vs_python(spark):
+    """Hypothesis guard for the zip_with shingle construction (late r7
+    rewrite): over random token arrays and k in 1..4, the Spark
+    expression equals the direct Python sliding window — incl. the
+    short-document (< k tokens -> []) and empty-array edges the old
+    transform+sequence form guarded explicitly."""
+    from hypothesis import given, settings, strategies as st
+
+    from excelstream_spark.functions.text import shingles_from_tokens
+
+    tok = st.text(alphabet="abç0", min_size=1, max_size=4)
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(tok, min_size=0, max_size=8), st.integers(1, 4))
+    def check(toks, k):
+        want = [
+            " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+        ]
+        got = (
+            spark.range(1)
+            .select(
+                shingles_from_tokens(
+                    F.array(*[F.lit(t) for t in toks])
+                    if toks
+                    else F.array().cast("array<string>"),
+                    k,
+                ).alias("s")
+            )
+            .collect()[0]["s"]
+        )
+        assert got == want, (toks, k, got, want)
+
+    check()
