@@ -136,6 +136,10 @@ LEG_SCOPE = {
     "(see dedup_increment)",
     "unigram_scores": "meas-v2:r6 scoped persists released per run",
     "dedup_winnowing": "v1:r6 new leg (winnowing fingerprint overlap)",
+    "streaming_dsir_gate": "v1:r7 new leg (batch-fit model, two streamed "
+    "Arrow scoring micro-batches under exact redelivery)",
+    "bpe_train_merges": "v1:r7 new leg (12 BPE merge rounds on the "
+    "vocabulary table; fixed-overhead-bound after the word-count scan)",
     "dsir_select_resample": "v2:r7 new leg (DSIR hashed-ngram importance "
     "resampling, Gumbel-top-k of 100 against the English-target model); "
     "v2 = the zip_with shingle rewrite landed mid-round (9.8 -> 3.3s)",
@@ -552,6 +556,16 @@ def main() -> None:
     # DSIR targeted selection (r7): hashed-ngram bucket models + Gumbel
     # top-k — broadcast 10k-row model, one groupBy(doc) shuffle
     run_catalog("dsir_select_resample")
+
+    # streaming DSIR gate (r7): batch-fit model applied to the doc
+    # stream (2 micro-batches, exact redelivery) via the shuffle-free
+    # Arrow scorer — times model fit + two streamed scoring passes
+    run_catalog("streaming_dsir_gate")
+
+    # BPE tokenizer training (r7): 12 merge rounds on the vocabulary
+    # table — the leg is fixed-overhead-bound (one arg-max job per
+    # merge) after the single corpus word-count scan
+    run_catalog("bpe_train_merges")
 
     # round-4 extension legs (wall-clock accountability for the operators
     # that joined the driver window this round); kept OUT of the headline
