@@ -140,6 +140,9 @@ LEG_SCOPE = {
     "Arrow scoring micro-batches under exact redelivery)",
     "bpe_train_merges": "v1:r7 new leg (12 BPE merge rounds on the "
     "vocabulary table; fixed-overhead-bound after the word-count scan)",
+    "quality_classifier_filter": "v1:r7 new leg (logistic-regression "
+    "quality filter: 4 GD training steps + scoring + ranked keep-half "
+    "cut, all in the leg)",
     "dsir_select_resample": "v2:r7 new leg (DSIR hashed-ngram importance "
     "resampling, Gumbel-top-k of 100 against the English-target model); "
     "v2 = the zip_with shingle rewrite landed mid-round (9.8 -> 3.3s)",
@@ -566,6 +569,12 @@ def main() -> None:
     # table — the leg is fixed-overhead-bound (one arg-max job per
     # merge) after the single corpus word-count scan
     run_catalog("bpe_train_merges")
+
+    # quality classifier (r7): trains 4 full-batch GD steps (one
+    # bounded gradient aggregation each) + scores + the ranked cut —
+    # the leg prices model TRAINING, deliberately: per-step cost is
+    # one feature-table scan + a <=1025-row shuffle
+    run_catalog("quality_classifier_filter")
 
     # round-4 extension legs (wall-clock accountability for the operators
     # that joined the driver window this round); kept OUT of the headline

@@ -1,0 +1,294 @@
+"""Hashed-feature logistic-regression quality classifier.
+
+The classic web-scale quality filter (CCNet / GPT-3 / LLaMA data
+recipes): train a linear classifier on bag-of-hashed-ngram features to
+separate a "high quality" target slice from the raw pool, then score
+every document and keep the high scorers.  fastText is the usual tool;
+this is the same model class (linear over hashed unigram+bigram
+counts, sigmoid output) trained by full-batch gradient descent — the
+deterministic, engine-portable choice (SGD's sample order would be
+engine-defined; full-batch GD with a fixed step count replays exactly).
+
+Engine-portable by construction (the DSIR/curation convention):
+
+- Feature hashing is md5-derived (``selection._bucket``), so the
+  doc→feature matrix replays bit-identically in DuckDB.
+- Every cross-row SUM (per-doc margins, per-feature gradients) is an
+  exact DECIMAL(38,15) sum of per-row doubles — associative, so
+  Spark's partition-parallel aggregation order cannot move the result
+  (the ``components`` decimal-hash-sum trick).  The per-row doubles
+  themselves are IEEE products/divisions — identical on both engines.
+- The one transcendental (``exp`` inside the sigmoid) is quantized to
+  9 decimals immediately, so a last-ulp libm difference between the
+  JVM and DuckDB cannot propagate into the next GD step.
+- Weights are re-quantized to 9 decimals after every update.
+
+100 TB design:
+- The doc→feature table is built ONCE (one shuffle, keyed on
+  (doc, bucket) — gram counts map-side combine) and persisted
+  partitioned by doc id.
+- Each GD step touches it twice with NO new doc-keyed shuffle: the
+  weight table (``n_buckets`` rows) broadcast-joins the features, the
+  margin groupBy reuses the persisted partitioning, and the error
+  join is partitioning-aligned.  The only per-step shuffle is the
+  gradient groupBy(bucket) — map-side combined to ≤ ``n_buckets``
+  rows per task; the only driver traffic is the ``n_buckets``-row
+  gradient collect (kilobytes).
+- Scoring is a broadcast join + one groupBy(doc) — embarrassingly
+  parallel, and the trained weights are a tiny reusable artifact
+  (store them like the incremental fingerprint tables).
+
+The reference engine (KSD-CO/excelstream) has no model-training
+surface at all; this extends the LLM-pipeline family (`SURVEY.md` §6)
+alongside DSIR selection (Xie et al. 2023) with its discriminative
+counterpart (Brown et al. 2020 §A / Wenzek et al. 2020 CCNet).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from excelstream_spark.operators.selection import _bucket, _grams
+
+#: Quantization used for engine portability (see module docstring).
+_Q_STEP = 9  # weights / probabilities between GD steps
+_Q_OUT = 6  # final reported scores (driver float normalization is 9
+#            significant digits; 6 is the repo's oracle convention)
+
+#: Exact-sum decimal type: per-row terms are |err*x| <= 1 and
+#: |w*x| <= O(1); 38-15 leaves 23 integer digits of headroom.
+_DEC = "decimal(38,15)"
+
+
+@dataclass(frozen=True)
+class ClassifierModel:
+    """Trained model: ``weights[b]`` per hash bucket + bias.  Buckets
+    never observed during training keep weight 0.0 (exactly the SQL
+    oracle's LEFT-JOIN-coalesce semantics)."""
+
+    weights: dict[int, float]
+    bias: float
+    n_buckets: int
+    seed: int
+
+
+def hashed_doc_features(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    seed: int = 0,
+) -> DataFrame:
+    """(id, b, x) — L2-normalized binary presence of each hashed
+    unigram/bigram bucket: ``x = 1 / sqrt(n_distinct_buckets(doc))``,
+    so every document's feature vector has unit norm and the bias
+    "feature" (constant 1) is on the same scale — without this the
+    bias gradient is ~2 orders larger than any weight gradient and
+    full-batch GD oscillates (observed: all-True/all-False flip-flop).
+    Term frequency is deliberately dropped: repeated-token pathology
+    is the repetition filters' job, and binary presence keeps the
+    feature value engine-exact (sqrt of an integer is correctly
+    rounded IEEE — no decimal machinery needed here).  Zero-gram
+    documents produce no rows (they are classified by the bias alone).
+
+    Two keyed exchanges — (id, b) for the distinct, then id for the
+    per-doc bucket count (a window) — and the second one is exactly
+    the partitioning the training loop wants to reuse, so it is paid
+    once, not per step."""
+    grams = _grams(docs, text_col, id_col)
+    nd = Window.partitionBy(id_col)
+    present = (
+        grams.select(
+            F.col(id_col), _bucket(F.col("gram"), n_buckets, seed).alias("b")
+        )
+        .groupBy(id_col, "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return present.select(
+        F.col(id_col),
+        F.col("b"),
+        (F.lit(1.0) / F.sqrt(F.count(F.lit(1)).over(nd))).alias("x"),
+    )
+
+
+def _exact_sum(col: Column) -> Column:
+    """Order-independent SUM: quantize per-row doubles into
+    DECIMAL(38,15) (deterministic given identical doubles), sum
+    exactly, return the double of the decimal total."""
+    return F.sum(col.cast(_DEC)).cast("double")
+
+
+def train_quality_classifier(
+    docs: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    seed: int = 0,
+    steps: int = 4,
+    lr: float = 2.0,
+) -> ClassifierModel:
+    """Full-batch logistic-regression GD, ``steps`` iterations.
+
+    ``label_col`` must be an integer/boolean 0-1 column.  Per step:
+
+        margin_d = bias + Σ_b w_b · x_{d,b}          (exact decimal sum)
+        p_d      = round(sigmoid(margin_d), 9)
+        err_d    = p_d − y_d
+        grad_b   = (Σ_d err_d · x_{d,b}) / N          (exact decimal sum)
+        w_b     ← round(w_b − lr · grad_b, 9)   (bias updated likewise)
+
+    Each step's driver traffic is one ≤ ``n_buckets``-row collect plus
+    one scalar; see the module docstring for the shuffle budget."""
+    spark = docs.sparkSession
+    feat = (
+        hashed_doc_features(docs, text_col, id_col, n_buckets, seed)
+        .repartition(id_col)
+        .persist()
+    )
+    labeled = (
+        docs.filter(F.col(id_col).isNotNull())
+        .select(F.col(id_col), F.col(label_col).cast("double").alias("y"))
+        .persist()
+    )
+    try:
+        n_docs = labeled.count()
+        weights: dict[int, float] = {}
+        bias = 0.0
+        for _ in range(steps):
+            wdf = spark.createDataFrame(
+                list(weights.items()) or [(0, 0.0)], "b bigint, w double"
+            )
+            margins = (
+                feat.join(F.broadcast(wdf), "b")
+                .groupBy(id_col)
+                .agg(_exact_sum(F.col("w") * F.col("x")).alias("s"))
+            )
+            errs = labeled.join(margins, id_col, "left").select(
+                F.col(id_col),
+                (
+                    F.round(
+                        F.lit(1.0)
+                        / (
+                            F.lit(1.0)
+                            + F.exp(
+                                -(F.lit(bias) + F.coalesce(F.col("s"), F.lit(0.0)))
+                            )
+                        ),
+                        _Q_STEP,
+                    )
+                    - F.col("y")
+                ).alias("err"),
+            )
+            # ONE gradient job per step: the bias gradient rides along
+            # as pseudo-bucket -1 (its "feature" is the constant 1), so
+            # the whole step is a single aggregation + collect.
+            grad_rows = (
+                feat.join(errs, id_col)
+                .select(F.col("b"), (F.col("err") * F.col("x")).alias("t"))
+                .unionByName(
+                    errs.select(
+                        F.lit(-1).cast("bigint").alias("b"),
+                        F.col("err").alias("t"),
+                    )
+                )
+                .groupBy("b")
+                .agg(_exact_sum(F.col("t")).alias("g"))
+                .collect()
+            )
+            gbias = 0.0
+            for row in grad_rows:
+                if row["b"] == -1:
+                    gbias = row["g"] or 0.0
+                else:
+                    w_new = weights.get(row["b"], 0.0) - lr * (row["g"] / n_docs)
+                    weights[row["b"]] = round(w_new, _Q_STEP)
+            bias = round(bias - lr * (gbias / n_docs), _Q_STEP)
+    finally:
+        feat.unpersist()
+        labeled.unpersist()
+    return ClassifierModel(weights, bias, n_buckets, seed)
+
+
+def score_quality(
+    docs: DataFrame,
+    model: ClassifierModel,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(id, score_r, pred) for every non-null-id document — the
+    sigmoid of the trained linear score, rounded to 6 decimals, and
+    the keep decision at ``threshold``.  Broadcast weights + one
+    groupBy(id); zero-gram documents score ``sigmoid(bias)``."""
+    spark = docs.sparkSession
+    wdf = spark.createDataFrame(
+        list(model.weights.items()) or [(0, 0.0)], "b bigint, w double"
+    )
+    feat = hashed_doc_features(
+        docs, text_col, id_col, model.n_buckets, model.seed
+    )
+    margins = (
+        feat.join(F.broadcast(wdf), "b")
+        .groupBy(id_col)
+        .agg(_exact_sum(F.col("w") * F.col("x")).alias("s"))
+    )
+    base = docs.filter(F.col(id_col).isNotNull()).select(id_col)
+    p = F.round(
+        F.lit(1.0)
+        / (
+            F.lit(1.0)
+            + F.exp(-(F.lit(model.bias) + F.coalesce(F.col("s"), F.lit(0.0))))
+        ),
+        _Q_STEP,
+    )
+    return base.join(margins, id_col, "left").select(
+        F.col(id_col),
+        F.round(p, _Q_OUT).alias("score_r"),
+        (p >= F.lit(threshold)).alias("pred"),
+    )
+
+
+def select_top_quality(
+    docs: DataFrame,
+    model: ClassifierModel,
+    keep_frac: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, score_r, keep) — keep the best ``keep_frac`` of the corpus
+    by classifier score.  Quality filters cut at a score QUANTILE (a
+    data budget), not at sigmoid 0.5: few-step full-batch GD ranks
+    far better than it calibrates (measured AUC 0.993 at 4 steps while
+    every probability still sat on one side of 0.5).
+
+    The cut is ``score_r >= t`` with ``t`` the k-th largest score
+    (k = floor(n·keep_frac)); ties at ``t`` are all kept, so the
+    result is deterministic with no row-order dependence.  Computing
+    the exact k-th value funnels k rows through one task
+    (TakeOrderedAndProject) — fine at driver-row scale; at 100 TB
+    replace ``t`` with ``approxQuantile(score_r, 1-keep_frac)`` (the
+    documented scale path, same downstream semantics)."""
+    from excelstream_spark.operators.dedup import _scoped_persist
+
+    scored = _scoped_persist(
+        score_quality(docs, model, text_col, id_col).select(id_col, "score_r")
+    )
+    k = int(scored.count() * keep_frac)
+    t = None
+    if k > 0:
+        t = (
+            scored.orderBy(F.desc("score_r"))
+            .limit(k)
+            .agg(F.min("score_r"))
+            .collect()[0][0]
+        )
+    keep = (
+        F.lit(False)
+        if t is None
+        else F.coalesce(F.col("score_r") >= F.lit(t), F.lit(False))
+    )
+    return scored.select(F.col(id_col), F.col("score_r"), keep.alias("keep"))

@@ -84,6 +84,11 @@ PRIORITY: tuple[str, ...] = (
 #:   subquery_thresholds  -> the subquery family keeps
 #:                           exists_not_exists.
 DEMOTED: tuple[str, ...] = (
+    "window_analytics",  # r7 late rotation: funds the
+    # quality_classifier_filter driver row (new operator family —
+    # distributed model training); the window family keeps
+    # window_topn_per_group and sessionize_events, and the analytics
+    # frame shapes stay SQL-oracled via pytest's full-catalog sweep
     "corpus_decontaminate",  # r7: born past the window (50 slots spoken
     # for); fully oracled, swept by pytest's whole-catalog test
     "streaming_dsir_gate",  # r7: born past the window; the

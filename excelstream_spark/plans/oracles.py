@@ -531,3 +531,111 @@ def dsir_gate_oracle(
                round(coalesce(w.log_w, 0.0), 6) AS log_w_r
         FROM d LEFT JOIN w USING (doc_id)
     """
+
+
+#: The distillation label the classifier driver row trains against:
+#: the Gopher minimum/maximum-length rule (the one quality rule the
+#: synthetic fixture actually varies on — see the catalog entry doc).
+CLASSIFIER_LABEL_SQL = (
+    "len(list_filter(regexp_split_to_array(lower(coalesce(text, '')),"
+    " '\\s+'), x -> x <> '')) BETWEEN 50 AND 100000"
+)
+
+
+def quality_classifier_oracle(
+    steps: int = 4,
+    n_buckets: int = 1024,
+    seed: int = 0,
+    lr: float = 8.0,
+    target_pred: str = CLASSIFIER_LABEL_SQL,
+    keep_frac: float = 0.5,
+    src: str = "documents",
+) -> str:
+    """DuckDB replay of operators/classifier: full-batch logistic-
+    regression GD UNROLLED — one (margin, error, gradient, weights,
+    bias) CTE block per training step, generated here in a loop so the
+    SQL is the literal fixed-step algorithm the Spark side runs — then
+    the ranked keep-``keep_frac`` cut (keep every doc scoring at least
+    the k-th largest score; ties all kept).
+
+    Replays bit-stably because both engines (a) hash features through
+    md5, (b) do every cross-row sum as an exact DECIMAL(38,15) sum of
+    identical IEEE per-row doubles, and (c) quantize the sigmoid and
+    the weights to 9 decimals at each step boundary, so a last-ulp
+    libm ``exp`` difference cannot compound (see the operator module
+    docstring).  The multi-referenced CTEs are MATERIALIZED — without
+    it DuckDB inlines the weight chain and the plan doubles per step
+    (2^steps blowup, observed as a 10-minute hang at 12 steps)."""
+    bkt = f"('0x' || substr(md5('{seed}:' || gram), 1, 8))::bigint % {n_buckets}"
+    head = f"""
+        d AS MATERIALIZED (SELECT doc_id, coalesce(text, '') AS t,
+                     CAST(({target_pred}) AS DOUBLE) AS y
+              FROM {src} WHERE doc_id IS NOT NULL),
+        tkn AS (SELECT doc_id, {_toks('t')} AS tk FROM d),
+        grams AS (
+            SELECT doc_id, unnest(tk) AS gram FROM tkn
+            UNION ALL
+            SELECT doc_id, array_to_string(tk[j : j + 1], ' ') AS gram
+            FROM (SELECT doc_id, tk,
+                         unnest(generate_series(1, len(tk) - 1)) AS j
+                  FROM tkn)),
+        fc AS (SELECT doc_id, {bkt} AS b, count(*) AS cnt
+               FROM grams GROUP BY doc_id, b),
+        fx AS MATERIALIZED (SELECT doc_id, b,
+                      1.0 / sqrt(count(*) OVER (PARTITION BY doc_id)) AS x
+               FROM fc),
+        nn AS (SELECT count(*) AS n FROM d),
+        w0 AS MATERIALIZED (SELECT unnest(generate_series(0,
+                      {n_buckets - 1})) AS b, 0.0 AS w),
+        bs0 AS MATERIALIZED (SELECT 0.0 AS bias)
+    """
+    step_blocks = []
+    for i in range(1, steps + 1):
+        j = i - 1
+        step_blocks.append(f"""
+        mg{i} AS (SELECT f.doc_id,
+                         CAST(sum(CAST(w.w * f.x AS DECIMAL(38,15)))
+                              AS DOUBLE) AS s
+                  FROM fx f JOIN w{j} w USING (b) GROUP BY f.doc_id),
+        e{i} AS MATERIALIZED (SELECT d.doc_id,
+                        round(1.0 / (1.0 + exp(-(bs.bias
+                              + coalesce(mg.s, 0.0)))), 9) - d.y AS err
+                 FROM d CROSS JOIN bs{j} bs
+                 LEFT JOIN mg{i} mg USING (doc_id)),
+        g{i} AS (SELECT f.b,
+                        CAST(sum(CAST(e.err * f.x AS DECIMAL(38,15)))
+                             AS DOUBLE) / (SELECT n FROM nn) AS g
+                 FROM fx f JOIN e{i} e USING (doc_id) GROUP BY f.b),
+        w{i} AS MATERIALIZED (SELECT w.b,
+                        round(w.w - {lr} * coalesce(g.g, 0.0), 9) AS w
+                 FROM w{j} w LEFT JOIN g{i} g USING (b)),
+        bs{i} AS MATERIALIZED (SELECT round(bs.bias - {lr} *
+                        (SELECT CAST(sum(CAST(err AS DECIMAL(38,15)))
+                                     AS DOUBLE) / (SELECT n FROM nn)
+                         FROM e{i}), 9) AS bias
+                  FROM bs{j} bs)
+    """)
+    return f"""
+        WITH {head},
+        {','.join(step_blocks)},
+        scored AS MATERIALIZED (SELECT d.doc_id,
+                          round(round(1.0 / (1.0 + exp(-(bs.bias
+                                + coalesce(mg.s, 0.0)))), 9), 6) AS score_r
+                   FROM d CROSS JOIN bs{steps} bs
+                   LEFT JOIN (SELECT f.doc_id,
+                                     CAST(sum(CAST(w.w * f.x
+                                          AS DECIMAL(38,15)))
+                                          AS DOUBLE) AS s
+                              FROM fx f JOIN w{steps} w USING (b)
+                              GROUP BY f.doc_id) mg USING (doc_id)),
+        kk AS (SELECT CAST(floor(count(*) * {keep_frac}) AS BIGINT) AS k
+               FROM scored),
+        ranked AS (SELECT score_r,
+                          row_number() OVER (ORDER BY score_r DESC) AS rn
+                   FROM scored),
+        thr AS (SELECT min(score_r) AS t FROM ranked
+                WHERE rn <= (SELECT k FROM kk))
+        SELECT doc_id, score_r,
+               coalesce(score_r >= (SELECT t FROM thr), FALSE) AS keep
+        FROM scored
+    """
