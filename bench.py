@@ -143,6 +143,12 @@ LEG_SCOPE = {
     "quality_classifier_filter": "v1:r7 new leg (logistic-regression "
     "quality filter: 4 GD training steps + scoring + ranked keep-half "
     "cut, all in the leg)",
+    "lm_perplexity_buckets": "v1:r7 new leg (bigram stupid-backoff LM "
+    "fit on the doc_id%2=0 half + full-corpus scoring + CCNet "
+    "head/middle/tail terciles, all in the leg)",
+    "bm25_search_topk": "v1:r7 new leg (BM25 top-10 for three fixed "
+    "queries: broadcast term-set postings prune + idf + per-query "
+    "window)",
     "dsir_select_resample": "v2:r7 new leg (DSIR hashed-ngram importance "
     "resampling, Gumbel-top-k of 100 against the English-target model); "
     "v2 = the zip_with shingle rewrite landed mid-round (9.8 -> 3.3s)",
@@ -575,6 +581,16 @@ def main() -> None:
     # the leg prices model TRAINING, deliberately: per-step cost is
     # one feature-table scan + a <=1025-row shuffle
     run_catalog("quality_classifier_filter")
+
+    # LM perplexity buckets (r7): bigram stupid-backoff fit (two
+    # word-counts + one fit join) + full-corpus scoring + the CCNet
+    # tercile cut — the leg prices fit AND score together
+    run_catalog("lm_perplexity_buckets")
+
+    # BM25 retrieval (r7): the postings prune happens at the exploded
+    # token stream via the broadcast query-term set — the leg prices
+    # the full scan + prune + score + per-query top-k
+    run_catalog("bm25_search_topk")
 
     # round-4 extension legs (wall-clock accountability for the operators
     # that joined the driver window this round); kept OUT of the headline

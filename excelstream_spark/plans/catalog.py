@@ -84,6 +84,20 @@ PRIORITY: tuple[str, ...] = (
 #:   subquery_thresholds  -> the subquery family keeps
 #:                           exists_not_exists.
 DEMOTED: tuple[str, ...] = (
+    "sim_topk_bruteforce",  # r7 late rotation: funds the
+    # bm25_search_topk driver row (new operator family — lexical
+    # retrieval); the embedding-similarity family keeps sim_ann_ivf,
+    # sim_topk_quantized and dedup_embedding_lsh in-window, and the
+    # brute-force baseline stays hash-verified via pytest's
+    # full-catalog sweep (it is also the recall oracle inside the IVF
+    # and quantized tests)
+    "agg_grouping_multi",  # r7 late rotation: funds the
+    # lm_perplexity_buckets driver row (new operator family — bigram
+    # stupid-backoff LM + CCNet perplexity terciles); the aggregation
+    # family keeps agg_distinct_count, agg_percentiles_arrays and
+    # q1_pricing_summary in-window, and the rollup/cube/grouping-sets
+    # shapes stay hash-verified via the CUBE in corpus_curation's
+    # oracle plus pytest's full-catalog sweep
     "window_analytics",  # r7 late rotation: funds the
     # quality_classifier_filter driver row (new operator family —
     # distributed model training); the window family keeps

@@ -1340,3 +1340,77 @@ def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         labeled, "y", n_buckets=1024, steps=4, lr=8.0
     )
     return select_top_quality(docs, model, keep_frac=0.5)
+
+
+@query(
+    "lm_perplexity_buckets",
+    oracle=ORC.lm_ppl_oracle(),
+    tags=("text", "quality", "lm", "perplexity"),
+)
+def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity bucketing (Wenzek et al. 2020): fit a bigram
+    stupid-backoff LM (Brants et al. 2007) on a clean reference slice
+    (here the deterministic doc_id%2=0 half — production fits on
+    Wikipedia), score EVERY document's mean per-token -log10 score,
+    and split the pool into head/middle/tail perplexity terciles — the
+    published quality signal behind the CCNet/LLaMA/RedPajama recipes.
+    Unseen tokens back off to the 0.5-smoothed unigram x0.4; the
+    cross-corpus fit means the backoff path is genuinely exercised
+    (self-fit models never miss).
+
+    Bit-stable replay (operators/lm.py docstring): integer count
+    models, identically-associated IEEE divisions, per-token round-9,
+    exact decimal per-doc sums, ranked-value tercile thresholds.
+
+    100 TB shape: two map-side-combined word-counts + one fit-time
+    join build the model artifact; scoring is exploded token legs hash-
+    joined to the model (AQE broadcasts small models) + one
+    groupBy(doc); the tercile cut is TakeOrderedAndProject at this
+    scale, approxQuantile at production scale (documented in the
+    operator)."""
+    from excelstream_spark.operators.lm import (
+        fit_bigram_lm,
+        ppl_tercile_buckets,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    ref = docs.where(F.col("doc_id") % 2 == 0)
+    lm = fit_bigram_lm(ref)
+    return ppl_tercile_buckets(docs, lm)
+
+
+#: Fixed retrieval workload for the BM25 driver row: three queries over
+#: the synthetic documents vocabulary (must stay in lockstep with the
+#: oracle — both sides embed the same literals).
+BM25_QUERIES = {
+    "q1": "spark hash join",
+    "q2": "window agg",
+    "q3": "vector scan stream",
+}
+
+
+@query(
+    "bm25_search_topk",
+    oracle=ORC.bm25_oracle(BM25_QUERIES, k=10),
+    tags=("text", "retrieval", "bm25", "topk"),
+)
+def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical top-k retrieval: BM25 (Lucene scoring form, k1=1.2,
+    b=0.75) of three fixed queries against the documents table, top 10
+    per query — the decontamination-by-retrieval / eval-ablation
+    primitive, and the inverted-index workload as DataFrame ops.
+
+    Bit-stable replay (operators/retrieval.py docstring): integer
+    tf/df/dl/N, identically-associated IEEE arithmetic, round-9 at
+    every libm site, exact decimal per-(query,doc) sums, rank
+    tie-broken on (rounded score DESC, doc_id ASC).
+
+    100 TB shape: the exploded token stream inner-joins the BROADCAST
+    query-term set before any shuffle, so only query-term postings move;
+    df/idf derive from those pruned postings (no second corpus pass);
+    the close is one groupBy(query, doc) + a per-query window that
+    ships k rows per query."""
+    from excelstream_spark.operators.retrieval import bm25_topk
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return bm25_topk(docs, BM25_QUERIES, k=10)

@@ -639,3 +639,134 @@ def quality_classifier_oracle(
                coalesce(score_r >= (SELECT t FROM thr), FALSE) AS keep
         FROM scored
     """
+
+
+def lm_ppl_oracle(
+    ref_pred: str = "doc_id % 2 = 0",
+    src: str = "documents",
+) -> str:
+    """DuckDB replay of operators/lm: bigram stupid-backoff scoring
+    (Brants et al. 2007 — bigram conditional if seen, else 0.4x the
+    0.5-smoothed unigram; first token scored by the unigram model) and
+    the CCNet head/middle/tail perplexity terciles.
+
+    Bit-stable by the classifier convention: integer count models, one
+    or two IEEE divisions per token written with the same association
+    as the Spark side, per-token -log10 rounded to 9 immediately,
+    exact DECIMAL(38,15) per-doc sums, tercile thresholds taken as
+    ranked VALUES of the 6-rounded nll."""
+    return f"""
+        WITH d AS MATERIALIZED (SELECT doc_id, coalesce(text, '') AS t
+              FROM {src} WHERE doc_id IS NOT NULL),
+        tkn AS MATERIALIZED (SELECT doc_id, {_toks('t')} AS tk FROM d),
+        ref AS (SELECT tk FROM tkn WHERE {ref_pred}),
+        uni AS MATERIALIZED (SELECT tok, count(*) AS cnt
+               FROM (SELECT unnest(tk) AS tok FROM ref) GROUP BY tok),
+        tot AS (SELECT CAST(coalesce(sum(cnt), 0) AS DOUBLE) AS n FROM uni),
+        bi AS (SELECT bg, count(*) AS cnt2
+               FROM (SELECT array_to_string(tk[j : j + 1], ' ') AS bg
+                     FROM (SELECT tk,
+                                  unnest(generate_series(1, len(tk) - 1)) AS j
+                           FROM ref))
+               GROUP BY bg),
+        bip AS MATERIALIZED (SELECT bg,
+                        CAST(cnt2 AS DOUBLE) / CAST(u.cnt AS DOUBLE) AS p
+                 FROM bi JOIN uni u ON split_part(bg, ' ', 1) = u.tok),
+        firsts AS (SELECT doc_id, tk[1] AS cur FROM tkn WHERE len(tk) >= 1),
+        pairs AS (SELECT doc_id, array_to_string(tk[j : j + 1], ' ') AS bg,
+                         tk[j + 1] AS cur
+                  FROM (SELECT doc_id, tk,
+                               unnest(generate_series(1, len(tk) - 1)) AS j
+                        FROM tkn)),
+        tok_scores AS (
+            SELECT doc_id,
+                   round(-log10(coalesce(CAST(u.cnt AS DOUBLE), 0.5)
+                                / (SELECT n FROM tot)), 9) AS t
+            FROM firsts f LEFT JOIN uni u ON f.cur = u.tok
+            UNION ALL
+            SELECT doc_id,
+                   round(-log10(coalesce(bp.p,
+                         0.4 * (coalesce(CAST(u.cnt AS DOUBLE), 0.5)
+                                / (SELECT n FROM tot)))), 9) AS t
+            FROM pairs p LEFT JOIN bip bp USING (bg)
+            LEFT JOIN uni u ON p.cur = u.tok),
+        sc AS MATERIALIZED (SELECT doc_id, count(*) AS n_toks,
+                       round(CAST(sum(CAST(t AS DECIMAL(38,15))) AS DOUBLE)
+                             / count(*), 6) AS nll_r
+                FROM tok_scores GROUP BY doc_id),
+        nn AS (SELECT count(*) AS c FROM sc),
+        rk AS (SELECT nll_r, row_number() OVER (ORDER BY nll_r ASC) AS rn
+               FROM sc),
+        th1 AS (SELECT max(nll_r) AS v FROM rk
+                WHERE rn <= (SELECT c // 3 FROM nn)),
+        th2 AS (SELECT max(nll_r) AS v FROM rk
+                WHERE rn <= (SELECT 2 * c // 3 FROM nn))
+        SELECT d.doc_id,
+               coalesce(sc.n_toks, 0) AS n_toks,
+               sc.nll_r,
+               CASE WHEN sc.nll_r IS NULL THEN 'tail'
+                    WHEN sc.nll_r <= (SELECT v FROM th1) THEN 'head'
+                    WHEN sc.nll_r <= (SELECT v FROM th2) THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM d LEFT JOIN sc USING (doc_id)
+    """
+
+
+def bm25_oracle(
+    queries: dict[str, str],
+    k: int = 10,
+    src: str = "documents",
+) -> str:
+    """DuckDB replay of operators/retrieval.bm25_topk: Lucene-form BM25
+    (k1=1.2, b=0.75, idf = ln(1 + (N-df+0.5)/(df+0.5)), query terms a
+    SET) with the classifier convention's bit-stability — exact integer
+    tf/df/dl/N, one exact division for avgdl, round-9 at every libm
+    site, exact DECIMAL(38,15) per-(query, doc) sums rounded to 6, and
+    the (score_r DESC, doc_id ASC) tie-break on the rounded score."""
+    vals = ", ".join(
+        f"('{qid}', '{tok}')"
+        for qid, qtext in sorted(queries.items())
+        for tok in sorted(set((qtext or "").lower().split()))
+    )
+    return f"""
+        WITH d AS (SELECT doc_id, coalesce(text, '') AS t
+              FROM {src} WHERE doc_id IS NOT NULL),
+        tkn AS MATERIALIZED (SELECT doc_id, {_toks('t')} AS tk FROM d),
+        stats AS (SELECT count(*) AS n_docs,
+                         CAST(coalesce(sum(len(tk)), 0) AS DOUBLE)
+                         / count(*) AS ad
+                  FROM tkn),
+        qt AS (SELECT * FROM (VALUES {vals}) AS v(query_id, tok)),
+        ex AS (SELECT doc_id, len(tk) AS dl, unnest(tk) AS tok FROM tkn),
+        hits AS MATERIALIZED (
+            SELECT doc_id, tok, count(*) AS tf, max(dl) AS dl
+            FROM ex WHERE tok IN (SELECT DISTINCT tok FROM qt)
+            GROUP BY doc_id, tok),
+        idf AS (SELECT tok,
+                       round(ln(1.0 + (CAST(n_docs AS DOUBLE)
+                                       - CAST(df AS DOUBLE) + 0.5)
+                                      / (CAST(df AS DOUBLE) + 0.5)), 9)
+                           AS idf,
+                       ad
+                FROM (SELECT tok, count(*) AS df FROM hits GROUP BY tok)
+                CROSS JOIN stats),
+        contrib AS (
+            SELECT q.query_id, h.doc_id,
+                   round(i.idf * (CAST(h.tf AS DOUBLE)
+                         / (CAST(h.tf AS DOUBLE)
+                            + 1.2 * (0.25 + 0.75 * (CAST(h.dl AS DOUBLE)
+                                                    / i.ad)))), 9) AS c
+            FROM hits h JOIN idf i USING (tok) JOIN qt q USING (tok)),
+        scored AS (
+            SELECT query_id, doc_id,
+                   round(CAST(sum(CAST(c AS DECIMAL(38,15))) AS DOUBLE), 6)
+                       AS score_r
+            FROM contrib GROUP BY query_id, doc_id)
+        SELECT query_id, doc_id, score_r, rank FROM (
+            SELECT query_id, doc_id, score_r,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score_r DESC, doc_id ASC)
+                       AS rank
+            FROM scored)
+        WHERE rank <= {int(k)}
+    """
