@@ -149,6 +149,9 @@ LEG_SCOPE = {
     "bm25_search_topk": "v1:r7 new leg (BM25 top-10 for three fixed "
     "queries: broadcast term-set postings prune + idf + per-query "
     "window)",
+    "multimodal_resize_sample": "v1:r7 new leg (synthesize PNG/JPEG/WAV "
+    "payloads, nearest-neighbor 2x2 thumbnail resize/transcode + "
+    "every-2nd-frame audio decimation, stats from re-decoded outputs)",
     "dsir_select_resample": "v2:r7 new leg (DSIR hashed-ngram importance "
     "resampling, Gumbel-top-k of 100 against the English-target model); "
     "v2 = the zip_with shingle rewrite landed mid-round (9.8 -> 3.3s)",
@@ -212,6 +215,12 @@ def _plan_fingerprint(df) -> str:
     # depending on how many lambdas the session built earlier) — the
     # source of the three false drift flags in the first r7 run
     s = re.sub(r"lambda ([A-Za-z]+)_\d+", r"lambda \1_", s)
+    # streaming legs return spark.table(<queryName>) where the memory
+    # sink's name carries a per-run uuid8 suffix (sdr_/dsg_/scg_...) —
+    # the analyzed plan embeds it in SubqueryAlias/View, so every run
+    # of an UNCHANGED streaming leg would false-flag drift (observed:
+    # streaming_dsir_gate, first compared run after its baseline)
+    s = re.sub(r"\b([a-z]{2,4}_)[0-9a-f]{8}\b", r"\1", s)
     return hashlib.md5(s.encode()).hexdigest()[:16]
 
 
@@ -220,7 +229,7 @@ def _plan_fingerprint(df) -> str:
 #: detection against a prior version's fingerprints would false-flag
 #: the whole board — instead the comparison is skipped once and the
 #: new version's fingerprints become the baseline.
-_FINGERPRINT_VERSION = 2
+_FINGERPRINT_VERSION = 3  # v3: uuid8 memory-sink query names normalized
 
 
 def _sf_from_dir(path: str) -> float:
@@ -591,6 +600,11 @@ def main() -> None:
     # token stream via the broadcast query-term set — the leg prices
     # the full scan + prune + score + per-query top-k
     run_catalog("bm25_search_topk")
+
+    # media transforms (r7): encode + resize/transcode/decimate +
+    # re-decode, all Arrow-batched mapInPandas — prices the full
+    # codec round-trip per payload
+    run_catalog("multimodal_resize_sample")
 
     # round-4 extension legs (wall-clock accountability for the operators
     # that joined the driver window this round); kept OUT of the headline

@@ -51,6 +51,10 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from excelstream_spark.functions.text import (
+    shingles_from_tokens as TXT_shingles,
+)
+from excelstream_spark.functions.text import tokens as TXT_tokens
 from excelstream_spark.operators.selection import _bucket, _grams
 
 #: Quantization used for engine portability (see module docstring).
@@ -250,6 +254,104 @@ def score_quality(
         F.round(p, _Q_OUT).alias("score_r"),
         (p >= F.lit(threshold)).alias("pred"),
     )
+
+
+def classifier_score_mapside(
+    docs: DataFrame,
+    model: ClassifierModel,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Shuffle-FREE scoring against a trained model: adds ``score_r``
+    (6-rounded sigmoid) and ``pred`` to every row with ZERO exchanges —
+    tokenize/shingle/bucket/distinct stay JVM expressions, and one
+    Arrow-batched ``mapInPandas`` computes each document's margin
+    against a dense numpy copy of the weights (``n_buckets`` float64s,
+    8 KB at the default 1024; the broadcast-the-model shape).
+
+    Stateless, so it scores batch AND STREAMING DataFrames identically
+    — the production gate: train in batch, apply per micro-batch with
+    no state store (``dsir_score_mapside``'s shape, applied to the
+    discriminative model).
+
+    BIT-parity with :func:`score_quality`: the margin is the same
+    exact sum of DECIMAL(38,15)-quantized ``w*x`` products (Python
+    ``decimal`` here, Spark decimal aggregation there), and the
+    sigmoid is quantized at 9 then 6 identically — so a document
+    scores the SAME rounded value on the batch join path, the mapside
+    batch path, and every streamed redelivery."""
+    import numpy as np
+    import pandas as pd
+    from decimal import ROUND_HALF_UP, Decimal
+
+    # Engine-exact decimal ops: Spark casts double->DECIMAL via
+    # BigDecimal.valueOf (the double's SHORTEST decimal repr — Python's
+    # repr()) then HALF_UP at the target scale, and F.round is the same
+    # construction.  Python's f"{v:.15f}"/round() instead round the
+    # TRUE binary value half-even — divergent on rare boundary doubles
+    # (observed: 2/500 docs off by 1e-6 in the streaming gate).
+    _Q15 = Decimal("1e-15")
+    _Q9 = Decimal(f"1e-{_Q_STEP}")
+    _Q6 = Decimal(f"1e-{_Q_OUT}")
+
+    def _dec(v: float, q: Decimal) -> Decimal:
+        return Decimal(repr(float(v))).quantize(q, rounding=ROUND_HALF_UP)
+
+    wts = np.zeros(model.n_buckets, dtype=np.float64)
+    for b, w in model.weights.items():
+        wts[int(b)] = float(w)
+    bias = float(model.bias)
+
+    tk = TXT_tokens(F.coalesce(F.col(text_col), F.lit("")))
+    grams = F.concat(tk, TXT_shingles(tk, 2))
+    buckets = F.array_distinct(
+        F.transform(grams, lambda g: _bucket(g, model.n_buckets, model.seed))
+    )
+    with_b = docs.withColumn("_buckets", buckets)
+
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
+    fields = [f for f in with_b.schema.fields if f.name != "_buckets"]
+    schema = StructType(
+        fields
+        + [
+            StructField("score_r", DoubleType(), False),
+            StructField("pred", BooleanType(), False),
+        ]
+    )
+
+    import math
+
+    def score(batches):
+        for pdf in batches:
+            scores = []
+            preds = []
+            for bl in pdf["_buckets"]:
+                bs = np.asarray(bl, dtype=np.int64)
+                if bs.size:
+                    x = 1.0 / float(np.sqrt(bs.size))
+                    margin = float(sum(_dec(w * x, _Q15) for w in wts[bs]))
+                else:
+                    margin = 0.0
+                p = float(
+                    _dec(1.0 / (1.0 + math.exp(-(bias + margin))), _Q9)
+                )
+                scores.append(float(_dec(p, _Q6)))
+                preds.append(p >= threshold)
+            out = pdf.drop(columns=["_buckets"])
+            out["score_r"] = pd.Series(
+                scores, index=pdf.index, dtype="float64"
+            )
+            out["pred"] = pd.Series(preds, index=pdf.index, dtype="bool")
+            yield out
+
+    return with_b.mapInPandas(score, schema)
 
 
 def select_top_quality(

@@ -149,6 +149,74 @@ def _decode_png(payload: bytes) -> dict:
     return info
 
 
+def png_pixel_array(payload: bytes):
+    """HxWxC uint8 pixel array for baseline PNGs (8-bit, non-interlaced,
+    gray/RGB/gray-alpha/RGBA).  Raises ValueError on anything else —
+    the transform operators (media_transform.py) need real pixels or an
+    honest failure, unlike :func:`_decode_png` which degrades to
+    header-only facts for the feature row."""
+    import numpy as np
+
+    pos = 8
+    width = height = bit_depth = color_type = interlace = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _c, _f, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG without IHDR")
+    if not (bit_depth == 8 and interlace == 0 and color_type in (0, 2, 4, 6)):
+        raise ValueError("not a baseline 8-bit non-interlaced PNG")
+    channels = _PNG_CHANNELS[color_type]
+    stride = width * channels
+    px = _png_unfilter(zlib.decompress(bytes(idat)), height, stride, channels)
+    return np.frombuffer(bytes(px), dtype=np.uint8).reshape(
+        height, width, channels
+    )
+
+
+def wav_pcm_array(payload: bytes):
+    """(sample_rate, frames x channels int array, bits) for integer-PCM
+    WAVs; raises ValueError on float/ADPCM/mu-law — the frame-sampling
+    transform needs real samples or an honest failure."""
+    import numpy as np
+
+    pos = 12
+    n = len(payload)
+    fmt = None
+    data = None
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + clen]
+        pos += 8 + clen + (clen & 1)
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("WAV without fmt/data chunk")
+    audio_format, channels, sample_rate, _brate, block_align, bits = fmt
+    pcm_dtypes = {8: np.uint8, 16: np.int16, 32: np.int32}
+    if audio_format != 1 or bits not in pcm_dtypes or not block_align:
+        raise ValueError("not an integer-PCM WAV")
+    n_frames = len(data) // block_align
+    arr = np.frombuffer(
+        data[: n_frames * block_align], dtype=pcm_dtypes[bits]
+    ).reshape(n_frames, channels)
+    return int(sample_rate), arr, int(bits)
+
+
 def _decode_jpeg_header(payload: bytes) -> dict:
     """Marker scan for the SOF segment: real dimensions + component
     count, no entropy decode."""

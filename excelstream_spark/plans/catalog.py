@@ -84,6 +84,15 @@ PRIORITY: tuple[str, ...] = (
 #:   subquery_thresholds  -> the subquery family keeps
 #:                           exists_not_exists.
 DEMOTED: tuple[str, ...] = (
+    "string_functions",  # r7 late rotation: funds the
+    # multimodal_resize_sample driver row (new operator family — media
+    # transforms); the scalar-function family keeps json_extract_props
+    # and text_token_pieces in-window, string expressions also flow
+    # through every text/dedup oracle, and the row stays hash-verified
+    # via pytest's full-catalog sweep
+    "streaming_classifier_gate",  # r7: born past the window (the
+    # streaming_dsir_gate precedent) — fully DuckDB-oracled stream-vs-
+    # batch parity for the classifier family, swept by pytest
     "sim_topk_bruteforce",  # r7 late rotation: funds the
     # bm25_search_topk driver row (new operator family — lexical
     # retrieval); the embedding-similarity family keeps sim_ann_ivf,

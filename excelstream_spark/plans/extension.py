@@ -1414,3 +1414,57 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     return bm25_topk(docs, BM25_QUERIES, k=10)
+
+
+@query(
+    "multimodal_resize_sample",
+    oracle="""
+        WITH d AS (SELECT doc_id, doc_id % 4 AS m,
+                          2 + 2 * (doc_id % 2) AS w,
+                          4 + doc_id % 5 AS n
+                   FROM documents WHERE doc_id IS NOT NULL)
+        SELECT doc_id,
+               CASE WHEN m = 0 THEN 'png' WHEN m = 1 THEN 'wav'
+                    WHEN m = 2 THEN 'jpeg' ELSE 'other' END AS kind,
+               CAST(CASE WHEN m IN (0, 2) THEN 2 END AS INT) AS out_w,
+               CAST(CASE WHEN m IN (0, 2) THEN 2 END AS INT) AS out_h,
+               CAST(CASE WHEN m IN (0, 2) THEN 1
+                         WHEN m = 1 THEN (n + 1) // 2 END AS INT)
+                   AS out_frames,
+               CASE WHEN m = 0 THEN round((
+                        (doc_id * 31) % 256
+                      + (doc_id * 31 + (w // 2) * 7) % 256
+                      + (doc_id * 31 + w * 7) % 256
+                      + (doc_id * 31 + (w + w // 2) * 7) % 256) / 4.0, 3)
+                    WHEN m = 1 THEN round(CAST(doc_id % 32 AS DOUBLE)
+                                          / 32, 6)
+                    WHEN m = 2 THEN round(CAST(doc_id % 256 AS DOUBLE), 3)
+               END AS out_mean_r
+        FROM d
+    """,
+    tags=("multimodal", "transform"),
+)
+def multimodal_resize_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media transforms, hash-checked end-to-end: synthesize
+    genuine PNG/JPEG/WAV payloads (doc_id-arithmetic content), then
+    transform_media RESIZES images to 2x2 nearest-neighbor PNG
+    thumbnails (JPEG rows are entropy-decoded and TRANSCODED — the
+    classic thumbnail path) and FRAME-SAMPLES audio to every 2nd frame
+    re-encoded as WAV.  Every reported statistic is computed by
+    RE-DECODING the produced payload, so the hash gate proves the
+    output bytes are valid media with exactly the predicted content:
+    the floor-convention nearest-neighbor index map and the even-frame
+    decimation are pure integer arithmetic the oracle replays from
+    doc_id alone.
+
+    100 TB shape: one Arrow-batched mapInPandas, zero shuffle, media
+    bytes never leave the executor; swap the stdlib codecs for
+    PIL/ffmpeg calls and the schema/partitioning/batching carry over
+    unchanged (the codecs here make the semantics testable in this
+    container)."""
+    from excelstream_spark.operators.media_transform import transform_media
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id").isNotNull())
+    mm = MM.synthesize_payloads(docs)
+    out = transform_media(mm, target_w=2, target_h=2, frame_step=2)
+    return out.drop("out_payload")

@@ -542,21 +542,17 @@ CLASSIFIER_LABEL_SQL = (
 )
 
 
-def quality_classifier_oracle(
-    steps: int = 4,
-    n_buckets: int = 1024,
-    seed: int = 0,
-    lr: float = 8.0,
-    target_pred: str = CLASSIFIER_LABEL_SQL,
-    keep_frac: float = 0.5,
-    src: str = "documents",
+def _classifier_scored_ctes(
+    steps: int,
+    n_buckets: int,
+    seed: int,
+    lr: float,
+    target_pred: str,
+    src: str,
 ) -> str:
-    """DuckDB replay of operators/classifier: full-batch logistic-
-    regression GD UNROLLED — one (margin, error, gradient, weights,
-    bias) CTE block per training step, generated here in a loop so the
-    SQL is the literal fixed-step algorithm the Spark side runs — then
-    the ranked keep-``keep_frac`` cut (keep every doc scoring at least
-    the k-th largest score; ties all kept).
+    """The classifier oracles' shared WITH-chain: unrolled full-batch
+    GD (one margin/error/gradient/weights/bias block per step) ending
+    in a ``scored(doc_id, score_r)`` CTE.
 
     Replays bit-stably because both engines (a) hash features through
     md5, (b) do every cross-row sum as an exact DECIMAL(38,15) sum of
@@ -627,7 +623,28 @@ def quality_classifier_oracle(
                                           AS DECIMAL(38,15)))
                                           AS DOUBLE) AS s
                               FROM fx f JOIN w{steps} w USING (b)
-                              GROUP BY f.doc_id) mg USING (doc_id)),
+                              GROUP BY f.doc_id) mg USING (doc_id))
+    """
+
+
+def quality_classifier_oracle(
+    steps: int = 4,
+    n_buckets: int = 1024,
+    seed: int = 0,
+    lr: float = 8.0,
+    target_pred: str = CLASSIFIER_LABEL_SQL,
+    keep_frac: float = 0.5,
+    src: str = "documents",
+) -> str:
+    """DuckDB replay of operators/classifier: the unrolled fixed-step
+    GD chain (:func:`_classifier_scored_ctes`) followed by the ranked
+    keep-``keep_frac`` cut (keep every doc scoring at least the k-th
+    largest score; ties all kept)."""
+    trained = _classifier_scored_ctes(
+        steps, n_buckets, seed, lr, target_pred, src
+    )
+    return f"""
+        {trained},
         kk AS (SELECT CAST(floor(count(*) * {keep_frac}) AS BIGINT) AS k
                FROM scored),
         ranked AS (SELECT score_r,
@@ -637,6 +654,35 @@ def quality_classifier_oracle(
                 WHERE rn <= (SELECT k FROM kk))
         SELECT doc_id, score_r,
                coalesce(score_r >= (SELECT t FROM thr), FALSE) AS keep
+        FROM scored
+    """
+
+
+def classifier_gate_oracle(
+    steps: int = 4,
+    n_buckets: int = 1024,
+    seed: int = 0,
+    lr: float = 8.0,
+    target_pred: str = CLASSIFIER_LABEL_SQL,
+    src: str = "documents",
+) -> str:
+    """Streaming classifier gate replay: the same unrolled GD training
+    chain as :func:`quality_classifier_oracle` (the batch-fit model),
+    with the stream facts per document — ``n_deliveries`` 2 (the
+    fixture replays the table twice), ``n_distinct_scores`` 1 (bit-
+    identical rescoring across redeliveries), and the batch-parity
+    ``score_r``.  The mapside scorer reproduces the batch margin's
+    exact decimal sum (operators/classifier.classifier_score_mapside
+    docstring), so one `scored` CTE serves both paths."""
+    trained = _classifier_scored_ctes(
+        steps, n_buckets, seed, lr, target_pred, src
+    )
+    return f"""
+        {trained}
+        SELECT doc_id,
+               CAST(2 AS BIGINT) AS n_deliveries,
+               CAST(1 AS BIGINT) AS n_distinct_scores,
+               score_r
         FROM scored
     """
 

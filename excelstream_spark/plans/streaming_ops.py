@@ -305,3 +305,62 @@ def streaming_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.max("log_w"), 6).alias("log_w_r"),
     )
+
+
+@query(
+    "streaming_classifier_gate",
+    oracle=_ORC.classifier_gate_oracle(),
+    tags=("streaming", "classifier", "quality"),
+)
+def streaming_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING quality-classifier gate under exact redelivery: the
+    logistic-regression model is trained in BATCH (the
+    quality_classifier_filter recipe — 4 GD steps against the Gopher
+    length label), then applied to the document stream with
+    ``classifier_score_mapside`` — stateless, shuffle-free (tokenize/
+    shingle/bucket/distinct as JVM expressions + one Arrow-batched
+    mapInPandas against the dense 1024-float weight vector), so it
+    needs no state store and every delivery of a doc scores
+    identically.
+
+    The documents table is delivered TWICE across two micro-batches;
+    oracled facts per doc: ``n_deliveries`` = 2 (append mode, both
+    batches flowed), ``n_distinct_scores`` = 1 (bit-identical
+    rescoring), and ``score_r`` equal to the BATCH path's score
+    replayed by the unrolled-GD DuckDB oracle — the mapside margin is
+    the same exact DECIMAL(38,15) sum of w*x products the batch join
+    computes, so stream-vs-batch parity holds to the full 6-decimal
+    score (the streaming_dsir_gate precedent applied to the
+    discriminative model)."""
+    from pyspark.sql import functions as F
+
+    from excelstream_spark.functions import text as TXT
+    from excelstream_spark.operators.classifier import (
+        classifier_score_mapside,
+        train_quality_classifier,
+    )
+    from excelstream_spark.streaming.pipelines import replayed_docs_stream
+    from excelstream_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    labeled = docs.withColumn(
+        "y",
+        F.size(TXT.tokens(F.coalesce(F.col("text"), F.lit(""))))
+        .between(50, 100_000)
+        .cast("int"),
+    )
+    model = train_quality_classifier(
+        labeled, "y", n_buckets=1024, steps=4, lr=8.0
+    )
+    stream = replayed_docs_stream(spark, table_path(sf_dir, "documents"))
+    scored = classifier_score_mapside(stream.select("doc_id", "text"), model)
+    result = run_available_now(
+        scored, f"scg_{uuid.uuid4().hex[:8]}", output_mode="append"
+    )
+    return result.where(F.col("doc_id").isNotNull()).groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_deliveries"),
+        F.countDistinct(F.col("score_r")).cast("long").alias(
+            "n_distinct_scores"
+        ),
+        F.max("score_r").alias("score_r"),
+    )

@@ -129,3 +129,53 @@ def test_gd_matches_numpy_reference(spark, separable):
     for b, wv in model.weights.items():
         assert wv == pytest.approx(w[b], abs=1e-12)
     assert model.bias == pytest.approx(bias, abs=1e-12)
+
+
+def test_mapside_scores_bit_match_batch_path(spark):
+    """classifier_score_mapside must reproduce score_quality's rounded
+    scores exactly — same decimal-sum margin convention (the streaming
+    gate's parity claim)."""
+    from excelstream_spark.operators.classifier import (
+        classifier_score_mapside,
+        score_quality,
+        train_quality_classifier,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, ("alpha beta gamma " * (1 + i % 7)).strip(), int(i % 3 == 0))
+         for i in range(40)]
+        + [(100, "", 0), (101, None, 1)],
+        "doc_id bigint, text string, y int",
+    )
+    model = train_quality_classifier(docs, "y", steps=3, lr=4.0)
+    batch = {
+        r["doc_id"]: (r["score_r"], r["pred"])
+        for r in score_quality(docs, model).collect()
+    }
+    mapside = {
+        r["doc_id"]: (r["score_r"], r["pred"])
+        for r in classifier_score_mapside(
+            docs.where("doc_id is not null"), model
+        ).collect()
+    }
+    assert batch == mapside
+
+
+def test_mapside_is_shuffle_free(spark):
+    from excelstream_spark.operators.classifier import (
+        ClassifierModel,
+        classifier_score_mapside,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c")], "doc_id bigint, text string"
+    )
+    model = ClassifierModel(weights={3: 0.5}, bias=0.1, n_buckets=16, seed=0)
+    plan = (
+        classifier_score_mapside(docs, model)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan and "BatchEvalPython" not in plan
