@@ -126,3 +126,36 @@ def test_null_value_and_text_entry_symmetry(spark, tmp_path):
         spec = CATALOG[name]
         assert_matches_oracle(spec.fn(spark, str(d)), con, spec.oracle)
     con.close()
+
+
+def test_driver_window_arithmetic():
+    """The driver hash-checks only the FIRST 50 exported entries.  The
+    window must be exactly full (a 51st non-demoted entry silently
+    displaces an intended row — happened twice in round 7 before this
+    test), every DEMOTED name must exist in the catalog, and the
+    flagship rows must sit inside the window."""
+    from excelstream_spark.plans.catalog import DEMOTED, spark_queries
+
+    order = list(spark_queries())
+    window = set(order[:50])
+    non_demoted = [n for n in order if n not in DEMOTED]
+    assert len(non_demoted) == 50, (
+        f"window over/under-subscribed: {len(non_demoted)} non-demoted "
+        "entries (rotate via DEMOTED in plans/catalog.py)"
+    )
+    assert window == set(non_demoted)
+    missing = [n for n in DEMOTED if n not in CATALOG]
+    assert not missing, f"DEMOTED names not registered: {missing}"
+    for flagship in (
+        "xlsx_roundtrip_lineitem",
+        "training_corpus_pipeline",
+        "training_corpus_pipeline_v2",
+        "streaming_neardup_replay",
+        "quality_classifier_filter",
+        "lm_perplexity_buckets",
+        "bm25_search_topk",
+        "multimodal_resize_sample",
+        "dedup_minhash_lsh",
+        "sort_topk",
+    ):
+        assert flagship in window, f"{flagship} fell out of the window"
