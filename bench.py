@@ -221,6 +221,15 @@ def _plan_fingerprint(df) -> str:
     # of an UNCHANGED streaming leg would false-flag drift (observed:
     # streaming_dsir_gate, first compared run after its baseline)
     s = re.sub(r"\b([a-z]{2,4}_)[0-9a-f]{8}\b", r"\1", s)
+    # model/threshold legs embed DATA-DEPENDENT float literals in the
+    # plan (trained classifier bias, LM tercile thresholds, curation
+    # budget scalars) — the driver regenerates fixtures every round, so
+    # those literals move without any code change (observed: the sf0.001
+    # smoke run flagged corpus_curation/lm/classifier).  Strip float
+    # literals; integer structure (bucket counts, frame sizes, limits)
+    # stays in the fingerprint, and parameter changes are the scope
+    # tags' job.
+    s = re.sub(r"-?\d+\.\d+(?:[Ee]-?\d+)?", "<f>", s)
     return hashlib.md5(s.encode()).hexdigest()[:16]
 
 
@@ -229,7 +238,8 @@ def _plan_fingerprint(df) -> str:
 #: detection against a prior version's fingerprints would false-flag
 #: the whole board — instead the comparison is skipped once and the
 #: new version's fingerprints become the baseline.
-_FINGERPRINT_VERSION = 3  # v3: uuid8 memory-sink query names normalized
+_FINGERPRINT_VERSION = 4  # v3: uuid8 memory-sink query names normalized;
+# v4: float literals stripped (data-dependent model/threshold scalars)
 
 
 def _sf_from_dir(path: str) -> float:
@@ -636,6 +646,17 @@ def main() -> None:
     # ladder's monotonicity and flattening drift_10x to a bogus 0.07).
     from excelstream_spark.operators.components import connected_components
     from excelstream_spark.operators.selection import dsir_select as _dsir_select
+    from excelstream_spark.functions.text import tokens as _txt_tokens
+    from excelstream_spark.operators.classifier import (
+        select_top_quality as _clf_select,
+        train_quality_classifier as _clf_train,
+    )
+    from excelstream_spark.operators.lm import (
+        fit_bigram_lm as _lm_fit,
+        ppl_tercile_buckets as _lm_buckets,
+    )
+    from excelstream_spark.operators.retrieval import bm25_topk as _bm25
+    from excelstream_spark.plans.extension import BM25_QUERIES as _BM25_QUERIES
 
     import excelstream_spark.operators.dedup as DDo
 
@@ -690,6 +711,38 @@ def main() -> None:
         # should all scale linearly
         "dsir_select_resample": lambda d: _dsir_select(
             d, d.where(F.col("doc_id") % 5 == 0), k=100
+        ),
+        # late r7: the three new model/retrieval families.  LM: the
+        # reference slice (doc_id%2=0 — the inflation offset is even,
+        # so parity survives) and the scored pool both scale with the
+        # factor; fit word-counts + scoring joins should be linear.
+        "lm_perplexity_buckets": lambda d: _lm_buckets(
+            d, _lm_fit(d.where(F.col("doc_id") % 2 == 0))
+        ),
+        # BM25: inflated copies' tokens are prefixed, so the fixed
+        # query set matches only copy 0 — corpus grows, hit set
+        # constant: the rung isolates the scan+explode+prune pipeline
+        # (exactly the 100 TB cost profile of constant queries over a
+        # growing corpus)
+        "bm25_search_topk": lambda d: _bm25(d, _BM25_QUERIES, k=10),
+        # classifier: feature build + 4 GD steps; per-step shuffles are
+        # bounded (<=1025 rows) so the ladder verifies the feature scan
+        # dominates and scales linearly
+        "quality_classifier_filter": lambda d: _clf_select(
+            d,
+            _clf_train(
+                d.withColumn(
+                    "y",
+                    F.size(_txt_tokens(F.coalesce(F.col("text"), F.lit(""))))
+                    .between(50, 100_000)
+                    .cast("int"),
+                ),
+                "y",
+                n_buckets=1024,
+                steps=4,
+                lr=8.0,
+            ),
+            keep_frac=0.5,
         ),
     }
     def _rung(make, factor: int, n_timed: int) -> float:

@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from excelstream_spark.functions import text as TXT
+from excelstream_spark.functions.text import tokens_py
 
 K1 = 1.2
 B = 0.75
@@ -71,11 +72,14 @@ def bm25_topk(
     spark = docs.sparkSession
     base = docs.where(F.col(id_col).isNotNull())
 
-    # query term SET (Lucene: repeated query terms count once)
+    # query term SET (Lucene: repeated query terms count once);
+    # tokenized with the SHARED convention (tokens_py mirrors the JVM
+    # tokens() — Python str.split is unicode-aware and would diverge
+    # from the corpus tokenization on e.g. non-breaking spaces)
     qterms = [
         (qid, tok)
         for qid, qtext in sorted(queries.items())
-        for tok in sorted(set((qtext or "").lower().split()))
+        for tok in sorted(set(tokens_py(qtext)))
     ]
     qt = spark.createDataFrame(qterms or [("", "")], "query_id string, tok string")
     if not qterms:

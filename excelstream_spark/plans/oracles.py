@@ -769,10 +769,12 @@ def bm25_oracle(
     tf/df/dl/N, one exact division for avgdl, round-9 at every libm
     site, exact DECIMAL(38,15) per-(query, doc) sums rounded to 6, and
     the (score_r DESC, doc_id ASC) tie-break on the rounded score."""
+    from excelstream_spark.functions.text import tokens_py
+
     vals = ", ".join(
         f"('{qid}', '{tok}')"
         for qid, qtext in sorted(queries.items())
-        for tok in sorted(set((qtext or "").lower().split()))
+        for tok in sorted(set(tokens_py(qtext)))
     )
     return f"""
         WITH d AS (SELECT doc_id, coalesce(text, '') AS t

@@ -101,3 +101,18 @@ def test_null_ids_excluded_from_results(spark):
     )
     rows = bm25_topk(df, {"q": "spark"}, k=5).collect()
     assert [r["doc_id"] for r in rows] == [1]
+
+
+def test_query_tokenization_matches_corpus_convention(spark):
+    # U+00A0 is NOT a separator under the shared \s convention (Java
+    # ASCII \s) — a query containing it must form ONE token and
+    # therefore miss the corpus, not silently split into two matching
+    # terms (Python str.split would split it).
+    df = spark.createDataFrame(
+        [(1, "spark join")], "doc_id bigint, text string"
+    )
+    rows = bm25_topk(df, {"q": "spark\u00a0join"}, k=5).collect()
+    assert rows == []
+    # the same words separated by real whitespace DO match
+    rows2 = bm25_topk(df, {"q": "spark\tjoin"}, k=5).collect()
+    assert len(rows2) == 1 and rows2[0]["doc_id"] == 1
