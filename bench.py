@@ -152,6 +152,8 @@ LEG_SCOPE = {
     "multimodal_resize_sample": "v1:r7 new leg (synthesize PNG/JPEG/WAV "
     "payloads, nearest-neighbor 2x2 thumbnail resize/transcode + "
     "every-2nd-frame audio decimation, stats from re-decoded outputs)",
+    "bm25_search_stored": "v1:r7 new leg (stored-postings serving path: "
+    "scoring only, postings/stats artifacts prebuilt untimed)",
     "dsir_select_resample": "v2:r7 new leg (DSIR hashed-ngram importance "
     "resampling, Gumbel-top-k of 100 against the English-target model); "
     "v2 = the zip_with shingle rewrite landed mid-round (9.8 -> 3.3s)",
@@ -616,6 +618,30 @@ def main() -> None:
     # codec round-trip per payload
     run_catalog("multimodal_resize_sample")
 
+    # stored-postings BM25 (r7): the serving path — the inverted-index
+    # artifacts are built ONCE (untimed), the leg times only query
+    # scoring against them (no corpus scan / tokenize; the
+    # unigram_scores_stored shape)
+    from excelstream_spark.operators.retrieval import (
+        bm25_topk_stored,
+        build_postings,
+    )
+    from excelstream_spark.plans.extension import BM25_QUERIES
+
+    _post, _pstats = build_postings(docs_full)
+    _post = _post.persist()
+    _pstats = _pstats.persist()
+    _post.count(), _pstats.count()
+    run(
+        "bm25_search_stored",
+        lambda: noop_fp(
+            "bm25_search_stored",
+            bm25_topk_stored(_post, _pstats, BM25_QUERIES, k=10),
+        ),
+    )
+    _post.unpersist()
+    _pstats.unpersist()
+
     # round-4 extension legs (wall-clock accountability for the operators
     # that joined the driver window this round); kept OUT of the headline
     # total so "value" stays leg-comparable with BENCH_r02/r03
@@ -774,10 +800,17 @@ def main() -> None:
             "3x": _rung(make, 3, 2),
         }
         rungs["10x"] = _rung(make, 10, 1)
-        # retry the single-shot 10x rung when the ladder looks anomalous:
-        # non-monotonic, or super-linear (drift > 1.0) — a one-off stall
-        # on this rung is indistinguishable from real super-linearity
-        # without a second sample, and drift is the headline number
+        # retry ANY rung that makes the ladder non-monotonic (or the
+        # drift super-linear): a one-off ambient stall on the 1x rung
+        # flatters drift 10x (observed: a 23.6s minhash 1x against a
+        # repeatable ~2.6s -> drift 0.055), a stall on the 10x rung
+        # fakes super-linearity (observed: 29s ngram 10x -> drift 1.4
+        # against a repeatable ~0.45) — and neither is distinguishable
+        # from a real scaling cliff without a second sample
+        if rungs["1x"] > rungs["3x"]:
+            rungs["1x"] = min(rungs["1x"], _rung(make, 1, 2))
+        if rungs["3x"] > rungs["10x"]:
+            rungs["3x"] = min(rungs["3x"], _rung(make, 3, 2))
         if rungs["10x"] < rungs["3x"] or rungs["10x"] > 10 * rungs["1x"]:
             rungs["10x"] = min(rungs["10x"], _rung(make, 10, 1))
         DDo.release_persists()

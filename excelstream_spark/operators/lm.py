@@ -117,8 +117,16 @@ def fit_bigram_lm(
     on Wikipedia; the catalog entry fits on a deterministic half-split
     of the fixture).  Two word-count aggregations + one fit-time join;
     the total is the one scalar collected."""
+    from excelstream_spark.operators.dedup import _scoped_persist
+
     tkn = _tok_array(reference, text_col, id_col)
-    uni = (
+    # persist the unigram table: it feeds the total aggregate, the
+    # fit-time bip join AND every scoring join — unpersisted, each is
+    # an independent physical subtree re-running the reference
+    # word-count (the unigram_logprob_score precedent; scoped like
+    # dedup's load-bearing persists, released at the next catalog
+    # query / explicit release_persists())
+    uni = _scoped_persist(
         tkn.select(F.explode("tk").alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cnt"))

@@ -52,6 +52,70 @@ B = 0.75
 _DEC = "decimal(38,15)"
 
 
+def build_postings(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """(postings, stats) — the persisted serving artifacts for
+    steady-state retrieval: ``postings(tok, <id>, tf, dl)`` (one row
+    per distinct doc-term, the classic inverted index in table form)
+    and ``stats(n_docs, avgdl)`` (one row).  Store both like the
+    incremental fingerprint tables (postings bucketed by ``tok`` makes
+    the per-query semi-join exchange-free) and score any number of
+    query batches without touching the corpus again."""
+    base = docs.where(F.col(id_col).isNotNull())
+    tkn = base.select(
+        F.col(id_col),
+        TXT.tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("tk"),
+    )
+    stats = tkn.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.coalesce(F.sum(F.size("tk")), F.lit(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avgdl"),
+    )
+    postings = (
+        tkn.select(
+            F.col(id_col),
+            F.size("tk").alias("dl"),
+            F.explode("tk").alias("tok"),
+        )
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+    )
+    return postings, stats
+
+
+def bm25_topk_stored(
+    postings: DataFrame,
+    stats: DataFrame,
+    queries: dict[str, str],
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-k against PREBUILT :func:`build_postings` artifacts —
+    the steady-state serving path: no corpus scan, no tokenize; the
+    broadcast query-term set prunes the postings table, df/idf derive
+    from the pruned rows, and the close is identical to
+    :func:`bm25_topk` (bit-equal output by construction — proven in
+    tests/test_retrieval.py)."""
+    spark = postings.sparkSession
+    qterms = [
+        (qid, tok)
+        for qid, qtext in sorted(queries.items())
+        for tok in sorted(set(tokens_py(qtext)))
+    ]
+    qt = spark.createDataFrame(
+        qterms or [("", "")], "query_id string, tok string"
+    )
+    if not qterms:
+        qt = qt.limit(0)
+    hits = postings.join(F.broadcast(qt.select("tok").distinct()), "tok")
+    return _bm25_close(hits, stats, qt, k, id_col)
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: dict[str, str],
@@ -107,7 +171,19 @@ def bm25_topk(
         .groupBy(id_col, "tok")
         .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
     )
+    return _bm25_close(hits, stats, qt, k, id_col)
 
+
+def _bm25_close(
+    hits: DataFrame,
+    stats: DataFrame,
+    qt: DataFrame,
+    k: int,
+    id_col: str,
+) -> DataFrame:
+    """Shared scoring tail over pruned postings ``hits(<id>, tok, tf,
+    dl)``: df/idf from the pruned rows, the per-term contribution,
+    one groupBy(query, doc), the per-query top-k window."""
     # df + idf per query term, from the pruned postings only
     idf = (
         hits.groupBy("tok")

@@ -116,3 +116,27 @@ def test_query_tokenization_matches_corpus_convention(spark):
     # the same words separated by real whitespace DO match
     rows2 = bm25_topk(df, {"q": "spark\tjoin"}, k=5).collect()
     assert len(rows2) == 1 and rows2[0]["doc_id"] == 1
+
+
+def test_stored_postings_path_bit_equals_direct(spark, tmp_path):
+    from excelstream_spark.operators.retrieval import (
+        bm25_topk_stored,
+        build_postings,
+    )
+
+    df = spark.createDataFrame(DOCS, "doc_id bigint, text string")
+    direct = sorted(
+        tuple(r) for r in bm25_topk(df, QUERIES, k=5).collect()
+    )
+    # round-trip the artifacts through parquet — the stored shape
+    postings, stats = build_postings(df)
+    pp, sp = str(tmp_path / "postings"), str(tmp_path / "stats")
+    postings.write.parquet(pp)
+    stats.write.parquet(sp)
+    stored = sorted(
+        tuple(r)
+        for r in bm25_topk_stored(
+            spark.read.parquet(pp), spark.read.parquet(sp), QUERIES, k=5
+        ).collect()
+    )
+    assert stored == direct
