@@ -148,11 +148,12 @@ def train_quality_classifier(
     Each step's driver traffic is one ≤ ``n_buckets``-row collect plus
     one scalar; see the module docstring for the shuffle budget."""
     spark = docs.sparkSession
-    feat = (
-        hashed_doc_features(docs, text_col, id_col, n_buckets, seed)
-        .repartition(id_col)
-        .persist()
-    )
+    # NOTE no repartition: hashed_doc_features' per-doc window already
+    # hash-partitions its output by the id (that exchange is the "paid
+    # once" partitioning the module docstring describes) — an explicit
+    # .repartition(id_col) here added a second, redundant full shuffle
+    # of the feature table (measured: 2 exchanges vs 1).
+    feat = hashed_doc_features(docs, text_col, id_col, n_buckets, seed).persist()
     labeled = (
         docs.filter(F.col(id_col).isNotNull())
         .select(F.col(id_col), F.col(label_col).cast("double").alias("y"))
