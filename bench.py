@@ -140,9 +140,10 @@ LEG_SCOPE = {
     "Arrow scoring micro-batches under exact redelivery)",
     "bpe_train_merges": "v1:r7 new leg (12 BPE merge rounds on the "
     "vocabulary table; fixed-overhead-bound after the word-count scan)",
-    "quality_classifier_filter": "v1:r7 new leg (logistic-regression "
-    "quality filter: 4 GD training steps + scoring + ranked keep-half "
-    "cut, all in the leg)",
+    "quality_classifier_filter": "v2:r7 (v1: new leg — logistic-"
+    "regression quality filter: 4 GD training steps + scoring + ranked "
+    "keep-half cut, all in the leg; v2: dropped the redundant "
+    "feature-table repartition — one less full shuffle, same oracle)",
     "lm_perplexity_buckets": "v1:r7 new leg (bigram stupid-backoff LM "
     "fit on the doc_id%2=0 half + full-corpus scoring + CCNet "
     "head/middle/tail terciles, all in the leg)",
