@@ -1,0 +1,202 @@
+"""Bloom-filter membership artifact for incremental exact dedup.
+
+``incremental.corpus_fingerprints`` is the EXACT membership artifact:
+16 bytes per distinct document.  At 10^11 documents that is a ~1.6 TB
+table — cheap to store bucketed, but every increment still has to probe
+it.  A Bloom filter (Bloom 1970, CACM) compresses membership to ~1-2
+bytes per document at a tunable false-positive rate, which turns the
+per-increment probe into a BROADCAST map-side check: zero shuffles, no
+corpus-artifact scan for the (overwhelmingly common) definitely-new
+documents.  Bloom filters have NO false negatives, so composing the
+bloom prefilter with a verification probe of the true fingerprint
+table reproduces :func:`incremental.dedup_increment_exact` EXACTLY —
+proven by equality in tests/test_bloom.py.
+
+Construction (engine-portable, the `selection._bucket` convention):
+
+- key = md5(normalized text)  (``functions.text.fingerprint`` — the
+  repo's cross-engine dedup key)
+- position_i = ('0x'||substr(md5(i || ':' || fp), 1, 15))::bigint
+  % n_bits, for i in 0..n_hashes-1  (15 hex chars = 60 bits, safely
+  inside int64; independent positions via the salted re-hash)
+- the bit array is a DataFrame ``(word, bits)``: word = position >> 5,
+  bits = OR of (1 << position % 32).  32-bit words inside int64 keep
+  every shift positive, so the same arithmetic replays in DuckDB
+  (two's-complement << at bit 63 is engine-defined; bit 31 is not).
+
+Every step is md5 + integer arithmetic + ``bit_or`` — all
+order-independent and bit-identical across Spark, DuckDB and Python,
+so the artifact itself is SQL-replayable (the catalog entry's oracle
+rebuilds the filter in DuckDB and matches flag-for-flag).
+
+Sizing (standard Bloom math): optimal n_hashes = ln2 * n_bits/n_keys;
+false-positive rate ~= (1 - e^(-k*n/m))^k.  The defaults (n_bits 2^17,
+n_hashes 7) give ~1e-4 at ~6k keys — the fixture regime.  At scale:
+10 bits/key + k=7 gives ~1% FP; 14.4 bits/key + k=10 gives ~0.1%.
+
+100 TB design:
+- The filter is ``n_bits/32`` int64 rows — 1 GB of bits covers ~10^9
+  keys at 1% FP and broadcasts comfortably; the build is one explode +
+  one ``bit_or`` groupBy whose partial aggregation collapses map-side
+  to <= n_words rows per task.
+- :func:`bloom_flag_increment` never shuffles the increment: the
+  ``n_hashes`` probes are ``n_hashes`` consecutive LEFT joins against
+  the SAME broadcast word table, one whole-stage-codegen'd map stage
+  (plan-asserted zero exchanges in tests/test_bloom.py).
+- Verification touches the true fingerprint table ONLY for the maybes:
+  the maybe-fp set (true dups + the FP fraction) broadcasts into a
+  semi-join that streams the bucketed artifact map-side — with
+  bucketed+sorted storage most file groups prune on min/max before
+  they are read.
+- Past ~10^10 keys a single broadcast filter stops fitting; shard the
+  filter by fp prefix (a partitioned bloom: ``word`` becomes
+  ``(shard, word)``) or fall back to the bucketed fingerprint table —
+  the exact path this module composes with either way.
+
+The reference engine (KSD-CO/excelstream) has no membership-sketch
+surface; this extends the incremental family (`SURVEY.md` §6,
+`operators/incremental.py`) with its compact-artifact form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from excelstream_spark.functions import text as TXT
+
+#: Bits per word: 32-bit masks inside int64 keep every shift positive
+#: (see module docstring).
+WORD_BITS = 32
+
+#: Defaults sized for the test fixtures (~1e-4 FP at ~6k keys).
+DEFAULT_N_BITS = 1 << 17
+DEFAULT_N_HASHES = 7
+
+
+def _position(fp: Column, i: int, n_bits: int) -> Column:
+    """The i-th bloom bit position of fingerprint ``fp`` — salted md5
+    re-hash, 60-bit prefix, mod ``n_bits`` (DuckDB replay:
+    ``('0x'||substr(md5(i||':'||fp),1,15))::bigint % n_bits``)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{i}:"), fp)), 1, 15), 16, 10
+        ).cast("bigint")
+        % F.lit(n_bits)
+    )
+
+
+def bloom_build(
+    fps: DataFrame,
+    n_bits: int = DEFAULT_N_BITS,
+    n_hashes: int = DEFAULT_N_HASHES,
+    fp_col: str = "fp",
+) -> DataFrame:
+    """(word, bits) — the Bloom filter of a fingerprint set (e.g.
+    ``incremental.corpus_fingerprints``), at most ``n_bits/32`` rows.
+    One explode + one map-side-combined ``bit_or`` groupBy; NULL
+    fingerprints contribute nothing (they can never match a probe).
+    Store alongside the fingerprint table and rebuild incrementally by
+    OR-ing in each increment's own :func:`bloom_build` output
+    (``union`` + the same groupBy — bit_or is associative)."""
+    if n_bits % WORD_BITS:
+        raise ValueError(f"n_bits must be a multiple of {WORD_BITS}")
+    fp = F.col(fp_col)
+    positions = F.array(
+        *[_position(fp, i, n_bits) for i in range(n_hashes)]
+    )
+    return (
+        fps.where(fp.isNotNull())
+        .select(F.explode(positions).alias("p"))
+        .select(
+            F.expr("shiftright(p, 5)").alias("word"),
+            F.expr("shiftleft(cast(1 as bigint), cast(p % 32 as int))").alias(
+                "m"
+            ),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("m").alias("bits"))
+    )
+
+
+def bloom_flag_increment(
+    new_docs: DataFrame,
+    bloom: DataFrame,
+    n_bits: int = DEFAULT_N_BITS,
+    n_hashes: int = DEFAULT_N_HASHES,
+    text_col: str = "text",
+) -> DataFrame:
+    """``new_docs`` + ``fp`` + ``maybe_dup`` — the broadcast map-side
+    membership probe.  ``maybe_dup`` True means the fingerprint MAY be
+    in the corpus (true duplicate or false positive, at the sizing
+    rate); False is a GUARANTEE of novelty (no false negatives).
+    NULL-text documents probe nothing and flag False (the
+    ``dedup_increment_exact`` anti-join convention: NULL never matches).
+
+    Plan shape: ``n_hashes`` successive LEFT broadcast-joins of the
+    same word table — the increment never shuffles and the whole probe
+    is one codegen'd map stage."""
+    out = new_docs.withColumn("fp", TXT.fingerprint(F.col(text_col)))
+    hit_cols = []
+    for i in range(n_hashes):
+        bw = bloom.select(
+            F.col("word").alias(f"_w{i}"), F.col("bits").alias(f"_b{i}")
+        )
+        out = (
+            out.withColumn(f"_p{i}", _position(F.col("fp"), i, n_bits))
+            .join(
+                F.broadcast(bw),
+                F.expr(f"shiftright(_p{i}, 5)") == F.col(f"_w{i}"),
+                "left",
+            )
+            .withColumn(
+                f"_h{i}",
+                F.coalesce(
+                    F.expr(
+                        f"(_b{i} & shiftleft(cast(1 as bigint), "
+                        f"cast(_p{i} % 32 as int))) != 0"
+                    ),
+                    F.lit(False),
+                ),
+            )
+        )
+        hit_cols.append(f"_h{i}")
+    maybe = F.lit(True)
+    for h in hit_cols:
+        maybe = maybe & F.col(h)
+    drop = [c for i in range(n_hashes) for c in (f"_p{i}", f"_w{i}", f"_b{i}", f"_h{i}")]
+    return out.withColumn("maybe_dup", maybe).drop(*drop)
+
+
+def dedup_increment_bloom(
+    new_docs: DataFrame,
+    bloom: DataFrame,
+    corpus_fps: DataFrame | None = None,
+    n_bits: int = DEFAULT_N_BITS,
+    n_hashes: int = DEFAULT_N_HASHES,
+    text_col: str = "text",
+) -> DataFrame:
+    """New documents not exact-present in the corpus, gated by the
+    Bloom filter.  With ``corpus_fps`` (the true fingerprint table) the
+    result EQUALS :func:`incremental.dedup_increment_exact` — the bloom
+    only narrows the verification probe to the maybe set (true dups +
+    the small FP fraction), which broadcasts into a semi-join that
+    streams the corpus artifact map-side: ZERO shuffles end to end.
+    Without ``corpus_fps`` the gate is approximate: every maybe is
+    dropped, i.e. a false positive discards a genuinely new document
+    at the sizing rate — the cheap mode for pipelines that tolerate
+    ~1e-4 over-dedup in exchange for never touching the corpus
+    artifact."""
+    flagged = bloom_flag_increment(
+        new_docs, bloom, n_bits, n_hashes, text_col
+    )
+    if corpus_fps is None:
+        return flagged.where(~F.col("maybe_dup")).drop("fp", "maybe_dup")
+    # no .distinct() on the maybe set: the semi-join dedups for free and
+    # a distinct here would be the only shuffle in the whole gate
+    maybe_fps = flagged.where(F.col("maybe_dup")).select("fp")
+    present = corpus_fps.join(F.broadcast(maybe_fps), "fp", "left_semi")
+    return (
+        flagged.join(F.broadcast(present), "fp", "left_anti")
+        .drop("fp", "maybe_dup")
+    )

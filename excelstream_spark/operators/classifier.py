@@ -361,6 +361,7 @@ def select_top_quality(
     keep_frac: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    exact: bool = True,
 ) -> DataFrame:
     """(id, score_r, keep) — keep the best ``keep_frac`` of the corpus
     by classifier score.  Quality filters cut at a score QUANTILE (a
@@ -368,27 +369,45 @@ def select_top_quality(
     far better than it calibrates (measured AUC 0.993 at 4 steps while
     every probability still sat on one side of 0.5).
 
-    The cut is ``score_r >= t`` with ``t`` the k-th largest score
-    (k = floor(n·keep_frac)); ties at ``t`` are all kept, so the
-    result is deterministic with no row-order dependence.  Computing
-    the exact k-th value funnels k rows through one task
-    (TakeOrderedAndProject) — fine at driver-row scale; at 100 TB
-    replace ``t`` with ``approxQuantile(score_r, 1-keep_frac)`` (the
-    documented scale path, same downstream semantics)."""
+    The cut is ``score_r >= t``; ties at ``t`` are all kept, so the
+    result is deterministic with no row-order dependence either way.
+
+    ``exact=True``: ``t`` is the k-th largest score (k =
+    floor(n·keep_frac)) — exact, but the k rows funnel through one
+    TakeOrderedAndProject task; right up to ~10^8 rows.
+    ``exact=False`` is the 100 TB path: ``t`` comes from Spark's
+    Greenwald–Khanna ``approxQuantile`` at the (1−keep_frac) quantile
+    (relativeError 0.001 — the kept fraction lands within ±0.1% of the
+    budget), a fixed-memory partial-aggregate sketch with NO single-task
+    funnel.  Same downstream semantics; only the threshold's rank
+    precision differs (equivalence at fixture scale pinned in
+    tests/test_classifier.py)."""
     from excelstream_spark.operators.dedup import _scoped_persist
 
     scored = _scoped_persist(
         score_quality(docs, model, text_col, id_col).select(id_col, "score_r")
     )
-    k = int(scored.count() * keep_frac)
+    n = scored.count()
+    k = int(n * keep_frac)
     t = None
-    if k > 0:
+    if k > 0 and exact:
         t = (
             scored.orderBy(F.desc("score_r"))
             .limit(k)
             .agg(F.min("score_r"))
             .collect()[0][0]
         )
+    elif k > 0:
+        # the exact path's t is the MIN OF THE TOP K = the (n-k+1)-th
+        # smallest value, i.e. quantile (1-frac) + 1/n, NOT (1-frac):
+        # asking for (1-frac) returns the largest EXCLUDED value, and
+        # with tie-heavy scores (6-rounded at web scale) the >= cut
+        # would then keep the entire boundary tie class.  The +1/n nudge
+        # is exact here and vanishes under the sketch's rank error at
+        # scale.
+        p = min(1.0, 1.0 - keep_frac + 1.0 / n)
+        qs = scored.approxQuantile("score_r", [p], 0.001)
+        t = qs[0] if qs else None
     keep = (
         F.lit(False)
         if t is None

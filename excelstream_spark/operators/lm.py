@@ -217,6 +217,7 @@ def ppl_tercile_buckets(
     lm: BigramLM,
     text_col: str = "text",
     id_col: str = "doc_id",
+    exact: bool = True,
 ) -> DataFrame:
     """(id, n_toks, nll_r, bucket) — the CCNet head/middle/tail split:
     rank scored documents by ``nll_r`` ascending (low = ordinary
@@ -226,25 +227,35 @@ def ppl_tercile_buckets(
     ``nll_r`` and land in ``tail`` (CCNet discards them; keeping them
     labeled preserves row-count parity with the input).
 
-    The exact k-th values funnel k rows through one task — fine at
-    driver-row scale; at 100 TB replace with ``approxQuantile``
-    (documented scale path, same downstream semantics)."""
+    ``exact=True``: the k-th ranked values funnel k rows through one
+    task — right up to ~10^8 rows.  ``exact=False`` is the 100 TB
+    path: both thresholds come from ONE ``approxQuantile`` sketch pass
+    (Greenwald–Khanna, relativeError 0.001 — bucket populations land
+    within ±0.1% of n/3) with no single-task funnel; same downstream
+    semantics (equivalence at fixture scale pinned in
+    tests/test_lm.py)."""
     from excelstream_spark.operators.dedup import _scoped_persist
 
     base = docs.where(F.col(id_col).isNotNull())
     scored = _scoped_persist(stupid_backoff_score(base, lm, text_col, id_col))
     n = scored.count()
     thresholds: list[float] = []
-    for k in (n // 3, (2 * n) // 3):
-        if k > 0:
-            thresholds.append(
-                scored.orderBy(F.asc("nll_r"))
-                .limit(k)
-                .agg(F.max("nll_r"))
-                .collect()[0][0]
-            )
-        else:
-            thresholds.append(None)
+    if exact:
+        for k in (n // 3, (2 * n) // 3):
+            if k > 0:
+                thresholds.append(
+                    scored.orderBy(F.asc("nll_r"))
+                    .limit(k)
+                    .agg(F.max("nll_r"))
+                    .collect()[0][0]
+                )
+            else:
+                thresholds.append(None)
+    else:
+        qs = scored.where(F.col("nll_r").isNotNull()).approxQuantile(
+            "nll_r", [1.0 / 3.0, 2.0 / 3.0], 0.001
+        )
+        thresholds = list(qs) if len(qs) == 2 else [None, None]
     t1, t2 = thresholds
     bucket = F.when(
         F.col("nll_r").isNull(), F.lit("tail")

@@ -124,6 +124,11 @@ DEMOTED: tuple[str, ...] = (
     # scalar-function family keeps string_functions +
     # json_extract_props, temporal semantics keep excel_serial_dates,
     # join_asof_forward_tolerance and sessionize_events
+    "dedup_increment_bloom",  # r7: born past the window (50 slots
+    # spoken for); fully DuckDB-oracled — the Bloom membership-sketch
+    # gate for the incremental family, swept by pytest's full-catalog
+    # test; the incremental family's plan shapes stay driver-covered
+    # via training_corpus_pipeline_v2's artifact reuse
     "join_outer_coalesce",
     "q5_region_revenue",
     "events_time_rollup",

@@ -1468,3 +1468,52 @@ def multimodal_resize_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     mm = MM.synthesize_payloads(docs)
     out = transform_media(mm, target_w=2, target_h=2, frame_step=2)
     return out.drop("out_payload")
+
+
+@query(
+    "dedup_increment_bloom",
+    oracle=ORC.bloom_gate_oracle(1 << 17, 7),
+    tags=("dedup", "incremental", "bloom", "sketch"),
+)
+def dedup_increment_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter incremental exact-dedup gate (operators/bloom.py):
+    even doc_ids are the standing corpus, odd ones plus re-delivered
+    corpus texts the increment; the corpus fingerprint set compresses
+    into a (word, bits) Bloom artifact (2^17 bits, 7 salted-md5
+    hashes), the increment probes it MAP-SIDE, and the maybe set alone
+    is verified against the true fingerprints.  Output: per increment
+    document the probe flag and the verified keep decision — so the
+    hash gate pins the filter's exact bit pattern (a single divergent
+    bit flips some maybe_dup flag) AND the lossless composition
+    (kept == the plain anti-join's decision, false positives
+    notwithstanding).
+
+    100 TB shape (module docstring): the filter is ~1-2 bytes/key and
+    broadcasts where the 16-byte/key fingerprint table cannot; the
+    probe is n_hashes consecutive broadcast joins (zero exchanges,
+    plan-asserted in tests/test_bloom.py); verification streams the
+    bucketed fingerprint artifact against the broadcast maybe set."""
+    from excelstream_spark.operators import bloom as BL
+    from excelstream_spark.operators import incremental as INC
+    from excelstream_spark.operators.dedup import _scoped_persist
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    redeliv = (
+        docs.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 20))
+        .withColumn("doc_id", F.col("doc_id") + 100_000)
+    ).select(*docs.columns)
+    new = docs.filter(F.col("doc_id") % 2 == 1).unionByName(redeliv)
+
+    fps = _scoped_persist(INC.corpus_fingerprints(corpus))
+    flagged = BL.bloom_flag_increment(new, BL.bloom_build(fps))
+    present = fps.join(
+        F.broadcast(flagged.where(F.col("maybe_dup")).select("fp")),
+        "fp",
+        "left_semi",
+    ).withColumn("_hit", F.lit(True))
+    return flagged.join(F.broadcast(present), "fp", "left").select(
+        F.col("doc_id"),
+        F.col("maybe_dup"),
+        (~F.col("maybe_dup") | F.col("_hit").isNull()).alias("kept"),
+    )

@@ -818,3 +818,77 @@ def bm25_oracle(
             FROM scored)
         WHERE rank <= {int(k)}
     """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter incremental gate (operators/bloom.py)
+
+#: The incremental fixture split shared by the catalog entry and
+#: tests/test_bloom.py: even doc_ids are the standing corpus, odd ones
+#: plus re-deliveries of early corpus texts are the increment.
+BLOOM_CORPUS_SQL = "SELECT * FROM documents WHERE doc_id % 2 = 0"
+BLOOM_NEW_SQL = (
+    "SELECT * FROM documents WHERE doc_id % 2 = 1 UNION ALL "
+    "SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars "
+    "FROM documents WHERE doc_id % 2 = 0 AND doc_id < 20"
+)
+
+_FP_SQL = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+
+
+def bloom_flag_ctes(n_bits: int, n_hashes: int) -> str:
+    """DuckDB CTEs replaying operators/bloom.py bit-for-bit — the
+    filter build (salted-md5 positions, 32-bit words bit_or'd into
+    int64) and the probe: ``flags(doc_id, fp, maybe_dup)`` over the
+    increment.  Every step is md5 + integer arithmetic, so the replay
+    is exact (parity pinned in tests/test_bloom.py)."""
+    return f"""
+    corpus AS ({BLOOM_CORPUS_SQL}),
+    newdocs AS ({BLOOM_NEW_SQL}),
+    cfp AS (SELECT DISTINCT {_FP_SQL} AS fp FROM corpus
+            WHERE text IS NOT NULL),
+    cpos AS (
+        SELECT ('0x' || substr(md5(concat(i, ':', fp)), 1, 15))::BIGINT
+               % {int(n_bits)} AS p
+        FROM cfp, range({int(n_hashes)}) t(i)
+    ),
+    words AS (
+        SELECT p >> 5 AS word, bit_or(1::BIGINT << (p % 32)) AS bits
+        FROM cpos GROUP BY 1
+    ),
+    ifp AS (SELECT doc_id, {_FP_SQL} AS fp FROM newdocs),
+    ipos AS (
+        SELECT doc_id, fp,
+               ('0x' || substr(md5(concat(i, ':', fp)), 1, 15))::BIGINT
+               % {int(n_bits)} AS p
+        FROM ifp, range({int(n_hashes)}) t(i)
+        WHERE fp IS NOT NULL
+    ),
+    probe AS (
+        SELECT doc_id,
+               bool_and(w.bits IS NOT NULL
+                        AND (w.bits & (1::BIGINT << (p % 32))) != 0)
+                   AS maybe
+        FROM ipos LEFT JOIN words w ON (p >> 5) = w.word
+        GROUP BY doc_id
+    ),
+    flags AS (
+        SELECT i.doc_id, i.fp, coalesce(pr.maybe, FALSE) AS maybe_dup
+        FROM ifp i LEFT JOIN probe pr USING (doc_id)
+    )
+    """
+
+
+def bloom_gate_oracle(n_bits: int, n_hashes: int) -> str:
+    """(doc_id, maybe_dup, kept) per increment document: the Bloom
+    flag plus the VERIFIED keep decision (maybe-set probed against the
+    true fingerprint set — exactly dedup_increment_exact's semantics,
+    NULL fingerprints always kept)."""
+    return f"""
+        WITH {bloom_flag_ctes(n_bits, n_hashes)}
+        SELECT f.doc_id, f.maybe_dup,
+               (NOT f.maybe_dup)
+               OR NOT EXISTS (SELECT 1 FROM cfp c WHERE c.fp = f.fp)
+                   AS kept
+        FROM flags f
+    """

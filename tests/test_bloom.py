@@ -1,0 +1,129 @@
+"""Bloom-filter membership artifact (operators/bloom.py): DuckDB replay
+of the filter itself, exact parity of the verified gate, the
+no-false-negative guarantee, incremental build associativity, and the
+zero-shuffle probe plan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from excelstream_spark.operators import bloom as BL
+from excelstream_spark.operators import incremental as INC
+from excelstream_spark.tables import load_table
+
+from .conftest import SF_DIR, assert_matches_oracle
+
+def _frames(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    redeliv = (
+        docs.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 20))
+        .withColumn("doc_id", F.col("doc_id") + 100_000)
+    ).select(*docs.columns)
+    new = docs.filter(F.col("doc_id") % 2 == 1).unionByName(redeliv)
+    return corpus, new
+
+
+def test_bloom_flags_oracle(spark, duck):
+    """The probe's (doc_id, maybe_dup) flags replay bit-for-bit in
+    DuckDB — filter build and probe are pure md5 + integer arithmetic
+    (shared CTE builder: plans/oracles.bloom_flag_ctes, the same SQL
+    the catalog entry's driver oracle uses)."""
+    from excelstream_spark.plans.oracles import bloom_flag_ctes
+
+    corpus, new = _frames(spark)
+    bloom = BL.bloom_build(INC.corpus_fingerprints(corpus))
+    got = BL.bloom_flag_increment(new, bloom).select("doc_id", "maybe_dup")
+    assert_matches_oracle(
+        got,
+        duck,
+        f"WITH {bloom_flag_ctes(BL.DEFAULT_N_BITS, BL.DEFAULT_N_HASHES)} "
+        "SELECT doc_id, maybe_dup FROM flags",
+    )
+
+
+def test_bloom_verified_gate_equals_exact(spark):
+    """bloom prefilter + fingerprint verification == the plain exact
+    anti-join (no false negatives -> the composition is lossless)."""
+    corpus, new = _frames(spark)
+    fps = INC.corpus_fingerprints(corpus)
+    bloom = BL.bloom_build(fps)
+    got = sorted(
+        r["doc_id"]
+        for r in BL.dedup_increment_bloom(new, bloom, corpus_fps=fps)
+        .select("doc_id")
+        .collect()
+    )
+    want = sorted(
+        r["doc_id"]
+        for r in INC.dedup_increment_exact(new, fps).select("doc_id").collect()
+    )
+    assert got == want and len(want) > 0
+
+
+def test_bloom_no_false_negatives_and_fp_rate(spark):
+    """Every re-delivered corpus text MUST flag maybe_dup (the Bloom
+    guarantee); genuinely-new documents flag at ~the sizing FP rate
+    (~1e-4 here — assert < 1% so the test is not flaky by design)."""
+    corpus, new = _frames(spark)
+    fps = INC.corpus_fingerprints(corpus)
+    bloom = BL.bloom_build(fps)
+    flagged = BL.bloom_flag_increment(new, bloom).persist()
+    try:
+        dup_missed = (
+            flagged.join(fps, "fp", "left_semi")
+            .where(~F.col("maybe_dup"))
+            .count()
+        )
+        assert dup_missed == 0, "false negative: violates the Bloom guarantee"
+        truly_new = flagged.join(fps, "fp", "left_anti")
+        n_new = truly_new.count()
+        n_fp = truly_new.where(F.col("maybe_dup")).count()
+        assert n_new > 100
+        assert n_fp / n_new < 0.01, (n_fp, n_new)
+    finally:
+        flagged.unpersist()
+
+
+def test_bloom_incremental_build_associative(spark):
+    """OR-merging two half-corpus filters == building one filter over
+    the union — the incremental-maintenance claim (bit_or associates)."""
+    corpus, _ = _frames(spark)
+    fps = INC.corpus_fingerprints(corpus).persist()
+    try:
+        a = fps.where(F.substring("fp", 1, 1) < F.lit("8"))
+        b = fps.where(F.substring("fp", 1, 1) >= F.lit("8"))
+        merged = (
+            BL.bloom_build(a)
+            .unionByName(BL.bloom_build(b))
+            .groupBy("word")
+            .agg(F.bit_or("bits").alias("bits"))
+        )
+        whole = BL.bloom_build(fps)
+        assert merged.exceptAll(whole).count() == 0
+        assert whole.exceptAll(merged).count() == 0
+    finally:
+        fps.unpersist()
+
+
+def test_bloom_gate_plan_shuffle_free(spark, tmp_path):
+    """The steady-state verified gate (stored fingerprint table + stored
+    filter) runs with ZERO shuffle exchanges: n_hashes broadcast probes,
+    a broadcast semi-join that streams the corpus artifact map-side, and
+    a broadcast anti-join close."""
+    corpus, new = _frames(spark)
+    fp_path = str(tmp_path / "fps")
+    bl_path = str(tmp_path / "bloom")
+    fps = INC.corpus_fingerprints(corpus)
+    fps.write.parquet(fp_path)
+    BL.bloom_build(fps).write.parquet(bl_path)
+    gate = BL.dedup_increment_bloom(
+        new,
+        spark.read.parquet(bl_path),
+        corpus_fps=spark.read.parquet(fp_path),
+    )
+    plan = gate._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan[:2000]
+    assert plan.count("BroadcastHashJoin") >= BL.DEFAULT_N_HASHES + 2, (
+        plan[:2000]
+    )

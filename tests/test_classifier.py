@@ -179,3 +179,16 @@ def test_mapside_is_shuffle_free(spark):
     )
     assert "Exchange" not in plan
     assert "MapInPandas" in plan and "BatchEvalPython" not in plan
+
+
+def test_select_top_quality_approx_mode_matches_exact(spark, separable):
+    """exact=False (the 100 TB approxQuantile path) keeps the same set
+    as the exact k-th-value cut on the fixture: at relativeError 0.001
+    and 40 rows the GK sketch's rank error is < 1 row, so the threshold
+    must land on the same score value."""
+    model = train_quality_classifier(separable, "y", steps=4, lr=8.0)
+    exact = select_top_quality(separable, model, keep_frac=0.5).toPandas()
+    approx = select_top_quality(
+        separable, model, keep_frac=0.5, exact=False
+    ).toPandas()
+    assert set(approx[approx.keep].doc_id) == set(exact[exact.keep].doc_id)

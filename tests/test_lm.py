@@ -137,3 +137,20 @@ def test_null_ids_excluded(spark, fitted):
     )
     rows = ppl_tercile_buckets(docs, fitted).collect()
     assert [r["doc_id"] for r in rows] == [1]
+
+
+def test_terciles_approx_mode_matches_exact(spark, fitted):
+    """exact=False (the 100 TB approxQuantile path) reproduces the
+    exact tercile assignment on the fixture: at relativeError 0.001 and
+    6 scored rows the GK sketch's rank error is < 1 row, so both
+    thresholds land on the same nll_r values."""
+    docs = spark.createDataFrame(SCORE_DOCS, "doc_id bigint, text string")
+    exact = {
+        r["doc_id"]: r["bucket"]
+        for r in ppl_tercile_buckets(docs, fitted).collect()
+    }
+    approx = {
+        r["doc_id"]: r["bucket"]
+        for r in ppl_tercile_buckets(docs, fitted, exact=False).collect()
+    }
+    assert approx == exact
