@@ -582,3 +582,84 @@ def dedup_lines(col, sep: str = "\n") -> Column:
 def dedup_paragraphs(col, sep: str = "\n\n") -> Column:
     """`dedup_lines` at paragraph granularity (blank-line separated)."""
     return dedup_lines(col, sep)
+
+
+# -- C4 line-level cleaning (Raffel et al. 2020 §2.2) ----------------------
+
+#: A retained line must end in one of these (period, exclamation mark,
+#: question mark, end quotation mark — the published terminal set).
+C4_END_MARK_PATTERN = r'[.!?"]\s*$'  # \s* tolerates a trailing \r (CRLF text)
+
+#: Line-level boilerplate phrases (the TFDS c4_utils policy set): a line
+#: containing any of these, or the word "javascript", is dropped.
+C4_POLICY_PHRASES: tuple[str, ...] = (
+    "javascript",
+    "terms of use",
+    "privacy policy",
+    "cookie policy",
+    "uses cookies",
+    "use of cookies",
+    "use cookies",
+)
+
+#: Minimum words per retained line / sentences per retained page
+#: (paper values: 5 words, 3 sentences; the TFDS release tightened the
+#: sentence floor to 5 — the paper number is the default here).
+C4_MIN_WORDS_PER_LINE = 5
+C4_MIN_SENTENCES = 3
+
+#: Deterministic sentence proxy: terminal marks in the retained text.
+#: (C4 used a model-based splitter; a count of sentence-final
+#: punctuation is the SQL-replayable stand-in, and every retained line
+#: already ends in one by construction.)
+C4_SENTENCE_MARK_PATTERN = r"[.!?]"
+
+
+def c4_line_keep(line: Column) -> Column:
+    """The C4 per-line keep predicate: ends in terminal punctuation,
+    has >= C4_MIN_WORDS_PER_LINE words (shared tokens() convention),
+    and contains no policy phrase / "javascript" (case-insensitive).
+    Pure column expressions — usable inside F.filter over the split
+    line array (executor-local, zero shuffle)."""
+    lw = F.lower(line)
+    keep = line.rlike(C4_END_MARK_PATTERN) & (
+        F.size(tokens(line)) >= F.lit(C4_MIN_WORDS_PER_LINE)
+    )
+    for phrase in C4_POLICY_PHRASES:
+        keep = keep & ~F.contains(lw, F.lit(phrase))
+    return keep
+
+
+def c4_metrics(col, badwords: tuple[str, ...] = ()) -> dict[str, Column]:
+    """The C4 cleaning metrics as column expressions over one document:
+    ``n_lines`` / ``n_kept_lines`` (line filter above), ``c4_text``
+    (the retained lines, newline-rejoined), ``n_sentences`` (terminal
+    marks in the retained text), ``has_lorem_ipsum`` / ``has_curly_brace``
+    (page-drop triggers on the ORIGINAL text), ``c4_pass`` (the composed
+    page decision).  ``badwords`` plugs in a token blocklist (C4 drops
+    pages containing any listed word; the published list is external —
+    pass it here, the default is empty so the rule is vacuous)."""
+    t = F.coalesce(col if isinstance(col, Column) else F.col(col), F.lit(""))
+    lines = F.split(t, "\n")
+    kept = F.filter(lines, c4_line_keep)
+    ct = F.array_join(kept, "\n")
+    n_sent = F.regexp_count(ct, F.lit(C4_SENTENCE_MARK_PATTERN))
+    has_lorem = F.contains(F.lower(t), F.lit("lorem ipsum"))
+    has_brace = F.contains(t, F.lit("{"))
+    bad = (
+        F.arrays_overlap(tokens(t), F.array(*[F.lit(w) for w in badwords]))
+        if badwords
+        else F.lit(False)
+    )
+    c4_pass = (
+        (n_sent >= F.lit(C4_MIN_SENTENCES)) & ~has_lorem & ~has_brace & ~bad
+    )
+    return {
+        "n_lines": F.size(lines),
+        "n_kept_lines": F.size(kept),
+        "c4_text": ct,
+        "n_sentences": n_sent,
+        "has_lorem_ipsum": has_lorem,
+        "has_curly_brace": has_brace,
+        "c4_pass": c4_pass,
+    }

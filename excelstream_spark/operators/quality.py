@@ -360,3 +360,52 @@ def decontaminate(
         broadcast_benchmark,
     )
     return flagged.filter(~F.col("contaminated")).select(*df.columns)
+
+
+# --------------------------------------------------------------------------
+# C4 line-level cleaning (round 7)
+# --------------------------------------------------------------------------
+
+
+def c4_quality_flags(
+    df: DataFrame, text_col: str = "text", badwords: tuple[str, ...] = ()
+) -> DataFrame:
+    """Append the C4 cleaning metrics (Raffel et al. 2020 §2.2) — the
+    audit form: ``n_lines`` / ``n_kept_lines`` (per-line terminal-
+    punctuation + >= 5 words + policy-phrase filter), ``c4_text`` (the
+    retained lines), ``n_sentences`` (terminal marks in the retained
+    text — the deterministic splitter stand-in), the page-drop triggers
+    (``has_lorem_ipsum`` / ``has_curly_brace``), and the composed
+    ``c4_pass``.  The original ``text_col`` is left untouched so the
+    flags stay auditable against the input.
+
+    ``badwords`` plugs in the token blocklist (C4 uses the published
+    "bad words" list — external by design; empty default = vacuous).
+
+    100 TB: every metric is a JVM array/regexp expression over the text
+    column — zero shuffle, zero Python; the line filter runs inside the
+    scan stage exactly like the Gopher rules (the higher-order
+    F.filter is interpreted but executor-local, the quality.py
+    precedent)."""
+    m = TXT.c4_metrics(F.col(text_col), badwords)
+    out = df
+    for name, col in m.items():
+        out = out.withColumn(name, col)
+    return out
+
+
+def c4_clean(
+    df: DataFrame, text_col: str = "text", badwords: tuple[str, ...] = ()
+) -> DataFrame:
+    """The pipeline form of :func:`c4_quality_flags`: keep only pages
+    passing the C4 page rules, with ``text_col`` REWRITTEN to the
+    retained lines; schema unchanged.  Composes in front of the dedup
+    stages the way C4 itself ran (clean first, dedup the survivors)."""
+    m = TXT.c4_metrics(F.col(text_col), badwords)
+    return (
+        df.withColumn("_c4_pass", m["c4_pass"])
+        .withColumn("_c4_text", m["c4_text"])
+        .filter(F.col("_c4_pass"))
+        .withColumn(text_col, F.col("_c4_text"))
+        .drop("_c4_pass", "_c4_text")
+    )

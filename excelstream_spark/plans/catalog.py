@@ -129,6 +129,11 @@ DEMOTED: tuple[str, ...] = (
     # gate for the incremental family, swept by pytest's full-catalog
     # test; the incremental family's plan shapes stay driver-covered
     # via training_corpus_pipeline_v2's artifact reuse
+    "c4_line_filter",  # r7: born past the window; the C4 cleaning
+    # rules (Raffel et al. 2020 §2.2) — fully DuckDB-oracled (retained
+    # text hash-gated string-for-string), swept by pytest's
+    # full-catalog test; the rule-based-cleaning family keeps
+    # text_analysis and full_repetition_gate in-window
     "join_outer_coalesce",
     "q5_region_revenue",
     "events_time_rollup",

@@ -1517,3 +1517,44 @@ def dedup_increment_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("maybe_dup"),
         (~F.col("maybe_dup") | F.col("_hit").isNull()).alias("kept"),
     )
+
+
+@query(
+    "c4_line_filter",
+    oracle=ORC.c4_oracle(aug=True),
+    tags=("text", "quality", "c4"),
+)
+def c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 line-level cleaning rules (Raffel et al. 2020 §2.2 —
+    operators/quality.c4_quality_flags): per-line terminal-punctuation
+    + >= 5-word + policy-phrase ("javascript", "privacy policy", ...)
+    filter, the retained text newline-rejoined (hash-gated string-for-
+    string), terminal-mark sentence count, lorem-ipsum / curly-brace
+    page triggers, and the composed page decision.  Completes the
+    published cleaning-rule families alongside Gopher (quality) and
+    the repetition gate.  The fixture documents are single-line
+    unpunctuated token soup (every rule would fire identically), so
+    the entry grafts the deterministic line structure of
+    oracles.C4_AUG_LINES_SQL — the same expr_ on both engines — making
+    every rule discriminate (the corpus_governance aug precedent).
+
+    100 TB shape: every metric is a JVM array/regexp expression — zero
+    shuffle, zero Python; the whole operator runs inside the scan
+    stage and composes in front of the dedup shuffles exactly like the
+    Gopher gate."""
+    from excelstream_spark.operators import quality as QL
+
+    out = QL.c4_quality_flags(
+        _docs(spark, sf_dir)
+        .select("doc_id", F.expr(ORC.C4_AUG_LINES_SQL).alias("text"))
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_kept_lines").cast("long").alias("n_kept_lines"),
+        "c4_text",
+        F.col("n_sentences").cast("long").alias("n_sentences"),
+        "has_lorem_ipsum",
+        "has_curly_brace",
+        "c4_pass",
+    )

@@ -892,3 +892,82 @@ def bloom_gate_oracle(n_bits: int, n_hashes: int) -> str:
                    AS kept
         FROM flags f
     """
+
+
+#: Deterministic line-structure augmentation for the C4 driver row: the
+#: fixture documents are single-line unpunctuated token soup, on which
+#: every C4 rule fires identically (all pages fail, zero
+#: discrimination).  These lines graft a newline/punctuation structure
+#: that exercises EVERY rule — kept long line, short line, unpunctuated
+#: line, javascript line (doc_id%7), sentence-floor failures (%5),
+#: lorem ipsum (%11), curly brace (%13) — with the SAME expression on
+#: both engines (the corpus_governance aug precedent).
+C4_AUG_LINES_SQL = """concat_ws(chr(10),
+    coalesce(text, '') || '.',
+    'short line.',
+    'this line has no terminal punctuation at all',
+    CASE WHEN doc_id % 7 = 0
+         THEN 'Please enable javascript to view this page.'
+         ELSE 'Another good sentence with enough words here.' END,
+    CASE WHEN doc_id % 5 = 0
+         THEN 'unterminated filler line number five for this document'
+         WHEN doc_id % 11 = 0
+         THEN 'Lorem ipsum dolor sit amet consectetur adipiscing elit.'
+         ELSE 'A perfectly fine closing sentence appears right here.' END,
+    CASE WHEN doc_id % 5 = 0
+         THEN 'unterminated filler line number six for this document'
+         WHEN doc_id % 13 = 0
+         THEN 'var x = { key: 1 };'
+         ELSE 'More text follows in this final line today.' END)"""
+
+
+def c4_oracle(src: str = "documents", aug: bool = False) -> str:
+    """DuckDB replay of operators/quality.c4_quality_flags (Raffel et
+    al. 2020 §2.2): per-line terminal-punctuation + min-words +
+    policy-phrase filter, newline-rejoined retained text, terminal-mark
+    sentence proxy, lorem-ipsum / curly-brace page triggers, composed
+    page decision.  Constants single-sourced from functions/text.py.
+    ``aug=True`` applies :data:`C4_AUG_LINES_SQL` first (the driver
+    row's fixture augmentation)."""
+    # outer lambda parameter is `ln`: _toks() nests its own `x ->`
+    # lambda, and shadowing the outer variable NULLs the whole filter
+    phrase_clauses = " AND ".join(
+        f"NOT contains(lower(ln), '{p}')" for p in TXT.C4_POLICY_PHRASES
+    )
+    # Java-regex \s == RE2 \s; DuckDB string literals are not
+    # escape-processed, so the patterns embed verbatim
+    end_re = TXT.C4_END_MARK_PATTERN
+    sent_re = TXT.C4_SENTENCE_MARK_PATTERN
+    t_expr = C4_AUG_LINES_SQL if aug else "coalesce(text, '')"
+    return f"""
+        WITH d AS (SELECT doc_id, {t_expr} AS t FROM {src}),
+        split AS (SELECT doc_id, t, string_split(t, chr(10)) AS lines
+                  FROM d),
+        kept AS (SELECT doc_id, t, lines,
+                        list_filter(lines, ln ->
+                            regexp_matches(ln, '{end_re}')
+                            AND len({_toks('ln')})
+                                >= {TXT.C4_MIN_WORDS_PER_LINE}
+                            AND {phrase_clauses}) AS kl
+                 FROM split),
+        m AS (SELECT doc_id,
+                     len(lines)::BIGINT AS n_lines,
+                     len(kl)::BIGINT AS n_kept_lines,
+                     -- DuckDB array_to_string([]) is NULL; Spark
+                     -- array_join([]) is '' — coalesce to Spark's
+                     coalesce(array_to_string(kl, chr(10)), '')
+                         AS c4_text,
+                     len(regexp_extract_all(
+                         coalesce(array_to_string(kl, chr(10)), ''),
+                         '{sent_re}'
+                     ))::BIGINT AS n_sentences,
+                     contains(lower(t), 'lorem ipsum') AS has_lorem_ipsum,
+                     contains(t, '{{') AS has_curly_brace
+              FROM kept)
+        SELECT doc_id, n_lines, n_kept_lines, c4_text, n_sentences,
+               has_lorem_ipsum, has_curly_brace,
+               (n_sentences >= {TXT.C4_MIN_SENTENCES}
+                AND NOT has_lorem_ipsum
+                AND NOT has_curly_brace) AS c4_pass
+        FROM m
+    """
