@@ -134,6 +134,7 @@ def train_quality_classifier(
     seed: int = 0,
     steps: int = 4,
     lr: float = 2.0,
+    features: DataFrame | None = None,
 ) -> ClassifierModel:
     """Full-batch logistic-regression GD, ``steps`` iterations.
 
@@ -146,14 +147,27 @@ def train_quality_classifier(
         w_b     ← round(w_b − lr · grad_b, 9)   (bias updated likewise)
 
     Each step's driver traffic is one ≤ ``n_buckets``-row collect plus
-    one scalar; see the module docstring for the shuffle budget."""
+    one scalar; see the module docstring for the shuffle budget.
+
+    ``features``: a precomputed :func:`hashed_doc_features` table for
+    ``docs`` (the feature table IS the reusable artifact — at scale it
+    is built once, stored partitioned by id, and shared between
+    training and every scoring pass; passing it here skips the
+    tokenize/shingle/bucket build).  It is used as-is: the caller owns
+    its persistence, and it must have been built with the same
+    (n_buckets, seed)."""
     spark = docs.sparkSession
     # NOTE no repartition: hashed_doc_features' per-doc window already
     # hash-partitions its output by the id (that exchange is the "paid
     # once" partitioning the module docstring describes) — an explicit
     # .repartition(id_col) here added a second, redundant full shuffle
     # of the feature table (measured: 2 exchanges vs 1).
-    feat = hashed_doc_features(docs, text_col, id_col, n_buckets, seed).persist()
+    owns_feat = features is None
+    feat = (
+        hashed_doc_features(docs, text_col, id_col, n_buckets, seed).persist()
+        if owns_feat
+        else features
+    )
     labeled = (
         docs.filter(F.col(id_col).isNotNull())
         .select(F.col(id_col), F.col(label_col).cast("double").alias("y"))
@@ -213,7 +227,8 @@ def train_quality_classifier(
                     weights[row["b"]] = round(w_new, _Q_STEP)
             bias = round(bias - lr * (gbias / n_docs), _Q_STEP)
     finally:
-        feat.unpersist()
+        if owns_feat:
+            feat.unpersist()
         labeled.unpersist()
     return ClassifierModel(weights, bias, n_buckets, seed)
 
@@ -224,17 +239,26 @@ def score_quality(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    features: DataFrame | None = None,
 ) -> DataFrame:
     """(id, score_r, pred) for every non-null-id document — the
     sigmoid of the trained linear score, rounded to 6 decimals, and
     the keep decision at ``threshold``.  Broadcast weights + one
-    groupBy(id); zero-gram documents score ``sigmoid(bias)``."""
+    groupBy(id); zero-gram documents score ``sigmoid(bias)``.
+    ``features``: reuse a precomputed :func:`hashed_doc_features`
+    table (same contract as in :func:`train_quality_classifier` — at
+    scale the feature artifact is built once and shared between
+    training and scoring)."""
     spark = docs.sparkSession
     wdf = spark.createDataFrame(
         list(model.weights.items()) or [(0, 0.0)], "b bigint, w double"
     )
-    feat = hashed_doc_features(
-        docs, text_col, id_col, model.n_buckets, model.seed
+    feat = (
+        hashed_doc_features(
+            docs, text_col, id_col, model.n_buckets, model.seed
+        )
+        if features is None
+        else features
     )
     margins = (
         feat.join(F.broadcast(wdf), "b")
@@ -362,6 +386,7 @@ def select_top_quality(
     text_col: str = "text",
     id_col: str = "doc_id",
     exact: bool = True,
+    features: DataFrame | None = None,
 ) -> DataFrame:
     """(id, score_r, keep) — keep the best ``keep_frac`` of the corpus
     by classifier score.  Quality filters cut at a score QUANTILE (a
@@ -385,7 +410,9 @@ def select_top_quality(
     from excelstream_spark.operators.dedup import _scoped_persist
 
     scored = _scoped_persist(
-        score_quality(docs, model, text_col, id_col).select(id_col, "score_r")
+        score_quality(
+            docs, model, text_col, id_col, features=features
+        ).select(id_col, "score_r")
     )
     n = scored.count()
     k = int(n * keep_frac)

@@ -1316,18 +1316,23 @@ def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the same fixed-step algorithm.
 
     100 TB shape (operators/classifier.py): the doc→feature table is
-    built once (one (id,b) shuffle + the id-keyed window) and
-    persisted partitioned by id; each GD step is a broadcast weight
-    join + a partitioning-aligned margin/error pass + ONE bounded
-    groupBy(bucket) shuffle (≤1024 rows per task after map-side
-    combine) + a kilobyte gradient collect.  Scoring is broadcast +
-    one groupBy(id).  The reference engine has no model-training
-    surface at all — this extends the LLM-pipeline family alongside
-    DSIR (its generative counterpart)."""
+    built ONCE (one (id,b) shuffle + the id-keyed window), persisted,
+    and SHARED between the training loop and the scoring pass (late
+    r7 — previously scoring re-ran the tokenize/shingle/bucket build;
+    the feature table is the reusable artifact, exactly like the
+    stored vocab / postings / fingerprint tables); each GD step is a
+    broadcast weight join + a partitioning-aligned margin/error pass +
+    ONE bounded groupBy(bucket) shuffle (≤1024 rows per task after
+    map-side combine) + a kilobyte gradient collect.  Scoring is
+    broadcast + one groupBy(id).  The reference engine has no
+    model-training surface at all — this extends the LLM-pipeline
+    family alongside DSIR (its generative counterpart)."""
     from excelstream_spark.operators.classifier import (
+        hashed_doc_features,
         select_top_quality,
         train_quality_classifier,
     )
+    from excelstream_spark.operators.dedup import _scoped_persist
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     labeled = docs.withColumn(
@@ -1336,10 +1341,11 @@ def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .between(50, 100_000)
         .cast("int"),
     )
+    feat = _scoped_persist(hashed_doc_features(docs, n_buckets=1024))
     model = train_quality_classifier(
-        labeled, "y", n_buckets=1024, steps=4, lr=8.0
+        labeled, "y", n_buckets=1024, steps=4, lr=8.0, features=feat
     )
-    return select_top_quality(docs, model, keep_frac=0.5)
+    return select_top_quality(docs, model, keep_frac=0.5, features=feat)
 
 
 @query(
@@ -1558,3 +1564,30 @@ def c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "has_curly_brace",
         "c4_pass",
     )
+
+
+@query(
+    "embedding_kmeans_clusters",
+    oracle=ORC.kmeans_oracle(k=8, n_iter=2),
+    tags=("similarity", "clustering", "curation"),
+)
+def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-exact k-means over the embeddings table
+    (operators/clustering.kmeans_assign_exact): md5-seeded init, two
+    Lloyd iterations with exact DECIMAL(38,15) distances and round-9
+    decimal-mean updates, final assignment hash-gated per vector —
+    the clustering family's first hard-signal row (ml.KMeans
+    centroids are engine-internal and can only take rows-only
+    checks).  Document clustering is the topic-bucketing / cluster-
+    balanced-sampling curation primitive; SemDeDup's cells are the
+    same structure.
+
+    100 TB shape (module docstring): broadcast k*d centroid table,
+    map-side-combined assignment aggregation, k*d-row updates; swap
+    the exact explode for the numpy-matmul assignment at scale and
+    keep the decimal mean update."""
+    from excelstream_spark.operators.clustering import kmeans_assign_exact
+    from excelstream_spark.tables import load_table as _lt
+
+    emb = _lt(spark, sf_dir, "embeddings")
+    return kmeans_assign_exact(emb, k=8, n_iter=2)

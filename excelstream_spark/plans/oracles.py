@@ -971,3 +971,56 @@ def c4_oracle(src: str = "documents", aug: bool = False) -> str:
                 AND NOT has_curly_brace) AS c4_pass
         FROM m
     """
+
+
+def kmeans_oracle(
+    k: int = 8, n_iter: int = 2, src: str = "embeddings"
+) -> str:
+    """DuckDB replay of operators/clustering.kmeans_assign_exact:
+    md5-seeded init, ``n_iter`` unrolled Lloyd iterations (exact
+    DECIMAL(38,15) distances, argmin on the decimal total with cid
+    tie-break, round-9 decimal-mean updates), final assignment against
+    the last centroids.  ``dims`` is MATERIALIZED — it feeds every
+    iteration and DuckDB re-inlines multi-referenced CTEs."""
+    ctes = [
+        f"""emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM {src} WHERE vec_id IS NOT NULL),
+        dims AS MATERIALIZED (
+            SELECT vec_id AS id, i - 1 AS dim, v[i] AS x
+            FROM (SELECT vec_id, v,
+                         unnest(generate_series(1, len(v))) AS i
+                  FROM emb)),
+        seeds AS (SELECT id, row_number() OVER (ORDER BY h, id) - 1 AS cid
+                  FROM (SELECT vec_id AS id,
+                               md5(cast(vec_id AS VARCHAR)) AS h
+                        FROM emb ORDER BY h, id LIMIT {k})),
+        c0 AS (SELECT s.cid, d.dim, d.x AS c
+               FROM seeds s JOIN dims d USING (id))"""
+    ]
+    for i in range(1, n_iter + 2):
+        is_final = i == n_iter + 1
+        ctes.append(f"""
+        d{i} AS (SELECT d.id, c.cid,
+                        sum(CAST((d.x - c.c) * (d.x - c.c)
+                            AS DECIMAL(38,15))) AS dist
+                 FROM dims d JOIN c{i - 1} c USING (dim)
+                 GROUP BY d.id, c.cid),
+        a{i} AS (SELECT id, cid, dist FROM (
+                    SELECT id, cid, dist,
+                           row_number() OVER (PARTITION BY id
+                               ORDER BY dist, cid) AS rn
+                    FROM d{i}) WHERE rn = 1)""")
+        if not is_final:
+            ctes.append(f"""
+        c{i} AS (SELECT a.cid, d.dim,
+                        round(CAST(sum(CAST(d.x AS DECIMAL(38,15)))
+                                   AS DOUBLE) / count(*), 9) AS c
+                 FROM dims d JOIN a{i} a USING (id)
+                 GROUP BY a.cid, d.dim)""")
+    final = n_iter + 1
+    return f"""
+        WITH {','.join(ctes)}
+        SELECT id AS vec_id, cid,
+               round(CAST(dist AS DOUBLE), 6) AS dist_r
+        FROM a{final}
+    """
