@@ -134,11 +134,13 @@ DEMOTED: tuple[str, ...] = (
     # text hash-gated string-for-string), swept by pytest's
     # full-catalog test; the rule-based-cleaning family keeps
     # text_analysis and full_repetition_gate in-window
-    "embedding_kmeans_clusters",  # r7: born past the window; the
-    # clustering family's first hash-green row (engine-exact Lloyd —
-    # md5 seeds, decimal distances/means, unrolled-CTE oracle), swept
-    # by pytest's full-catalog test; the embedding family keeps
-    # sim_ann_ivf / sim_topk_quantized / dedup_embedding_lsh in-window
+    "dedup_embedding",  # r7 late rotation: funds the
+    # embedding_kmeans_clusters driver row (new operator family —
+    # engine-exact clustering); exact-pairwise-cosine dedup keeps
+    # in-window coverage via dedup_embedding_lsh (the scale path,
+    # same threshold semantics) and dedup_semantic's pytest suite,
+    # and the row stays hash-verified via pytest's full-catalog sweep
+    # (it is also the recall oracle inside the LSH tests)
     "join_outer_coalesce",
     "q5_region_revenue",
     "events_time_rollup",
