@@ -165,6 +165,9 @@ LEG_SCOPE = {
     "path: shuffle-free Arrow mapside scoring only, the 4-step GD train "
     "runs untimed — the counterpart of quality_classifier_filter's "
     "train+score+cut)",
+    "embedding_kmeans_clusters": "v1:r7 new leg (engine-exact k-means: "
+    "md5-seeded Lloyd, k=8, 2 decimal-exact iterations + final "
+    "assignment over the embeddings table)",
     "dsir_select_resample": "v2:r7 new leg (DSIR hashed-ngram importance "
     "resampling, Gumbel-top-k of 100 against the English-target model); "
     "v2 = the zip_with shingle rewrite landed mid-round (9.8 -> 3.3s)",
@@ -690,6 +693,12 @@ def main() -> None:
             ),
         ),
     )
+
+    # engine-exact k-means (late r7): md5-seeded Lloyd, 2 iterations +
+    # final assignment over the embeddings table — the new in-window
+    # clustering row (the catalog wrapper releases the scoped dim-row
+    # persist on entry)
+    run_catalog("embedding_kmeans_clusters")
 
     # round-4 extension legs (wall-clock accountability for the operators
     # that joined the driver window this round); kept OUT of the headline
