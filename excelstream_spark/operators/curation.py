@@ -282,3 +282,65 @@ def token_budget_head(
         .where(F.col("_cum") <= budget)
         .drop("_pid", "_cum")
     )
+
+
+def shard_assign(id_col: Column | str, n_shards: int, seed: int = 0) -> Column:
+    """Deterministic shard id in [0, n_shards): the split_bucket md5
+    construction, replayable in DuckDB as
+    ``('0x' || substr(md5(seed || ':' || id), 1, 8))::bigint % n``."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    key = F.concat(F.lit(f"{seed}:"), c.cast("string"))
+    return (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
+        % F.lit(n_shards)
+    )
+
+
+def shard_manifest(
+    df: DataFrame,
+    n_shards: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """(shard, n_docs, n_tokens, content_hash) — the audit manifest of
+    a sharded corpus export: every non-null-id document lands in the
+    md5-deterministic shard :func:`shard_assign` gives it, and each
+    shard reports its document count, total token count (shared
+    tokens() convention), and an ORDER-INDEPENDENT content hash — the
+    ``bit_xor`` of each document's 60-bit md5 text hash (the classic
+    set hash; a re-export that changes ANY document's text, drops one,
+    or duplicates one flips the shard's hash — an identical-twin PAIR
+    cancels, which exact dedup upstream rules out).  Empty shards are
+    absent (nothing to audit).
+
+    This is the verification artifact for `df.write.partitionBy(...)`
+    sharded exports: recompute the manifest from the written shards
+    and diff — any divergence names the exact shard to re-export.
+
+    100 TB: one groupBy(shard) with map-side partial aggregation —
+    n_shards rows out; the expensive reads (md5, tokenize) are
+    scan-stage expressions."""
+    from excelstream_spark.functions import text as TXT
+
+    base = df.where(F.col(id_col).isNotNull())
+    doc_h = F.conv(
+        F.substring(F.md5(F.coalesce(F.col(text_col), F.lit(""))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        base.select(
+            shard_assign(id_col, n_shards, seed).alias("shard"),
+            F.size(
+                TXT.tokens(F.coalesce(F.col(text_col), F.lit("")))
+            ).alias("_nt"),
+            doc_h.alias("_h"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_nt").cast("long").alias("n_tokens"),
+            F.expr("bit_xor(_h)").alias("content_hash"),
+        )
+    )

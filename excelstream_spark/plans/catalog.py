@@ -134,6 +134,11 @@ DEMOTED: tuple[str, ...] = (
     # text hash-gated string-for-string), swept by pytest's
     # full-catalog test; the rule-based-cleaning family keeps
     # text_analysis and full_repetition_gate in-window
+    "corpus_shard_manifest",  # r7: born past the window; the
+    # sharded-export audit manifest (md5 shard assignment + bit_xor
+    # set hash) — fully DuckDB-oracled, swept by pytest's full-catalog
+    # test; the curation family keeps corpus_curation and
+    # corpus_sampling_exact in-window
     "dedup_embedding",  # r7 late rotation: funds the
     # embedding_kmeans_clusters driver row (new operator family —
     # engine-exact clustering); exact-pairwise-cosine dedup keeps

@@ -1591,3 +1591,22 @@ def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _lt(spark, sf_dir, "embeddings")
     return kmeans_assign_exact(emb, k=8, n_iter=2)
+
+
+@query(
+    "corpus_shard_manifest",
+    oracle=ORC.shard_manifest_oracle(n_shards=16),
+    tags=("curation", "export", "audit"),
+)
+def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded-export audit manifest (operators/curation.
+    shard_manifest): md5-deterministic shard assignment, per-shard doc
+    and token counts, and an order-independent bit_xor content hash —
+    the artifact a pipeline diffs against a re-export to name exactly
+    which shard changed.  One map-side-combined groupBy(shard); the
+    md5/tokenize work is scan-stage."""
+    from excelstream_spark.operators.curation import shard_manifest
+
+    return shard_manifest(
+        _docs(spark, sf_dir).select("doc_id", "text"), n_shards=16
+    )

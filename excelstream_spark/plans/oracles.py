@@ -1024,3 +1024,22 @@ def kmeans_oracle(
                round(CAST(dist AS DOUBLE), 6) AS dist_r
         FROM a{final}
     """
+
+
+def shard_manifest_oracle(
+    n_shards: int = 16, seed: int = 0, src: str = "documents"
+) -> str:
+    """DuckDB replay of operators/curation.shard_manifest: md5 shard
+    assignment, token counts under the shared convention, bit_xor of
+    per-doc 60-bit text hashes."""
+    return f"""
+        WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM {src}
+                   WHERE doc_id IS NOT NULL)
+        SELECT ('0x' || substr(md5('{seed}:' || cast(doc_id AS VARCHAR)),
+                               1, 8))::BIGINT % {n_shards} AS shard,
+               count(*)::BIGINT AS n_docs,
+               sum(len({_toks('t')}))::BIGINT AS n_tokens,
+               bit_xor(('0x' || substr(md5(t), 1, 15))::BIGINT)
+                   AS content_hash
+        FROM d GROUP BY shard
+    """

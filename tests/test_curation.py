@@ -187,3 +187,48 @@ def test_corpus_report_vs_sql_oracle(spark, duck):
     # the cube actually fans out: grand total + per-dim + cross rows
     gids = {r.gid for r in got.select("gid").distinct().collect()}
     assert gids == {0, 1, 2, 3}
+
+
+def test_shard_manifest_detects_reexport_divergence(spark):
+    """The manifest's purpose: a re-export that changes one document's
+    text flips EXACTLY that document's shard hash (counts unchanged);
+    dropping a document changes its shard's count too."""
+    from pyspark.sql import functions as F
+
+    from excelstream_spark.operators.curation import (
+        shard_assign,
+        shard_manifest,
+    )
+    from excelstream_spark.tables import load_table
+
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    base = {r["shard"]: r for r in shard_manifest(docs, n_shards=8).collect()}
+    assert sum(r["n_docs"] for r in base.values()) == docs.where(
+        F.col("doc_id").isNotNull()
+    ).count()
+
+    victim = docs.select("doc_id").first()["doc_id"]
+    vshard = docs.select(
+        shard_assign("doc_id", 8).alias("s")
+    ).where(F.col("doc_id") == victim).first()["s"]
+
+    mutated = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == victim, F.lit("tampered text")).otherwise(
+            F.col("text")
+        ),
+    )
+    mut = {r["shard"]: r for r in shard_manifest(mutated, n_shards=8).collect()}
+    for s in base:
+        if s == vshard:
+            assert mut[s]["content_hash"] != base[s]["content_hash"]
+            assert mut[s]["n_docs"] == base[s]["n_docs"]
+        else:
+            assert mut[s]["content_hash"] == base[s]["content_hash"]
+
+    dropped = docs.where(F.col("doc_id") != victim)
+    drp = {r["shard"]: r for r in shard_manifest(dropped, n_shards=8).collect()}
+    assert drp[vshard]["n_docs"] == base[vshard]["n_docs"] - 1
+    assert drp[vshard]["content_hash"] != base[vshard]["content_hash"]
