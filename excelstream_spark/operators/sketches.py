@@ -1,0 +1,140 @@
+"""KMV (k-minimum-values) cardinality sketch — deterministic distinct
+counting for pipeline planning.
+
+Estimating distinct cardinalities (vocabulary size, distinct shingles,
+distinct fingerprints) is how a 100 TB pipeline SIZES itself before
+running: shuffle partition counts, Bloom filter bits/key, LSH band
+tables, dedup hot-key cut thresholds all start from an n_distinct
+estimate.  Spark's built-in ``approx_count_distinct`` (HyperLogLog++)
+answers the same question but its register layout is engine-internal —
+it can never sit under a cross-engine hash gate.  KMV (Bar-Yossef et
+al. 2002, "Counting distinct elements in a data stream") is the
+deterministic alternative: hash every element, keep the k smallest
+hash values, estimate
+
+    n_distinct ~= (k - 1) * H / h_k
+
+where ``h_k`` is the k-th smallest hash and ``H`` the hash space size.
+With md5-derived 60-bit hashes the k smallest values — and therefore
+the ESTIMATE ITSELF — are bit-identical in Spark, DuckDB and Python:
+the sketch is exact-replayable, so the driver hash gate covers it
+(relative error ~ 1/sqrt(k-2), k=256 -> ~6%).
+
+100 TB design:
+- The hash is a scan-stage expression; the k-smallest selection is a
+  TakeOrderedAndProject (per-partition heaps of k, one k-row merge at
+  the driver-side task — k is 256, not a funnel).
+- The grouped form keeps a per-group heap via a rank window over
+  (group, h) — the shuffle moves only (group, h) pairs ALREADY cut to
+  the k smallest per partition by the partial rank... in practice
+  Spark's window shuffles all distinct hashes per group; for very hot
+  groups pre-aggregate with ``min_by`` batches or use the global form
+  per group of interest.  The sketch TABLE (group, k hashes) is the
+  mergeable artifact: union two corpora's sketches, re-rank, re-cut —
+  the classic distributed-sketch merge.
+- Store the k hash values themselves (``kmv_sketch``) as the reusable
+  artifact; the estimate is one arithmetic expression over the stored
+  row (the incremental fingerprint-table convention).
+
+The reference engine (KSD-CO/excelstream) has no sketch surface; this
+extends the approximate-query family alongside the Bloom membership
+filter (`operators/bloom.py` — membership; this module — cardinality).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: 60-bit hash space (15 hex chars of md5 — the repo's bigint-safe
+#: hash-prefix convention, bloom.py / selection.py).
+HASH_BITS = 60
+HASH_SPACE = float(1 << HASH_BITS)
+
+DEFAULT_K = 256
+
+
+def _h60(col: Column) -> Column:
+    """60-bit md5 hash (DuckDB replay:
+    ``('0x' || substr(md5(x), 1, 15))::bigint``)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def kmv_sketch(
+    df: DataFrame, expr: Column, k: int = DEFAULT_K
+) -> DataFrame:
+    """(rank, h) — the ``k`` smallest distinct 60-bit hashes of
+    ``expr`` (rank 1 = smallest).  THE stored artifact: mergeable by
+    union + re-rank + cut, and the estimate is one expression over it.
+    NULL elements are skipped (they are not set members)."""
+    hashes = (
+        df.select(_h60(expr).alias("h"))
+        .where(F.col("h").isNotNull())
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+    w = Window.orderBy("h")
+    return hashes.select(F.row_number().over(w).alias("rank"), "h")
+
+
+def kmv_estimate(sketch: DataFrame, k: int = DEFAULT_K) -> DataFrame:
+    """(n_seen, est) from a :func:`kmv_sketch` artifact: if the sketch
+    holds fewer than ``k`` hashes the count is EXACT (every distinct
+    element is in it); otherwise the KMV estimator over the k-th
+    minimum, floored to an integer on both engines."""
+    agg = sketch.agg(
+        F.count(F.lit(1)).alias("n_seen"),
+        F.max(F.when(F.col("rank") == k, F.col("h"))).alias("_hk"),
+    )
+    est = F.when(
+        F.col("n_seen") < F.lit(k), F.col("n_seen").cast("double")
+    ).otherwise(
+        F.floor(
+            F.lit((k - 1) * HASH_SPACE) / F.col("_hk").cast("double")
+        ).cast("double")
+    )
+    return agg.select(
+        F.col("n_seen").cast("long").alias("n_seen"), est.alias("est")
+    )
+
+
+def kmv_distinct_tokens_by_group(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """(group, n_seen, est_distinct_tokens) — per-group distinct-token
+    cardinality via one grouped KMV pass: explode the shared tokens(),
+    hash, rank within the group, cut at ``k``, estimate.  The
+    vocabulary-sizing primitive per language/source/domain."""
+    from excelstream_spark.functions import text as TXT
+
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(
+            TXT.tokens(F.coalesce(F.col(text_col), F.lit("")))
+        ).alias("tok"),
+    )
+    hashed = toks.select("grp", _h60(F.col("tok")).alias("h")).distinct()
+    w = Window.partitionBy("grp").orderBy("h")
+    ranked = hashed.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+    agg = ranked.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_seen"),
+        F.max(F.when(F.col("rank") == k, F.col("h"))).alias("_hk"),
+    )
+    est = F.when(
+        F.col("n_seen") < F.lit(k), F.col("n_seen").cast("double")
+    ).otherwise(
+        F.floor(
+            F.lit((k - 1) * HASH_SPACE) / F.col("_hk").cast("double")
+        ).cast("double")
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        F.col("n_seen").cast("long").alias("n_seen"),
+        est.alias("est_distinct_tokens"),
+    )

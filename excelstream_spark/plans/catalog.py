@@ -134,6 +134,11 @@ DEMOTED: tuple[str, ...] = (
     # text hash-gated string-for-string), swept by pytest's
     # full-catalog test; the rule-based-cleaning family keeps
     # text_analysis and full_repetition_gate in-window
+    "cardinality_kmv_tokens",  # r7: born past the window; the KMV
+    # cardinality sketch (deterministic k-minimum-values — unlike HLL
+    # the estimate itself hash-gates) — fully DuckDB-oracled, swept by
+    # pytest's full-catalog test; the sketch family keeps
+    # dedup_increment_bloom's pytest row (membership) as its sibling
     "corpus_shard_manifest",  # r7: born past the window; the
     # sharded-export audit manifest (md5 shard assignment + bit_xor
     # set hash) — fully DuckDB-oracled, swept by pytest's full-catalog

@@ -1610,3 +1610,25 @@ def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_manifest(
         _docs(spark, sf_dir).select("doc_id", "text"), n_shards=16
     )
+
+
+@query(
+    "cardinality_kmv_tokens",
+    oracle=ORC.kmv_tokens_oracle(k=256, group_col="lang"),
+    tags=("sketch", "cardinality", "text"),
+)
+def cardinality_kmv_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distinct-token cardinality via the KMV sketch
+    (operators/sketches.py — Bar-Yossef et al. 2002): 60-bit md5 token
+    hashes, the k=256 smallest per group, (k-1)*H/h_k estimator with
+    the exact-below-k short-circuit.  Unlike HyperLogLog the whole
+    sketch is engine-portable, so the ESTIMATE sits under the hash
+    gate — the cardinality-planning primitive (vocab sizing, Bloom
+    bits/key, LSH band tables) made verifiable."""
+    from excelstream_spark.operators.sketches import (
+        kmv_distinct_tokens_by_group,
+    )
+
+    return kmv_distinct_tokens_by_group(
+        _docs(spark, sf_dir).select("lang", "text"), group_col="lang", k=256
+    )

@@ -1043,3 +1043,33 @@ def shard_manifest_oracle(
                    AS content_hash
         FROM d GROUP BY shard
     """
+
+
+def kmv_tokens_oracle(
+    k: int = 256, group_col: str = "lang", src: str = "documents"
+) -> str:
+    """DuckDB replay of operators/sketches.kmv_distinct_tokens_by_group:
+    60-bit md5 token hashes, per-group rank cut at k, the KMV
+    estimator with the exact-below-k short-circuit."""
+    space = float(1 << 60)
+    return f"""
+        WITH d AS (SELECT {group_col} AS grp, coalesce(text, '') AS t
+                   FROM {src}),
+        tok AS (SELECT grp, unnest({_toks('t')}) AS tok FROM d),
+        h AS (SELECT DISTINCT grp,
+                     ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+              FROM tok),
+        r AS (SELECT grp, h,
+                     row_number() OVER (PARTITION BY grp ORDER BY h)
+                         AS rank
+              FROM h),
+        cut AS (SELECT grp, h, rank FROM r WHERE rank <= {k}),
+        agg AS (SELECT grp, count(*) AS n_seen,
+                       max(CASE WHEN rank = {k} THEN h END) AS hk
+                FROM cut GROUP BY grp)
+        SELECT grp AS {group_col}, n_seen::BIGINT AS n_seen,
+               CASE WHEN n_seen < {k} THEN n_seen::DOUBLE
+                    ELSE floor({(k - 1)} * {space} / hk::DOUBLE)::DOUBLE
+               END AS est_distinct_tokens
+        FROM agg
+    """

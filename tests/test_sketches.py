@@ -1,0 +1,81 @@
+"""KMV cardinality sketch (operators/sketches.py) — estimator accuracy,
+the exact-below-k short-circuit, and sketch mergeability.  DuckDB
+parity of the catalog row is covered by the full-catalog sweep."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from excelstream_spark.operators.sketches import (
+    DEFAULT_K,
+    kmv_estimate,
+    kmv_sketch,
+)
+
+
+def _ints(spark, n, offset=0):
+    return spark.range(offset, offset + n).select(
+        F.col("id").cast("string").alias("x")
+    )
+
+
+def test_exact_below_k(spark):
+    """Fewer distinct elements than k: the sketch holds all of them
+    and the 'estimate' is the exact count."""
+    df = _ints(spark, 100)
+    out = kmv_estimate(kmv_sketch(df, F.col("x"), k=256), k=256).first()
+    assert out["n_seen"] == 100
+    assert out["est"] == 100.0
+
+
+def test_estimator_accuracy_at_large_cardinality(spark):
+    """50k distinct elements, k=256: KMV's relative error is
+    ~1/sqrt(k-2) ~ 6%; assert within 4 standard errors (<= 25%)."""
+    df = _ints(spark, 50_000)
+    out = kmv_estimate(kmv_sketch(df, F.col("x"), k=256), k=256).first()
+    assert out["n_seen"] == 256
+    assert abs(out["est"] - 50_000) / 50_000 < 0.25
+
+
+def test_duplicates_do_not_move_the_estimate(spark):
+    """Cardinality, not count: tripling every row changes nothing."""
+    base = _ints(spark, 10_000)
+    tripled = base.unionAll(base).unionAll(base)
+    a = kmv_estimate(kmv_sketch(base, F.col("x"), k=64), k=64).first()
+    b = kmv_estimate(kmv_sketch(tripled, F.col("x"), k=64), k=64).first()
+    assert a["est"] == b["est"]
+
+
+def test_sketch_merge(spark):
+    """The classic distributed-sketch property: union two corpora's
+    sketches, re-rank, cut at k — identical to sketching the union
+    directly (the k smallest of a union are among the two k-smallest
+    sets)."""
+    from pyspark.sql import Window
+
+    a = _ints(spark, 30_000)
+    b = _ints(spark, 30_000, offset=15_000)  # overlapping ranges
+    k = 128
+    sa = kmv_sketch(a, F.col("x"), k=k).select("h")
+    sb = kmv_sketch(b, F.col("x"), k=k).select("h")
+    w = Window.orderBy("h")
+    merged = (
+        sa.unionAll(sb)
+        .distinct()
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("rank", "h")
+    )
+    direct = kmv_sketch(a.unionAll(b), F.col("x"), k=k)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_null_elements_skipped(spark):
+    df = spark.createDataFrame(
+        [("a",), (None,), ("b",)], "x string"
+    )
+    out = kmv_estimate(kmv_sketch(df, F.col("x"), k=8), k=8).first()
+    assert out["n_seen"] == 2
