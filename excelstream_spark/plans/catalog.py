@@ -134,6 +134,10 @@ DEMOTED: tuple[str, ...] = (
     # text hash-gated string-for-string), swept by pytest's
     # full-catalog test; the rule-based-cleaning family keeps
     # text_analysis and full_repetition_gate in-window
+    "streaming_c4_gate",  # r7: born past the window; the stateless-
+    # gate family (dsir/classifier precedent) extended to the C4 rules
+    # — redelivery idempotence + stream-vs-batch decision parity,
+    # fully DuckDB-oracled, swept by pytest's full-catalog test
     "cardinality_kmv_tokens",  # r7: born past the window; the KMV
     # cardinality sketch (deterministic k-minimum-values — unlike HLL
     # the estimate itself hash-gates) — fully DuckDB-oracled, swept by

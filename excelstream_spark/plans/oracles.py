@@ -1073,3 +1073,18 @@ def kmv_tokens_oracle(
                END AS est_distinct_tokens
         FROM agg
     """
+
+
+def c4_gate_oracle(copies: int = 2, src: str = "documents") -> str:
+    """DuckDB replay of the STREAMING C4 gate entry: per-doc line-filter
+    facts under the same aug expression the batch row uses, with the
+    replayed-delivery bookkeeping constants (every doc delivered
+    ``copies`` times; every delivery decides identically because the
+    gate is stateless scan work)."""
+    return f"""
+        SELECT doc_id,
+               CAST({copies} AS BIGINT) AS n_deliveries,
+               CAST(1 AS BIGINT) AS n_distinct_decisions,
+               n_kept_lines, c4_pass
+        FROM ({c4_oracle(src=src, aug=True)})
+    """

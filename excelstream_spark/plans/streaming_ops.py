@@ -364,3 +364,51 @@ def streaming_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("score_r").alias("score_r"),
     )
+
+
+@query(
+    "streaming_c4_gate",
+    oracle=_ORC.c4_gate_oracle(),
+    tags=("streaming", "quality", "c4"),
+)
+def streaming_c4_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING C4 cleaning gate under exact redelivery: the line
+    rules are pure JVM array/regexp expressions (zero state, zero
+    shuffle inside the micro-batch), so the gate needs no state store
+    and every delivery of a document decides identically — the
+    stateless-gate family (streaming_dsir_gate /
+    streaming_classifier_gate) extended to rule-based cleaning.
+
+    The documents table is delivered TWICE across two micro-batches
+    under the batch row's deterministic line augmentation; oracled
+    facts per doc: ``n_deliveries`` = 2 (append mode, both batches
+    flowed), ``n_distinct_decisions`` = 1 (bit-identical re-decisions),
+    and the (n_kept_lines, c4_pass) pair equal to the BATCH c4 oracle —
+    stream-vs-batch decision parity."""
+    from pyspark.sql import functions as F
+
+    from excelstream_spark.functions import text as TXT
+    from excelstream_spark.streaming.pipelines import replayed_docs_stream
+
+    stream = replayed_docs_stream(spark, table_path(sf_dir, "documents"))
+    m = TXT.c4_metrics(F.expr(_ORC.C4_AUG_LINES_SQL))
+    flagged = stream.select(
+        "doc_id",
+        m["n_kept_lines"].cast("long").alias("n_kept_lines"),
+        m["c4_pass"].alias("c4_pass"),
+    )
+    result = run_available_now(
+        flagged, f"c4g_{uuid.uuid4().hex[:8]}", output_mode="append"
+    )
+    return (
+        result.where(F.col("doc_id").isNotNull())
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_deliveries"),
+            F.countDistinct(
+                F.struct("n_kept_lines", "c4_pass")
+            ).cast("long").alias("n_distinct_decisions"),
+            F.max("n_kept_lines").alias("n_kept_lines"),
+            F.max("c4_pass").alias("c4_pass"),
+        )
+    )
