@@ -344,3 +344,47 @@ def shard_manifest(
             F.expr("bit_xor(_h)").alias("content_hash"),
         )
     )
+
+
+def epoch_order(
+    df: DataFrame,
+    epoch: int = 0,
+    id_col: str = "doc_id",
+    n_shards: int = 16,
+    seed: int = 0,
+) -> DataFrame:
+    """(<input columns>, shard, position) — the reproducible training
+    data order for one epoch: every non-null-id document gets a
+    deterministic md5 draw keyed on (seed, epoch, id), a shard from
+    :func:`shard_assign`, and its 1-based ``position`` within the
+    shard by that draw (ties by id).  Re-running any epoch replays the
+    exact order; different epochs reshuffle independently — the
+    data-loader contract (fixed seed => bit-reproducible batches)
+    expressed corpus-side.
+
+    100 TB: the draw and shard are scan-stage expressions; the only
+    shuffle is the rank window keyed on the shard — at production
+    shard counts each partition sorts locally (Spark's spillable
+    sort), and writers consume (shard, position) order directly."""
+    from pyspark.sql import Window
+
+    c = F.col(id_col)
+    draw = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit(f"epoch:{seed}:{epoch}:"), c.cast("string"))
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = Window.partitionBy("shard").orderBy("_draw", id_col)
+    return (
+        df.where(c.isNotNull())
+        .withColumn("shard", shard_assign(id_col, n_shards, seed))
+        .withColumn("_draw", draw)
+        .withColumn("position", F.row_number().over(w).cast("long"))
+        .drop("_draw")
+    )

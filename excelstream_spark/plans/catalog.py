@@ -143,6 +143,9 @@ DEMOTED: tuple[str, ...] = (
     # the estimate itself hash-gates) — fully DuckDB-oracled, swept by
     # pytest's full-catalog test; the sketch family keeps
     # dedup_increment_bloom's pytest row (membership) as its sibling
+    "corpus_epoch_order",  # r7: born past the window; reproducible
+    # per-epoch training order (md5 draw + per-shard rank) — fully
+    # DuckDB-oracled, swept by pytest's full-catalog test
     "corpus_shard_manifest",  # r7: born past the window; the
     # sharded-export audit manifest (md5 shard assignment + bit_xor
     # set hash) — fully DuckDB-oracled, swept by pytest's full-catalog

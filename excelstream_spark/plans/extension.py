@@ -1632,3 +1632,22 @@ def cardinality_kmv_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct_tokens_by_group(
         _docs(spark, sf_dir).select("lang", "text"), group_col="lang", k=256
     )
+
+
+@query(
+    "corpus_epoch_order",
+    oracle=ORC.epoch_order_oracle(epoch=0, n_shards=16),
+    tags=("curation", "training", "order"),
+)
+def corpus_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible epoch ordering (operators/curation.epoch_order):
+    md5 draw keyed on (seed, epoch, id) -> per-shard rank — the
+    data-loader contract (fixed seed => bit-reproducible batch order)
+    expressed corpus-side and hash-gated per document.  One rank
+    window keyed on the shard; draw and shard assignment ride the
+    scan."""
+    from excelstream_spark.operators.curation import epoch_order
+
+    return epoch_order(
+        _docs(spark, sf_dir).select("doc_id"), epoch=0, n_shards=16
+    ).select("doc_id", "shard", "position")

@@ -1088,3 +1088,29 @@ def c4_gate_oracle(copies: int = 2, src: str = "documents") -> str:
                n_kept_lines, c4_pass
         FROM ({c4_oracle(src=src, aug=True)})
     """
+
+
+def epoch_order_oracle(
+    epoch: int = 0,
+    n_shards: int = 16,
+    seed: int = 0,
+    src: str = "documents",
+) -> str:
+    """DuckDB replay of operators/curation.epoch_order (projected to
+    doc_id/shard/position for the catalog row)."""
+    return f"""
+        WITH d AS (SELECT doc_id FROM {src} WHERE doc_id IS NOT NULL),
+        drawn AS (SELECT doc_id,
+                         ('0x' || substr(md5('{seed}:' ||
+                             cast(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                             % {n_shards} AS shard,
+                         ('0x' || substr(md5('epoch:{seed}:{epoch}:' ||
+                             cast(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                             AS draw
+                  FROM d)
+        SELECT doc_id, shard,
+               row_number() OVER (PARTITION BY shard
+                                  ORDER BY draw, doc_id)::BIGINT
+                   AS position
+        FROM drawn
+    """

@@ -232,3 +232,30 @@ def test_shard_manifest_detects_reexport_divergence(spark):
     drp = {r["shard"]: r for r in shard_manifest(dropped, n_shards=8).collect()}
     assert drp[vshard]["n_docs"] == base[vshard]["n_docs"] - 1
     assert drp[vshard]["content_hash"] != base[vshard]["content_hash"]
+
+
+def test_epoch_order_reproducible_and_epoch_dependent(spark):
+    """The data-loader contract: same (seed, epoch) replays the exact
+    order; different epochs genuinely reshuffle; positions are a
+    1..n_shard_docs permutation within every shard."""
+    from pyspark.sql import functions as F
+
+    from excelstream_spark.operators.curation import epoch_order
+    from excelstream_spark.tables import load_table
+
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id")
+    e0a = sorted(map(tuple, epoch_order(docs, epoch=0).collect()))
+    e0b = sorted(map(tuple, epoch_order(docs, epoch=0).collect()))
+    e1 = sorted(map(tuple, epoch_order(docs, epoch=1).collect()))
+    assert e0a == e0b
+    assert e0a != e1  # a different epoch moves at least one position
+    # shard membership is epoch-independent (only the order reshuffles)
+    assert {(t[0], t[1]) for t in e0a} == {(t[0], t[1]) for t in e1}
+    # positions form 1..k per shard
+    per_shard: dict[int, list[int]] = {}
+    for doc_id, shard, pos in e0a:
+        per_shard.setdefault(shard, []).append(pos)
+    for shard, positions in per_shard.items():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
