@@ -663,3 +663,34 @@ def c4_metrics(col, badwords: tuple[str, ...] = ()) -> dict[str, Column]:
         "has_curly_brace": has_brace,
         "c4_pass": c4_pass,
     }
+
+
+def nfc_normalize_df(df, text_col: str = "text", out_col: str = "text_nfc"):
+    """DataFrame helper: append ``out_col`` = Unicode NFC normalization
+    of ``text_col`` (NULL stays NULL).  Spark has no built-in Unicode
+    normalizer, so this is one Arrow-batched ``mapInPandas`` over
+    Python's unicodedata (zero shuffle, scan-parallel); DuckDB's
+    ``nfc_normalize`` replays it — both implement Unicode NFC, so the
+    outputs hash-match (divergence is only possible across Unicode
+    VERSION skew on newly-assigned codepoints, which real corpora
+    predate).  Normalizing BEFORE hashing/fingerprinting matters:
+    'é' composed and 'e'+U+0301 decomposed are different md5s for
+    visually identical text — un-normalized corpora under-dedup."""
+    import unicodedata
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        df.schema.fields + [StructField(out_col, StringType(), True)]
+    )
+
+    def norm(batches):
+        for pdf in batches:
+            out = pdf.copy()
+            out[out_col] = [
+                unicodedata.normalize("NFC", t) if t is not None else None
+                for t in pdf[text_col]
+            ]
+            yield out
+
+    return df.mapInPandas(norm, schema)

@@ -143,6 +143,10 @@ DEMOTED: tuple[str, ...] = (
     # the estimate itself hash-gates) — fully DuckDB-oracled, swept by
     # pytest's full-catalog test; the sketch family keeps
     # dedup_increment_bloom's pytest row (membership) as its sibling
+    "text_nfc_normalize",  # r7: born past the window; Unicode NFC
+    # normalization (Arrow unicodedata vs DuckDB utf8proc, hash-pinned
+    # to each other) — fully DuckDB-oracled, swept by pytest's
+    # full-catalog test
     "corpus_epoch_order",  # r7: born past the window; reproducible
     # per-epoch training order (md5 draw + per-shard rank) — fully
     # DuckDB-oracled, swept by pytest's full-catalog test

@@ -1651,3 +1651,32 @@ def corpus_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return epoch_order(
         _docs(spark, sf_dir).select("doc_id"), epoch=0, n_shards=16
     ).select("doc_id", "shard", "position")
+
+
+@query(
+    "text_nfc_normalize",
+    oracle=ORC.nfc_oracle(),
+    tags=("text", "unicode", "normalize"),
+)
+def text_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (functions/text.nfc_normalize_df):
+    composed/decomposed sequences ('é' vs 'e'+U+0301) are different
+    md5s for identical text, so un-normalized corpora under-dedup —
+    normalize FIRST, then fingerprint.  Spark side is one Arrow-batched
+    mapInPandas over unicodedata (Spark has no built-in normalizer);
+    DuckDB's utf8proc nfc_normalize replays it and the hash gate pins
+    the two implementations to each other, character lengths included.
+    The fixture is pure ASCII (NFC = identity), so the entry appends a
+    deterministic decomposed suffix that NFC actually composes."""
+    from excelstream_spark.functions.text import nfc_normalize_df
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id").isNotNull()).select(
+        "doc_id", F.expr(ORC.NFC_AUG_SQL).alias("t")
+    )
+    out = nfc_normalize_df(docs, text_col="t", out_col="text_nfc")
+    return out.select(
+        "doc_id",
+        F.length("t").cast("long").alias("len_before"),
+        F.length("text_nfc").cast("long").alias("len_after"),
+        "text_nfc",
+    )

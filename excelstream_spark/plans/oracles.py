@@ -1114,3 +1114,32 @@ def epoch_order_oracle(
                    AS position
         FROM drawn
     """
+
+
+#: Deterministic combining-sequence augmentation for the NFC driver
+#: row: the fixture text is pure ASCII (NFC is the identity on it), so
+#: the entry appends a decomposed suffix that NFC actually composes —
+#: ' cafe' + COMBINING ACUTE (U+0301) + doc-id-dependent tail.  Same
+#: expression on both engines.
+NFC_AUG_SQL = (
+    # the combining acute is a LITERAL inside the SQL string: Spark's
+    # chr() is mod-256 byte semantics (chr(769) = \x01) while DuckDB's
+    # is the Unicode codepoint — a literal parses identically on both
+    "coalesce(text, '') || ' cafe\u0301 n' || "
+    "cast(doc_id % 7 AS STRING)"
+)
+
+
+def nfc_oracle(src: str = "documents") -> str:
+    """DuckDB replay of the NFC normalization entry: utf8proc
+    nfc_normalize over the same augmented text, with before/after
+    character lengths (the composed sequence is 1 char shorter)."""
+    return f"""
+        WITH d AS (SELECT doc_id, {NFC_AUG_SQL} AS t FROM {src}
+                   WHERE doc_id IS NOT NULL)
+        SELECT doc_id,
+               length(t)::BIGINT AS len_before,
+               length(nfc_normalize(t))::BIGINT AS len_after,
+               nfc_normalize(t) AS text_nfc
+        FROM d
+    """

@@ -175,3 +175,25 @@ def test_c4_zero_shuffle_plan(crafted):
     plan = _flags(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_nfc_normalize_composes_and_dedups(spark):
+    """NFC normalization is the fingerprint-correctness op: composed
+    and decomposed spellings of the same text get the SAME md5 only
+    after normalization."""
+    from excelstream_spark.functions.text import fingerprint, nfc_normalize_df
+
+    composed = "café au lait"
+    decomposed = "café au lait"
+    df = spark.createDataFrame(
+        [(1, composed), (2, decomposed), (3, None)],
+        "doc_id bigint, text string",
+    )
+    out = nfc_normalize_df(df).withColumn(
+        "fp_raw", fingerprint(F.col("text"))
+    ).withColumn("fp_nfc", fingerprint(F.col("text_nfc")))
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["fp_raw"] != rows[2]["fp_raw"]       # under-dedup
+    assert rows[1]["fp_nfc"] == rows[2]["fp_nfc"]       # fixed by NFC
+    assert rows[3]["text_nfc"] is None                  # NULL stays NULL
+    assert len(rows[2]["text_nfc"]) == len(composed)
