@@ -92,3 +92,19 @@ def test_seed_centroids_are_corpus_vectors(spark):
     dim = len(emb.first()["embedding"])
     assert cents.count() == 3 * dim
     assert cents.select("cid").distinct().count() == 3
+
+
+def test_kmeans_plan_broadcasts_centroids(spark):
+    """100 TB shape assertions: every per-iteration centroid join is a
+    BroadcastHashJoin (the k*d centroid table must never shuffle the
+    exploded corpus), and the dim-row table feeds every iteration from
+    the scoped persist (InMemoryTableScan), not a re-scan."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    out = kmeans_assign_exact(emb, k=4, n_iter=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "InMemoryTableScan" in plan
+    # the exploded corpus side must not appear as the build side of a
+    # SortMergeJoin against centroids (dims x centroids is the only
+    # dim-keyed join in the plan)
+    assert "SortMergeJoin [dim" not in plan
