@@ -242,6 +242,63 @@ def dedup_ngram_jaccard(
     )
 
 
+def dedup_ngram_containment(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC shingle containment pairs: ``cont_a = |A∩B| / |A|``
+    (the fraction of A's shingles inside B) and ``cont_b`` likewise;
+    pairs kept where ``greatest(cont_a, cont_b) >= threshold``.
+
+    The subset-duplicate detector Jaccard structurally misses: a short
+    article fully quoted inside a long page has jaccard ~ |A|/|B|
+    (arbitrarily low) but containment 1.0 — the news-dedup rule the C4
+    / RealNews pipelines applied.  Same inverted-index plan as
+    :func:`dedup_ngram_jaccard` (only the closing arithmetic differs),
+    same ``max_shingle_df`` hot-key bound, and the containment RATIO on
+    int64-hashed shingles equals the ratio on the strings (the
+    shingle_rows collision argument), so the DuckDB oracle replays on
+    raw shingle strings."""
+    rows = shingle_rows(df, text_col, id_col, k)
+    ex = _scoped_persist(
+        rows.withColumn("n", F.count(F.lit(1)).over(W.partitionBy("id")))
+    )
+    if max_shingle_df is not None:
+        hot = (
+            ex.groupBy("s").count()
+            .filter(F.col("count") > max_shingle_df)
+            .select("s")
+        )
+        ex = ex.join(F.broadcast(hot), "s", "left_anti")
+    a = ex.select(F.col("id").alias("doc_a"), F.col("n").alias("na"), "s").alias("A")
+    b = ex.select(F.col("id").alias("doc_b"), F.col("n").alias("nb"), "s").alias("B")
+    pairs = (
+        a.join(
+            b,
+            (F.col("A.s") == F.col("B.s"))
+            & (F.col("A.doc_a") < F.col("B.doc_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+    )
+    cont_a = F.col("inter") / F.col("na")
+    cont_b = F.col("inter") / F.col("nb")
+    return (
+        pairs.withColumn("cont_a", cont_a)
+        .withColumn("cont_b", cont_b)
+        .filter(F.greatest(F.col("cont_a"), F.col("cont_b")) >= threshold)
+        .select("doc_a", "doc_b", "cont_a", "cont_b")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",

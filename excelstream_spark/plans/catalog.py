@@ -134,6 +134,11 @@ DEMOTED: tuple[str, ...] = (
     # text hash-gated string-for-string), swept by pytest's
     # full-catalog test; the rule-based-cleaning family keeps
     # text_analysis and full_repetition_gate in-window
+    "dedup_ngram_containment",  # r7: born past the window; the
+    # asymmetric subset-duplicate detector (C4/RealNews containment
+    # rule) — fully DuckDB-oracled, swept by pytest's full-catalog
+    # test; the exact-pairwise family keeps dedup_ngram_jaccard
+    # in-window (identical plan, different closing arithmetic)
     "streaming_c4_gate",  # r7: born past the window; the stateless-
     # gate family (dsir/classifier precedent) extended to the C4 rules
     # — redelivery idempotence + stream-vs-batch decision parity,

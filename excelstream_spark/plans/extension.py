@@ -205,6 +205,39 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.dedup_ngram_jaccard(_docs(spark, sf_dir), threshold=0.5)
 
 
+_SQL_CONTAINMENT_PAIRS = f"""
+    WITH sets_ AS ({_SQL_SHINGLES}),
+    ex AS (SELECT doc_id, len(sh) n, unnest(sh) s FROM sets_ WHERE len(sh) > 0),
+    pairs AS (
+      SELECT a.doc_id doc_a, b.doc_id doc_b,
+             CAST(count(*) AS BIGINT) inter,
+             any_value(a.n) na, any_value(b.n) nb
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           inter * 1.0 / na AS cont_a,
+           inter * 1.0 / nb AS cont_b
+    FROM pairs
+"""
+
+
+@query(
+    "dedup_ngram_containment",
+    oracle=f"""SELECT * FROM ({_SQL_CONTAINMENT_PAIRS})
+               WHERE greatest(cont_a, cont_b) >= 0.8""",
+    tags=("dedup", "containment"),
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC shingle-containment pairs at >= 0.8 (operators/dedup.
+    dedup_ngram_containment): |A∩B|/|A| and /|B| — the subset-duplicate
+    detector (short article quoted inside a long page: jaccard
+    arbitrarily low, containment 1.0), the C4/RealNews news-dedup rule.
+    Same inverted-index plan as the jaccard row; only the closing
+    arithmetic differs."""
+    return DD.dedup_ngram_containment(_docs(spark, sf_dir), threshold=0.8)
+
+
 @query(
     "dedup_minhash_lsh",
     oracle=f"{_SQL_JACCARD_PAIRS} WHERE inter * 1.0 / (na + nb - inter) >= 0.8",

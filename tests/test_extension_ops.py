@@ -1262,3 +1262,33 @@ def test_jpeg_huffman_long_codes_and_padding():
     r2 = _BitReader(b"")
     assert r2.read_bits(5) == 0b11111
     assert r2.read_bits(0) == 0
+
+
+def test_containment_catches_subset_duplicates_jaccard_misses(spark):
+    """The containment rule's reason to exist: a short document fully
+    quoted inside a much longer one has near-zero jaccard but
+    containment 1.0."""
+    from pyspark.sql import functions as F
+
+    from excelstream_spark.operators.dedup import (
+        dedup_ngram_containment,
+        dedup_ngram_jaccard,
+        release_persists,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"tok{i}" for i in range(200))
+    df = spark.createDataFrame(
+        [(1, short), (2, filler + " " + short + " " + filler)],
+        "doc_id bigint, text string",
+    )
+    release_persists()
+    jac = dedup_ngram_jaccard(df, threshold=0.5).collect()
+    assert jac == []  # symmetric jaccard is tiny: ~6/400
+    release_persists()
+    cont = dedup_ngram_containment(df, threshold=0.8).collect()
+    assert len(cont) == 1
+    row = cont[0]
+    assert row["doc_a"] == 1 and row["cont_a"] == 1.0  # A fully inside B
+    assert row["cont_b"] < 0.1
+    release_persists()
