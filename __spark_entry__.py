@@ -28,7 +28,15 @@ driver window but still in the pytest full-catalog oracle sweep, with
 range-join semantics keeping a driver row via ``join_interval_binned``.
 Operators whose values are engine-specific (approx
 sketches, trained-k-means IVF) are deliberately outside the window and
-oracle/recall-checked in pytest.
+oracle/recall-checked in pytest.  Round 7 rotates hard-signal rows in
+for every new family (CDC substring dedup, winnowing, the full
+repetition gate, the composed pipeline v2, DSIR, the classifier, the
+bigram LM, BM25, media transforms, engine-exact k-means) and grows a
+DEMOTED tail of fully-oracled rows past the window (C4 line rules,
+streaming gates, Bloom/KMV sketches, shard manifest, epoch order, NFC
+normalization, containment dedup) — all swept by pytest's full-catalog
+oracle test and this skill's verify runs; the one rows-only entry is
+the inherently iterative BPE trainer.
 """
 
 from __future__ import annotations
