@@ -836,13 +836,44 @@ def main() -> None:
             labeled, "y", n_buckets=1024, steps=4, lr=8.0, features=feat
         )
         return _clf_select(d, model, keep_frac=0.5, features=feat)
-    def _rung(make, factor: int, n_timed: int) -> float:
+    # embeddings inflation for the vector-family rungs: copies carry
+    # new ids and IDENTICAL vectors — k-means assignment work is N*k
+    # regardless of vector values, so the rung measures the scan +
+    # per-iteration aggregation pipeline scaling linearly in N (the
+    # md5 seeds re-derive per factor from the new id space)
+    emb_base = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+
+    def inflate_emb(factor: int):
+        if factor == 1:
+            return emb_base
+        copies = [
+            emb_base.select(
+                (F.col("vec_id") + F.lit(i * 100_000_000)).alias("vec_id"),
+                "embedding",
+            )
+            for i in range(factor)
+        ]
+        return reduce(lambda a, b: a.unionAll(b), copies)
+
+    from excelstream_spark.operators.clustering import (
+        kmeans_assign_exact as _km_assign,
+    )
+
+    EMB_LADDER_LEGS = {
+        "embedding_kmeans_clusters": lambda d: _km_assign(
+            d, k=8, n_iter=2
+        ),
+    }
+
+    def _rung(make, factor: int, n_timed: int, inflator=None) -> float:
         # one UNTIMED warmup per rung before the timed runs: each rung's
         # plan is new generated code (different union width), and a cold
         # first execution times the JIT, not the operator — measured 4x
         # inflation of the 1x rung (12.4s cold vs ~3s steady), which
         # corrupted the drift DENOMINATOR into a flattering 0.07
-        d = inflate(factor)
+        d = (inflator or inflate)(factor)
         DDo.release_persists()
         noop(make(d))
         durs = []
@@ -854,17 +885,20 @@ def main() -> None:
         return min(durs)
 
     scale_ladder: dict[str, dict] = {}
-    for name, make in LADDER_LEGS.items():
+    _all_ladder = [(n, m, None) for n, m in LADDER_LEGS.items()] + [
+        (n, m, inflate_emb) for n, m in EMB_LADDER_LEGS.items()
+    ]
+    for name, make, _inflator in _all_ladder:
         # min-of-2 on the cheap rungs: a single stalled 1x run corrupts
         # the drift DENOMINATOR 4x (observed: an 11.7s outlier on a leg
         # that repeatably runs ~3s).  The 10x rung runs once after its
         # warmup, then once more only if the ladder looks anomalous
         # (non-monotonic or super-linear) — bounding worst-case cost.
         rungs = {
-            "1x": _rung(make, 1, 2),
-            "3x": _rung(make, 3, 2),
+            "1x": _rung(make, 1, 2, _inflator),
+            "3x": _rung(make, 3, 2, _inflator),
         }
-        rungs["10x"] = _rung(make, 10, 1)
+        rungs["10x"] = _rung(make, 10, 1, _inflator)
         # retry ANY rung that makes the ladder non-monotonic (or the
         # drift super-linear): a one-off ambient stall on the 1x rung
         # flatters drift 10x (observed: a 23.6s minhash 1x against a
@@ -873,11 +907,11 @@ def main() -> None:
         # against a repeatable ~0.45) — and neither is distinguishable
         # from a real scaling cliff without a second sample
         if rungs["1x"] > rungs["3x"]:
-            rungs["1x"] = min(rungs["1x"], _rung(make, 1, 2))
+            rungs["1x"] = min(rungs["1x"], _rung(make, 1, 2, _inflator))
         if rungs["3x"] > rungs["10x"]:
-            rungs["3x"] = min(rungs["3x"], _rung(make, 3, 2))
+            rungs["3x"] = min(rungs["3x"], _rung(make, 3, 2, _inflator))
         if rungs["10x"] < rungs["3x"] or rungs["10x"] > 10 * rungs["1x"]:
-            rungs["10x"] = min(rungs["10x"], _rung(make, 10, 1))
+            rungs["10x"] = min(rungs["10x"], _rung(make, 10, 1, _inflator))
         DDo.release_persists()
         drift = round(rungs["10x"] / (10 * rungs["1x"]), 3)
         scale_ladder[name] = {"runs": rungs, "drift_10x": drift}
