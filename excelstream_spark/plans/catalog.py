@@ -148,6 +148,10 @@ DEMOTED: tuple[str, ...] = (
     # the estimate itself hash-gates) — fully DuckDB-oracled, swept by
     # pytest's full-catalog test; the sketch family keeps
     # dedup_increment_bloom's pytest row (membership) as its sibling
+    "cleaning_pipeline_v3",  # r7: born past the window; the composed
+    # NFC -> C4 -> PII cleaning chain (the pipeline-v2 composition
+    # principle applied to the round-close stages) — fully
+    # DuckDB-oracled, swept by pytest's full-catalog test
     "text_nfc_normalize",  # r7: born past the window; Unicode NFC
     # normalization (Arrow unicodedata vs DuckDB utf8proc, hash-pinned
     # to each other) — fully DuckDB-oracled, swept by pytest's

@@ -1713,3 +1713,47 @@ def text_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text_nfc").cast("long").alias("len_after"),
         "text_nfc",
     )
+
+
+@query(
+    "cleaning_pipeline_v3",
+    oracle=ORC.cleaning_pipeline_oracle(),
+    tags=("pipeline", "text", "quality", "c4", "pii"),
+)
+def cleaning_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-7-close cleaning operators composed end-to-end in one
+    lazy plan (the training_corpus_pipeline_v2 principle applied to the
+    new stages — unit oracles prove operators, this row proves their
+    COMPOSITION):
+
+    1. Unicode NFC normalization (Arrow mapInPandas; the aug's
+       decomposed e+U+0301 composes — proving the stage ran);
+    2. the C4 line/page rules over the normalized text (line filter +
+       page gates; failing pages drop out of the result);
+    3. PII redaction of the retained text (the aug's injected email
+       becomes <EMAIL>).
+
+    Output per surviving page: kept-line count, email count, and the
+    fingerprint of the final redacted text — the hash gates every
+    stage's rewrite byte-for-byte.  100 TB: stages 2-3 are scan-stage
+    JVM expressions; stage 1 is the one Arrow pass; zero shuffles in
+    the whole chain."""
+    from excelstream_spark.operators import quality as QL
+
+    docs = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id").isNotNull())
+        .select("doc_id", F.expr(ORC.CLEANING_V3_AUG_SQL).alias("text"))
+    )
+    ndf = TXT.nfc_normalize_df(docs, "text", "text_nfc").select(
+        "doc_id", F.col("text_nfc").alias("text")
+    )
+    kept = QL.c4_quality_flags(ndf).where(F.col("c4_pass"))
+    return kept.select(
+        "doc_id",
+        F.col("n_kept_lines").cast("long").alias("n_kept_lines"),
+        F.regexp_count(
+            F.col("c4_text"), F.lit(TXT.PII_EMAIL_PATTERN)
+        ).cast("long").alias("n_emails"),
+        TXT.fingerprint(TXT.redact_pii(F.col("c4_text"))).alias("fp"),
+    )

@@ -1143,3 +1143,39 @@ def nfc_oracle(src: str = "documents") -> str:
                nfc_normalize(t) AS text_nfc
         FROM d
     """
+
+
+#: Aug for the composed cleaning chain: the C4 line structure plus a
+#: seventh KEPT line carrying an email (PII stage) and a DECOMPOSED
+#: e+U+0301 (NFC stage) — so every stage in the chain provably changes
+#: the bytes it is responsible for.  The combining acute is a literal
+#: (Spark chr() is mod-256; see NFC_AUG_SQL).
+CLEANING_V3_AUG_SQL = (
+    f"concat_ws(chr(10), {C4_AUG_LINES_SQL}, "
+    "'Contact ops@example.com for café pricing today.')"
+)
+
+
+def cleaning_pipeline_oracle(src: str = "documents") -> str:
+    """DuckDB replay of the composed NFC -> C4 -> PII cleaning chain:
+    nfc_normalize over the aug text feeds the C4 line/page rules as the
+    source relation; surviving pages are PII-redacted (the
+    PII_REPLACEMENTS chain order) and fingerprinted — the final md5
+    hash-gates every stage's rewrite."""
+    nfc_src = (
+        f"(SELECT doc_id, nfc_normalize({CLEANING_V3_AUG_SQL}) AS text "
+        f"FROM {src} WHERE doc_id IS NOT NULL) base"
+    )
+    redacted = "c4_text"
+    for _, pat, repl in TXT.PII_REPLACEMENTS:
+        redacted = f"regexp_replace({redacted}, '{pat}', '{repl}', 'g')"
+    return f"""
+        SELECT doc_id, n_kept_lines,
+               CAST(len(regexp_extract_all(
+                   c4_text, '{TXT.PII_EMAIL_PATTERN}')) AS BIGINT)
+                   AS n_emails,
+               md5(trim(regexp_replace(lower({redacted}),
+                                       '\\s+', ' ', 'g'))) AS fp
+        FROM ({c4_oracle(src=nfc_src)}) c
+        WHERE c4_pass
+    """
