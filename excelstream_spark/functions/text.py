@@ -591,9 +591,12 @@ def dedup_paragraphs(col, sep: str = "\n\n") -> Column:
 C4_END_MARK_PATTERN = r'[.!?"]\s*$'  # \s* tolerates a trailing \r (CRLF text)
 
 #: Line-level boilerplate phrases (the TFDS c4_utils policy set): a line
-#: containing any of these, or the word "javascript", is dropped.
+#: containing any of these as a substring is dropped.  "javascript" is
+#: NOT in this list — the paper's rule is "any line with the WORD
+#: Javascript", so it is matched at token level (the shared tokens()
+#: convention) in :func:`c4_line_keep`, not by substring containment
+#: ("javascripting"/"nojavascript" lines survive; r7 advice #4).
 C4_POLICY_PHRASES: tuple[str, ...] = (
-    "javascript",
     "terms of use",
     "privacy policy",
     "cookie policy",
@@ -608,22 +611,32 @@ C4_POLICY_PHRASES: tuple[str, ...] = (
 C4_MIN_WORDS_PER_LINE = 5
 C4_MIN_SENTENCES = 3
 
-#: Deterministic sentence proxy: terminal marks in the retained text.
-#: (C4 used a model-based splitter; a count of sentence-final
-#: punctuation is the SQL-replayable stand-in, and every retained line
-#: already ends in one by construction.)
-C4_SENTENCE_MARK_PATTERN = r"[.!?]"
+#: Deterministic sentence proxy: terminal marks in the retained text —
+#: the SAME character set as C4_END_MARK_PATTERN (incl. the end
+#: quotation mark), so every retained line contributes >= 1 sentence by
+#: construction (r7 advice: with the quote excluded, a line terminated
+#: only by '"' was retained yet counted zero sentences, silently
+#: tightening the 3-sentence page floor).  (C4 used a model-based
+#: splitter; a terminal-mark count is the SQL-replayable stand-in.  It
+#: over-counts mid-line marks — abbreviations, '."' sequences count
+#: both characters — identically on both engines.)
+C4_SENTENCE_MARK_PATTERN = r'[.!?"]'
 
 
 def c4_line_keep(line: Column) -> Column:
     """The C4 per-line keep predicate: ends in terminal punctuation,
     has >= C4_MIN_WORDS_PER_LINE words (shared tokens() convention),
-    and contains no policy phrase / "javascript" (case-insensitive).
+    contains no policy phrase (substring, case-insensitive), and does
+    not contain the word "javascript" (TOKEN-level — the paper's "any
+    line with the word Javascript"; tokens() already lowercases).
     Pure column expressions — usable inside F.filter over the split
     line array (executor-local, zero shuffle)."""
     lw = F.lower(line)
-    keep = line.rlike(C4_END_MARK_PATTERN) & (
-        F.size(tokens(line)) >= F.lit(C4_MIN_WORDS_PER_LINE)
+    tk = tokens(line)
+    keep = (
+        line.rlike(C4_END_MARK_PATTERN)
+        & (F.size(tk) >= F.lit(C4_MIN_WORDS_PER_LINE))
+        & ~F.array_contains(tk, F.lit("javascript"))
     )
     for phrase in C4_POLICY_PHRASES:
         keep = keep & ~F.contains(lw, F.lit(phrase))

@@ -195,6 +195,24 @@ def dedup_ngram_jaccard(
     jaccard = |A∩B| / |A∪B| >= threshold.
     """
     rows = shingle_rows(df, text_col, id_col, k)
+    if max_shingle_df is not None:
+        # anti-join the HOT set (bounded: <= distinct_shingles /
+        # max_shingle_df rows by construction) rather than semi-joining
+        # the keep set — broadcasting "everything except the hot keys"
+        # is the unbounded-broadcast class the round-5 advisor flagged
+        # in the incremental path.  The prune runs BEFORE the per-doc
+        # set-size window (r7 advice #3): `inter` only counts surviving
+        # shingles, so na/nb must count the same space or jaccard is
+        # systematically underestimated for boilerplate-heavy docs —
+        # under pruning both numerator and denominators are over the
+        # SURVIVING (informative) shingle space.
+        base = _scoped_persist(rows)
+        hot = (
+            base.groupBy("s").count()
+            .filter(F.col("count") > max_shingle_df)
+            .select("s")
+        )
+        rows = base.join(F.broadcast(hot), "s", "left_anti")
     # per-doc set size via a count window (no join against a second scan
     # of the shingle pipeline); persisted because BOTH sides of the
     # inverted-index self-join read it — at 100 TB the equivalent is
@@ -202,18 +220,6 @@ def dedup_ngram_jaccard(
     ex = _scoped_persist(
         rows.withColumn("n", F.count(F.lit(1)).over(W.partitionBy("id")))
     )
-    if max_shingle_df is not None:
-        # anti-join the HOT set (bounded: <= distinct_shingles /
-        # max_shingle_df rows by construction) rather than semi-joining
-        # the keep set — broadcasting "everything except the hot keys"
-        # is the unbounded-broadcast class the round-5 advisor flagged
-        # in the incremental path
-        hot = (
-            ex.groupBy("s").count()
-            .filter(F.col("count") > max_shingle_df)
-            .select("s")
-        )
-        ex = ex.join(F.broadcast(hot), "s", "left_anti")
     # explicit DataFrame aliases: both sides of the self-join descend from
     # the same persisted plan, and attribute-based conditions (a.s == b.s)
     # resolve to the same expression id — correct, but Spark logs a
@@ -264,16 +270,24 @@ def dedup_ngram_containment(
     shingle_rows collision argument), so the DuckDB oracle replays on
     raw shingle strings."""
     rows = shingle_rows(df, text_col, id_col, k)
-    ex = _scoped_persist(
-        rows.withColumn("n", F.count(F.lit(1)).over(W.partitionBy("id")))
-    )
     if max_shingle_df is not None:
+        # prune BEFORE the set-size window (r7 advice #3): with na/nb
+        # counted over ALL shingles but `inter` over surviving ones,
+        # containment was a one-sided underestimate for documents
+        # dominated by boilerplate shingles — exactly the subset
+        # duplicates this operator exists to catch.  Pruning first
+        # makes cont_a the containment over the SURVIVING (informative)
+        # shingle space: |A'∩B'| / |A'| with A' = A minus hot shingles.
+        base = _scoped_persist(rows)
         hot = (
-            ex.groupBy("s").count()
+            base.groupBy("s").count()
             .filter(F.col("count") > max_shingle_df)
             .select("s")
         )
-        ex = ex.join(F.broadcast(hot), "s", "left_anti")
+        rows = base.join(F.broadcast(hot), "s", "left_anti")
+    ex = _scoped_persist(
+        rows.withColumn("n", F.count(F.lit(1)).over(W.partitionBy("id")))
+    )
     a = ex.select(F.col("id").alias("doc_a"), F.col("n").alias("na"), "s").alias("A")
     b = ex.select(F.col("id").alias("doc_b"), F.col("n").alias("nb"), "s").alias("B")
     pairs = (

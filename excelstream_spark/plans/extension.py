@@ -15,6 +15,7 @@ from excelstream_spark.functions import text as TXT
 from excelstream_spark.operators import dedup as DD
 from excelstream_spark.operators import multimodal as MM
 from excelstream_spark.operators import similarity as SIM
+from excelstream_spark.plans import oracles as ORC
 from excelstream_spark.plans.catalog import query
 from excelstream_spark.tables import load_table
 
@@ -37,23 +38,10 @@ _SQL_TOKS_NN = (
     "list_filter(regexp_split_to_array(lower(coalesce(text, '')), "
     "'\\s+'), x -> x <> '')"
 )
-_SQL_SHINGLES = f"""
-    SELECT doc_id,
-           list_distinct(
-             list_transform(generate_series(1, len(t) - 2),
-                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
-    FROM (SELECT doc_id, {_SQL_TOKS} AS t FROM documents)
-"""
+# shingle/pair CTEs single-sourced from plans/oracles.ngram_pairs_ctes
+# (r8: the pruned max_shingle_df variant lives there too — one copy)
 _SQL_JACCARD_PAIRS = f"""
-    WITH sets_ AS ({_SQL_SHINGLES}),
-    ex AS (SELECT doc_id, len(sh) n, unnest(sh) s FROM sets_ WHERE len(sh) > 0),
-    pairs AS (
-      SELECT a.doc_id doc_a, b.doc_id doc_b,
-             CAST(count(*) AS BIGINT) inter,
-             any_value(a.n) na, any_value(b.n) nb
-      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    )
+    {ORC.ngram_pairs_ctes()}
     SELECT doc_a, doc_b, inter * 1.0 / (na + nb - inter) AS jaccard
     FROM pairs
 """
@@ -206,15 +194,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_CONTAINMENT_PAIRS = f"""
-    WITH sets_ AS ({_SQL_SHINGLES}),
-    ex AS (SELECT doc_id, len(sh) n, unnest(sh) s FROM sets_ WHERE len(sh) > 0),
-    pairs AS (
-      SELECT a.doc_id doc_a, b.doc_id doc_b,
-             CAST(count(*) AS BIGINT) inter,
-             any_value(a.n) na, any_value(b.n) nb
-      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    )
+    {ORC.ngram_pairs_ctes()}
     SELECT doc_a, doc_b,
            inter * 1.0 / na AS cont_a,
            inter * 1.0 / nb AS cont_b
@@ -1121,7 +1101,6 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from excelstream_spark.operators import fingerprint as FPo  # noqa: E402
 from excelstream_spark.operators import quality as QLo  # noqa: E402
-from excelstream_spark.plans import oracles as ORC  # noqa: E402
 
 
 @query(

@@ -930,9 +930,12 @@ def c4_oracle(src: str = "documents", aug: bool = False) -> str:
     ``aug=True`` applies :data:`C4_AUG_LINES_SQL` first (the driver
     row's fixture augmentation)."""
     # outer lambda parameter is `ln`: _toks() nests its own `x ->`
-    # lambda, and shadowing the outer variable NULLs the whole filter
+    # lambda, and shadowing the outer variable NULLs the whole filter.
+    # "javascript" is token-level (r7 advice #4 — the paper's "any line
+    # with the WORD Javascript"), the multi-word phrases stay substring.
     phrase_clauses = " AND ".join(
-        f"NOT contains(lower(ln), '{p}')" for p in TXT.C4_POLICY_PHRASES
+        [f"NOT contains(lower(ln), '{p}')" for p in TXT.C4_POLICY_PHRASES]
+        + [f"NOT list_contains({_toks('ln')}, 'javascript')"]
     )
     # Java-regex \s == RE2 \s; DuckDB string literals are not
     # escape-processed, so the patterns embed verbatim
@@ -1178,4 +1181,81 @@ def cleaning_pipeline_oracle(src: str = "documents") -> str:
                                        '\\s+', ' ', 'g'))) AS fp
         FROM ({c4_oracle(src=nfc_src)}) c
         WHERE c4_pass
+    """
+
+
+def ngram_pairs_ctes(src: str = "documents", max_shingle_df: int | None = None) -> str:
+    """CTE block ending in ``pairs(doc_a, doc_b, inter, na, nb)`` — the
+    inverted-index 3-shingle pair pipeline shared by the jaccard and
+    containment closes.  ``max_shingle_df`` replays the hot-shingle
+    prune: shingles in more than that many docs are dropped BEFORE the
+    per-doc set sizes are counted, so ``inter`` and ``na``/``nb`` are
+    over the same surviving shingle space (operators/dedup, r7 advice
+    #3 — the pre-prune sizes made pruned containment a one-sided
+    underestimate).  Replays on raw shingle STRINGS; Spark's xxhash64
+    rows agree up to hash collisions (the shingle_rows argument)."""
+    shingles = f"""
+        SELECT doc_id,
+               list_distinct(
+                 list_transform(generate_series(1, len(t) - 2),
+                                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+        FROM (SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                 x -> x <> '') AS t
+              FROM {src})
+    """
+    prune = ""
+    ex_src = "ex0"
+    if max_shingle_df is not None:
+        prune = f"""
+        hot AS (SELECT s FROM ex0 GROUP BY s
+                HAVING count(*) > {max_shingle_df}),
+        surv AS (SELECT e.doc_id, e.s FROM ex0 e
+                 ANTI JOIN hot h USING (s)),"""
+        ex_src = "surv"
+    return f"""
+    WITH sets_ AS ({shingles}),
+    ex0 AS (SELECT doc_id, unnest(sh) s FROM sets_ WHERE len(sh) > 0),{prune}
+    ex AS (SELECT doc_id, count(*) OVER (PARTITION BY doc_id) AS n, s
+           FROM {ex_src}),
+    pairs AS (
+      SELECT a.doc_id doc_a, b.doc_id doc_b,
+             CAST(count(*) AS BIGINT) inter,
+             any_value(a.n) na, any_value(b.n) nb
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )"""
+
+
+def ngram_containment_oracle(
+    threshold: float = 0.8,
+    src: str = "documents",
+    max_shingle_df: int | None = None,
+) -> str:
+    """DuckDB replay of operators/dedup.dedup_ngram_containment incl.
+    the ``max_shingle_df`` hot-shingle prune path."""
+    return f"""
+        {ngram_pairs_ctes(src, max_shingle_df)}
+        SELECT doc_a, doc_b,
+               inter * 1.0 / na AS cont_a,
+               inter * 1.0 / nb AS cont_b
+        FROM pairs
+        WHERE greatest(inter * 1.0 / na, inter * 1.0 / nb) >= {threshold}
+    """
+
+
+def ngram_jaccard_oracle(
+    threshold: float = 0.5,
+    src: str = "documents",
+    max_shingle_df: int | None = None,
+) -> str:
+    """DuckDB replay of operators/dedup.dedup_ngram_jaccard incl. the
+    ``max_shingle_df`` hot-shingle prune path (same surviving-space
+    semantics as the containment close)."""
+    return f"""
+        {ngram_pairs_ctes(src, max_shingle_df)}
+        SELECT doc_a, doc_b,
+               inter * 1.0 / (na + nb - inter) AS jaccard
+        FROM pairs
+        WHERE inter * 1.0 / (na + nb - inter) >= {threshold}
     """

@@ -62,6 +62,18 @@ CRAFTED = [
     None,
     # 11: whitespace-only
     "   \n  \n ",
+    # 12: quote-only-terminated lines (advice #2's exact case): no
+    # '.'/'!'/'?' anywhere — retained by the end-mark rule, and the
+    # sentence proxy must count them or the page floor fails silently
+    'He said "this is the first quoted sentence right here"\n'
+    'She said "this is the second quoted sentence right here"\n'
+    'They said "this is the third quoted sentence right here"',
+    # 13: "javascript" is a WORD-level rule (advice #4): a larger word
+    # containing it must NOT trigger the drop; a bare-token line must
+    "Enthusiasts enjoy javascripting about frameworks every single day.\n"
+    "The word javascript appears bare in this sentence today.\n"
+    "Another ordinary qualifying sentence lands right about here.\n"
+    "A final ordinary qualifying sentence closes the page out.",
 ]
 
 
@@ -109,11 +121,12 @@ def test_c4_hand_computed(crafted):
     assert rows[0]["n_kept_lines"] == 3
     assert rows[0]["n_sentences"] == 3
     assert rows[0]["c4_pass"] is True
-    # 1: unpunctuated middle line dropped; '?' and '"' both terminal
-    # (the quote-terminated line still carries the '.' before its
-    # quote, so three marks survive and the page passes)
+    # 1: unpunctuated middle line dropped; '?' and '"' both terminal.
+    # r8: the sentence proxy includes the end quote (advice #2 — a
+    # quote-only-terminated line must count as a sentence), so the
+    # '."' ending counts both marks: 1 + 1 + 2 = 4
     assert rows[1]["n_kept_lines"] == 3
-    assert rows[1]["n_sentences"] == 3
+    assert rows[1]["n_sentences"] == 4
     assert rows[1]["c4_pass"] is True
     # 2: three short lines dropped despite punctuation -> floor fails
     assert rows[2]["n_kept_lines"] == 1
@@ -141,13 +154,26 @@ def test_c4_hand_computed(crafted):
         assert rows[i]["n_kept_lines"] == 0
         assert rows[i]["c4_text"] == ""
         assert rows[i]["c4_pass"] is False
+    # 12: quote-only-terminated lines — retained AND counted as
+    # sentences (each line has open+close quote = 2 marks); under the
+    # r7 proxy this page was retained with n_sentences == 0 and failed
+    # the floor despite satisfying the published invariant
+    assert rows[12]["n_kept_lines"] == 3
+    assert rows[12]["n_sentences"] == 6
+    assert rows[12]["c4_pass"] is True
+    # 13: token-level javascript — "javascripting" survives, the bare
+    # word drops its line; 3 sentences remain and the page passes
+    assert rows[13]["n_kept_lines"] == 3
+    assert "javascripting" in rows[13]["c4_text"]
+    assert "javascript appears bare" not in rows[13]["c4_text"]
+    assert rows[13]["c4_pass"] is True
 
 
 def test_c4_clean_rewrites_and_filters(crafted):
     docs, _ = crafted
     out = QL.c4_clean(docs.select("doc_id", "text"))
     kept = {r["doc_id"]: r["text"] for r in out.collect()}
-    assert set(kept) == {0, 1, 3, 4, 7, 8}
+    assert set(kept) == {0, 1, 3, 4, 7, 8, 12, 13}
     assert kept[3] == (
         "The first real sentence of the page goes here.\n"
         "The second real sentence of the page goes here.\n"

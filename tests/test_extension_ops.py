@@ -1292,3 +1292,63 @@ def test_containment_catches_subset_duplicates_jaccard_misses(spark):
     assert row["doc_a"] == 1 and row["cont_a"] == 1.0  # A fully inside B
     assert row["cont_b"] < 0.1
     release_persists()
+
+
+def test_containment_max_shingle_df_prunes_before_set_sizes(spark):
+    """r7 advice #3: with ``max_shingle_df`` set, the per-doc set sizes
+    must be counted AFTER the hot-shingle prune — a subset duplicate
+    whose text is dominated by corpus boilerplate must still score
+    containment ~1.0 over the surviving (informative) shingle space.
+    Cross-checked against the DuckDB replay of the pruned pipeline
+    (the path previously had no oracle coverage)."""
+    import duckdb
+
+    from excelstream_spark.operators.dedup import (
+        dedup_ngram_containment,
+        dedup_ngram_jaccard,
+        release_persists,
+    )
+    from excelstream_spark.plans.oracles import (
+        ngram_containment_oracle,
+        ngram_jaccard_oracle,
+    )
+
+    from .conftest import assert_matches_oracle
+
+    content = "alpha beta gamma delta epsilon zeta eta theta"
+    boiler = " ".join(f"menu{i} nav{i}" for i in range(12))  # 24 tokens
+    filler = " ".join(f"tok{i}" for i in range(120))
+    rows = [
+        (1, content + " " + boiler),            # short: content + boilerplate
+        (2, filler + " " + content + " " + boiler),  # superset + boilerplate
+    ] + [(10 + i, f"page{i} intro{i} words{i} here{i} " + boiler) for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    # boilerplate shingles appear in 10 docs > max_df=4 -> pruned;
+    # doc 1's surviving shingles are its content (+ the doc1/doc2-only
+    # junction shingles), all inside doc 2 -> containment 1.0.  With
+    # the PRE-prune set sizes (the fixed bug) cont_a was ~8/37 ~ 0.22
+    # and the subset duplicate was silently missed.
+    release_persists()
+    out = dedup_ngram_containment(df, threshold=0.8, max_shingle_df=4)
+    got = {(r["doc_a"], r["doc_b"]): r["cont_a"] for r in out.collect()}
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+
+    con = duckdb.connect()
+    try:
+        con.register("cdocs", df.toPandas())
+        release_persists()
+        assert_matches_oracle(
+            dedup_ngram_containment(df, threshold=0.8, max_shingle_df=4),
+            con,
+            ngram_containment_oracle(0.8, src="cdocs", max_shingle_df=4),
+        )
+        release_persists()
+        assert_matches_oracle(
+            dedup_ngram_jaccard(df, threshold=0.2, max_shingle_df=4),
+            con,
+            ngram_jaccard_oracle(0.2, src="cdocs", max_shingle_df=4),
+        )
+    finally:
+        con.close()
+    release_persists()
