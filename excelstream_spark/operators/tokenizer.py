@@ -26,11 +26,15 @@ collect (the arg-max pair).
   and joins the result back to the exploded corpus — encoding cost is
   per distinct word, not per token occurrence.
 
-Training is inherently iterative (each merge depends on the previous
-arg-max), so there is no single-query SQL oracle; correctness is
-proven against a pure-Python reference implementation of the published
-algorithm (tests/test_tokenizer.py) and the catalog entry takes the
-rows-only driver check.
+Training is iterative (each merge depends on the previous arg-max),
+but the fixed-step loop IS SQL-replayable: the merge rounds unroll as
+per-round CTE chains (plans/oracles.bpe_train_oracle — pair recount,
+arg-max with the shared tie-break, gaps-and-islands greedy
+application), the quality_classifier unrolled-GD precedent, so the
+catalog entry hash-gates the full merge sequence against DuckDB (r8;
+it was the lone rows-only entry through r7).  Correctness is
+additionally proven against a pure-Python reference implementation of
+the published algorithm (tests/test_tokenizer.py).
 
 Caveat (documented, not load-bearing for BMP text): symbol
 initialization splits on Java regex positions, i.e. UTF-16 code units

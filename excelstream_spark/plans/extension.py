@@ -1281,18 +1281,22 @@ def dsir_select_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "bpe_train_merges",
-    oracle=None,  # inherently iterative (each merge depends on the
-    # previous arg-max) — no single-query SQL replay exists; the driver
-    # records the rows-only check and pytest proves the merge sequence
-    # bit-equal to a pure-Python reference of the published algorithm
+    # r8 (r7 verdict #1): the iterative loop IS SQL-replayable — the 12
+    # merge rounds unroll as per-merge CTE chains (pair recount ->
+    # arg-max with the shared tie-break -> gaps-and-islands greedy
+    # fold), exactly the quality_classifier unrolled-GD precedent.
+    # This was the catalog's lone rows-only entry.
+    oracle=ORC.bpe_train_oracle(num_merges=12),
     tags=("text", "tokenizer", "iterative"),
 )
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (Sennrich et al. 2016): 12
     merges learned from the documents corpus' word-frequency table.
     Each merge round is one vocabulary-sized shuffle + a ONE-ROW
-    collect; see operators/tokenizer.py for the 100 TB shape and
-    tests/test_tokenizer.py for the reference-equality proof."""
+    collect; see operators/tokenizer.py for the 100 TB shape,
+    tests/test_tokenizer.py for the reference-equality proof, and
+    plans/oracles.bpe_train_oracle for the unrolled-CTE DuckDB
+    replay that hash-gates the full merge sequence."""
     from excelstream_spark.operators.tokenizer import bpe_train
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
