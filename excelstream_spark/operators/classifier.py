@@ -301,11 +301,28 @@ def classifier_score_mapside(
     discriminative model).
 
     BIT-parity with :func:`score_quality`: the margin is the same
-    exact sum of DECIMAL(38,15)-quantized ``w*x`` products (Python
-    ``decimal`` here, Spark decimal aggregation there), and the
+    exact sum of DECIMAL(38,15)-quantized ``w*x`` products (int64
+    fixed-point here, Spark decimal aggregation there), and the
     sigmoid is quantized at 9 then 6 identically — so a document
     scores the SAME rounded value on the batch join path, the mapside
-    batch path, and every streamed redelivery."""
+    batch path, and every streamed redelivery.
+
+    The margin arithmetic is VECTORIZED int64 fixed-point at scale
+    1e15 (r7 verdict #3 — the per-bucket Python ``Decimal`` loop was
+    pricing decimal machinery, not scoring): each term's quantized
+    integer is ``floor(|w*x|*1e15 + 0.5)`` computed in numpy, with an
+    ulp-bounded ambiguity test — an element whose scaled value lies
+    within 4 float-spacings of a half-integer rounding boundary (where
+    the float product's rounding error or the shortest-repr gap could
+    flip HALF_UP) falls back to the exact per-element ``Decimal``
+    construction.  The bound: the ``v*1e15`` multiply adds <= 0.5
+    ulp and BigDecimal.valueOf's shortest-repr gap is <= 0.5 ulp(v)
+    (<= 1 ulp after the non-power-of-two rescale), so 4 spacings is
+    conservative; measured ambiguity rate on trained weights is
+    ~1e-3, so the hot path is two numpy ops per document.  The int64
+    sum is exact (|w*x| <= 8 guarded -> per-term <= 8e15, 1025 terms
+    <= 8.2e18 < 2^63); the one Decimal op per row converts the exact
+    integer margin back to the correctly-rounded double."""
     import numpy as np
     import pandas as pd
     from decimal import ROUND_HALF_UP, Decimal
@@ -322,6 +339,27 @@ def classifier_score_mapside(
 
     def _dec(v: float, q: Decimal) -> Decimal:
         return Decimal(repr(float(v))).quantize(q, rounding=ROUND_HALF_UP)
+
+    def _q15_int(v: float) -> int:
+        """Exact int64 fixed-point of one term: HALF_UP(shortest_repr
+        (v), 15) * 1e15 — the slow-path/boundary element."""
+        return int(_dec(v, _Q15).scaleb(15))
+
+    def _margin_int(vec) -> int:
+        """Exact sum of the per-term quantized integers, vectorized.
+        ``vec`` = w*x for the document's distinct buckets (float64)."""
+        t = np.abs(vec) * 1e15
+        q = np.floor(t + 0.5)
+        # distance (in scaled units) to the nearest half-integer
+        # HALF-UP boundary; elements inside the float-error band get
+        # the exact Decimal treatment
+        amb = np.abs(t - np.floor(t) - 0.5) <= 4.0 * np.spacing(t)
+        qi = q.astype(np.int64)
+        np.negative(qi, out=qi, where=vec < 0)
+        if amb.any():
+            for i in np.flatnonzero(amb):
+                qi[i] = _q15_int(float(vec[i]))
+        return int(qi.sum())
 
     wts = np.zeros(model.n_buckets, dtype=np.float64)
     for b, w in model.weights.items():
@@ -361,7 +399,15 @@ def classifier_score_mapside(
                 bs = np.asarray(bl, dtype=np.int64)
                 if bs.size:
                     x = 1.0 / float(np.sqrt(bs.size))
-                    margin = float(sum(_dec(w * x, _Q15) for w in wts[bs]))
+                    vec = wts[bs] * x  # same IEEE product as w * x
+                    if np.abs(vec).max() > 8.0:
+                        # int64 headroom guard (cannot trigger with
+                        # 9-quantized few-step GD weights): exact
+                        # arbitrary-precision fallback
+                        margin_int = sum(_q15_int(float(v)) for v in vec)
+                    else:
+                        margin_int = _margin_int(vec)
+                    margin = float(Decimal(margin_int).scaleb(-15))
                 else:
                     margin = 0.0
                 p = float(

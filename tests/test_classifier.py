@@ -161,6 +161,58 @@ def test_mapside_scores_bit_match_batch_path(spark):
     assert batch == mapside
 
 
+def test_mapside_fixed_point_boundary_and_guard_parity(spark):
+    """r8 (r7 verdict #3): the vectorized int64 fixed-point margin must
+    stay bit-equal to the Spark decimal path on adversarial weights —
+    exact half-boundary products at scale 1e15 (where numpy half-even
+    vs BigDecimal HALF_UP diverge without the ambiguity fallback),
+    sign mixtures, magnitudes that force the per-element Decimal band,
+    and weights past the |w*x| > 8 int64-headroom guard."""
+    from excelstream_spark.operators.classifier import (
+        classifier_score_mapside,
+        hashed_doc_features,
+        score_quality,
+    )
+
+    # single-token docs -> one gram each, k=1 so x=1.0 and w*x == w:
+    # the weight value IS the term, letting the test place terms
+    # exactly on rounding boundaries
+    words = [f"w{i}" for i in range(12)]
+    docs = spark.createDataFrame(
+        [(i, words[i]) for i in range(len(words))]
+        + [(100, " ".join(words)), (101, None)],  # multi-bucket + null
+        "doc_id bigint, text string",
+    )
+    feat = hashed_doc_features(docs, n_buckets=1024)
+    bkt = {
+        r["doc_id"]: r["b"]
+        for r in feat.where(F.col("doc_id") < 100).collect()
+    }
+    crafted = [
+        2.5e-15, -2.5e-15,          # exact .5 ties at scale 1e15
+        1.5e-15, -0.5e-15,          # more ties, both signs
+        0.1234567890123455,         # 16th digit on the boundary
+        -0.9999999999999995,
+        9.5, -9.5,                  # trips the |w*x| > 8 guard
+        0.5, -0.25,                 # large-|t| ambiguity band
+        3.141592653589793e-07,      # ordinary fast-path values
+        -2.718281828459045e-03,
+    ]
+    weights = {int(bkt[i]): crafted[i] for i in range(len(words))}
+    model = ClassifierModel(
+        weights=weights, bias=0.01, n_buckets=1024, seed=0
+    )
+    batch = {
+        r["doc_id"]: (r["score_r"], r["pred"])
+        for r in score_quality(docs, model).collect()
+    }
+    mapside = {
+        r["doc_id"]: (r["score_r"], r["pred"])
+        for r in classifier_score_mapside(docs, model).collect()
+    }
+    assert batch == mapside
+
+
 def test_mapside_is_shuffle_free(spark):
     from excelstream_spark.operators.classifier import (
         ClassifierModel,
