@@ -79,3 +79,48 @@ def test_null_elements_skipped(spark):
     )
     out = kmv_estimate(kmv_sketch(df, F.col("x"), k=8), k=8).first()
     assert out["n_seen"] == 2
+
+
+def test_grouped_kmv_exchange_is_rank_limit_bounded(spark):
+    """r8 (r7 verdict #4): the grouped form's per-group exchange must
+    be preceded by a Partial WindowGroupLimit — each map task ships at
+    most k hashes per group, so a hot group moves <= k * n_partitions
+    rows instead of all its distinct hashes.  Pins Catalyst's
+    rank-limit pushdown (spark.sql.optimizer.windowGroupLimitThreshold)
+    so a config/optimizer regression cannot silently reopen the
+    hot-group funnel."""
+    from excelstream_spark.operators.sketches import (
+        DEFAULT_K,
+        kmv_distinct_tokens_by_group,
+    )
+
+    df = spark.createDataFrame(
+        [("en", "tok%d other" % i) for i in range(20)]
+        + [("fr", "bonjour le monde")],
+        "lang string, text string",
+    )
+    out = kmv_distinct_tokens_by_group(df, "lang")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    # the Partial group-limit must sit BELOW the per-group exchange
+    # (executed bottom-up: Partial cut -> shuffle -> Final cut)
+    exch = [
+        i for i, ln in enumerate(lines)
+        if "Exchange hashpartitioning(grp" in ln
+        and "h#" not in ln.split("hashpartitioning")[1].split(")")[0]
+    ]
+    partial = [
+        i for i, ln in enumerate(lines)
+        if "WindowGroupLimit" in ln and "Partial" in ln
+        and f"{DEFAULT_K}" in ln
+    ]
+    final = [
+        i for i, ln in enumerate(lines)
+        if "WindowGroupLimit" in ln and "Final" in ln
+    ]
+    assert exch, f"no per-group exchange found:\n{plan}"
+    assert partial, f"rank-limit pushdown missing (Partial):\n{plan}"
+    assert final, f"rank-limit pushdown missing (Final):\n{plan}"
+    # tree prints top-down: Final limit above the exchange, Partial
+    # below it (i.e. larger line index = earlier in execution)
+    assert min(final) < min(exch) < max(partial), plan
