@@ -36,7 +36,13 @@ DEMOTED tail of fully-oracled rows past the window (C4 line rules,
 streaming gates, Bloom/KMV sketches, shard manifest, epoch order, NFC
 normalization, containment dedup) — all swept by pytest's full-catalog
 oracle test and this skill's verify runs; the one rows-only entry is
-the inherently iterative BPE trainer.
+the inherently iterative BPE trainer.  Round 8 closes that hole: the
+BPE merge rounds unroll as per-merge DuckDB CTEs (the classifier's
+unrolled-GD precedent), so EVERY registered entry — 75 with the new
+perceptual image-aHash family — is hash-gated; ``bpe_train_merges``,
+``cleaning_pipeline_v3`` and ``streaming_c4_gate`` rotate into the
+window over three multiply-represented relational/dedup rows under the
+demoted-tail policy now stated in plans/catalog.py.
 """
 
 from __future__ import annotations

@@ -1,0 +1,180 @@
+"""Perceptual image dedup: average-hash (aHash) fingerprints over
+decoded image payloads, plus banded Hamming near-dup pairs.
+
+The image twin of the text near-dup family: a training-data pipeline
+dedups images by PERCEPTUAL fingerprint (re-encoded, resized and
+re-compressed copies of one image must collide), not by byte hash.
+aHash is the classic baseline (average hash — Krawetz's "Looks Like
+It"): grayscale, resize to 8x8, threshold each cell against the mean,
+pack the 64 bits.  Near-dup copies differ in a few bits, so the pair
+stage is exactly the SimHash shape: 4 x 16-bit band blocking (pigeonhole
+guarantees a shared band for Hamming distance <= 3) + exact
+``bit_count(xor)`` verification.
+
+Engine-exact by construction (the multimodal convention —
+`multimodal.py`, ref has no media surface at all):
+
+- Grayscale is the integer CHANNEL SUM (aHash thresholds against the
+  image's own mean, so any positive channel scaling is
+  hash-invariant) — no fractional luma weights to round.
+- Resize is the repo's floor-convention nearest neighbor
+  (``src = (dst * src_n) // dst_n`` — media_transform._resize_nearest),
+  pure integer index math.
+- The threshold compare is ``cell * 64 > total`` — integers only, no
+  mean division, so the bit pattern is bit-identical on every engine.
+- Decode runs the same stdlib/from-spec decoders as the feature
+  extractor (PNG chunk walk + unfilter, baseline JPEG entropy decode),
+  Arrow-batched in ``mapInPandas`` — zero shuffle, scan-parallel.
+
+The catalog row replays the ENTIRE pipeline in DuckDB: the synthetic
+payload pixels are pure doc_id arithmetic (multimodal.
+synthesize_payloads), so the oracle recomputes decode -> gray ->
+8x8 resize -> threshold -> 64-bit pack arithmetically in SQL and the
+driver hash-gates the fingerprints themselves
+(plans/oracles.image_ahash_oracle).  The pair stage is proven in
+pytest on crafted real PNGs (a duplicate with a few tweaked pixels
+pairs at small Hamming distance; an unrelated image does not).
+
+100 TB design: hashing is embarrassingly parallel scan work (the
+payload bytes never shuffle); the pair stage shuffles only
+(id, band, 16-bit key) rows — the dedup_simhash budget, O(n) per band
+— and exact verification touches only band-collision candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from excelstream_spark.functions import vectors as VEC
+
+#: aHash grid — 8x8 = 64 bits, the published default.
+AHASH_SIDE = 8
+
+#: Output schema of :func:`image_ahash`.
+AHASH_SCHEMA = "doc_id bigint, width int, height int, ahash bigint"
+
+
+def ahash_from_pixels(arr) -> int:
+    """64-bit aHash of one decoded HxWxC uint8 pixel array — the exact
+    integer construction shared with the SQL oracle: channel-sum gray,
+    floor-convention 8x8 nearest-neighbor resize, ``cell * 64 > total``
+    threshold, row-major bit pack (bit j = cell ty*8+tx), wrapped to a
+    signed int64."""
+    import numpy as np
+
+    from excelstream_spark.operators.media_transform import _resize_nearest
+
+    gray = arr.astype(np.int64).sum(axis=2)
+    small = _resize_nearest(gray, AHASH_SIDE, AHASH_SIDE)
+    flat = small.reshape(-1)
+    total = int(flat.sum())
+    bits = 0
+    for j in np.flatnonzero(flat * 64 > total):
+        bits |= 1 << int(j)
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return bits
+
+
+def image_ahash(
+    multimodal: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, width, height, ahash) for every decodable IMAGE payload
+    (PNG / baseline JPEG magic); non-image and undecodable rows are
+    dropped — a fingerprint table row asserts "this image hashes to
+    this value", so there is no honest null row.  One Arrow-batched
+    ``mapInPandas``, zero shuffle."""
+    import pandas as pd
+
+    from excelstream_spark.operators.jpeg_baseline import decode_jpeg
+    from excelstream_spark.operators.multimodal import (
+        _JPEG_MAGIC,
+        _PNG_MAGIC,
+        png_pixel_array,
+    )
+
+    cols = [id_col, payload_col]
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload) if payload is not None else b""
+                try:
+                    if payload[:8] == _PNG_MAGIC:
+                        arr = png_pixel_array(payload)
+                    elif payload[:3] == _JPEG_MAGIC:
+                        arr = decode_jpeg(payload)
+                    else:
+                        continue
+                except Exception:
+                    continue  # undecodable/corrupt image: no hash row
+                rows.append(
+                    (
+                        int(doc_id),
+                        int(arr.shape[1]),
+                        int(arr.shape[0]),
+                        ahash_from_pixels(arr),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "ahash"]
+            )
+
+    return multimodal.select(*cols).mapInPandas(gen, schema=AHASH_SCHEMA)
+
+
+def _bands(h: Column, j: int) -> Column:
+    """16-bit band j of a 64-bit signature (the dedup_simhash band)."""
+    return (
+        F.shiftrightunsigned(h, j * 16)
+        .bitwiseAND(F.lit(0xFFFF).cast("bigint"))
+    )
+
+
+def dedup_image_ahash(
+    hashes: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "ahash",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) near-dup image pairs from an
+    :func:`image_ahash` table: 4 x 16-bit band blocking + exact Hamming
+    verify — recall is exactly 1 for ``max_hamming <= 3`` (pigeonhole:
+    3 differing bits touch at most 3 of the 4 bands), probabilistic
+    above, the dedup_simhash contract."""
+    bands = hashes.select(
+        F.col(id_col).alias("id"),
+        F.col(hash_col).alias("h"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        _bands(F.col(hash_col), j).alias("bh"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "h", "b.band", "b.bh")
+    lhs = bands.select(
+        F.col("id").alias("doc_a"), F.col("h").alias("h_a"), "band", "bh"
+    )
+    rhs = bands.select(
+        F.col("id").alias("doc_b"), F.col("h").alias("h_b"), "band", "bh"
+    )
+    return (
+        lhs.join(rhs, ["band", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            VEC.hamming64(F.col("h_a"), F.col("h_b")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1493,6 +1493,33 @@ def multimodal_resize_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_image_ahash",
+    oracle=ORC.image_ahash_oracle(),
+    tags=("multimodal", "dedup", "image"),
+)
+def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image fingerprints, hash-checked end-to-end
+    (operators/image_hash — NEW family r8: the image twin of text
+    near-dup): synthesize genuine PNG/JPEG payloads, REALLY decode them
+    (PNG chunk walk + unfilter; baseline JPEG entropy decode), and
+    compute each image's 64-bit aHash — channel-sum gray,
+    floor-convention 8x8 nearest-neighbor resize, integer-exact
+    ``cell*64 > total`` threshold, row-major bit pack.  The payload
+    pixels are doc_id arithmetic, so the oracle recomputes the
+    FINGERPRINTS THEMSELVES in SQL and the gate proves the decode +
+    hash pipeline bit-for-bit.  The banded-Hamming pair stage
+    (dedup_image_ahash — the dedup_simhash shape) is proven in pytest
+    on crafted near-duplicate images (tests/test_image_hash.py).
+
+    100 TB shape: hashing is zero-shuffle Arrow scan work; pairs
+    shuffle only (id, band, 16-bit key) rows."""
+    from excelstream_spark.operators.image_hash import image_ahash
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id").isNotNull())
+    return image_ahash(MM.synthesize_payloads(docs))
+
+
+@query(
     "dedup_increment_bloom",
     oracle=ORC.bloom_gate_oracle(1 << 17, 7),
     tags=("dedup", "incremental", "bloom", "sketch"),

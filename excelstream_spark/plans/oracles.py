@@ -1276,6 +1276,53 @@ def bpe_train_oracle(
     """
 
 
+def image_ahash_oracle(src: str = "documents") -> str:
+    """DuckDB replay of operators/image_hash.image_ahash over the
+    synthesized payload fixture (multimodal.synthesize_payloads): the
+    payload pixels are pure doc_id arithmetic, so the full decode ->
+    channel-sum gray -> floor-convention 8x8 nearest-neighbor resize ->
+    ``cell*64 > total`` threshold -> row-major 64-bit pack replays as
+    integer SQL.  PNG rows (doc_id%4=0): pixel i = (d*31 + i*7) % 256
+    over w x 2.  Baseline-JPEG rows (doc_id%4=2) decode to a SOLID
+    gray image (DC-only, exact round-trip), and a constant image
+    thresholds every cell false -> ahash 0 by construction.  The
+    HUGEINT bit sum wraps to the signed int64 Spark produces."""
+    return f"""
+        WITH png AS (SELECT doc_id, CAST(2 + 2 * (doc_id % 2) AS INT) AS w,
+                            2 AS h
+                     FROM {src}
+                     WHERE doc_id IS NOT NULL AND doc_id % 4 = 0),
+        cells AS (
+          SELECT doc_id, w, h, t1.ty, t2.tx,
+                 (doc_id * 31
+                  + (((t1.ty * h) // 8) * w + ((t2.tx * w) // 8)) * 7
+                 ) % 256 AS g
+          FROM png,
+               unnest(generate_series(0, 7)) AS t1(ty),
+               unnest(generate_series(0, 7)) AS t2(tx)),
+        tot AS (SELECT doc_id, sum(g) AS total FROM cells GROUP BY doc_id),
+        bits AS (
+          SELECT c.doc_id,
+                 coalesce(sum(CASE WHEN c.g * 64 > t.total
+                              THEN (1::HUGEINT << (c.ty * 8 + c.tx))
+                              END), 0::HUGEINT) AS ub
+          FROM cells c JOIN tot t USING (doc_id) GROUP BY c.doc_id),
+        pngh AS (SELECT p.doc_id, p.w AS width, CAST(p.h AS INT) AS height,
+                        CAST(b.ub - CASE
+                            WHEN b.ub >= 9223372036854775808::HUGEINT
+                            THEN 18446744073709551616::HUGEINT
+                            ELSE 0::HUGEINT END AS BIGINT) AS ahash
+                 FROM png p JOIN bits b USING (doc_id)),
+        jpgh AS (SELECT doc_id, CAST(8 + 8 * (doc_id % 2) AS INT) AS width,
+                        CAST(8 AS INT) AS height, CAST(0 AS BIGINT) AS ahash
+                 FROM {src}
+                 WHERE doc_id IS NOT NULL AND doc_id % 4 = 2)
+        SELECT doc_id, width, height, ahash FROM pngh
+        UNION ALL
+        SELECT doc_id, width, height, ahash FROM jpgh
+    """
+
+
 def ngram_pairs_ctes(src: str = "documents", max_shingle_df: int | None = None) -> str:
     """CTE block ending in ``pairs(doc_a, doc_b, inter, na, nb)`` — the
     inverted-index 3-shingle pair pipeline shared by the jaccard and

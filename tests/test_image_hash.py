@@ -1,0 +1,135 @@
+"""Perceptual image dedup (operators/image_hash.py): aHash fingerprint
+semantics on crafted real PNGs, the banded-Hamming pair stage, and the
+zero-shuffle hash plan.  The catalog row's fingerprint-level DuckDB
+parity over the synthesized fixture is covered by the full-catalog
+sweep (test_catalog_oracle.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from excelstream_spark.operators.image_hash import (
+    ahash_from_pixels,
+    dedup_image_ahash,
+    image_ahash,
+)
+from excelstream_spark.operators.multimodal import encode_png
+
+
+def _png(arr: np.ndarray) -> bytes:
+    h, w = arr.shape[:2]
+    c = arr.shape[2] if arr.ndim == 3 else 1
+    return encode_png(w, h, arr.astype(np.uint8).tobytes(), channels=c)
+
+
+@pytest.fixture(scope="module")
+def crafted_images():
+    """Deterministic 32x32 grayscale images: a base texture, a
+    near-duplicate (one 4x4 block brightened — a small re-encode-style
+    perturbation), and an unrelated texture."""
+    rng = np.random.RandomState(7)
+    base = rng.randint(0, 256, size=(32, 32, 1)).astype(np.uint8)
+    neardup = base.copy()
+    neardup[0:4, 0:4, 0] = 255  # one resized cell flips at most
+    other = rng.randint(0, 256, size=(32, 32, 1)).astype(np.uint8)
+    return base, neardup, other
+
+
+def test_ahash_reference_semantics(crafted_images):
+    """The bit construction matches a straight-line numpy reference of
+    the published recipe (channel-sum gray, floor-NN 8x8, mean
+    threshold via integer cross-multiplication, row-major pack)."""
+    base, _, _ = crafted_images
+    got = ahash_from_pixels(base)
+    gray = base.astype(np.int64).sum(axis=2)
+    rows = (np.arange(8) * 32) // 8
+    small = gray[rows][:, rows]
+    flat = small.reshape(-1)
+    want = 0
+    for j in range(64):
+        if int(flat[j]) * 64 > int(flat.sum()):
+            want |= 1 << j
+    if want >= 1 << 63:
+        want -= 1 << 64
+    assert got == want
+
+
+def test_constant_image_hashes_zero():
+    # no cell exceeds the mean of a constant image -> all bits clear
+    assert ahash_from_pixels(np.full((16, 16, 1), 77, np.uint8)) == 0
+
+
+def test_neardup_small_hamming_unrelated_large(crafted_images):
+    base, neardup, other = crafted_images
+    h0 = ahash_from_pixels(base)
+    h1 = ahash_from_pixels(neardup)
+    h2 = ahash_from_pixels(other)
+    d01 = bin((h0 ^ h1) & ((1 << 64) - 1)).count("1")
+    d02 = bin((h0 ^ h2) & ((1 << 64) - 1)).count("1")
+    assert d01 <= 3          # perturbation flips at most a few cells
+    assert d02 > 10          # independent textures differ broadly
+
+
+def test_pair_stage_finds_neardups_only(spark, crafted_images):
+    base, neardup, other = crafted_images
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_png(base))),
+            (2, bytearray(_png(neardup))),
+            (3, bytearray(_png(other))),
+            (4, bytearray(b"not an image")),   # dropped, no hash row
+            (5, None),                          # dropped, no hash row
+        ],
+        "doc_id bigint, payload binary",
+    )
+    hashes = image_ahash(df)
+    rows = {r["doc_id"]: r for r in hashes.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["width"] == 32 and rows[1]["height"] == 32
+    assert rows[1]["ahash"] == ahash_from_pixels(base)
+    pairs = dedup_image_ahash(hashes, max_hamming=3).collect()
+    assert [(p["doc_a"], p["doc_b"]) for p in pairs] == [(1, 2)]
+    expect = bin(
+        (rows[1]["ahash"] ^ rows[2]["ahash"]) & ((1 << 64) - 1)
+    ).count("1")
+    assert pairs[0]["hamming"] == expect
+
+
+def test_recode_invariance(crafted_images):
+    """The perceptual claim: the SAME pixels re-encoded (e.g. RGB
+    expansion — every channel equal) produce the SAME hash, because
+    channel-sum gray is scale-invariant under the integer threshold."""
+    base, _, _ = crafted_images
+    rgb = np.repeat(base, 3, axis=2)
+    assert ahash_from_pixels(base) == ahash_from_pixels(rgb)
+
+
+def test_hash_stage_is_shuffle_free(spark, crafted_images):
+    base, _, _ = crafted_images
+    df = spark.createDataFrame(
+        [(1, bytearray(_png(base)))], "doc_id bigint, payload binary"
+    )
+    plan = (
+        image_ahash(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan and "BatchEvalPython" not in plan
+
+
+def test_pair_plan_is_band_join_not_cartesian(spark, crafted_images):
+    base, neardup, other = crafted_images
+    df = spark.createDataFrame(
+        [(i, bytearray(_png(img)))
+         for i, img in enumerate((base, neardup, other))],
+        "doc_id bigint, payload binary",
+    )
+    plan = (
+        dedup_image_ahash(image_ahash(df))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
