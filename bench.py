@@ -167,9 +167,10 @@ LEG_SCOPE = {
     "multimodal_resize_sample": "v1:r7 new leg (synthesize PNG/JPEG/WAV "
     "payloads, nearest-neighbor 2x2 thumbnail resize/transcode + "
     "every-2nd-frame audio decimation, stats from re-decoded outputs)",
-    "multimodal_image_ahash": "v1:r8 new leg (perceptual image "
-    "fingerprints: synthesize + really-decode PNG/JPEG payloads + "
-    "integer-exact 64-bit aHash, zero-shuffle Arrow scan work)",
+    "multimodal_fingerprints": "v1:r8 new leg (perceptual media "
+    "fingerprints: synthesize + really-decode PNG/JPEG/WAV payloads + "
+    "integer-exact 64-bit aHash/dHash/audio-sign hashes, zero-shuffle "
+    "Arrow scan work)",
     "bm25_search_stored": "v1:r7 new leg (stored-postings serving path: "
     "scoring only, postings/stats artifacts prebuilt untimed)",
     "c4_line_filter": "v2:r8 (v1:r7 new leg — C4 line-level cleaning "
@@ -691,10 +692,11 @@ def main() -> None:
     # catalog entry — pure JVM array/regexp scan work, zero shuffle
     run_catalog("c4_line_filter")
 
-    # perceptual image fingerprints (r8, new family): synthesize +
-    # REALLY decode PNG/JPEG payloads + 64-bit aHash, all Arrow-batched
-    # zero-shuffle scan work — prices the decode+hash pipeline
-    run_catalog("multimodal_image_ahash")
+    # perceptual media fingerprints (r8, new family): synthesize +
+    # REALLY decode PNG/JPEG/WAV payloads + 64-bit aHash/dHash/audio
+    # hashes, all Arrow-batched zero-shuffle scan work — prices the
+    # decode+hash pipeline
+    run_catalog("multimodal_fingerprints")
 
     # stored-model classifier scoring (late r7): the serving path — the
     # model trains ONCE untimed (the expensive half

@@ -1,15 +1,23 @@
-"""Perceptual image dedup: average-hash (aHash) fingerprints over
-decoded image payloads, plus banded Hamming near-dup pairs.
+"""Perceptual media dedup: 64-bit fingerprints over decoded
+image/audio payloads, plus banded Hamming near-dup pairs.
 
-The image twin of the text near-dup family: a training-data pipeline
-dedups images by PERCEPTUAL fingerprint (re-encoded, resized and
-re-compressed copies of one image must collide), not by byte hash.
-aHash is the classic baseline (average hash — Krawetz's "Looks Like
-It"): grayscale, resize to 8x8, threshold each cell against the mean,
-pack the 64 bits.  Near-dup copies differ in a few bits, so the pair
-stage is exactly the SimHash shape: 4 x 16-bit band blocking (pigeonhole
-guarantees a shared band for Hamming distance <= 3) + exact
-``bit_count(xor)`` verification.
+The media twin of the text near-dup family: a training-data pipeline
+dedups images and audio by PERCEPTUAL fingerprint (re-encoded, resized
+and re-compressed copies of one asset must collide), not by byte hash.
+Three fingerprints, one 64-bit contract:
+
+- **aHash** (average hash — Krawetz's "Looks Like It"): grayscale,
+  resize to 8x8, threshold each cell against the mean.
+- **dHash** (difference hash — the gradient sibling, robust to global
+  brightness shifts): resize to 9x8, bit = right cell > left cell.
+- **audio sign-of-delta**: floor-NN resample of the mono PCM track to
+  65 points, bit = next sample > current (the chromaprint-style
+  reduction stripped to an engine-exact integer form).
+
+Near-dup copies differ in a few bits, so the pair stage is exactly the
+SimHash shape: 4 x 16-bit band blocking (pigeonhole guarantees a
+shared band for Hamming distance <= 3) + exact ``bit_count(xor)``
+verification — any fingerprint column feeds it.
 
 Engine-exact by construction (the multimodal convention —
 `multimodal.py`, ref has no media surface at all):
@@ -75,6 +83,116 @@ def ahash_from_pixels(arr) -> int:
     if bits >= 1 << 63:
         bits -= 1 << 64
     return bits
+
+
+def dhash_from_pixels(arr) -> int:
+    """64-bit dHash (difference/gradient hash — the aHash sibling that
+    is robust to global brightness shifts): channel-sum gray,
+    floor-convention nearest-neighbor resize to 9x8 (one extra column),
+    bit ty*8+tx = cell[ty][tx+1] > cell[ty][tx] — pure integer
+    compares, row-major pack, signed-int64 wrap."""
+    import numpy as np
+
+    from excelstream_spark.operators.media_transform import _resize_nearest
+
+    gray = arr.astype(np.int64).sum(axis=2)
+    small = _resize_nearest(gray, AHASH_SIDE + 1, AHASH_SIDE)
+    diff = small[:, 1:] > small[:, :-1]
+    bits = 0
+    for j in np.flatnonzero(diff.reshape(-1)):
+        bits |= 1 << int(j)
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return bits
+
+
+#: Fixed resample length for the audio sign fingerprint: 65 samples
+#: give 64 adjacent deltas = 64 bits (the image hashes' width).
+AUDIO_FP_SAMPLES = 65
+
+
+def wav_sign_fingerprint(mono) -> int:
+    """64-bit audio fingerprint (a chromaprint-style sign-of-delta
+    reduction made engine-exact): floor-convention nearest-neighbor
+    resample of the mono PCM track to 65 points, bit j =
+    sample[j+1] > sample[j] — integer compares only, so the bit
+    pattern replays in SQL from the synthesized fixture's sample
+    arithmetic.  Tracks shorter than 2 frames fingerprint 0."""
+    import numpy as np
+
+    mono = np.asarray(mono, dtype=np.int64).reshape(-1)
+    if mono.size < 2:
+        return 0
+    idx = (np.arange(AUDIO_FP_SAMPLES, dtype=np.int64) * mono.size) // (
+        AUDIO_FP_SAMPLES
+    )
+    s = mono[idx]
+    bits = 0
+    for j in np.flatnonzero(s[1:] > s[:-1]):
+        bits |= 1 << int(j)
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return bits
+
+
+def multimodal_fingerprints(
+    multimodal: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, modality, fp_a, fp_b) — perceptual 64-bit fingerprints for
+    every decodable media payload: images (PNG / baseline JPEG) get
+    ``fp_a`` = aHash and ``fp_b`` = dHash; integer-PCM WAV gets
+    ``fp_a`` = the sign-of-delta fingerprint and ``fp_b`` NULL.
+    Non-media and undecodable rows are dropped (a fingerprint row
+    asserts "these bytes hash to this value").  One Arrow-batched
+    ``mapInPandas``, zero shuffle; any fp column feeds
+    :func:`dedup_image_ahash`'s banded-Hamming pair stage."""
+    import pandas as pd
+
+    from excelstream_spark.operators.jpeg_baseline import decode_jpeg
+    from excelstream_spark.operators.multimodal import (
+        _JPEG_MAGIC,
+        _PNG_MAGIC,
+        png_pixel_array,
+        wav_pcm_array,
+    )
+
+    schema = "doc_id bigint, modality string, fp_a bigint, fp_b bigint"
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload) if payload is not None else b""
+                try:
+                    if payload[:8] == _PNG_MAGIC:
+                        arr = png_pixel_array(payload)
+                        rows.append(
+                            (int(doc_id), "image/png",
+                             ahash_from_pixels(arr), dhash_from_pixels(arr))
+                        )
+                    elif payload[:3] == _JPEG_MAGIC:
+                        arr = decode_jpeg(payload)
+                        rows.append(
+                            (int(doc_id), "image/jpeg",
+                             ahash_from_pixels(arr), dhash_from_pixels(arr))
+                        )
+                    elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+                        _rate, frames, _bits = wav_pcm_array(payload)
+                        rows.append(
+                            (int(doc_id), "audio/wav",
+                             wav_sign_fingerprint(frames[:, 0]), None)
+                        )
+                except Exception:
+                    continue  # undecodable/corrupt payload: no row
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "modality", "fp_a", "fp_b"]
+            )
+
+    return multimodal.select(id_col, payload_col).mapInPandas(
+        gen, schema=schema
+    )
 
 
 def image_ahash(

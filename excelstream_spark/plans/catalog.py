@@ -198,11 +198,13 @@ DEMOTED: tuple[str, ...] = (
     # set hash) — fully DuckDB-oracled, swept by pytest's full-catalog
     # test; the curation family keeps corpus_curation and
     # corpus_sampling_exact in-window
-    "multimodal_image_ahash",  # r8: born past the window (policy rule
-    # 4 — the tail's 25th and LAST free slot): perceptual image dedup
-    # fingerprints (aHash over really-decoded PNG/JPEG payloads), the
-    # image twin of the text near-dup family — fully DuckDB-oracled
-    # (the fingerprints themselves hash-gate), swept by pytest's
+    "multimodal_fingerprints",  # r8: born past the window (policy rule
+    # 4 — the tail's 25th and LAST free slot): perceptual media dedup
+    # fingerprints (aHash + dHash over really-decoded PNG/JPEG, the
+    # sign-of-delta fingerprint over decoded PCM — three modalities in
+    # one row per policy rule 4's folding clause), the media twin of
+    # the text near-dup family — fully DuckDB-oracled (the
+    # fingerprints themselves hash-gate), swept by pytest's
     # full-catalog test; the multimodal family keeps
     # multimodal_features and multimodal_resize_sample in-window
     "dedup_embedding",  # r7 late rotation: funds the

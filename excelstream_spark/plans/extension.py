@@ -1493,30 +1493,35 @@ def multimodal_resize_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "multimodal_image_ahash",
-    oracle=ORC.image_ahash_oracle(),
-    tags=("multimodal", "dedup", "image"),
+    "multimodal_fingerprints",
+    oracle=ORC.multimodal_fingerprints_oracle(),
+    tags=("multimodal", "dedup", "image", "audio"),
 )
-def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual image fingerprints, hash-checked end-to-end
-    (operators/image_hash — NEW family r8: the image twin of text
-    near-dup): synthesize genuine PNG/JPEG payloads, REALLY decode them
-    (PNG chunk walk + unfilter; baseline JPEG entropy decode), and
-    compute each image's 64-bit aHash — channel-sum gray,
-    floor-convention 8x8 nearest-neighbor resize, integer-exact
-    ``cell*64 > total`` threshold, row-major bit pack.  The payload
-    pixels are doc_id arithmetic, so the oracle recomputes the
-    FINGERPRINTS THEMSELVES in SQL and the gate proves the decode +
-    hash pipeline bit-for-bit.  The banded-Hamming pair stage
-    (dedup_image_ahash — the dedup_simhash shape) is proven in pytest
-    on crafted near-duplicate images (tests/test_image_hash.py).
+def multimodal_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual media fingerprints, hash-checked end-to-end
+    (operators/image_hash — NEW family r8: the media twin of text
+    near-dup): synthesize genuine PNG/JPEG/WAV payloads, REALLY decode
+    them (PNG chunk walk + unfilter; baseline JPEG entropy decode;
+    RIFF/PCM walk), and compute each payload's 64-bit perceptual
+    fingerprints — images get aHash (channel-sum gray, floor-NN 8x8,
+    integer-exact ``cell*64 > total``) and dHash (floor-NN 9x8,
+    left-vs-right gradient bits); audio gets the sign-of-delta
+    fingerprint over a floor-NN 65-point resample.  The payload
+    content is doc_id arithmetic, so the oracle recomputes the
+    FINGERPRINTS THEMSELVES in SQL and the gate proves decode + hash
+    bit-for-bit across three modalities.  The banded-Hamming pair
+    stage (dedup_image_ahash — the dedup_simhash shape, any fp column)
+    is proven in pytest on crafted near-duplicate images
+    (tests/test_image_hash.py).
 
     100 TB shape: hashing is zero-shuffle Arrow scan work; pairs
     shuffle only (id, band, 16-bit key) rows."""
-    from excelstream_spark.operators.image_hash import image_ahash
+    from excelstream_spark.operators.image_hash import (
+        multimodal_fingerprints as fp_op,
+    )
 
     docs = _docs(spark, sf_dir).where(F.col("doc_id").isNotNull())
-    return image_ahash(MM.synthesize_payloads(docs))
+    return fp_op(MM.synthesize_payloads(docs))
 
 
 @query(

@@ -1276,17 +1276,34 @@ def bpe_train_oracle(
     """
 
 
-def image_ahash_oracle(src: str = "documents") -> str:
-    """DuckDB replay of operators/image_hash.image_ahash over the
-    synthesized payload fixture (multimodal.synthesize_payloads): the
-    payload pixels are pure doc_id arithmetic, so the full decode ->
-    channel-sum gray -> floor-convention 8x8 nearest-neighbor resize ->
-    ``cell*64 > total`` threshold -> row-major 64-bit pack replays as
-    integer SQL.  PNG rows (doc_id%4=0): pixel i = (d*31 + i*7) % 256
-    over w x 2.  Baseline-JPEG rows (doc_id%4=2) decode to a SOLID
-    gray image (DC-only, exact round-trip), and a constant image
-    thresholds every cell false -> ahash 0 by construction.  The
-    HUGEINT bit sum wraps to the signed int64 Spark produces."""
+#: Signed-int64 wrap of a HUGEINT bit accumulation (the engines pack
+#: 64 fingerprint bits; bit 63 overflows BIGINT unless wrapped).
+_WRAP64 = (
+    "CAST({x} - CASE WHEN {x} >= 9223372036854775808::HUGEINT "
+    "THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT)"
+)
+
+
+def multimodal_fingerprints_oracle(src: str = "documents") -> str:
+    """DuckDB replay of operators/image_hash.multimodal_fingerprints
+    over the synthesized payload fixture (multimodal.
+    synthesize_payloads): payload content is pure doc_id arithmetic,
+    so every fingerprint recomputes as integer SQL.
+
+    - PNG rows (doc_id%4=0, w x 2, pixel i = (d*31 + i*7) % 256):
+      aHash = floor-NN 8x8 resample + ``cell*64 > total`` threshold;
+      dHash = floor-NN 9x8 resample + ``cell[ty][tx+1] > cell[ty][tx]``.
+    - Baseline-JPEG rows (doc_id%4=2) decode to a SOLID gray image
+      (DC-only, exact round-trip): constant pixels threshold every
+      aHash/dHash bit false -> both fingerprints 0 by construction.
+    - WAV rows (doc_id%4=1, n = 4 + d%5 alternating-sign samples of
+      amplitude (d%32)*1024): the sign-of-delta fingerprint over the
+      floor-NN 65-point resample, ``sample[j+1] > sample[j]``.
+
+    The HUGEINT bit sums wrap to the signed int64 the engines pack."""
+    a = _WRAP64.format(x="a.ub")
+    dh = _WRAP64.format(x="d9.ub")
+    wv = _WRAP64.format(x="wb.ub")
     return f"""
         WITH png AS (SELECT doc_id, CAST(2 + 2 * (doc_id % 2) AS INT) AS w,
                             2 AS h
@@ -1301,25 +1318,59 @@ def image_ahash_oracle(src: str = "documents") -> str:
                unnest(generate_series(0, 7)) AS t1(ty),
                unnest(generate_series(0, 7)) AS t2(tx)),
         tot AS (SELECT doc_id, sum(g) AS total FROM cells GROUP BY doc_id),
-        bits AS (
+        abits AS (
           SELECT c.doc_id,
                  coalesce(sum(CASE WHEN c.g * 64 > t.total
                               THEN (1::HUGEINT << (c.ty * 8 + c.tx))
                               END), 0::HUGEINT) AS ub
           FROM cells c JOIN tot t USING (doc_id) GROUP BY c.doc_id),
-        pngh AS (SELECT p.doc_id, p.w AS width, CAST(p.h AS INT) AS height,
-                        CAST(b.ub - CASE
-                            WHEN b.ub >= 9223372036854775808::HUGEINT
-                            THEN 18446744073709551616::HUGEINT
-                            ELSE 0::HUGEINT END AS BIGINT) AS ahash
-                 FROM png p JOIN bits b USING (doc_id)),
-        jpgh AS (SELECT doc_id, CAST(8 + 8 * (doc_id % 2) AS INT) AS width,
-                        CAST(8 AS INT) AS height, CAST(0 AS BIGINT) AS ahash
+        cells9 AS (
+          SELECT doc_id, t1.ty, t2.tx,
+                 (doc_id * 31
+                  + (((t1.ty * h) // 8) * w + ((t2.tx * w) // 9)) * 7
+                 ) % 256 AS g
+          FROM png,
+               unnest(generate_series(0, 7)) AS t1(ty),
+               unnest(generate_series(0, 8)) AS t2(tx)),
+        dbits AS (
+          SELECT l.doc_id,
+                 coalesce(sum(CASE WHEN r.g > l.g
+                              THEN (1::HUGEINT << (l.ty * 8 + l.tx))
+                              END), 0::HUGEINT) AS ub
+          FROM cells9 l JOIN cells9 r
+            ON l.doc_id = r.doc_id AND l.ty = r.ty AND r.tx = l.tx + 1
+          WHERE l.tx < 8
+          GROUP BY l.doc_id),
+        pngh AS (SELECT p.doc_id, 'image/png' AS modality,
+                        {a} AS fp_a, {dh} AS fp_b
+                 FROM png p JOIN abits a USING (doc_id)
+                 JOIN dbits d9 USING (doc_id)),
+        jpgh AS (SELECT doc_id, 'image/jpeg' AS modality,
+                        CAST(0 AS BIGINT) AS fp_a, CAST(0 AS BIGINT) AS fp_b
                  FROM {src}
-                 WHERE doc_id IS NOT NULL AND doc_id % 4 = 2)
-        SELECT doc_id, width, height, ahash FROM pngh
-        UNION ALL
-        SELECT doc_id, width, height, ahash FROM jpgh
+                 WHERE doc_id IS NOT NULL AND doc_id % 4 = 2),
+        wavp AS (SELECT doc_id, 4 + doc_id % 5 AS n,
+                        (doc_id % 32) * 1024 AS amp
+                 FROM {src}
+                 WHERE doc_id IS NOT NULL AND doc_id % 4 = 1),
+        wsmp AS (SELECT doc_id, t.k,
+                        amp * (1 - 2 * (((t.k * n) // 65) % 2)) AS v
+                 FROM wavp, unnest(generate_series(0, 64)) AS t(k)),
+        wbits AS (
+          SELECT l.doc_id,
+                 coalesce(sum(CASE WHEN r.v > l.v
+                              THEN (1::HUGEINT << l.k) END),
+                          0::HUGEINT) AS ub
+          FROM wsmp l JOIN wsmp r
+            ON l.doc_id = r.doc_id AND r.k = l.k + 1
+          WHERE l.k < 64
+          GROUP BY l.doc_id),
+        wavh AS (SELECT w.doc_id, 'audio/wav' AS modality,
+                        {wv} AS fp_a, CAST(NULL AS BIGINT) AS fp_b
+                 FROM wavp w JOIN wbits wb USING (doc_id))
+        SELECT doc_id, modality, fp_a, fp_b FROM pngh
+        UNION ALL SELECT doc_id, modality, fp_a, fp_b FROM jpgh
+        UNION ALL SELECT doc_id, modality, fp_a, fp_b FROM wavh
     """
 
 

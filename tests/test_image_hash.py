@@ -133,3 +133,84 @@ def test_pair_plan_is_band_join_not_cartesian(spark, crafted_images):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dhash_reference_and_brightness_invariance(crafted_images):
+    """dHash matches a straight-line reference AND is invariant to a
+    global brightness shift (the property aHash lacks — gradients
+    don't move when every pixel moves together)."""
+    from excelstream_spark.operators.image_hash import dhash_from_pixels
+
+    base, _, _ = crafted_images
+    got = dhash_from_pixels(base)
+    gray = base.astype(np.int64).sum(axis=2)
+    rows = (np.arange(8) * 32) // 8
+    cols = (np.arange(9) * 32) // 9
+    small = gray[rows][:, cols]
+    want = 0
+    for ty in range(8):
+        for tx in range(8):
+            if small[ty][tx + 1] > small[ty][tx]:
+                want |= 1 << (ty * 8 + tx)
+    if want >= 1 << 63:
+        want -= 1 << 64
+    assert got == want
+    # clip at 160 first so +40 is a pure shift (no saturation) — dHash
+    # must be identical on the shifted copy
+    shifted = (np.clip(base, 0, 160).astype(np.int64) + 40).astype(np.uint8)
+    lowered = np.clip(base, 0, 160)
+    assert dhash_from_pixels(shifted) == dhash_from_pixels(lowered)
+
+
+def test_wav_sign_fingerprint_reference_and_edges():
+    from excelstream_spark.operators.image_hash import (
+        AUDIO_FP_SAMPLES,
+        wav_sign_fingerprint,
+    )
+
+    ramp = np.arange(100, dtype=np.int64) * 3 - 50  # strictly rising
+    got = wav_sign_fingerprint(ramp)
+    idx = (np.arange(AUDIO_FP_SAMPLES) * 100) // AUDIO_FP_SAMPLES
+    s = ramp[idx]
+    want = 0
+    for j in range(64):
+        if s[j + 1] > s[j]:
+            want |= 1 << j
+    if want >= 1 << 63:
+        want -= 1 << 64
+    assert got == want
+    assert wav_sign_fingerprint(np.array([5])) == 0       # < 2 frames
+    assert wav_sign_fingerprint(np.zeros(16)) == 0        # constant
+    # strictly falling: no rise anywhere -> 0
+    assert wav_sign_fingerprint(-ramp) == 0
+
+
+def test_multimodal_fingerprints_three_modalities(spark, crafted_images):
+    """The folded operator: images carry (aHash, dHash), audio carries
+    (sign hash, NULL), non-media rows are dropped."""
+    from excelstream_spark.operators.image_hash import (
+        ahash_from_pixels,
+        dhash_from_pixels,
+        multimodal_fingerprints,
+        wav_sign_fingerprint,
+    )
+    from excelstream_spark.operators.multimodal import encode_wav
+
+    base, _, _ = crafted_images
+    samples = [((i * 37) % 256) - 128 for i in range(50)]
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_png(base))),
+            (2, bytearray(encode_wav(8000, samples))),
+            (3, bytearray(b"plain text payload")),
+        ],
+        "doc_id bigint, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in multimodal_fingerprints(df).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["modality"] == "image/png"
+    assert rows[1]["fp_a"] == ahash_from_pixels(base)
+    assert rows[1]["fp_b"] == dhash_from_pixels(base)
+    assert rows[2]["modality"] == "audio/wav"
+    assert rows[2]["fp_a"] == wav_sign_fingerprint(np.array(samples))
+    assert rows[2]["fp_b"] is None
