@@ -38,11 +38,15 @@ normalization, containment dedup) — all swept by pytest's full-catalog
 oracle test and this skill's verify runs; the one rows-only entry is
 the inherently iterative BPE trainer.  Round 8 closes that hole: the
 BPE merge rounds unroll as per-merge DuckDB CTEs (the classifier's
-unrolled-GD precedent), so EVERY registered entry — 75 with the new
-perceptual image-aHash family — is hash-gated; ``bpe_train_merges``,
-``cleaning_pipeline_v3`` and ``streaming_c4_gate`` rotate into the
-window over three multiply-represented relational/dedup rows under the
-demoted-tail policy now stated in plans/catalog.py.
+unrolled-GD precedent), so EVERY registered entry — 76 with the new
+perceptual multimodal-fingerprint family and the capstone
+``training_corpus_pipeline_v4`` (twin injection -> NFC -> C4 -> PII ->
+classifier train+cut -> exact dedup -> shard manifest, the WHOLE
+pretraining build replayed as one SQL statement) — is hash-gated;
+``bpe_train_merges``, ``cleaning_pipeline_v3``, ``streaming_c4_gate``
+and ``training_corpus_pipeline_v4`` rotate into the window over four
+multiply-represented relational/dedup rows under the demoted-tail
+policy now stated in plans/catalog.py.
 """
 
 from __future__ import annotations

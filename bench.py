@@ -167,6 +167,11 @@ LEG_SCOPE = {
     "multimodal_resize_sample": "v1:r7 new leg (synthesize PNG/JPEG/WAV "
     "payloads, nearest-neighbor 2x2 thumbnail resize/transcode + "
     "every-2nd-frame audio decimation, stats from re-decoded outputs)",
+    "training_corpus_pipeline_v4": "v1:r8 new leg (the full composed "
+    "pretraining build: exact-twin injection -> NFC -> C4 -> PII -> "
+    "4-step classifier train + ranked keep-half -> exact dedup -> "
+    "shard manifest; the cleaned corpus and the feature table are "
+    "scope-persisted and shared across train/score/dedup/manifest)",
     "multimodal_fingerprints": "v1:r8 new leg (perceptual media "
     "fingerprints: synthesize + really-decode PNG/JPEG/WAV payloads + "
     "integer-exact 64-bit aHash/dHash/audio-sign hashes, zero-shuffle "
@@ -748,6 +753,9 @@ def main() -> None:
         "chunk_documents",  # timed above (not a catalog entry)
         "training_corpus_pipeline_v2",  # r7: the composed quality ->
         # PII -> CDC substring dedup -> LSH+components chain
+        "training_corpus_pipeline_v4",  # r8: the full pretraining
+        # build — twins -> NFC -> C4 -> PII -> classifier cut ->
+        # exact dedup -> shard manifest, one flow
     ]
     for name in EXTENSION_LEGS:
         if name in timings or name in POST_LADDER:

@@ -81,10 +81,18 @@ PRIORITY: tuple[str, ...] = (
 #:      >= 2 in-window representatives after the move (never demote a
 #:      family's last driver row), or if a strictly-superset composed
 #:      row covers its plan shape in-window.
-#:   4. The tail is CAPPED at 25 entries: once full, adding a new
-#:      catalog entry requires either promoting it on its merits
-#:      (demoting an eligible row) or folding it into an existing
-#:      family entry — the tail is a rotation buffer, not a landfill.
+#:   4. The tail is SOFT-CAPPED at 25 entries: once full, adding a new
+#:      catalog entry requires either folding it into an existing
+#:      family entry (the multimodal_fingerprints precedent) or a
+#:      merit promotion — and a merit promotion may push the tail past
+#:      the cap ONLY when the row it demotes satisfies rule 3's
+#:      strongest form (its plan shape is wholly contained in an
+#:      in-window COMPOSED row, so the demotion loses no shape
+#:      coverage at all).  Anything else is a folding problem, not a
+#:      growth problem — the tail is a rotation buffer, not a
+#:      landfill.  (Amended r8 when training_corpus_pipeline_v4
+#:      demoted dedup_exact — contained in both v1's and v4's composed
+#:      oracles — to tail slot 26.)
 #:   5. Each rotation is annotated in place (the comments below are
 #:      the audit trail the verdict reads).
 #:
@@ -105,6 +113,13 @@ PRIORITY: tuple[str, ...] = (
 #:   subquery_thresholds  -> the subquery family keeps
 #:                           exists_not_exists.
 DEMOTED: tuple[str, ...] = (
+    "dedup_exact",  # r8 late rotation: funds the promoted
+    # training_corpus_pipeline_v4 row (the full composed pretraining
+    # build: clean -> classifier cut -> exact dedup -> shard manifest);
+    # rule 4's strongest-form exception — the md5-groupBy min-id shape
+    # is wholly contained in BOTH training_corpus_pipeline (v1) and
+    # v4's in-window oracles, and the standalone row stays
+    # hash-verified via pytest's full-catalog sweep + its bench leg
     "pivot_status",  # r8 rotation (verdict #2): funds the promoted
     # bpe_train_merges row (newly hash-gated — the unrolled-merge-CTE
     # oracle closes the catalog's lone rows-only hole); the aggregation

@@ -1772,3 +1772,93 @@ def cleaning_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("n_emails"),
         TXT.fingerprint(TXT.redact_pii(F.col("c4_text"))).alias("fp"),
     )
+
+
+@query(
+    "training_corpus_pipeline_v4",
+    oracle=ORC.training_pipeline_v4_oracle(),
+    tags=("pipeline", "cleaning", "classifier", "dedup", "curation"),
+)
+def training_corpus_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL composed pretraining data build in one flow — every
+    stage class a production corpus run executes, end-to-end, with the
+    final shard manifest's order-independent content hash gating every
+    upstream rewrite byte-for-byte:
+
+    1. aug + EXACT-TWIN injection (each augmented document gets a
+       verbatim copy at doc_id + 1_000_000 — the dedup stage's hard
+       signal: a broken dedup doubles every shard's n_docs);
+    2. Unicode NFC normalization (one Arrow pass);
+    3. C4 line/page rules (failing pages drop);
+    4. PII redaction of the retained text;
+    5. hashed-feature logistic-regression quality classifier — 4
+       full-batch GD steps TRAINED ON THE CLEANED TEXT (label: token
+       count >= 80, the cleaned corpus' median — a real ~50/50 split),
+       ranked keep-half cut (ties kept; twins tie by construction);
+    6. exact dedup, min-id per normalized-text md5 — provably drops
+       every surviving twin;
+    7. sharded-export manifest (md5 shard assignment, token counts,
+       bit_xor content hash).
+
+    The DuckDB oracle composes the same stages from their unit
+    builders (c4_oracle nested as the cleaned source, the unrolled-GD
+    classifier chain, the manifest aggregation) — one SQL statement
+    replaying stages 1-7 (plans/oracles.training_pipeline_v4_oracle).
+
+    100 TB shape: stages 2-4 are scan work in front of everything
+    (zero shuffles); stage 5 is the classifier's bounded-shuffle
+    training loop + one broadcast-join scoring pass over the persisted
+    feature table; stage 6 is one keyed window; stage 7 one map-side
+    groupBy(shard).  The cleaned corpus is scope-persisted: it feeds
+    training, scoring, dedup and the manifest."""
+    from excelstream_spark.operators import quality as QL
+    from excelstream_spark.operators.classifier import (
+        hashed_doc_features,
+        select_top_quality,
+        train_quality_classifier,
+    )
+    from excelstream_spark.operators.curation import shard_manifest
+    from excelstream_spark.operators.dedup import _scoped_persist
+    from pyspark.sql import Window as W
+
+    aug = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id").isNotNull())
+        .select("doc_id", F.expr(ORC.CLEANING_V3_AUG_SQL).alias("text"))
+    )
+    twins = aug.select(
+        (F.col("doc_id") + F.lit(ORC.V4_TWIN_OFFSET)).alias("doc_id"),
+        "text",
+    )
+    inp = aug.unionByName(twins)
+    ndf = TXT.nfc_normalize_df(inp, "text", "text_nfc").select(
+        "doc_id", F.col("text_nfc").alias("text")
+    )
+    cleaned = _scoped_persist(
+        QL.c4_quality_flags(ndf)
+        .where(F.col("c4_pass"))
+        .select("doc_id", TXT.redact_pii(F.col("c4_text")).alias("text"))
+    )
+    labeled = cleaned.withColumn(
+        "y",
+        F.size(TXT.tokens(F.coalesce(F.col("text"), F.lit(""))))
+        .between(80, 100_000)
+        .cast("int"),
+    )
+    feat = _scoped_persist(hashed_doc_features(cleaned, n_buckets=1024))
+    model = train_quality_classifier(
+        labeled, "y", n_buckets=1024, steps=4, lr=8.0, features=feat
+    )
+    kept_ids = select_top_quality(
+        cleaned, model, keep_frac=0.5, features=feat
+    ).where(F.col("keep")).select("doc_id")
+    kept = cleaned.join(kept_ids, "doc_id")
+    fpd = kept.withColumn("fp", TXT.fingerprint(F.col("text")))
+    surv = (
+        fpd.withColumn(
+            "_keeper", F.min("doc_id").over(W.partitionBy("fp"))
+        )
+        .where(F.col("doc_id") == F.col("_keeper"))
+        .select("doc_id", "text")
+    )
+    return shard_manifest(surv, n_shards=8, seed=0)

@@ -1374,6 +1374,91 @@ def multimodal_fingerprints_oracle(src: str = "documents") -> str:
     """
 
 
+#: v4 label threshold: the cleaned-text token-count median is ~79 on
+#: every fixture sf (measured 79-81), so BETWEEN 80 AND 100000 splits
+#: the corpus near 50/50 — the classifier stage has real signal.
+V4_LABEL_SQL = (
+    "len(list_filter(regexp_split_to_array(lower(coalesce(text, '')),"
+    " '\\s+'), x -> x <> '')) BETWEEN 80 AND 100000"
+)
+
+#: doc_id offset for the v4 exact-duplicate twins (far above any
+#: fixture id; the twin keeps the ORIGINAL's augmented text verbatim,
+#: so the aug's doc_id arithmetic is not re-derived for the new id).
+V4_TWIN_OFFSET = 1_000_000
+
+
+def training_pipeline_v4_oracle(
+    steps: int = 4,
+    n_buckets: int = 1024,
+    seed: int = 0,
+    lr: float = 8.0,
+    keep_frac: float = 0.5,
+    n_shards: int = 8,
+    src: str = "documents",
+) -> str:
+    """DuckDB replay of the FULL composed pretraining data build
+    (plans/extension.training_corpus_pipeline_v4): aug + exact-twin
+    injection -> NFC -> C4 line/page rules -> PII redaction -> 4-step
+    logistic-GD quality classifier (train on the cleaned text, ranked
+    keep-half cut) -> exact dedup (min-id per normalized-text md5 —
+    provably drops every injected twin) -> sharded-export manifest
+    whose order-independent content hash gates every upstream stage's
+    rewrite.  Each stage reuses its unit oracle's construction:
+    :func:`c4_oracle` nests as the cleaned source,
+    :func:`_classifier_scored_ctes` supplies the unrolled GD chain,
+    and the manifest aggregation is :func:`shard_manifest_oracle`'s
+    body inlined (inlined to avoid shadowing the classifier chain's
+    ``d`` CTE)."""
+    redacted = "c4_text"
+    for _, pat, repl in TXT.PII_REPLACEMENTS:
+        redacted = f"regexp_replace({redacted}, '{pat}', '{repl}', 'g')"
+    inp = f"""(
+        WITH aug0 AS (SELECT doc_id, {CLEANING_V3_AUG_SQL} AS text
+                      FROM {src} WHERE doc_id IS NOT NULL)
+        SELECT doc_id, nfc_normalize(text) AS text FROM aug0
+        UNION ALL
+        SELECT doc_id + {V4_TWIN_OFFSET} AS doc_id,
+               nfc_normalize(text) AS text FROM aug0
+    ) v4base"""
+    cleaned = f"""(
+        SELECT doc_id, {redacted} AS text
+        FROM ({c4_oracle(src=inp)}) v4c4 WHERE c4_pass
+    ) v4cleaned"""
+    trained = _classifier_scored_ctes(
+        steps, n_buckets, seed, lr, V4_LABEL_SQL, cleaned
+    )
+    return f"""
+        {trained},
+        kk AS (SELECT CAST(floor(count(*) * {keep_frac}) AS BIGINT) AS k
+               FROM scored),
+        rankedv4 AS (SELECT score_r,
+                            row_number() OVER (ORDER BY score_r DESC) AS rn
+                     FROM scored),
+        thr AS (SELECT min(score_r) AS t FROM rankedv4
+                WHERE rn <= (SELECT k FROM kk)),
+        keptv4 AS (SELECT d.doc_id, d.t AS text
+                   FROM d JOIN scored s USING (doc_id)
+                   WHERE coalesce(s.score_r >= (SELECT t FROM thr), FALSE)),
+        fpv4 AS (SELECT doc_id, text,
+                        md5(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                                'g'))) AS fp
+                 FROM keptv4),
+        survv4 AS (SELECT doc_id, text FROM (
+                     SELECT doc_id, text,
+                            min(doc_id) OVER (PARTITION BY fp) AS keeper
+                     FROM fpv4)
+                   WHERE doc_id = keeper)
+        SELECT ('0x' || substr(md5('{seed}:' || cast(doc_id AS VARCHAR)),
+                               1, 8))::BIGINT % {n_shards} AS shard,
+               count(*)::BIGINT AS n_docs,
+               sum(len({_toks('text')}))::BIGINT AS n_tokens,
+               bit_xor(('0x' || substr(md5(text), 1, 15))::BIGINT)
+                   AS content_hash
+        FROM survv4 GROUP BY shard
+    """
+
+
 def ngram_pairs_ctes(src: str = "documents", max_shingle_df: int | None = None) -> str:
     """CTE block ending in ``pairs(doc_a, doc_b, inter, na, nb)`` — the
     inverted-index 3-shingle pair pipeline shared by the jaccard and

@@ -150,6 +150,7 @@ def test_driver_window_arithmetic():
         "xlsx_roundtrip_lineitem",
         "training_corpus_pipeline",
         "training_corpus_pipeline_v2",
+        "training_corpus_pipeline_v4",
         "streaming_neardup_replay",
         "quality_classifier_filter",
         "lm_perplexity_buckets",

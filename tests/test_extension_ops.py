@@ -1352,3 +1352,43 @@ def test_containment_max_shingle_df_prunes_before_set_sizes(spark):
     finally:
         con.close()
     release_persists()
+
+
+def test_pipeline_v4_dedup_drops_every_twin(spark):
+    """The v4 capstone's dedup hard signal: the pipeline injects a
+    verbatim twin of every augmented document at doc_id + offset, the
+    classifier scores twins identically (ties kept together), and the
+    exact-dedup stage must drop every surviving twin — so the manifest
+    counts each kept document ONCE, and disabling dedup would double
+    every shard's n_docs (and the twin pairs would cancel in the xor
+    content hash, another tell)."""
+    import excelstream_spark.plans.extension  # noqa: F401 (registers)
+    from excelstream_spark.plans.catalog import CATALOG
+
+    from .conftest import SF_DIR
+
+    man = CATALOG["training_corpus_pipeline_v4"].fn(spark, SF_DIR).collect()
+    assert man  # non-empty manifest
+    total = sum(r["n_docs"] for r in man)
+    # the cleaned corpus (with twins) is 2x the originals; the ranked
+    # keep-half cut then keeps ~half of it, and dedup halves THAT back
+    # to ~half the ORIGINAL count.  Exact arithmetic: floor(2n*0.5)=n
+    # kept rows, all twin-paired (ties at the threshold all kept), so
+    # the manifest totals n/2 <= total <= n originals-only documents —
+    # the hard bound: a surviving twin would push the manifest total
+    # past the number of original documents.
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        for t in ("documents",):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/{t}.parquet')"
+            )
+        originals = con.sql(
+            "SELECT count(*) FROM documents WHERE doc_id IS NOT NULL"
+        ).fetchone()[0]
+    finally:
+        con.close()
+    assert 0 < total <= originals  # twins would make total > originals
