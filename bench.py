@@ -218,7 +218,13 @@ ROUND_SCOPE_NOTES = {
     "(c4_line_filter, the cleaning/streaming C4 forms).  The xlsx I/O "
     "legs gained a third base timed run and an explicit noise band in "
     "the detail file (verdict #7: their r7 -10/-18% drift had no "
-    "variance instrumentation).",
+    "variance instrumentation).  NOISE NOTE quality_classifier_stored: "
+    "observed 1.1-3.3s ACROSS full-bench runs on an unchanged "
+    "fingerprint (tight within-run spread — accumulated-session "
+    "effects: Python worker pool + GC after 60+ legs); standalone "
+    "steady state is ~1.1s post-vectorization, and the serving "
+    "ladder's stored rung (fixed increment) is the steadier "
+    "cross-round signal for this path.",
     "r7": "shared tokenization convention changed (empty edge tokens "
     "dropped on every engine — functions/text.tokens): every "
     "text-tokenizing leg's plan fingerprint moves this round even where "
