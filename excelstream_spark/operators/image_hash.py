@@ -245,6 +245,37 @@ def image_ahash(
     return multimodal.select(*cols).mapInPandas(gen, schema=AHASH_SCHEMA)
 
 
+def media_dedup_gate(
+    multimodal: DataFrame,
+    known_fps,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """STATELESS streaming media-dedup gate (the dsir/classifier/C4
+    stateless-gate shape applied to perceptual fingerprints): decode +
+    fingerprint every payload (:func:`multimodal_fingerprints`) and
+    keep only payloads whose ``fp_a`` is NOT in the batch-built
+    ``known_fps`` index — the production image-ingest gate: fingerprint
+    the standing corpus once in batch, drop already-seen media from
+    every arriving micro-batch with NO state store (redeliveries
+    re-decide identically because the decision is a pure function of
+    the payload + the broadcast index).
+
+    ``known_fps``: an iterable of known fp_a values (embedded as a
+    broadcast literal set — the broadcast-the-model shape; for
+    billion-image indexes swap in the Bloom membership sketch from
+    operators/bloom.py, same plan position, documented false-positive
+    drop rate).  Adds ``fp_a``/``fp_b``/``modality``; non-media rows
+    are dropped (a media gate has nothing to say about them).  Works
+    identically on batch AND streaming DataFrames — mapInPandas and
+    the isin filter are both stateless."""
+    fps = multimodal_fingerprints(multimodal, payload_col, id_col)
+    known = [int(v) for v in known_fps]
+    if not known:
+        return fps
+    return fps.where(~F.col("fp_a").isin(known))
+
+
 def _bands(h: Column, j: int) -> Column:
     """16-bit band j of a 64-bit signature (the dedup_simhash band)."""
     return (

@@ -214,3 +214,70 @@ def test_multimodal_fingerprints_three_modalities(spark, crafted_images):
     assert rows[2]["modality"] == "audio/wav"
     assert rows[2]["fp_a"] == wav_sign_fingerprint(np.array(samples))
     assert rows[2]["fp_b"] is None
+
+
+def test_streaming_media_dedup_gate_batch_parity_and_idempotence(spark):
+    """The stateless streaming gate (dsir/classifier/C4 shape applied
+    to media): fingerprint the standing corpus in batch, drop
+    already-seen payloads from every arriving micro-batch.  Proven the
+    family's standard way — exact-redelivery replay (2 deliveries),
+    per-doc decisions bit-identical across deliveries, and the
+    surviving set equal to the BATCH gate's output."""
+    import uuid
+
+    from excelstream_spark.operators.image_hash import media_dedup_gate
+    from excelstream_spark.operators.multimodal import synthesize_payloads
+    from excelstream_spark.plans.streaming_ops import run_available_now
+    from excelstream_spark.streaming.pipelines import replayed_docs_stream
+    from excelstream_spark.tables import load_table, table_path
+
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").where(
+        F.col("doc_id").isNotNull()
+    )
+    # standing corpus = even ids, fingerprinted once in batch
+    from excelstream_spark.operators.image_hash import (
+        multimodal_fingerprints,
+    )
+
+    known = [
+        r["fp_a"]
+        for r in multimodal_fingerprints(
+            synthesize_payloads(docs.where(F.col("doc_id") % 2 == 0))
+        ).collect()
+    ]
+    # batch reference: the same gate applied non-streaming
+    batch = {
+        (r["doc_id"], r["fp_a"])
+        for r in media_dedup_gate(
+            synthesize_payloads(docs), known
+        ).collect()
+    }
+    assert batch  # odd-id media docs survive
+
+    stream = replayed_docs_stream(spark, table_path(SF_DIR, "documents"))
+    gated = media_dedup_gate(
+        synthesize_payloads(
+            stream.where(F.col("doc_id").isNotNull()).select(
+                "doc_id", "text"
+            )
+        ),
+        known,
+    )
+    result = run_available_now(
+        gated, f"mdg_{uuid.uuid4().hex[:8]}", output_mode="append"
+    )
+    facts = (
+        result.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_deliveries"),
+            F.countDistinct("fp_a").alias("n_distinct"),
+            F.max("fp_a").alias("fp_a"),
+        )
+        .collect()
+    )
+    assert {(r["doc_id"], r["fp_a"]) for r in facts} == batch
+    for r in facts:
+        assert r["n_deliveries"] == 2      # both micro-batches flowed
+        assert r["n_distinct"] == 1        # bit-identical re-decision
