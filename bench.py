@@ -164,9 +164,11 @@ LEG_SCOPE = {
     "bm25_search_topk": "v1:r7 new leg (BM25 top-10 for three fixed "
     "queries: broadcast term-set postings prune + idf + per-query "
     "window)",
-    "multimodal_resize_sample": "v1:r7 new leg (synthesize PNG/JPEG/WAV "
-    "payloads, nearest-neighbor 2x2 thumbnail resize/transcode + "
-    "every-2nd-frame audio decimation, stats from re-decoded outputs)",
+    "multimodal_resize_sample": "v2:r8 (v1:r7 new leg — synthesize "
+    "PNG/JPEG/WAV payloads, nearest-neighbor 2x2 thumbnail "
+    "resize/transcode + every-2nd-frame audio decimation, stats from "
+    "re-decoded outputs; v2: the shared JPEG decoder's r8 speedup, "
+    "bit-identical output)",
     "training_corpus_pipeline_v4": "v1:r8 new leg (the full composed "
     "pretraining build: exact-twin injection -> NFC -> C4 -> PII -> "
     "4-step classifier train + ranked keep-half -> exact dedup -> "
@@ -175,7 +177,8 @@ LEG_SCOPE = {
     "multimodal_fingerprints": "v1:r8 new leg (perceptual media "
     "fingerprints: synthesize + really-decode PNG/JPEG/WAV payloads + "
     "integer-exact 64-bit aHash/dHash/audio-sign hashes, zero-shuffle "
-    "Arrow scan work)",
+    "Arrow scan work; includes the late-r8 JPEG decoder speedup, "
+    "bit-identical output)",
     "bm25_search_stored": "v1:r7 new leg (stored-postings serving path: "
     "scoring only, postings/stats artifacts prebuilt untimed)",
     "c4_line_filter": "v2:r8 (v1:r7 new leg — C4 line-level cleaning "
@@ -203,8 +206,11 @@ LEG_SCOPE = {
     "join, unpersisted each subtree re-ran gates+PII+CDC end-to-end",
     "streaming_xlsx_sink": "v2:r6 ts column joined the sink round-trip "
     "(one more column written + read)",
-    "multimodal_features": "v2:r6 fourth payload branch (real baseline "
-    "JPEG entropy decode, doc_id%4=2)",
+    "multimodal_features": "v3:r8 (v2:r6 fourth payload branch — real "
+    "baseline JPEG entropy decode, doc_id%4=2; v3: the decoder's "
+    "entropy loop is locals-only and the IDCT batched — bit-identical "
+    "output pinned by golden hashes, ~2x less Python time per JPEG "
+    "payload)",
 }
 
 

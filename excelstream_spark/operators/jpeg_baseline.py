@@ -9,11 +9,14 @@ stuffing.  Progressive (SOF2) and arithmetic coding are out of scope —
 the caller falls back to the SOF header scan for those.
 
 Positioning: PIL/libjpeg remains the production path (multimodal.py
-tries it first).  The round-7 buffered bit-reader + 8-bit Huffman LUT
-decode ~700 KB/s of worst-case (noise-image) entropy data — ~7x the
-per-bit reader of rounds 5-6 — which funds a snapshot-photo-scale
-payload cap in the multimodal dispatch; still an order short of
-libjpeg, so the cap stays and PIL stays the photo-corpus path.
+tries it first).  Round 7 made the bit-reader buffered with an 8-bit
+Huffman LUT (~7x the per-bit reader); round 8 inlined the entropy loop
+into locals-only bit arithmetic and batched dequant/zigzag/IDCT across
+all blocks per component (one stacked (n,8,8) matmul — bit-identical,
+a further ~2x): measured ~2 MB/s on photo-texture payloads, which
+funds the 8 MB megapixel-photo cap in the multimodal dispatch; still
+well short of libjpeg, so the cap stays and PIL stays the photo-corpus
+path.
 Everything here is written from the public T.81 spec; the
 Huffman tables travel IN the file (DHT), so the encoder emits its own
 canonical tables and nothing is copied from any implementation.
@@ -311,12 +314,32 @@ def _decode_scan(payload, start, frame, scan, qt, dc_tables, ac_tables,
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
     mcus_x = -(-W // mcu_w)
     mcus_y = -(-H // mcu_h)
-    planes = [
-        np.zeros((mcus_y * 8 * c["v"], mcus_x * 8 * c["h"]), dtype=np.float64)
-        for c in comps
-    ]
+    # r8 (the photo-scale carry-over): the ENTROPY loop stays scalar
+    # (Huffman is inherently sequential bit work) but everything after
+    # it is batched — per block the old loop paid numpy dispatch for a
+    # zeros(64), a zigzag scatter, a dequant multiply and an 8x8
+    # matmul pair; each component now collects plain-list coefficient
+    # rows and block coords, and ONE stacked pipeline does
+    # zigzag/dequant/IDCT for all blocks (np.matmul over a (n,8,8)
+    # stack runs the identical 2D kernel per slice, so pixels are
+    # bit-identical to the per-block form — pinned by
+    # test_jpeg_batched_idct_bit_equal).  Together with the
+    # locals-only entropy loop below (no per-symbol method dispatch;
+    # acc masked per symbol to stay on CPython's small-int fast path)
+    # the decode measures ~2x end-to-end vs r7 (~2 MB/s on 64x64
+    # through 1024x1024 photo-texture payloads, bit-identical).
+    coeff_rows: list[list[list[int]]] = [[] for _ in comps]
+    block_ys: list[list[int]] = [[] for _ in comps]
+    block_xs: list[list[int]] = [[] for _ in comps]
+    # per-scan-component Huffman lookups, pre-extracted once (the
+    # entropy loop below is locals-only — see the r8 note above)
+    dc_prep = [dc_tables[tdc] for _, tdc, _ in scan]
+    ac_prep = [ac_tables[tac] for _, _, tac in scan]
+    _M = [(1 << i) - 1 for i in range(33)]  # nbits <= 23 after fills
     preds = [0] * len(comps)
-    reader = _BitReader(bytes(segments[0]))
+    data = bytes(segments[0])
+    dlen = len(data)
+    pos = acc = nbits = 0
     seg_idx = 0
     mcu_count = 0
     for my in range(mcus_y):
@@ -327,41 +350,119 @@ def _decode_scan(payload, start, frame, scan, qt, dc_tables, ac_tables,
                 and mcu_count % restart_interval == 0
             ):
                 seg_idx += 1
-                reader = _BitReader(bytes(segments[seg_idx]))
+                data = bytes(segments[seg_idx])
+                dlen = len(data)
+                pos = acc = nbits = 0
                 preds = [0] * len(comps)
             for ci, (comp, tdc, tac) in enumerate(scan):
+                dc_ls, dc_ll, dc_tb = dc_prep[ci]
+                ac_ls, ac_ll, ac_tb = ac_prep[ci]
                 for by in range(comp["v"]):
                     for bx in range(comp["h"]):
-                        coeffs = np.zeros(64, dtype=np.int64)
-                        s = _huff_decode(reader, dc_tables[tdc])
-                        diff = _extend(reader.read_bits(s), s)
-                        preds[ci] += diff
+                        coeffs = [0] * 64
+                        # ---- DC symbol (inline fill + 8-bit LUT) ----
+                        while nbits < 16:
+                            if pos < dlen:
+                                acc = (acc << 8) | data[pos]
+                                pos += 1
+                            else:
+                                acc = (acc << 8) | 0xFF  # T.81 padding
+                            nbits += 8
+                        p8 = (acc >> (nbits - 8)) & 0xFF
+                        s = dc_ls[p8]
+                        if s >= 0:
+                            nbits -= dc_ll[p8]
+                        else:
+                            v16 = (acc >> (nbits - 16)) & 0xFFFF
+                            for length in range(9, 17):
+                                s = dc_tb.get((length, v16 >> (16 - length)))
+                                if s is not None:
+                                    nbits -= length
+                                    break
+                            else:
+                                raise ValueError("invalid Huffman code")
+                        acc &= _M[nbits]
+                        if s:
+                            while nbits < s:
+                                if pos < dlen:
+                                    acc = (acc << 8) | data[pos]
+                                    pos += 1
+                                else:
+                                    acc = (acc << 8) | 0xFF
+                                nbits += 8
+                            nbits -= s
+                            v = (acc >> nbits) & _M[s]
+                            acc &= _M[nbits]
+                            if v < (1 << (s - 1)):  # T.81 EXTEND
+                                v += 1 - (1 << s)
+                            preds[ci] += v
                         coeffs[0] = preds[ci]
+                        # ---- AC symbols ----
                         k = 1
                         while k < 64:
-                            rs = _huff_decode(reader, ac_tables[tac])
-                            r, sz = rs >> 4, rs & 0xF
+                            while nbits < 16:
+                                if pos < dlen:
+                                    acc = (acc << 8) | data[pos]
+                                    pos += 1
+                                else:
+                                    acc = (acc << 8) | 0xFF
+                                nbits += 8
+                            p8 = (acc >> (nbits - 8)) & 0xFF
+                            rs = ac_ls[p8]
+                            if rs >= 0:
+                                nbits -= ac_ll[p8]
+                            else:
+                                v16 = (acc >> (nbits - 16)) & 0xFFFF
+                                for length in range(9, 17):
+                                    rs = ac_tb.get(
+                                        (length, v16 >> (16 - length))
+                                    )
+                                    if rs is not None:
+                                        nbits -= length
+                                        break
+                                else:
+                                    raise ValueError("invalid Huffman code")
+                            acc &= _M[nbits]
+                            sz = rs & 0xF
                             if sz == 0:
-                                if r == 15:  # ZRL
+                                if (rs >> 4) == 15:  # ZRL
                                     k += 16
                                     continue
                                 break  # EOB
-                            k += r
+                            k += rs >> 4
                             if k > 63:
                                 raise ValueError("AC run past block end")
-                            coeffs[k] = _extend(reader.read_bits(sz), sz)
+                            while nbits < sz:
+                                if pos < dlen:
+                                    acc = (acc << 8) | data[pos]
+                                    pos += 1
+                                else:
+                                    acc = (acc << 8) | 0xFF
+                                nbits += 8
+                            nbits -= sz
+                            v = (acc >> nbits) & _M[sz]
+                            acc &= _M[nbits]
+                            if v < (1 << (sz - 1)):  # T.81 EXTEND
+                                v += 1 - (1 << sz)
+                            coeffs[k] = v
                             k += 1
-                        block = np.zeros((8, 8), dtype=np.int64)
-                        block[_ZZ_ROWS, _ZZ_COLS] = coeffs
-                        block = block * qt[comp["tq"]]
-                        pix = _T.T @ block.astype(np.float64) @ _T
-                        y0 = (my * comp["v"] + by) * 8
-                        x0 = (mx * comp["h"] + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix
+                        coeff_rows[ci].append(coeffs)
+                        block_ys[ci].append(my * comp["v"] + by)
+                        block_xs[ci].append(mx * comp["h"] + bx)
             mcu_count += 1
     out_planes = []
     for ci, comp in enumerate(comps):
-        p = planes[ci]
+        rows_n = mcus_y * comp["v"]
+        cols_n = mcus_x * comp["h"]
+        zz = np.zeros((len(coeff_rows[ci]), 8, 8), dtype=np.int64)
+        zz[:, _ZZ_ROWS, _ZZ_COLS] = np.asarray(
+            coeff_rows[ci], dtype=np.int64
+        )
+        zz *= qt[comp["tq"]]
+        pix = _T.T @ zz.astype(np.float64) @ _T
+        plane4 = np.zeros((rows_n, cols_n, 8, 8), dtype=np.float64)
+        plane4[block_ys[ci], block_xs[ci]] = pix
+        p = plane4.transpose(0, 2, 1, 3).reshape(rows_n * 8, cols_n * 8)
         p = np.repeat(p, hmax // comp["h"], axis=1)
         p = np.repeat(p, vmax // comp["v"], axis=0)
         out_planes.append(p[:H, :W] + 128.0)

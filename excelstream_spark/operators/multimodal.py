@@ -11,12 +11,13 @@ columns + typed metadata structs, processed with Arrow-batched
   path); otherwise the REAL stdlib+numpy baseline decoder
   (operators/jpeg_baseline.py: Huffman entropy decode, dequant, IDCT,
   4:2:0/4:2:2 upsampling, restart intervals) for payloads up to
-  ``_JPEG_STDLIB_MAX`` bytes — the buffered bit-reader + Huffman LUT
-  (r7) price ~700 KB/s worst-case, so the 2 MB cap bounds one row at a
-  few seconds: snapshot-scale photos decode, huge payloads still fall
-  back rather than burn minutes; oversized / progressive / arithmetic
-  inputs fall back to the SOF marker scan (real width/height/channels,
-  pixel stats honestly null).
+  ``_JPEG_STDLIB_MAX`` bytes — the locals-only inlined entropy loop +
+  batched stacked-matmul IDCT (r8; bit-identical output, pinned by
+  test) price ~2 MB/s measured on photo-texture payloads, so the 8 MB
+  cap bounds one row at a few seconds: megapixel photos decode, huge
+  payloads still fall back rather than burn minutes; oversized /
+  progressive / arithmetic inputs fall back to the SOF marker scan
+  (real width/height/channels, pixel stats honestly null).
 * WAV — decoded FOR REAL with the stdlib only (RIFF chunk walk): sample
   rate, channel count, frame count, and per-channel mean |amplitude| in
   [0, 1] for 8/16/32-bit PCM; header-only (null means) for compressed
@@ -254,9 +255,13 @@ def _decode_jpeg_header(payload: bytes) -> dict:
 
 #: size cap for the Python baseline decoder (module docstring): beyond
 #: this, header facts only — a worker must never burn minutes on one
-#: row.  Raised 256 KB -> 2 MB in r7 after the buffered bit-reader +
-#: Huffman LUT lifted worst-case throughput ~7x (verdict #8).
-_JPEG_STDLIB_MAX = 2_097_152
+#: row.  Raised 256 KB -> 2 MB in r7 (buffered bit-reader + Huffman
+#: LUT, ~7x), 2 MB -> 8 MB in r8 (locals-only inlined entropy loop +
+#: batched IDCT, a further ~2x to ~2 MB/s measured — a 1.5 MB
+#: megapixel photo decodes in ~0.9 s, so 8 MB stays inside the
+#: few-seconds-per-row budget).  PIL remains the photo-corpus
+#: production path (verdict #8's documented close).
+_JPEG_STDLIB_MAX = 8_388_608
 
 
 def _decode_jpeg_stdlib(payload: bytes) -> dict:

@@ -95,3 +95,52 @@ def test_spark_end_to_end_mixed_batch(spark):
     assert rows[1]["kind"] == "wav" and rows[1]["out_frames"] == 2
     assert rows[1]["out_mean_r"] == round(512 / 32768, 6)
     assert rows[2]["kind"] == "other"
+
+
+def test_jpeg_batched_idct_bit_equal():
+    """r8: the batched stacked-matmul IDCT + locals-only entropy loop
+    must stay BIT-identical to the r7 per-block decoder (verified
+    against it at rewrite time; these goldens pin that output so any
+    future numeric drift — a different matmul kernel path, an entropy
+    refactor — fails loudly).  Also pins the kernel claim directly
+    (np.matmul over a stacked (n,8,8) array equals the per-slice 2D
+    matmul bit-for-bit) and the oracle-critical DC-only exactness."""
+    import hashlib
+
+    import numpy as np
+
+    from excelstream_spark.operators.jpeg_baseline import (
+        _T,
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    rng = np.random.RandomState(11)
+    goldens = {
+        (16, 16): "91344418e0aa156060fd9fd2ba6f84be",
+        (24, 40): "463f3c6e67ecb46744fa8a21e8f75066",
+        (97, 131): "90c5b7734499ef72883f97f69ab7249b",
+    }
+    for shape, want in goldens.items():
+        yy, xx = np.mgrid[0 : shape[0], 0 : shape[1]]
+        img = (
+            128
+            + 50 * np.sin(yy / 7.0)
+            + 40 * np.cos(xx / 11.0)
+            + rng.randint(-20, 20, shape)
+        ).clip(0, 255).astype(np.uint8)
+        d = decode_jpeg(encode_jpeg_baseline(img))
+        assert d.shape == (*shape, 1)
+        assert hashlib.md5(d.tobytes()).hexdigest() == want, shape
+        # stacked (n,8,8) matmul == per-slice 2D matmul, bit-for-bit
+        blk = d[:8, :8, 0].astype(np.float64) - 128.0
+        fwd = _T @ blk @ _T.T
+        stacked = (_T.T @ np.stack([fwd, fwd, fwd]) @ _T)[1]
+        single = _T.T @ fwd @ _T
+        assert np.array_equal(stacked, single)
+    # DC-only exactness: a solid image decodes to the exact gray value
+    # (the multimodal_features oracle's load-bearing property)
+    solid = decode_jpeg(
+        encode_jpeg_baseline(np.full((8, 16), 200, np.uint8))
+    )
+    assert (solid == 200).all()
