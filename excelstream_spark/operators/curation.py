@@ -388,3 +388,50 @@ def epoch_order(
         .withColumn("position", F.row_number().over(w).cast("long"))
         .drop("_draw")
     )
+
+
+def manifest_diff(
+    old: DataFrame,
+    new: DataFrame,
+) -> DataFrame:
+    """(shard, status, old_n_docs, new_n_docs, old_hash, new_hash) —
+    the second half of the re-export audit :func:`shard_manifest`
+    opens: diff two manifests and name exactly which shards need
+    re-exporting.  ``status``: 'changed' (hash moved — some document's
+    text changed, was dropped, or was duplicated), 'added' / 'removed'
+    (shard present on one side only), and 'count_only' (hash equal but
+    doc counts differ — only possible via xor-cancelling twin PAIRS,
+    which exact dedup upstream rules out; surfaced rather than hidden
+    because it is the one blind spot of the set hash).  Unchanged
+    shards are absent — the diff is the work list.
+
+    100 TB: manifests are n_shards rows; this is a driver-scale full
+    outer join of two tiny artifacts."""
+    o = old.select(
+        "shard",
+        F.col("n_docs").alias("old_n_docs"),
+        F.col("content_hash").alias("old_hash"),
+    )
+    n = new.select(
+        "shard",
+        F.col("n_docs").alias("new_n_docs"),
+        F.col("content_hash").alias("new_hash"),
+    )
+    j = o.join(n, "shard", "full_outer")
+    status = (
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") != F.col("new_hash"), F.lit("changed"))
+        .when(
+            F.col("old_n_docs") != F.col("new_n_docs"), F.lit("count_only")
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.withColumn("status", status)
+        .where(F.col("status") != "unchanged")
+        .select(
+            "shard", "status", "old_n_docs", "new_n_docs",
+            "old_hash", "new_hash",
+        )
+    )

@@ -259,3 +259,43 @@ def test_epoch_order_reproducible_and_epoch_dependent(spark):
         per_shard.setdefault(shard, []).append(pos)
     for shard, positions in per_shard.items():
         assert sorted(positions) == list(range(1, len(positions) + 1))
+
+
+def test_manifest_diff_names_exact_reexport_shards(spark):
+    """The re-export audit loop: change one document's text, drop one,
+    add one — the manifest diff must name exactly the affected shards
+    with the right statuses, and report nothing for untouched shards."""
+    from excelstream_spark.operators.curation import (
+        manifest_diff,
+        shard_assign,
+        shard_manifest,
+    )
+
+    docs = [(i, f"document number {i} body text here") for i in range(40)]
+    old_df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    n_shards = 8
+    # shard of each touched doc (read off the same assignment fn)
+    sh = {
+        r["doc_id"]: r["s"]
+        for r in old_df.select(
+            "doc_id", shard_assign("doc_id", n_shards).alias("s")
+        ).collect()
+    }
+    new_docs = [
+        (i, t + " EDITED") if i == 3 else (i, t)
+        for i, t in docs
+        if i != 7
+    ] + [(100, "a brand new document appears")]
+    new_df = spark.createDataFrame(new_docs, "doc_id bigint, text string")
+    old_m = shard_manifest(old_df, n_shards=n_shards)
+    new_m = shard_manifest(new_df, n_shards=n_shards)
+    diff = {r["shard"]: r for r in manifest_diff(old_m, new_m).collect()}
+    sh100 = spark.createDataFrame([(100,)], "doc_id bigint").select(
+        shard_assign("doc_id", n_shards).alias("s")
+    ).first()["s"]
+    touched = {sh[3], sh[7], sh100}
+    assert set(diff) == touched  # nothing else flagged
+    for s in touched:
+        assert diff[s]["status"] in ("changed", "added", "removed")
+    # idempotence: identical manifests diff to nothing
+    assert manifest_diff(old_m, old_m).count() == 0
