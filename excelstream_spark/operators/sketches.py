@@ -155,3 +155,109 @@ def kmv_distinct_tokens_by_group(
         F.col("n_seen").cast("long").alias("n_seen"),
         est.alias("est_distinct_tokens"),
     )
+
+
+# -- deterministic heavy hitters (Misra-Gries candidates + exact recount) ---
+
+def frequent_tokens_exact(
+    df: DataFrame,
+    text_col: str = "text",
+    support: tuple[int, int] = (1, 1000),
+) -> DataFrame:
+    """(tok, cnt) — every token whose corpus frequency strictly exceeds
+    ``support[0]/support[1]`` of all token occurrences.  The threshold
+    compare is integer cross-multiplication (``cnt * den > N * num``),
+    so the row set is engine-exact and the DuckDB replay hash-matches.
+    One groupBy(tok) — correct at any scale, but the full distinct
+    vocabulary flows through the exchange; :func:`frequent_tokens_mg`
+    is the bounded-memory scale path with IDENTICAL output."""
+    from excelstream_spark.functions import text as TXT
+
+    num, den = support
+    toks = df.select(
+        F.explode(
+            TXT.tokens(F.coalesce(F.col(text_col), F.lit("")))
+        ).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        counts.crossJoin(F.broadcast(total))  # 1-row scalar
+        .where(F.col("cnt") * F.lit(den) > F.col("_n") * F.lit(num))
+        .select("tok", "cnt")
+    )
+
+
+def frequent_tokens_mg(
+    df: DataFrame,
+    text_col: str = "text",
+    support: tuple[int, int] = (1, 1000),
+    capacity: int | None = None,
+) -> DataFrame:
+    """(tok, cnt) — the SAME rows as :func:`frequent_tokens_exact`,
+    computed the 100 TB way: per-partition Misra-Gries summaries
+    (Misra & Gries 1982 — bounded memory, one Arrow pass) propose a
+    candidate set, then ONE exact recount of the candidates closes.
+
+    Why the output is deterministic (and therefore hash-gateable) even
+    though each partition's SKETCH depends on row order: Misra-Gries
+    with capacity ``m`` retains every item whose local count exceeds
+    n_p/(m+1); any token with GLOBAL count > N/(m+1) must exceed that
+    local bound in at least one partition (averaging), so with
+    ``m >= den/num`` the merged candidate set is a SUPERSET of the true
+    heavy hitters regardless of partitioning — and the exact recount +
+    threshold then erases every trace of sketch nondeterminism.
+    Default capacity = ``4 * den // num`` (4x the guarantee, tiny).
+
+    Shuffle budget: the candidate union moves <= capacity rows per
+    partition; the recount joins the exploded tokens against the
+    BROADCAST candidate set before its groupBy, so only candidate
+    occurrences shuffle — the hot-key discovery primitive that sizes
+    ``max_shingle_df`` / salting decisions without paying a full
+    vocabulary exchange."""
+    import pandas as pd
+
+    from excelstream_spark.functions import text as TXT
+
+    num, den = support
+    m = capacity or max(4 * den // max(num, 1), 8)
+    toks = df.select(
+        TXT.tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("_tk")
+    )
+
+    def mg(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for arr in pdf["_tk"]:
+                for tok in arr:
+                    if tok in counters:
+                        counters[tok] += 1
+                    elif len(counters) < m:
+                        counters[tok] = 1
+                    else:
+                        # the classic decrement-all step
+                        for t in list(counters):
+                            counters[t] -= 1
+                            if counters[t] == 0:
+                                del counters[t]
+        yield pd.DataFrame({"tok": list(counters.keys())})
+
+    candidates = (
+        toks.mapInPandas(mg, schema="tok string").distinct()
+    )
+    exploded = df.select(
+        F.explode(
+            TXT.tokens(F.coalesce(F.col(text_col), F.lit("")))
+        ).alias("tok")
+    )
+    total = exploded.agg(F.count(F.lit(1)).alias("_n"))
+    recount = (
+        exploded.join(F.broadcast(candidates), "tok")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        recount.crossJoin(F.broadcast(total))
+        .where(F.col("cnt") * F.lit(den) > F.col("_n") * F.lit(num))
+        .select("tok", "cnt")
+    )

@@ -124,3 +124,83 @@ def test_grouped_kmv_exchange_is_rank_limit_bounded(spark):
     # tree prints top-down: Final limit above the exchange, Partial
     # below it (i.e. larger line index = earlier in execution)
     assert min(final) < min(exch) < max(partial), plan
+
+
+def _hh_oracle(num: int, den: int) -> str:
+    return f"""
+        WITH t AS (SELECT unnest(list_filter(
+                     regexp_split_to_array(lower(coalesce(text, '')),
+                                           '\\s+'), x -> x <> '')) AS tok
+                   FROM documents),
+        n AS (SELECT count(*) AS c FROM t)
+        SELECT tok, count(*)::BIGINT AS cnt FROM t GROUP BY tok
+        HAVING count(*) * {den} > (SELECT c FROM n) * {num}
+    """
+
+
+def test_frequent_tokens_exact_matches_duckdb(spark, duck):
+    """Heavy hitters with an integer cross-multiplied support
+    threshold: the exact form hash-matches the plain SQL replay."""
+    from excelstream_spark.operators.sketches import frequent_tokens_exact
+    from excelstream_spark.tables import load_table
+
+    from .conftest import SF_DIR, assert_matches_oracle
+
+    docs = load_table(spark, SF_DIR, "documents")
+    assert_matches_oracle(
+        frequent_tokens_exact(docs, support=(1, 200)),
+        duck,
+        _hh_oracle(1, 200),
+    )
+
+
+def test_frequent_tokens_mg_equals_exact(spark):
+    """The bounded-memory Misra-Gries path must produce the IDENTICAL
+    row set — the determinism argument (candidates are a superset of
+    the true heavy hitters for capacity >= den/num regardless of
+    partitioning; the exact recount erases sketch nondeterminism).
+    Stressed on a skewed synthetic corpus with a deliberately TIGHT
+    capacity, across two different partitionings."""
+    from excelstream_spark.operators.sketches import (
+        frequent_tokens_exact,
+        frequent_tokens_mg,
+    )
+
+    rows = []
+    for i in range(300):
+        body = ["hot"] * 3 + [f"mid{i % 7}"] + [f"tail{i}a", f"tail{i}b"]
+        rows.append((i, " ".join(body)))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    want = sorted(
+        map(tuple, frequent_tokens_exact(df, support=(1, 50)).collect())
+    )
+    assert want  # 'hot' (and the mids) clear the 1/50 bar
+    for parts in (2, 11):
+        got = sorted(
+            map(
+                tuple,
+                frequent_tokens_mg(
+                    df.repartition(parts), support=(1, 50), capacity=50
+                ).collect(),
+            )
+        )
+        assert got == want, parts
+
+
+def test_frequent_tokens_mg_candidate_flow_is_bounded(spark):
+    """Plan shape: the recount joins the exploded tokens against a
+    BROADCAST candidate set (no full-vocabulary exchange on the sketch
+    side)."""
+    from excelstream_spark.operators.sketches import frequent_tokens_mg
+
+    df = spark.createDataFrame(
+        [(1, "a a a b c")], "doc_id bigint, text string"
+    )
+    plan = (
+        frequent_tokens_mg(df, support=(1, 4))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "MapInPandas" in plan
