@@ -119,31 +119,32 @@ def bloom_build(
     )
 
 
-def bloom_flag_increment(
-    new_docs: DataFrame,
+def bloom_probe(
+    df: DataFrame,
     bloom: DataFrame,
+    fp_col: str = "fp",
     n_bits: int = DEFAULT_N_BITS,
     n_hashes: int = DEFAULT_N_HASHES,
-    text_col: str = "text",
+    flag_col: str = "maybe_dup",
 ) -> DataFrame:
-    """``new_docs`` + ``fp`` + ``maybe_dup`` — the broadcast map-side
-    membership probe.  ``maybe_dup`` True means the fingerprint MAY be
-    in the corpus (true duplicate or false positive, at the sizing
-    rate); False is a GUARANTEE of novelty (no false negatives).
-    NULL-text documents probe nothing and flag False (the
-    ``dedup_increment_exact`` anti-join convention: NULL never matches).
-
-    Plan shape: ``n_hashes`` successive LEFT broadcast-joins of the
-    same word table — the increment never shuffles and the whole probe
-    is one codegen'd map stage."""
-    out = new_docs.withColumn("fp", TXT.fingerprint(F.col(text_col)))
+    """``df`` + ``flag_col`` — the raw broadcast map-side membership
+    probe over an EXISTING fingerprint column (any type; the salted
+    re-hash stringifies it).  True = MAY be present (member or false
+    positive at the sizing rate); False = guaranteed absent.  NULL
+    fingerprints probe nothing and flag False.  Factored out of
+    :func:`bloom_flag_increment` (r9) so non-text keys — e.g. the
+    64-bit perceptual media fingerprints of
+    ``image_hash.media_dedup_gate_bloom`` — reuse the identical probe
+    plan: ``n_hashes`` successive LEFT broadcast-joins of the same
+    word table, zero exchanges, one codegen'd map stage."""
+    out = df.withColumn("_pfp", F.col(fp_col).cast("string"))
     hit_cols = []
     for i in range(n_hashes):
         bw = bloom.select(
             F.col("word").alias(f"_w{i}"), F.col("bits").alias(f"_b{i}")
         )
         out = (
-            out.withColumn(f"_p{i}", _position(F.col("fp"), i, n_bits))
+            out.withColumn(f"_p{i}", _position(F.col("_pfp"), i, n_bits))
             .join(
                 F.broadcast(bw),
                 F.expr(f"shiftright(_p{i}, 5)") == F.col(f"_w{i}"),
@@ -164,8 +165,33 @@ def bloom_flag_increment(
     maybe = F.lit(True)
     for h in hit_cols:
         maybe = maybe & F.col(h)
-    drop = [c for i in range(n_hashes) for c in (f"_p{i}", f"_w{i}", f"_b{i}", f"_h{i}")]
-    return out.withColumn("maybe_dup", maybe).drop(*drop)
+    drop = ["_pfp"] + [
+        c for i in range(n_hashes) for c in (f"_p{i}", f"_w{i}", f"_b{i}", f"_h{i}")
+    ]
+    return out.withColumn(flag_col, maybe).drop(*drop)
+
+
+def bloom_flag_increment(
+    new_docs: DataFrame,
+    bloom: DataFrame,
+    n_bits: int = DEFAULT_N_BITS,
+    n_hashes: int = DEFAULT_N_HASHES,
+    text_col: str = "text",
+) -> DataFrame:
+    """``new_docs`` + ``fp`` + ``maybe_dup`` — the broadcast map-side
+    membership probe.  ``maybe_dup`` True means the fingerprint MAY be
+    in the corpus (true duplicate or false positive, at the sizing
+    rate); False is a GUARANTEE of novelty (no false negatives).
+    NULL-text documents probe nothing and flag False (the
+    ``dedup_increment_exact`` anti-join convention: NULL never matches).
+
+    Plan shape: ``n_hashes`` successive LEFT broadcast-joins of the
+    same word table — the increment never shuffles and the whole probe
+    is one codegen'd map stage (the loop itself lives in
+    :func:`bloom_probe`; fp is already a string so the probe's cast is
+    the identity and the DuckDB oracle replay is unchanged)."""
+    out = new_docs.withColumn("fp", TXT.fingerprint(F.col(text_col)))
+    return bloom_probe(out, bloom, "fp", n_bits, n_hashes, "maybe_dup")
 
 
 def dedup_increment_bloom(

@@ -347,14 +347,26 @@ def classifier_score_mapside(
 
     def _margin_int(vec) -> int:
         """Exact sum of the per-term quantized integers, vectorized.
-        ``vec`` = w*x for the document's distinct buckets (float64)."""
+        ``vec`` = w*x for the document's distinct buckets (float64).
+
+        Fast-path effective range (r8 advice #3): the ambiguity band is
+        ``4*spacing(t)`` around the half-integer boundary, and the
+        boundary is at most 0.5 scaled units away — so once
+        ``spacing(t) >= 0.125`` (|w*x| >~ 0.56, t >~ 2^49) EVERY
+        element is flagged and the method degrades gracefully to the
+        exact per-element construction (correctness unaffected; the
+        all-ambiguous case short-circuits the vectorized preamble).
+        Trained few-step-GD weights live at |w*x| << 0.5, where the
+        measured ambiguity rate is ~1e-3 and the hot path is two numpy
+        ops per document."""
         t = np.abs(vec) * 1e15
-        q = np.floor(t + 0.5)
         # distance (in scaled units) to the nearest half-integer
         # HALF-UP boundary; elements inside the float-error band get
         # the exact Decimal treatment
         amb = np.abs(t - np.floor(t) - 0.5) <= 4.0 * np.spacing(t)
-        qi = q.astype(np.int64)
+        if amb.all():
+            return sum(_q15_int(float(v)) for v in vec)
+        qi = np.floor(t + 0.5).astype(np.int64)
         np.negative(qi, out=qi, where=vec < 0)
         if amb.any():
             for i in np.flatnonzero(amb):

@@ -47,6 +47,12 @@ pairs at small Hamming distance; an unrelated image does not).
 payload bytes never shuffle); the pair stage shuffles only
 (id, band, 16-bit key) rows — the dedup_simhash budget, O(n) per band
 — and exact verification touches only band-collision candidates.
+Skew is bounded twice (r9): degenerate fingerprints (popcount 0/64 —
+every constant-color placeholder collides there) are quarantined
+before banding, and every band bucket is capped at ``max_bucket``
+members with the quarantine audited by
+:func:`image_band_bucket_audit` — so a million black thumbnails cost
+one audit row, not a 10^12-pair clique.
 """
 
 from __future__ import annotations
@@ -250,30 +256,118 @@ def media_dedup_gate(
     known_fps,
     payload_col: str = "payload",
     id_col: str = "doc_id",
+    max_hamming: int = 0,
 ) -> DataFrame:
     """STATELESS streaming media-dedup gate (the dsir/classifier/C4
     stateless-gate shape applied to perceptual fingerprints): decode +
     fingerprint every payload (:func:`multimodal_fingerprints`) and
-    keep only payloads whose ``fp_a`` is NOT in the batch-built
-    ``known_fps`` index — the production image-ingest gate: fingerprint
-    the standing corpus once in batch, drop already-seen media from
-    every arriving micro-batch with NO state store (redeliveries
-    re-decide identically because the decision is a pure function of
-    the payload + the broadcast index).
+    drop payloads already covered by the batch-built ``known_fps``
+    index — the production image-ingest gate: fingerprint the standing
+    corpus once in batch, drop already-seen media from every arriving
+    micro-batch with NO state store (redeliveries re-decide identically
+    because the decision is a pure function of the payload + the
+    broadcast index).
+
+    Match semantics (r8 advice #2 — previously the docstring oversold
+    the default): ``max_hamming=0`` (default) drops EXACT fingerprint
+    matches only — pixel-identical re-encodes, which collide exactly
+    because the fingerprint is a pure function of the decoded pixels
+    (RGB expansion, palette re-encode, bit-depth doubling); a resized
+    or recompressed copy whose fp moves by a bit or two PASSES the
+    exact gate.  ``max_hamming`` in 1..3 extends the drop to
+    Hamming-neighbor copies with recall exactly 1 (pigeonhole over the
+    4 x 16-bit bands): each known fp is exploded into its 4 band keys
+    and embedded as a literal band->candidates map; an arriving fp
+    looks up its own 4 band keys and exact-verifies only the
+    candidates sharing a band — per-row work O(4 + candidates), not
+    O(|known|), and still a pure stateless expression (no join against
+    the stream, so it runs identically under batch and streaming).
 
     ``known_fps``: an iterable of known fp_a values (embedded as a
-    broadcast literal set — the broadcast-the-model shape; for
-    billion-image indexes swap in the Bloom membership sketch from
-    operators/bloom.py, same plan position, documented false-positive
-    drop rate).  Adds ``fp_a``/``fp_b``/``modality``; non-media rows
-    are dropped (a media gate has nothing to say about them).  Works
-    identically on batch AND streaming DataFrames — mapInPandas and
-    the isin filter are both stateless."""
+    broadcast literal index — the broadcast-the-model shape; for
+    billion-image EXACT indexes use :func:`media_dedup_gate_bloom`,
+    same plan position, documented false-positive drop rate).  Adds
+    ``fp_a``/``fp_b``/``modality``; non-media rows are dropped (a
+    media gate has nothing to say about them)."""
     fps = multimodal_fingerprints(multimodal, payload_col, id_col)
     known = [int(v) for v in known_fps]
     if not known:
         return fps
-    return fps.where(~F.col("fp_a").isin(known))
+    if max_hamming == 0:
+        return fps.where(~F.col("fp_a").isin(known))
+    # band->candidates literal map: 4 entries per known fp
+    buckets: dict[str, list[int]] = {}
+    for k in known:
+        ku = k & ((1 << 64) - 1)
+        for j in range(4):
+            key = f"{j}:{(ku >> (j * 16)) & 0xFFFF}"
+            buckets.setdefault(key, []).append(k)
+    entries = []
+    for key, vals in buckets.items():
+        entries.append(F.lit(key))
+        entries.append(F.array(*[F.lit(v).cast("bigint") for v in vals]))
+    index = F.create_map(*entries)
+    fp = F.col("fp_a")
+    cands = F.flatten(
+        F.array_compact(
+            F.array(
+                *[
+                    # try_element_at: NULL (not an ANSI error) on a
+                    # band key absent from the index
+                    F.try_element_at(
+                        index,
+                        F.concat(
+                            F.lit(f"{j}:"),
+                            _bands(fp, j).cast("string"),
+                        ),
+                    )
+                    for j in range(4)
+                ]
+            )
+        )
+    )
+    min_d = F.array_min(
+        F.transform(cands, lambda k: VEC.hamming64(fp, k))
+    )
+    return fps.where(min_d.isNull() | (min_d > max_hamming))
+
+
+def media_dedup_gate_bloom(
+    multimodal: DataFrame,
+    bloom: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    n_bits: int | None = None,
+    n_hashes: int | None = None,
+) -> DataFrame:
+    """The billion-image form of :func:`media_dedup_gate`'s EXACT gate
+    (r8 verdict #6 — previously only documented): membership of
+    ``fp_a`` in a Bloom filter built over the known fingerprints
+    (``bloom.bloom_build(known, fp_col='fp_a')``) instead of a literal
+    ``isin`` set.  The literal set embeds every known fp in the plan —
+    fine at thousands, lineage-bloat at billions; the Bloom word table
+    is ``n_bits/32`` rows broadcast once, and the probe is the same
+    zero-exchange map-side join chain as the text increment gate
+    (bloom.bloom_probe).
+
+    Semantics vs the exact gate: Bloom has NO false negatives, so
+    every payload the exact gate drops is dropped here too; a false
+    positive (at the documented sizing rate, ~(1-e^(-kn/m))^k) drops a
+    genuinely new payload — over-dedup, the conventional trade for a
+    constant-size index.  Keep-set equality modulo that drop rate is
+    pinned in tests/test_image_hash.py.  Stateless: the decision is a
+    pure function of the payload + the broadcast word table, so batch
+    and streaming decide identically on every redelivery."""
+    from excelstream_spark.operators import bloom as BL
+
+    kw = {}
+    if n_bits is not None:
+        kw["n_bits"] = n_bits
+    if n_hashes is not None:
+        kw["n_hashes"] = n_hashes
+    fps = multimodal_fingerprints(multimodal, payload_col, id_col)
+    flagged = BL.bloom_probe(fps, bloom, fp_col="fp_a", **kw)
+    return flagged.where(~F.col("maybe_dup")).drop("maybe_dup")
 
 
 def _bands(h: Column, j: int) -> Column:
@@ -284,46 +378,165 @@ def _bands(h: Column, j: int) -> Column:
     )
 
 
+def _is_degenerate(h: Column) -> Column:
+    """True for the two degenerate perceptual fingerprints: popcount 0
+    (aHash of ANY constant-color image — no cell exceeds the mean) and
+    popcount 64 (the saturated complement).  Real corpora are full of
+    placeholder/black/white thumbnails that ALL collide on these two
+    values, so they form mega-cliques the pair stage must never
+    enumerate — the image twin of the text family's token-less
+    signature-0 docs (dedup.simhash_signatures, fixed r7)."""
+    pc = F.bit_count(h)
+    return (pc == 0) | (pc == 64)
+
+
+def image_band_bucket_audit(
+    hashes: DataFrame,
+    hash_col: str = "ahash",
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """(kind, band, bh, n) — the skew audit for the image pair stage
+    (the ``max_shingle_df`` convention, r8 verdict #1): one row per
+    DEGENERATE fingerprint class present (kind='degenerate', band
+    NULL, bh = the class popcount 0/64, n = member count) and one row
+    per over-cap band bucket among the non-degenerate fps
+    (kind='hot_bucket', n = bucket size > ``max_bucket``).  Empty
+    output = :func:`dedup_image_ahash`'s candidate enumeration is
+    bounded by ``max_bucket``:sup:`2` pairs per bucket with nothing
+    quarantined; non-empty rows are what a 100 TB run logs before
+    either raising the cap or routing the named members to exact-fp
+    grouping (degenerate/hot members are exact-equal or
+    boilerplate-shaped — exact dedup's job, not pair enumeration's)."""
+    h = F.col(hash_col)
+    degen = (
+        hashes.where(_is_degenerate(h))
+        .groupBy(F.bit_count(h).cast("bigint").alias("bh"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("degenerate").alias("kind"),
+            F.lit(None).cast("int").alias("band"),
+            "bh",
+            "n",
+        )
+    )
+    bands = hashes.where(~_is_degenerate(h)).select(
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(j).alias("band"), _bands(h, j).alias("bh"))
+                for j in range(4)
+            ])
+        ).alias("b")
+    ).select("b.band", "b.bh")
+    hot = (
+        bands.groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > max_bucket)
+        .select(F.lit("hot_bucket").alias("kind"), "band", "bh", "n")
+    )
+    return degen.unionByName(hot)
+
+
 def dedup_image_ahash(
     hashes: DataFrame,
     id_col: str = "doc_id",
     hash_col: str = "ahash",
     max_hamming: int = 3,
+    max_bucket: int | None = 10_000,
+    verify_col: str | None = None,
+    verify_max_hamming: int = 10,
 ) -> DataFrame:
     """(doc_a, doc_b, hamming) near-dup image pairs from an
     :func:`image_ahash` table: 4 x 16-bit band blocking + exact Hamming
     verify — recall is exactly 1 for ``max_hamming <= 3`` (pigeonhole:
     3 differing bits touch at most 3 of the 4 bands), probabilistic
-    above, the dedup_simhash contract."""
-    bands = hashes.select(
+    above, the dedup_simhash contract.
+
+    Skew bounds (r8 verdict #1 — the pair stage must survive a corpus
+    of a million black thumbnails):
+
+    - DEGENERATE fingerprints (popcount 0 or 64 — every constant-color
+      image collides on one of two values) are dropped before banding:
+      they are exact-equal mega-cliques, which is exact-dedup's job
+      (group by the fp value itself), not a quadratic pair
+      enumeration's.
+    - ``max_bucket`` caps every (band, 16-bit key) bucket: buckets
+      with more members are excluded from pairing via a broadcast
+      anti-join of the (tiny, <= 4*n_rows/max_bucket) hot-bucket
+      list — the ``max_shingle_df`` shape.  Recall within a capped
+      bucket degrades explicitly, never silently:
+      :func:`image_band_bucket_audit` (same ``max_bucket``) names
+      every quarantined class and bucket with its member count.
+      ``max_bucket=None`` disables the cap (fixture-scale recall
+      tests).
+
+    Dual-hash verification (r8 verdict #8): with ``verify_col`` (e.g.
+    the dHash column ``fp_b`` of :func:`multimodal_fingerprints`) a
+    candidate pair must ALSO sit within ``verify_max_hamming`` on the
+    second hash, and the output gains a ``hamming_b`` column.  aHash
+    alone false-positives on images that merely share a coarse
+    brighter-than-mean cell layout; requiring gradient-hash agreement
+    cuts those while keeping true re-encodes — a global brightness
+    shift moves aHash bits only where cells cross the mean and moves
+    dHash not at all (left-vs-right compares are shift-invariant), so
+    genuine re-encoded copies stay within both budgets."""
+    h = F.col(hash_col)
+    src = hashes.where(~_is_degenerate(h))
+    vcols = ["v"] if verify_col else []
+    extra = [F.col(verify_col).alias("v")] if verify_col else []
+    bands = src.select(
         F.col(id_col).alias("id"),
-        F.col(hash_col).alias("h"),
+        h.alias("h"),
+        *extra,
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(j).alias("band"),
-                        _bands(F.col(hash_col), j).alias("bh"),
+                        _bands(h, j).alias("bh"),
                     )
                     for j in range(4)
                 ]
             )
         ).alias("b"),
-    ).select("id", "h", "b.band", "b.bh")
+    ).select("id", "h", *vcols, "b.band", "b.bh")
+    if max_bucket is not None:
+        hot = (
+            bands.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > max_bucket)
+            .select("band", "bh")
+        )
+        bands = bands.join(F.broadcast(hot), ["band", "bh"], "left_anti")
     lhs = bands.select(
-        F.col("id").alias("doc_a"), F.col("h").alias("h_a"), "band", "bh"
+        F.col("id").alias("doc_a"),
+        F.col("h").alias("h_a"),
+        *[F.col("v").alias("v_a") for _ in vcols],
+        "band",
+        "bh",
     )
     rhs = bands.select(
-        F.col("id").alias("doc_b"), F.col("h").alias("h_b"), "band", "bh"
+        F.col("id").alias("doc_b"),
+        F.col("h").alias("h_b"),
+        *[F.col("v").alias("v_b") for _ in vcols],
+        "band",
+        "bh",
     )
-    return (
+    pairs = (
         lhs.join(rhs, ["band", "bh"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select(
             "doc_a",
             "doc_b",
             VEC.hamming64(F.col("h_a"), F.col("h_b")).alias("hamming"),
+            *(
+                [VEC.hamming64(F.col("v_a"), F.col("v_b")).alias("hamming_b")]
+                if verify_col
+                else []
+            ),
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+    if verify_col:
+        pairs = pairs.filter(F.col("hamming_b") <= verify_max_hamming)
+    return pairs

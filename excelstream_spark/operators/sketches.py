@@ -208,6 +208,10 @@ def frequent_tokens_mg(
     heavy hitters regardless of partitioning — and the exact recount +
     threshold then erases every trace of sketch nondeterminism.
     Default capacity = ``4 * den // num`` (4x the guarantee, tiny).
+    A caller-supplied ``capacity`` is CLAMPED up to ceil(den/num) —
+    below that bound the superset argument fails and a heavy hitter
+    could silently evict (an undetectable false negative), so the
+    guarantee floor is not negotiable (r8 advice #1).
 
     Shuffle budget: the candidate union moves <= capacity rows per
     partition; the recount joins the exploded tokens against the
@@ -220,7 +224,11 @@ def frequent_tokens_mg(
     from excelstream_spark.functions import text as TXT
 
     num, den = support
-    m = capacity or max(4 * den // max(num, 1), 8)
+    guarantee = -(-den // max(num, 1))  # ceil(den/num): superset floor
+    if capacity is not None:
+        m = max(capacity, guarantee)
+    else:
+        m = max(4 * den // max(num, 1), 8)
     toks = df.select(
         TXT.tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("_tk")
     )

@@ -127,3 +127,28 @@ def test_bloom_gate_plan_shuffle_free(spark, tmp_path):
     assert plan.count("BroadcastHashJoin") >= BL.DEFAULT_N_HASHES + 2, (
         plan[:2000]
     )
+
+
+def test_bloom_probe_bigint_keys(spark):
+    """The factored-out raw probe (r9) works over non-text bigint keys
+    (the media-fingerprint case): every built key flags True (no false
+    negatives), absent keys flag False at this sizing, NULL keys flag
+    False."""
+    from excelstream_spark.operators.bloom import bloom_build, bloom_probe
+
+    members = [5, -3, 99999999999, 0]
+    built = spark.createDataFrame([(k,) for k in members], "fp_a bigint")
+    bloom = bloom_build(built, fp_col="fp_a")
+    probe_rows = [(k, True) for k in members] + [
+        (7, False),
+        (-99, False),
+        (123456789012345, False),
+        (None, False),
+    ]
+    df = spark.createDataFrame(probe_rows, "fp_a bigint, is_member boolean")
+    out = bloom_probe(df, bloom, fp_col="fp_a").collect()
+    for r in out:
+        if r["is_member"]:
+            assert r["maybe_dup"] is True, r   # guarantee: no false negatives
+        else:
+            assert r["maybe_dup"] is False, r  # deterministic at this sizing

@@ -281,3 +281,190 @@ def test_streaming_media_dedup_gate_batch_parity_and_idempotence(spark):
     for r in facts:
         assert r["n_deliveries"] == 2      # both micro-batches flowed
         assert r["n_distinct"] == 1        # bit-identical re-decision
+
+
+def test_degenerate_fingerprints_quarantined(spark):
+    """r8 verdict #1: constant-color placeholders all aHash to 0 (and
+    the saturated complement to popcount 64) — a million of them must
+    cost ZERO pairs (exact-dedup's job), while a genuine near-dup pair
+    with healthy fingerprints still pairs.  Proven directly on a hash
+    table: 5 degenerate-zero docs, one all-bits doc, one near-dup
+    pair."""
+    rows = (
+        [(i, 0) for i in range(1, 6)]            # popcount 0 clique
+        + [(20, -1)]                              # popcount 64
+        + [(10, 0x0F0F00FF), (11, 0x0F0F00FD)]    # hamming 1 pair
+    )
+    hashes = spark.createDataFrame(rows, "doc_id bigint, ahash bigint")
+    pairs = dedup_image_ahash(hashes, max_hamming=3).collect()
+    assert [(p["doc_a"], p["doc_b"]) for p in pairs] == [(10, 11)]
+    # even with the bucket cap disabled, degenerates never pair
+    pairs = dedup_image_ahash(hashes, max_hamming=3, max_bucket=None).collect()
+    assert [(p["doc_a"], p["doc_b"]) for p in pairs] == [(10, 11)]
+
+
+def test_solid_color_pngs_produce_no_pairs(spark):
+    """The end-to-end form of the degenerate quarantine: N solid-color
+    PNGs (the real-corpus placeholder case) decode, fingerprint to 0,
+    and produce zero candidate pairs — bounded, not quadratic."""
+    imgs = [
+        (i, bytearray(_png(np.full((16, 16, 1), 10 * i, np.uint8))))
+        for i in range(1, 9)
+    ]
+    df = spark.createDataFrame(imgs, "doc_id bigint, payload binary")
+    hashes = image_ahash(df)
+    assert hashes.count() == 8          # all decode and hash (to 0)
+    assert dedup_image_ahash(hashes).count() == 0
+
+
+def test_bucket_cap_and_audit(spark):
+    """max_bucket quarantines hot (band, key) buckets via a broadcast
+    anti-join, with the recall loss named by image_band_bucket_audit —
+    never silent.  20 docs share band-0 key 0x7 (and bands 2/3 key 0);
+    a cold near-dup pair survives the cap via its own cold band."""
+    from excelstream_spark.operators.image_hash import (
+        image_band_bucket_audit,
+    )
+
+    hot = [(i, (i << 16) | 0x7) for i in range(1, 21)]
+    cold = [(100, 0x5555000000005555), (101, 0x5555000000005554)]
+    degen = [(200, 0), (201, -1)]
+    hashes = spark.createDataFrame(
+        hot + cold + degen, "doc_id bigint, ahash bigint"
+    )
+    capped = dedup_image_ahash(hashes, max_hamming=3, max_bucket=5)
+    assert {(p["doc_a"], p["doc_b"]) for p in capped.collect()} == {
+        (100, 101)
+    }
+    # without the cap the hot-bucket near-dups pair too (recall is a
+    # cap trade, surfaced by the audit, not a silent loss)
+    uncapped = dedup_image_ahash(hashes, max_hamming=3, max_bucket=None)
+    uncapped_pairs = {
+        (p["doc_a"], p["doc_b"]) for p in uncapped.collect()
+    }
+    assert (100, 101) in uncapped_pairs
+    assert len(uncapped_pairs) > 1
+    audit = image_band_bucket_audit(hashes, max_bucket=5).collect()
+    degen_rows = {
+        (r["bh"], r["n"]) for r in audit if r["kind"] == "degenerate"
+    }
+    assert degen_rows == {(0, 1), (64, 1)}
+    hot_rows = {
+        (r["band"], r["bh"], r["n"])
+        for r in audit
+        if r["kind"] == "hot_bucket"
+    }
+    # band 0 key 7: the 20 crafted hot docs; band 2 key 0: the hot docs
+    # plus the cold pair's zero band (22); band 3 key 0: hot docs only
+    # (the cold pair's band 3 key is 0x5555)
+    assert (0, 0x7, 20) in hot_rows
+    assert (2, 0, 22) in hot_rows and (3, 0, 20) in hot_rows
+    # a clean table audits empty
+    clean = spark.createDataFrame(cold, "doc_id bigint, ahash bigint")
+    assert image_band_bucket_audit(clean, max_bucket=5).count() == 0
+
+
+def test_dual_hash_verify_cuts_ahash_false_positives(spark):
+    """r8 verdict #8: with verify_col, a candidate pair must also agree
+    on the second hash — an aHash-coincidence pair with wildly
+    different dHash is cut, a true re-encode (small distance on both)
+    survives and reports hamming_b."""
+    rows = [
+        (1, 0x0F0F, 0x00FF),            # base
+        (2, 0x0F0E, 0x00FD),            # true near-dup: d_a=1, d_b=1
+        (3, 0x0F0D, 0x7FFF0000FF00FF),  # aHash coincidence: d_a=1, d_b large
+    ]
+    hashes = spark.createDataFrame(
+        rows, "doc_id bigint, ahash bigint, dhash bigint"
+    )
+    plain = dedup_image_ahash(hashes, max_hamming=3)
+    assert {(p["doc_a"], p["doc_b"]) for p in plain.collect()} == {
+        (1, 2), (1, 3), (2, 3)
+    }
+    verified = dedup_image_ahash(
+        hashes, max_hamming=3, verify_col="dhash", verify_max_hamming=10
+    ).collect()
+    assert [(p["doc_a"], p["doc_b"]) for p in verified] == [(1, 2)]
+    assert verified[0]["hamming"] == 1 and verified[0]["hamming_b"] == 1
+
+
+def test_media_dedup_gate_hamming_neighbors(spark, crafted_images):
+    """r8 advice #2: the default gate drops EXACT fp matches only; with
+    max_hamming=3 the banded literal index extends the drop to
+    Hamming-neighbor copies (the re-encoded/resized case) with recall 1
+    by pigeonhole."""
+    from excelstream_spark.operators.image_hash import media_dedup_gate
+
+    # 8x8 images (resize is the identity) with 0/200 cells: thresholds
+    # are unambiguous, so flipping two dark cells moves the hash by
+    # EXACTLY 2 bits — a deterministic "re-encode drifted the fp" copy
+    base = np.zeros((8, 8, 1), np.uint8)
+    base[0:3, :, 0] = 200            # 24 bright cells
+    neardup = base.copy()
+    neardup[4, 0, 0] = 200           # two extra bright cells
+    neardup[4, 1, 0] = 200
+    other = np.zeros((8, 8, 1), np.uint8)
+    other[5:8, :, 0] = 200           # disjoint bright layout
+    h0, h1 = ahash_from_pixels(base), ahash_from_pixels(neardup)
+    assert bin((h0 ^ h1) & ((1 << 64) - 1)).count("1") == 2
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_png(base))),
+            (2, bytearray(_png(neardup))),
+            (3, bytearray(_png(other))),
+        ],
+        "doc_id bigint, payload binary",
+    )
+    known = [h0]
+    exact = {r["doc_id"] for r in media_dedup_gate(df, known).collect()}
+    assert exact == {2, 3}  # exact match (1) dropped; neardup passes
+    near = {
+        r["doc_id"]
+        for r in media_dedup_gate(df, known, max_hamming=3).collect()
+    }
+    assert near == {3}      # neardup within hamming 3 is dropped too
+
+
+def test_media_dedup_gate_bloom_equals_exact_gate(spark, crafted_images):
+    """r8 verdict #6: the Bloom-backed exact gate keeps the SAME set as
+    the literal-isin exact gate (no false negatives by construction;
+    false positives at the default ~1e-4 sizing don't fire on this
+    fixture) — the billion-image index swap, same plan position."""
+    from excelstream_spark.operators.bloom import bloom_build
+    from excelstream_spark.operators.image_hash import (
+        media_dedup_gate,
+        media_dedup_gate_bloom,
+        multimodal_fingerprints,
+    )
+
+    base = np.zeros((8, 8, 1), np.uint8)
+    base[0:3, :, 0] = 200
+    neardup = base.copy()
+    neardup[4, 0, 0] = 200           # fp drifts 2 bits: not exact-known
+    neardup[4, 1, 0] = 200
+    other = np.zeros((8, 8, 1), np.uint8)
+    other[5:8, :, 0] = 200
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_png(base))),
+            (2, bytearray(_png(neardup))),
+            (3, bytearray(_png(other))),
+        ],
+        "doc_id bigint, payload binary",
+    )
+    known = [ahash_from_pixels(base), ahash_from_pixels(other)]
+    known_df = spark.createDataFrame([(k,) for k in known], "fp_a bigint")
+    bloom = bloom_build(known_df, fp_col="fp_a")
+    exact = {
+        r["doc_id"] for r in media_dedup_gate(df, known).collect()
+    }
+    via_bloom = {
+        r["doc_id"]
+        for r in media_dedup_gate_bloom(df, bloom).collect()
+    }
+    assert via_bloom == exact == {2}
+    # schema parity with the fingerprint table (the gate only filters)
+    assert (
+        media_dedup_gate_bloom(df, bloom).columns
+        == multimodal_fingerprints(df).columns
+    )

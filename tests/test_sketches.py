@@ -204,3 +204,34 @@ def test_frequent_tokens_mg_candidate_flow_is_bounded(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "MapInPandas" in plan
+
+
+def test_frequent_tokens_mg_capacity_clamped_to_guarantee(spark):
+    """A caller-supplied capacity BELOW ceil(den/num) silently voids
+    the superset guarantee (a heavy hitter could evict — an
+    undetectable false negative), so it is clamped up to the floor
+    (r8 advice #1): even capacity=1 must still produce the exact row
+    set."""
+    from excelstream_spark.operators.sketches import (
+        frequent_tokens_exact,
+        frequent_tokens_mg,
+    )
+
+    rows = []
+    for i in range(300):
+        body = ["hot"] * 3 + [f"mid{i % 7}"] + [f"tail{i}a", f"tail{i}b"]
+        rows.append((i, " ".join(body)))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    want = sorted(
+        map(tuple, frequent_tokens_exact(df, support=(1, 50)).collect())
+    )
+    assert want
+    got = sorted(
+        map(
+            tuple,
+            frequent_tokens_mg(
+                df.repartition(5), support=(1, 50), capacity=1
+            ).collect(),
+        )
+    )
+    assert got == want
