@@ -456,11 +456,33 @@ def main() -> None:
     # runs start at executions 3-4, where steady state begins
     JIT_HEAVY = {"dedup_minhash_lsh", "dedup_simhash", "dedup_increment"}
 
+    # folded-out baselines (r9, catalog policy rule 4): dedup_embedding
+    # and sim_topk_bruteforce left the catalog but keep their bench legs
+    # — same plan, same leg name, timed via the plain plan functions
+    # (with the same release_persists preamble the @query wrapper added)
+    from excelstream_spark.operators.dedup import (
+        release_persists as _release_persists,
+    )
+    from excelstream_spark.plans.extension import (
+        dedup_embedding as _folded_dedup_embedding,
+        sim_topk_bruteforce as _folded_sim_topk_bruteforce,
+    )
+
+    FOLDED_LEGS = {
+        "dedup_embedding": _folded_dedup_embedding,
+        "sim_topk_bruteforce": _folded_sim_topk_bruteforce,
+    }
+
     def run_catalog(name: str) -> None:
-        spec = CATALOG[name]
-        fn = lambda spec=spec, name=name: noop_fp(  # noqa: E731
-            name, spec.fn(spark, SF_DIR)
-        )
+        if name in FOLDED_LEGS:
+            def fn(name=name):
+                _release_persists()
+                noop_fp(name, FOLDED_LEGS[name](spark, SF_DIR))
+        else:
+            spec = CATALOG[name]
+            fn = lambda spec=spec, name=name: noop_fp(  # noqa: E731
+                name, spec.fn(spark, SF_DIR)
+            )
         run(name, fn, warm_fn=(lambda fn=fn: (fn(), fn())) if name in JIT_HEAVY else None)
 
     for name in HEADLINE:

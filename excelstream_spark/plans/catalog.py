@@ -53,7 +53,8 @@ PRIORITY: tuple[str, ...] = (
     "text_token_pieces",
     # round-4 additions: operator families previously without driver rows
     "components_dedup_clusters",
-    "sim_topk_quantized",
+    # (sim_topk_quantized left this block in r9: demoted to fund the
+    # frequent_tokens promotion — see the DEMOTED annotation)
     "pack_sequences_audit",
     "corpus_sampling_exact",
     "streaming_xlsx_sink",
@@ -112,7 +113,32 @@ PRIORITY: tuple[str, ...] = (
 #:                           dedicated agg rows;
 #:   subquery_thresholds  -> the subquery family keeps
 #:                           exists_not_exists.
+#: r9 rotation summary (verdict #2/#4/#5):
+#:   multimodal_fingerprints PROMOTED in-window (carrying the r9 skew
+#:     bounds: degenerate-fp quarantine + band-bucket cap + audit) over
+#:     dedup_ngram_jaccard;
+#:   frequent_tokens (NEW row — MG heavy hitters + exact recount)
+#:     promoted in-window over sim_topk_quantized;
+#:   dedup_embedding and sim_topk_bruteforce FOLDED out of the catalog
+#:     entirely (policy rule 4): both are the recall oracles INSIDE the
+#:     in-window LSH/IVF/quantized rows' pytest suites, and their DuckDB
+#:     hash gates moved verbatim to tests/test_quality_semantic.py —
+#:     no hash-level check was lost, and the tail returns to its
+#:     25-entry soft cap (registered total 76 -> 75).
 DEMOTED: tuple[str, ...] = (
+    "dedup_ngram_jaccard",  # r9 rotation (verdict #2): funds the
+    # promoted multimodal_fingerprints row; the dedup family keeps
+    # minhash_lsh, token_chunks_cdc, winnowing and embedding_lsh
+    # in-window (policy rule 3), the exact shingle-pairwise plan shape
+    # stays registered via the tail's dedup_ngram_containment
+    # (identical plan, different closing arithmetic), and the row keeps
+    # its bench leg, scale-ladder rung and the pytest hash sweep
+    "sim_topk_quantized",  # r9 rotation (verdict #4): funds the
+    # promoted frequent_tokens row (the heavy-hitters family's first
+    # hard-signal row); the similarity family keeps sim_ann_ivf and
+    # dedup_embedding_lsh in-window (policy rule 3), and the int8
+    # quantized top-k stays hash-verified via pytest's full-catalog
+    # sweep plus its bench leg
     "dedup_exact",  # r8 late rotation: funds the promoted
     # training_corpus_pipeline_v4 row (the full composed pretraining
     # build: clean -> classifier cut -> exact dedup -> shard manifest);
@@ -147,13 +173,9 @@ DEMOTED: tuple[str, ...] = (
     "streaming_classifier_gate",  # r7: born past the window (the
     # streaming_dsir_gate precedent) — fully DuckDB-oracled stream-vs-
     # batch parity for the classifier family, swept by pytest
-    "sim_topk_bruteforce",  # r7 late rotation: funds the
-    # bm25_search_topk driver row (new operator family — lexical
-    # retrieval); the embedding-similarity family keeps sim_ann_ivf,
-    # sim_topk_quantized and dedup_embedding_lsh in-window, and the
-    # brute-force baseline stays hash-verified via pytest's
-    # full-catalog sweep (it is also the recall oracle inside the IVF
-    # and quantized tests)
+    # (sim_topk_bruteforce left this tail in r9 by FOLDING: unregistered
+    # entirely — policy rule 4; hash gate moved to
+    # tests/test_quality_semantic.py, recall-oracle duty unchanged)
     "agg_grouping_multi",  # r7 late rotation: funds the
     # lm_perplexity_buckets driver row (new operator family — bigram
     # stupid-backoff LM + CCNet perplexity terciles); the aggregation
@@ -213,22 +235,11 @@ DEMOTED: tuple[str, ...] = (
     # set hash) — fully DuckDB-oracled, swept by pytest's full-catalog
     # test; the curation family keeps corpus_curation and
     # corpus_sampling_exact in-window
-    "multimodal_fingerprints",  # r8: born past the window (policy rule
-    # 4 — the tail's 25th and LAST free slot): perceptual media dedup
-    # fingerprints (aHash + dHash over really-decoded PNG/JPEG, the
-    # sign-of-delta fingerprint over decoded PCM — three modalities in
-    # one row per policy rule 4's folding clause), the media twin of
-    # the text near-dup family — fully DuckDB-oracled (the
-    # fingerprints themselves hash-gate), swept by pytest's
-    # full-catalog test; the multimodal family keeps
-    # multimodal_features and multimodal_resize_sample in-window
-    "dedup_embedding",  # r7 late rotation: funds the
-    # embedding_kmeans_clusters driver row (new operator family —
-    # engine-exact clustering); exact-pairwise-cosine dedup keeps
-    # in-window coverage via dedup_embedding_lsh (the scale path,
-    # same threshold semantics) and dedup_semantic's pytest suite,
-    # and the row stays hash-verified via pytest's full-catalog sweep
-    # (it is also the recall oracle inside the LSH tests)
+    # (multimodal_fingerprints left this tail in r9: promoted over
+    # dedup_ngram_jaccard once the pair stage gained its skew bounds —
+    # the r8 verdict's ordering.  dedup_embedding left in r9 too, by
+    # FOLDING: unregistered entirely, hash gate moved to
+    # tests/test_quality_semantic.py, recall-oracle duty unchanged)
     "join_outer_coalesce",
     "q5_region_revenue",
     "events_time_rollup",

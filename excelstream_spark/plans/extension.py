@@ -296,22 +296,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_embedding",
-    oracle="""
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                            CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim_r
-        FROM embeddings a
-        JOIN embeddings b
-          ON a.vec_id < b.vec_id
-         AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                    CAST(b.embedding AS DOUBLE[])) > 0.45
-    """,
-    tags=("dedup", "vector"),
-)
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact embedding-cosine near-dup pairs (> 0.45 on this corpus)."""
+    """Exact embedding-cosine near-dup pairs (> 0.45 on this corpus).
+
+    FOLDED out of the catalog in r9 (verdict #5, policy rule 4): the
+    all-pairs baseline's output is the recall oracle INSIDE the
+    in-window dedup_embedding_lsh family (tests/test_extension_ops.py),
+    and its DuckDB hash gate moved verbatim to
+    tests/test_quality_semantic.py::test_dedup_embedding_oracle — so
+    the fold frees a tail slot without losing the hash-level check.
+    Still a bench leg (same plan, same name)."""
     return DD.dedup_embedding_cosine(_emb(spark, sf_dir), threshold=0.45)
 
 
@@ -319,30 +313,16 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Similarity search
 # --------------------------------------------------------------------------
 
-@query(
-    "sim_topk_bruteforce",
-    oracle="""
-        WITH scored AS (
-          SELECT q.vec_id query_id, c.vec_id neighbor_id,
-                 list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                                        CAST(c.embedding AS DOUBLE[])) cos_sim,
-                 row_number() OVER (
-                   PARTITION BY q.vec_id
-                   ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                                                   CAST(c.embedding AS DOUBLE[])) DESC,
-                            c.vec_id) rn
-          FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
-          WHERE q.vec_id < 10
-        )
-        SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank,
-               round(cos_sim, 6) AS cos_sim_r
-        FROM scored WHERE rn <= 5
-    """,
-    tags=("similarity", "vector"),
-)
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 cosine neighbors for query vectors (vec_id < 10):
-    broadcast queries x streamed corpus, per-query top-k window."""
+    broadcast queries x streamed corpus, per-query top-k window.
+
+    FOLDED out of the catalog in r9 (verdict #5, policy rule 4): the
+    brute-force baseline is the recall oracle INSIDE both in-window ANN
+    rows (sim_ann_ivf, sim_topk_quantized recall tests), and its DuckDB
+    hash gate moved verbatim to
+    tests/test_quality_semantic.py::test_sim_topk_bruteforce_oracle.
+    Still a bench leg (same plan, same name)."""
     emb = _emb(spark, sf_dir)
     return SIM.cosine_topk_bruteforce(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
@@ -1679,6 +1659,38 @@ def cardinality_kmv_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return kmv_distinct_tokens_by_group(
         _docs(spark, sf_dir).select("lang", "text"), group_col="lang", k=256
+    )
+
+
+@query(
+    "frequent_tokens",
+    oracle="""
+        WITH t AS (SELECT unnest(list_filter(
+                     regexp_split_to_array(lower(coalesce(text, '')),
+                                           '\\s+'), x -> x <> '')) AS tok
+                   FROM documents),
+        n AS (SELECT count(*) AS c FROM t)
+        SELECT tok, count(*)::BIGINT AS cnt FROM t GROUP BY tok
+        HAVING count(*) * 1000 > (SELECT c FROM n) * 1
+    """,
+    tags=("sketch", "heavy-hitters", "text"),
+)
+def frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic heavy hitters (operators/sketches.
+    frequent_tokens_mg — Misra & Gries 1982 + exact recount): every
+    token above 1/1000 of all token occurrences, computed the 100 TB
+    way — bounded-memory per-partition MG sketches propose a candidate
+    SUPERSET (guaranteed for capacity >= den/num regardless of
+    partitioning), one broadcast-pruned exact recount closes.  The
+    output is therefore EXACT and hash-gates against the plain SQL
+    replay even though each partition's sketch is order-dependent —
+    the hot-key discovery primitive that sizes ``max_shingle_df`` /
+    salting thresholds without a full-vocabulary exchange (r8 verdict
+    #4: the family's hard-signal row)."""
+    from excelstream_spark.operators.sketches import frequent_tokens_mg
+
+    return frequent_tokens_mg(
+        _docs(spark, sf_dir).select("text"), support=(1, 1000)
     )
 
 

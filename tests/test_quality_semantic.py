@@ -1252,3 +1252,53 @@ def test_shingles_from_tokens_property_vs_python(spark):
         assert got == want, (toks, k, got, want)
 
     check()
+
+
+def test_dedup_embedding_oracle(spark, duck):
+    """The all-pairs cosine baseline's DuckDB hash gate, moved verbatim
+    from the folded-out catalog row (r9, policy rule 4): the operator
+    keeps the same hash-level check it had as a registered entry."""
+    from excelstream_spark.plans.extension import dedup_embedding
+
+    assert_matches_oracle(
+        dedup_embedding(spark, SF_DIR),
+        duck,
+        """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim_r
+        FROM embeddings a
+        JOIN embeddings b
+          ON a.vec_id < b.vec_id
+         AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])) > 0.45
+        """,
+    )
+
+
+def test_sim_topk_bruteforce_oracle(spark, duck):
+    """The brute-force top-k baseline's DuckDB hash gate, moved verbatim
+    from the folded-out catalog row (r9, policy rule 4)."""
+    from excelstream_spark.plans.extension import sim_topk_bruteforce
+
+    assert_matches_oracle(
+        sim_topk_bruteforce(spark, SF_DIR),
+        duck,
+        """
+        WITH scored AS (
+          SELECT q.vec_id query_id, c.vec_id neighbor_id,
+                 list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                        CAST(c.embedding AS DOUBLE[])) cos_sim,
+                 row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                   CAST(c.embedding AS DOUBLE[])) DESC,
+                            c.vec_id) rn
+          FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+          WHERE q.vec_id < 10
+        )
+        SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank,
+               round(cos_sim, 6) AS cos_sim_r
+        FROM scored WHERE rn <= 5
+        """,
+    )
