@@ -1,0 +1,160 @@
+"""Product quantization (operators/pq.py): engine-exact encode vs the
+DuckDB literal-codebook replay, binary packing round-trip, ADC recall
+vs the exact brute force, and the scan-shaped plan."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from excelstream_spark.operators import similarity as SIM
+from excelstream_spark.operators.pq import (
+    PQCodebook,
+    pq_codes_long,
+    pq_codes_oracle_sql,
+    pq_encode,
+    pq_train,
+    topk_pq,
+)
+from excelstream_spark.tables import load_table
+
+from .conftest import SF_DIR, assert_matches_oracle
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_DIR, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def codebook(emb):
+    """The production default (classic 8-bit PQ)."""
+    return pq_train(emb, m=8, k=256, n_iter=6, sample_n=4096)
+
+
+@pytest.fixture(scope="module")
+def codebook_small(emb):
+    """k=16 codebook for the exhaustive DuckDB replay (the arithmetic
+    contract is k-independent; 16 codes keep the oracle SQL compact)."""
+    return pq_train(emb, m=8, k=16, n_iter=4, sample_n=4096)
+
+
+def test_pq_train_deterministic(emb):
+    cb1 = pq_train(emb, m=8, k=16, n_iter=2, sample_n=256)
+    cb2 = pq_train(emb.repartition(7), m=8, k=16, n_iter=2, sample_n=256)
+    assert cb1.dim == cb2.dim == 64 and cb1.m == 8
+    for a, b in zip(cb1.centroids, cb2.centroids):
+        assert np.array_equal(a, b)
+
+
+def test_pq_encode_matches_duckdb_oracle(spark, duck, emb, codebook_small):
+    """The hash gate: codes computed by the Arrow encoder equal the
+    DuckDB replay from the codebook literals, bit-for-bit — the
+    left-to-right float64 distance accumulation and the
+    ties-to-lowest-code argmin are the cross-engine contract."""
+    long = pq_codes_long(pq_encode(emb, codebook_small))
+    assert_matches_oracle(long, duck, pq_codes_oracle_sql(codebook_small))
+
+
+def test_pq_packing_is_m_bytes(spark, emb, codebook):
+    enc = pq_encode(emb, codebook)
+    sizes = enc.select(F.octet_length("code").alias("n")).distinct().collect()
+    assert [r["n"] for r in sizes] == [8]   # 8 bytes/vector: 32x vs float32
+
+
+def test_pq_encode_drops_null_and_wrong_dim(spark, codebook):
+    rows = [
+        (1, [float(i % 7) for i in range(64)]),
+        (2, None),
+        (3, [1.0, 2.0]),  # wrong dim
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = pq_encode(df, codebook).collect()
+    assert [r["id"] for r in got] == [1]
+
+
+def test_pq_candidate_recall_vs_bruteforce(spark, emb, codebook):
+    """The PQ serving contract is candidate generation + exact re-rank
+    (the int8/IVF convention): the exact float top-5 must sit inside
+    the ADC top-20 candidate set at high recall (measured 0.94-0.96 on
+    both small fixtures with the 8-bit default; floor 0.8)."""
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.cosine_topk_bruteforce(emb, queries, k=5).collect()
+    }
+    codes = pq_encode(emb, codebook)
+    cands = {
+        (r["query_id"], r["neighbor_id"])
+        for r in topk_pq(codes, codebook, queries, k=20).collect()
+    }
+    recall = len(exact & cands) / len(exact)
+    assert recall >= 0.8, f"pq candidate recall {recall:.2f}"
+
+
+def test_pq_scorer_output_shape_and_ranks(spark, emb, codebook):
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = topk_pq(pq_encode(emb, codebook), codebook, queries, k=5)
+    rows = out.collect()
+    per_q: dict = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+        assert r["neighbor_id"] != r["query_id"]  # exclude_self
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == [1, 2, 3, 4, 5], q
+
+
+def test_pq_plans_are_scan_shaped(spark, emb, codebook):
+    enc = pq_encode(emb, codebook)
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan          # encode: pure scan work
+    assert "MapInPandas" in plan and "BatchEvalPython" not in plan
+    queries = emb.filter(F.col("vec_id") < 3)
+    splan = (
+        topk_pq(enc, codebook, queries, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in splan
+    assert "BroadcastNestedLoopJoin" not in splan
+
+
+def test_pq_train_raises_on_bad_input(spark):
+    df = spark.createDataFrame(
+        [(1, None)], "vec_id bigint, embedding array<float>"
+    )
+    with pytest.raises(ValueError):
+        pq_train(df)
+
+
+def test_pq_reranked_scores_are_exact(spark, emb, codebook):
+    """The two-stage composition: final scores are the EXACT JVM cosine
+    (identical values to the brute force on shared pairs), recall
+    equals the candidate recall, and the fetch join streams the corpus
+    past a broadcast candidate set."""
+    from excelstream_spark.operators.pq import topk_pq_reranked
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim_r"]
+        for r in SIM.cosine_topk_bruteforce(emb, queries, k=5).collect()
+    }
+    codes = pq_encode(emb, codebook)
+    rr = topk_pq_reranked(codes, codebook, emb, queries, k=5, k_prime=20)
+    got = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in rr.collect()
+    }
+    shared = set(exact) & set(got)
+    assert len(shared) / len(exact) >= 0.8   # candidate recall floor
+    # re-rank scores are the true float64 JVM cosine; the brute-force
+    # reference computes in float32 BLAS and rounds to 6dp — agreement
+    # within rounding + float32 drift proves these are real cosines,
+    # not ADC approximations (which differ in the 2nd-3rd decimal)
+    for p in shared:
+        assert got[p] == pytest.approx(exact[p], abs=2e-6), p
+    plan = rr._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
