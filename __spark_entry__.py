@@ -46,7 +46,18 @@ pretraining build replayed as one SQL statement) — is hash-gated;
 ``bpe_train_merges``, ``cleaning_pipeline_v3``, ``streaming_c4_gate``
 and ``training_corpus_pipeline_v4`` rotate into the window over four
 multiply-represented relational/dedup rows under the demoted-tail
-policy now stated in plans/catalog.py.
+policy now stated in plans/catalog.py.  Round 9: 75 registered
+(50 windowed + 25-entry tail, back at the soft cap) —
+``multimodal_fingerprints`` (now skew-bounded) and the new
+``frequent_tokens`` heavy-hitters row rotate in over
+``dedup_ngram_jaccard`` / ``sim_topk_quantized``, and the two
+all-pairs baselines (``dedup_embedding``, ``sim_topk_bruteforce``)
+FOLD out of the catalog per policy rule 4: still operators, bench
+legs and the in-window LSH/IVF rows' recall oracles, with their
+DuckDB hash gates moved verbatim into pytest.  Product quantization
+(operators/pq.py) joins the similarity family outside the window
+(encode DuckDB-bit-replayed, candidate recall pinned in pytest — the
+IVF/quantized convention).
 """
 
 from __future__ import annotations

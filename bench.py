@@ -234,6 +234,22 @@ LEG_SCOPE = {
 #: per-leg LEG_SCOPE stays the authoritative cross-round comparability
 #: signal; these document repo-wide changes that move MANY fingerprints)
 ROUND_SCOPE_NOTES = {
+    "r9": "Measurement changes (verdict #3/#9): the csv legs run 3 "
+    "base timed runs and the detail file records scratch_medium; the "
+    "three POST_LADDER legs' headline min now includes their "
+    "scale-ladder 1x rung (identical plan, same process); the "
+    "plan-fingerprint drift check is gated to same-sf artifacts "
+    "(testdata paths sit in the analyzed plan, so a cross-sf sanity "
+    "run used to false-flag every shared leg).  csv_write ROOT-CAUSE "
+    "(verdict #3): the r8 band move (3.44M -> 2.34M rows/s, unchanged "
+    "fingerprint) is AMBIENT — the identical leg measured twice this "
+    "round on the same box gave runs=[3.14,2.30,2.32] under load-"
+    "adjacent conditions and [2.31,1.82,2.01] minutes later on an "
+    "idle box (3.3M rows/s), and a standalone probe hit 3.7-4.0M; "
+    "the plan, scratch medium (tmpfs) and code are identical "
+    "throughout.  Folded legs dedup_embedding / sim_topk_bruteforce "
+    "now run via plain plan functions (identical plan, same names) "
+    "after leaving the catalog.",
     "r8": "C4 rule fidelity fixes (advice #2/#4): the sentence proxy "
     "includes the end quotation mark and 'javascript' matches at token "
     "level — every C4-composed leg's fingerprint moves "
