@@ -46,10 +46,13 @@ Division of labor (the clustering.py trichotomy applied to PQ):
 scorer touches (a 10^11-vector corpus is 800 GB of codes vs 26 TB of
 float32 — the difference between a scan and a cluster-wide spill);
 encode is embarrassingly parallel scan work; the codebook (m*k*dsub
-floats, ~4 KB) broadcasts inside the LUT closure.  Compose with the
-IVF cell structure (`similarity.py`) for sub-linear probing: PQ
-compresses WITHIN cells, IVF prunes ACROSS them — the standard
-IVF-PQ stack, both halves now present.
+floats, ~4 KB) broadcasts inside the LUT closure.  The composition
+with the IVF cell structure (`similarity.py`) is implemented here
+too: :func:`ivf_pq_index` builds the (id, cid, code) artifact and
+:func:`ivf_pq_topk` probes it — PQ compresses WITHIN cells, IVF
+prunes ACROSS them (the standard billion-scale IVF-PQ stack); with
+every cell probed the output equals plain :func:`topk_pq` exactly
+(pinned), so the probe is a pure pruning layer.
 
 The reference engine (KSD-CO/excelstream) has no vector surface; this
 extends the similarity family (`SURVEY.md` §6, quantize.py's ladder).
@@ -312,6 +315,27 @@ def topk_pq(
     Returns (query_id, neighbor_id, rank, cos_sim) — cos_sim is the
     query x reconstructed-corpus cosine (approximate; recall vs the
     exact brute force is pinned in tests/test_pq.py)."""
+    return _adc_topk(
+        codes, codebook, queries, vec_col, id_col, k, exclude_self, None
+    )
+
+
+def _adc_topk(
+    codes: DataFrame,
+    codebook: PQCodebook,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    exclude_self: bool,
+    cell_probes: dict | None,
+) -> DataFrame:
+    """The shared ADC engine behind :func:`topk_pq` (cell_probes=None —
+    score every row for every query) and :func:`ivf_pq_topk`
+    (cell_probes = {cid: np.ndarray of query indices} — ``codes``
+    carries a ``cid`` column, and a row scores only for the queries
+    probing its cell; everything else is masked to -inf before the
+    per-batch top-k)."""
     spark = codes.sparkSession
     qpdf = queries.select(id_col, vec_col).toPandas()
     out_schema = StructType(
@@ -344,11 +368,12 @@ def topk_pq(
         lut[s, : C.shape[0], :] = C @ Qn[:, s * dsub : (s + 1) * dsub].T
         norm2[s, : C.shape[0]] = (C * C).sum(axis=1)
     bc = spark.sparkContext.broadcast(
-        (qpdf[id_col].to_numpy(), lut, norm2)
+        (qpdf[id_col].to_numpy(), lut, norm2, cell_probes)
     )
+    with_cell = cell_probes is not None
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        qids, T, N2 = bc.value
+        qids, T, N2, probes = bc.value
         mm = T.shape[0]
         for pdf in batches:
             if len(pdf) == 0:
@@ -364,6 +389,18 @@ def topk_pq(
             rn[rn == 0.0] = 1.0
             S /= rn[:, None]
             c_ids = pdf["id"].to_numpy()
+            if probes is not None:
+                # IVF mask: a row is visible only to the queries
+                # probing its cell (one pass over the <= n_probed
+                # distinct cells in the batch)
+                allowed = np.zeros(S.shape, dtype=bool)
+                cells = pdf["cid"].to_numpy()
+                for cell in np.unique(cells):
+                    qs = probes.get(cell)
+                    if qs is not None and len(qs):
+                        rows = np.nonzero(cells == cell)[0]
+                        allowed[np.ix_(rows, qs)] = True
+                S[~allowed] = -np.inf
             if exclude_self:
                 S[c_ids[:, None] == qids[None, :]] = -np.inf
             kk = min(k, S.shape[0])
@@ -388,7 +425,8 @@ def topk_pq(
                 }
             )
 
-    local = fan_out(codes.select("id", "code")).mapInPandas(
+    cols = ["id", "code"] + (["cid"] if with_cell else [])
+    local = fan_out(codes.select(*cols)).mapInPandas(
         score, out_schema
     )
     from pyspark.sql import Window as W
@@ -451,4 +489,90 @@ def topk_pq_reranked(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def ivf_pq_index(
+    corpus: DataFrame,
+    codebook: PQCodebook,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_every: int = 50,
+):
+    """(centroids, coded) — the IVF-PQ artifact: ``coded`` is
+    (id, cid, code), i.e. each vector's IVF cell plus its 8-byte PQ
+    code — the standard billion-scale index layout (IVF prunes ACROSS
+    cells, PQ compresses WITHIN them).  Cell assignment is the
+    similarity.assign_ivf_cells broadcast matmul (seeded deterministic
+    centroids; a trained kmeans_centroids table drops in unchanged);
+    codes come from :func:`pq_encode`; one build-time join on id ties
+    them (the artifact builds once — at scale WRITE ``coded``
+    partitioned by ``cid`` so probing prunes whole partitions before
+    any byte is read)."""
+    from excelstream_spark.operators import similarity as SIM
+
+    centroids, assigned = SIM.assign_ivf_cells(
+        corpus, vec_col, id_col, centroid_every
+    )
+    codes = pq_encode(corpus, codebook, vec_col, id_col)
+    coded = codes.join(assigned.select("id", "cid"), "id")
+    return centroids, coded
+
+
+def ivf_pq_topk(
+    coded: DataFrame,
+    codebook: PQCodebook,
+    centroids: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_probe: int = 3,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF-PQ search: probe the ``n_probe`` nearest cells per query
+    (broadcast matmul against the tiny centroid table), filter the
+    coded artifact to the UNION of probed cells (an ``isin`` on the
+    cell column — partition pruning when the artifact is stored
+    partitioned by cid), then ADC-score the survivors with a per-cell
+    visibility mask (a row scores only for the queries that probed its
+    cell).  Per probed row the cost is the same m-gathers-and-a-sum as
+    :func:`topk_pq`; the corpus fraction touched is ~n_probe/n_cells.
+    With ``n_probe >= n_cells`` the output EQUALS plain
+    :func:`topk_pq` (pinned in tests) — the probe is a pure pruning
+    layer over the identical scorer."""
+    from excelstream_spark.operators import vectorized as VZ
+
+    probes = VZ.nearest_against_broadcast(
+        queries,
+        centroids,
+        vec_col=vec_col,
+        id_col=id_col,
+        n_nearest=n_probe,
+        carry_vec=False,
+    ).select(F.col("id").alias("qid"), "cid")
+    qpdf = queries.select(id_col, vec_col).toPandas()
+    qpos = {qid: i for i, qid in enumerate(qpdf[id_col])}
+    cell_probes: dict = {}
+    for r in probes.collect():
+        cell_probes.setdefault(r["cid"], []).append(qpos[r["qid"]])
+    cell_probes = {
+        c: np.asarray(sorted(set(v)), dtype=np.int64)
+        for c, v in cell_probes.items()
+    }
+    if cell_probes:
+        probed = coded.where(
+            F.col("cid").isin([int(c) for c in cell_probes])
+        )
+    else:  # no queries: _adc_topk returns the typed empty frame
+        probed = coded
+    return _adc_topk(
+        probed,
+        codebook,
+        queries,
+        vec_col,
+        id_col,
+        k,
+        exclude_self,
+        cell_probes,
     )
