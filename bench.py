@@ -151,6 +151,9 @@ LEG_SCOPE = {
     "sim_topk_pq_reranked": "v1:r9 new leg (product quantization: ADC "
     "top-40 candidates from the stored 8-byte codes + exact JVM-cosine "
     "re-rank to top-10; codebook train + encode untimed)",
+    "pq_encode_score_pipeline": "v1:r9 ladder-only leg (PQ encode scan "
+    "+ ADC + re-rank at growing corpus, fixed codebook + queries — "
+    "deliberately distinct from the serving-shaped headline leg)",
     "unigram_scores_stored_ladder": "v1:r9 serving-ladder-only entry "
     "(stored-vocab scoring vs cold vocab rebuild at 10x corpus)",
     "unigram_scores_stored": "v1:r6 new leg (stored-vocab reuse path)",
@@ -1023,6 +1026,16 @@ def main() -> None:
     EMB_LADDER_LEGS = {
         "embedding_kmeans_clusters": lambda d: _km_assign(
             d, k=8, n_iter=2
+        ),
+        # r9: PQ at a growing corpus, codebook FIXED (trained once —
+        # the production shape: a codebook never retrains because the
+        # corpus grew).  Distinct name from the headline
+        # sim_topk_pq_reranked leg ON PURPOSE: the rung prices the
+        # WHOLE pipeline (encode scan + ADC + re-rank for the fixed
+        # query set, linear in corpus rows), the headline leg prices
+        # serving against a prebuilt code artifact
+        "pq_encode_score_pipeline": lambda d: topk_pq_reranked(
+            pq_encode(d, pq_cb), pq_cb, d, queries, k=10, k_prime=40
         ),
     }
 

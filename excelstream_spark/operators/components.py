@@ -44,7 +44,7 @@ graph structure — the driver only sees the per-round changed-edge count
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -186,5 +186,50 @@ def dedup_keep_representatives(
     # representative and all unpaired docs survive the anti-join
     drop = comp.where(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Canonical corpus keeping the BEST-scoring member of each
+    near-dup cluster (ties by ascending id; NULL scores sort last)
+    plus every unpaired document — the RefinedWeb/FineWeb-style
+    refinement of :func:`dedup_keep_representatives`: when copies of a
+    document differ (a cleaner extraction, a longer revision, a higher
+    classifier score), the pipeline should keep the best copy, not the
+    accidental minimum id.
+
+    Deterministic and SQL-expressible (the recursive-CTE components
+    replay + one row_number window — pinned against DuckDB in
+    tests/test_extension_ops.py), so the decision hash-gates like the
+    min-id form.
+
+    100 TB shape: the component table covers CLUSTERED docs only
+    (pairs are already the dedup family's banded/bounded output); one
+    join attaches scores, one window keyed on the component ranks
+    members (components are small by construction — a giant component
+    means the pair stage's skew bounds were skipped), and the final
+    anti-join streams the corpus map-side."""
+    comp = connected_components(pairs, id_a, id_b)
+    scored = comp.join(
+        df.select(
+            F.col(id_col).alias("id"), F.col(score_col).alias("_s")
+        ),
+        "id",
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("_s").desc_nulls_last(), F.col("id")
+    )
+    drop = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") > 1)
+        .select(F.col("id").alias(id_col))
     )
     return df.join(drop, id_col, "left_anti")

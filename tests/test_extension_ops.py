@@ -1392,3 +1392,71 @@ def test_pipeline_v4_dedup_drops_every_twin(spark):
     finally:
         con.close()
     assert 0 < total <= originals  # twins would make total > originals
+
+
+def test_dedup_keep_best_crafted_and_oracle(spark, duck):
+    """dedup_keep_best (r9): the best-SCORING member of each near-dup
+    cluster survives (ties by ascending id, NULL scores last), unpaired
+    docs always survive.  Crafted components first, then the DuckDB
+    recursive-CTE replay over the real fixture pairs."""
+    from excelstream_spark.operators.components import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [
+            (1, 0.2), (2, 0.9), (3, 0.9),      # cluster {1,2,3}: 2 wins
+            (4, None), (5, 0.1),               # cluster {4,5}: 5 wins
+            (6, None),                         # unpaired: survives
+        ],
+        "doc_id long, q double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+    )
+    kept = {r["doc_id"] for r in dedup_keep_best(docs, pairs, "q").collect()}
+    assert kept == {2, 5, 6}
+
+    # fixture-scale DuckDB parity: jaccard>=0.5 pairs -> components ->
+    # keep the longest doc per component (n_chars as the quality score)
+    from excelstream_spark.operators import dedup as DD
+    from excelstream_spark.tables import load_table
+
+    from .conftest import SF_DIR, assert_matches_oracle
+
+    full = load_table(spark, SF_DIR, "documents")
+    pairs = DD.dedup_ngram_jaccard(full, threshold=0.5)
+    kept_df = dedup_keep_best(
+        full, pairs, "n_chars", id_a="doc_a", id_b="doc_b"
+    ).select("doc_id")
+    from excelstream_spark.plans.extension import _SQL_JACCARD_PAIRS
+
+    assert_matches_oracle(
+        kept_df,
+        duck,
+        f"""
+        WITH RECURSIVE jp AS (
+          {_SQL_JACCARD_PAIRS.strip()}
+        ),
+        p AS (SELECT doc_a, doc_b FROM jp WHERE jaccard >= 0.5),
+        nodes AS (SELECT doc_a AS n FROM p UNION SELECT doc_b FROM p),
+        edges AS (SELECT doc_a AS u, doc_b AS v FROM p
+                  UNION SELECT doc_b, doc_a FROM p),
+        cc(node, lbl) AS (
+          SELECT n, n FROM nodes
+          UNION
+          SELECT e.v, cc.lbl FROM cc JOIN edges e ON e.u = cc.node
+          WHERE cc.lbl < e.v
+        ),
+        comp AS (SELECT node AS id, min(lbl) AS component FROM cc GROUP BY node),
+        ranked AS (
+          SELECT c.id,
+                 row_number() OVER (
+                   PARTITION BY c.component
+                   ORDER BY d.n_chars DESC NULLS LAST, c.id) AS rn
+          FROM comp c JOIN documents d ON d.doc_id = c.id
+        ),
+        drop AS (SELECT id FROM ranked WHERE rn > 1)
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT id FROM drop)
+           OR doc_id IS NULL
+        """,
+    )
