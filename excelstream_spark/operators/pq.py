@@ -540,7 +540,12 @@ def ivf_pq_topk(
     :func:`topk_pq`; the corpus fraction touched is ~n_probe/n_cells.
     With ``n_probe >= n_cells`` the output EQUALS plain
     :func:`topk_pq` (pinned in tests) — the probe is a pure pruning
-    layer over the identical scorer."""
+    layer over the identical scorer.
+
+    Driver traffic is bounded: the probe collect is nq x n_probe rows
+    (queries are small by construction — the topk_quantized/ADC
+    convention of broadcasting the query side), and the cell->queries
+    map broadcasts inside the scorer closure."""
     from excelstream_spark.operators import vectorized as VZ
 
     probes = VZ.nearest_against_broadcast(
