@@ -177,13 +177,16 @@ def _encode_matrix(V64: np.ndarray, cb: PQCodebook) -> np.ndarray:
     n = V64.shape[0]
     codes = np.empty((n, cb.m), dtype=np.uint8)
     dsub = cb.dsub
-    for s in range(cb.m):
-        C = cb.centroids[s]
-        D = np.zeros((n, C.shape[0]), dtype=np.float64)
-        for j in range(dsub):
-            t = V64[:, s * dsub + j, None] - C[None, :, j]
-            D += t * t
-        codes[:, s] = D.argmin(axis=1).astype(np.uint8)
+    # over=ignore: a squared term may overflow to inf — the intended
+    # IEEE behavior, identical in the SQL replay (hypothesis-pinned)
+    with np.errstate(over="ignore"):
+        for s in range(cb.m):
+            C = cb.centroids[s]
+            D = np.zeros((n, C.shape[0]), dtype=np.float64)
+            for j in range(dsub):
+                t = V64[:, s * dsub + j, None] - C[None, :, j]
+                D += t * t
+            codes[:, s] = D.argmin(axis=1).astype(np.uint8)
     return codes
 
 

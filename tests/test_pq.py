@@ -235,3 +235,89 @@ def test_ivf_pq_empty_queries(spark, emb, codebook):
     )
     assert out.count() == 0
     assert out.columns == ["query_id", "neighbor_id", "rank", "cos_sim"]
+
+
+def test_pq_encode_tie_breaks_to_lowest_code():
+    """Exact distance ties (symmetric centroids around the vector) must
+    resolve to the LOWEST code index on both engines."""
+    from excelstream_spark.operators.pq import PQCodebook, _encode_matrix
+
+    cb = PQCodebook(
+        dim=2,
+        m=1,
+        centroids=(np.array([[1.0, 1.0], [-1.0, -1.0], [0.5, 0.5]]),),
+    )
+    codes = _encode_matrix(np.zeros((1, 2)), cb)
+    # dist to c0 == dist to c1 (2.0), c2 is nearer (0.5) -> code 2;
+    # then force the tie to matter: remove c2
+    assert codes[0, 0] == 2
+    cb2 = PQCodebook(
+        dim=2, m=1, centroids=(np.array([[1.0, 1.0], [-1.0, -1.0]]),)
+    )
+    assert _encode_matrix(np.zeros((1, 2)), cb2)[0, 0] == 0
+
+
+def test_pq_encode_oracle_property():
+    """Hypothesis hardening of the cross-engine encode contract: for
+    random float32 vectors and random float64 codebooks (including
+    huge/tiny magnitudes — squared terms may overflow to inf, which is
+    IEEE-identical on both engines), the numpy encoder (the exact code
+    Spark's Arrow batches run) equals the DuckDB literal replay
+    row-for-row."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from excelstream_spark.operators.pq import (
+        PQCodebook,
+        _encode_matrix,
+        pq_codes_oracle_sql,
+    )
+
+    f32 = st.floats(
+        allow_nan=False, allow_infinity=False, width=32
+    )
+    f64 = st.floats(allow_nan=False, allow_infinity=False)
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        vecs=st.lists(
+            st.lists(f32, min_size=4, max_size=4), min_size=1, max_size=6
+        ),
+        cents=st.lists(
+            st.lists(f64, min_size=2, max_size=2), min_size=1, max_size=3
+        ),
+    )
+    def check(vecs, cents):
+        import pandas as pd
+
+        cb = PQCodebook(
+            dim=4,
+            m=2,
+            centroids=(
+                np.asarray(cents, dtype=np.float64),
+                np.asarray(cents, dtype=np.float64),
+            ),
+        )
+        V32 = np.asarray(vecs, dtype=np.float32)
+        got = _encode_matrix(V32.astype(np.float64), cb)
+        tbl = pd.DataFrame(
+            {
+                "vec_id": range(len(vecs)),
+                "embedding": [list(map(float, row)) for row in V32],
+            }
+        )
+        con = duckdb.connect()
+        con.register("embeddings", tbl)
+        sql = pq_codes_oracle_sql(cb).replace(
+            "CAST(embedding AS DOUBLE[])", "embedding::DOUBLE[]"
+        )
+        want = {}
+        for rid, sub, code in con.sql(sql).fetchall():
+            want[(rid, sub)] = code
+        con.close()
+        for i in range(got.shape[0]):
+            for s in range(2):
+                assert got[i, s] == want[(i, s)], (i, s, vecs, cents)
+
+    check()
