@@ -321,3 +321,25 @@ def test_pq_encode_oracle_property():
                 assert got[i, s] == want[(i, s)], (i, s, vecs, cents)
 
     check()
+
+
+def test_ivf_pq_partitioned_artifact_prunes(spark, emb, codebook, tmp_path):
+    """The 100 TB claim made concrete: store the coded artifact
+    partitioned by cid and the probe's isin becomes a PARTITION filter
+    at the scan — whole cells are skipped before a byte is read."""
+    from excelstream_spark.operators.pq import ivf_pq_index
+
+    cent, coded = ivf_pq_index(emb, codebook)
+    path = str(tmp_path / "ivfpq")
+    coded.write.partitionBy("cid").parquet(path)
+    stored = spark.read.parquet(path)
+    cells = sorted(r["cid"] for r in cent.select("cid").collect())[:3]
+    probed = stored.where(F.col("cid").isin([int(c) for c in cells]))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters")[1][:300]
+    assert "cid" in seg and "IN" in seg.upper()
+    assert {r["cid"] for r in probed.select("cid").distinct().collect()} == set(
+        cells
+    )
+    assert probed.count() < stored.count()
