@@ -235,3 +235,53 @@ def test_frequent_tokens_mg_capacity_clamped_to_guarantee(spark):
         )
     )
     assert got == want
+
+
+def test_frequent_tokens_mg_equals_exact_property(spark):
+    """Hypothesis hardening of the MG == exact claim: random small
+    corpora (skew drawn from a zipf-ish token pool), random support
+    denominators, random partitionings — the bounded-memory path must
+    produce the identical row set every time (the superset + exact
+    recount argument is distribution-free)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from excelstream_spark.operators.sketches import (
+        frequent_tokens_exact,
+        frequent_tokens_mg,
+    )
+
+    pool = [f"t{i}" for i in range(12)]
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        docs=st.lists(
+            st.lists(st.sampled_from(pool), min_size=0, max_size=8),
+            min_size=1,
+            max_size=40,
+        ),
+        den=st.integers(min_value=2, max_value=30),
+        parts=st.integers(min_value=1, max_value=7),
+    )
+    def check(docs, den, parts):
+        df = spark.createDataFrame(
+            [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+            "doc_id bigint, text string",
+        )
+        want = sorted(
+            map(
+                tuple,
+                frequent_tokens_exact(df, support=(1, den)).collect(),
+            )
+        )
+        got = sorted(
+            map(
+                tuple,
+                frequent_tokens_mg(
+                    df.repartition(parts), support=(1, den), capacity=den
+                ).collect(),
+            )
+        )
+        assert got == want, (den, parts, docs)
+
+    check()
