@@ -136,7 +136,26 @@ def bloom_probe(
     64-bit perceptual media fingerprints of
     ``image_hash.media_dedup_gate_bloom`` — reuse the identical probe
     plan: ``n_hashes`` successive LEFT broadcast-joins of the same
-    word table, zero exchanges, one codegen'd map stage."""
+    word table, zero exchanges, one codegen'd map stage.
+
+    SIZING CONTRACT: ``n_bits``/``n_hashes`` MUST equal the values the
+    filter was BUILT with — positions are taken mod n_bits, so a
+    mismatch probes the wrong words/bits and silently voids the
+    no-false-negative guarantee (r9 review finding).  One direction is
+    guarded cheaply: a stored word at or beyond this probe's word
+    range proves the filter was built with more bits than probed
+    (ValueError).  The opposite direction (built smaller than probed)
+    is indistinguishable from a sparse filter — carry the sizing with
+    the artifact."""
+    max_word_row = bloom.agg(F.max("word").alias("w")).collect()[0]
+    n_words = (n_bits + WORD_BITS - 1) // WORD_BITS
+    if max_word_row["w"] is not None and max_word_row["w"] >= n_words:
+        raise ValueError(
+            f"bloom_probe: filter contains word {max_word_row['w']} but "
+            f"n_bits={n_bits} spans only {n_words} words — the filter "
+            "was built with a different n_bits (sizing must travel "
+            "with the artifact)"
+        )
     out = df.withColumn("_pfp", F.col(fp_col).cast("string"))
     hit_cols = []
     for i in range(n_hashes):

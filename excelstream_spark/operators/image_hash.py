@@ -289,6 +289,14 @@ def media_dedup_gate(
     same plan position, documented false-positive drop rate).  Adds
     ``fp_a``/``fp_b``/``modality``; non-media rows are dropped (a
     media gate has nothing to say about them)."""
+    if not 0 <= max_hamming <= 3:
+        # 4 x 16-bit bands guarantee a shared band only for distance
+        # <= 3 (pigeonhole); a larger budget would SILENTLY miss
+        # in-budget neighbors whose 4+ flipped bits spread one per band
+        raise ValueError(
+            f"max_hamming={max_hamming}: the 4-band index guarantees "
+            "recall 1 only for 0..3"
+        )
     fps = multimodal_fingerprints(multimodal, payload_col, id_col)
     known = [int(v) for v in known_fps]
     if not known:
@@ -444,6 +452,7 @@ def dedup_image_ahash(
     max_bucket: int | None = 10_000,
     verify_col: str | None = None,
     verify_max_hamming: int = 10,
+    quarantine_degenerate: bool = True,
 ) -> DataFrame:
     """(doc_a, doc_b, hamming) near-dup image pairs from an
     :func:`image_ahash` table: 4 x 16-bit band blocking + exact Hamming
@@ -458,7 +467,13 @@ def dedup_image_ahash(
       image collides on one of two values) are dropped before banding:
       they are exact-equal mega-cliques, which is exact-dedup's job
       (group by the fp value itself), not a quadratic pair
-      enumeration's.
+      enumeration's.  NOTE this means two identical all-black
+      thumbnails no longer pair HERE (a behavior change vs r8) — a
+      caller using this operator as its sole pair source must group
+      degenerate fps exactly (trivial: they are equal by value), or
+      pass ``quarantine_degenerate=False`` to restore the old
+      enumeration at fixture scale (NEVER at corpus scale: a million
+      placeholder frames form a 10^12-pair clique).
     - ``max_bucket`` caps every (band, 16-bit key) bucket: buckets
       with more members are excluded from pairing via a broadcast
       anti-join of the (tiny, <= 4*n_rows/max_bucket) hot-bucket
@@ -480,7 +495,7 @@ def dedup_image_ahash(
     dHash not at all (left-vs-right compares are shift-invariant), so
     genuine re-encoded copies stay within both budgets."""
     h = F.col(hash_col)
-    src = hashes.where(~_is_degenerate(h))
+    src = hashes.where(~_is_degenerate(h)) if quarantine_degenerate else hashes
     vcols = ["v"] if verify_col else []
     extra = [F.col(verify_col).alias("v")] if verify_col else []
     bands = src.select(

@@ -136,6 +136,11 @@ def pq_train(
     )
     if not rows:
         raise ValueError("pq_train: empty sample (no non-null vectors)")
+    if k > 256:
+        # codes are stored one byte per subspace; a 257th centroid
+        # would silently wrap (code 300 -> byte 44) and corrupt every
+        # artifact built from the codebook
+        raise ValueError(f"pq_train: k={k} exceeds the byte layout (max 256)")
     V = np.asarray([list(r["_v"]) for r in rows], dtype=np.float64)
     dim = V.shape[1]
     if dim % m:
@@ -182,6 +187,11 @@ def _encode_matrix(V64: np.ndarray, cb: PQCodebook) -> np.ndarray:
     with np.errstate(over="ignore"):
         for s in range(cb.m):
             C = cb.centroids[s]
+            if C.shape[0] > 256:
+                raise ValueError(
+                    f"subspace {s} has {C.shape[0]} centroids — the "
+                    "uint8 code layout holds at most 256"
+                )
             D = np.zeros((n, C.shape[0]), dtype=np.float64)
             for j in range(dsub):
                 t = V64[:, s * dsub + j, None] - C[None, :, j]
@@ -332,15 +342,21 @@ def _adc_topk(
     k: int,
     exclude_self: bool,
     cell_probes: dict | None,
+    qpdf=None,
 ) -> DataFrame:
     """The shared ADC engine behind :func:`topk_pq` (cell_probes=None —
     score every row for every query) and :func:`ivf_pq_topk`
     (cell_probes = {cid: np.ndarray of query indices} — ``codes``
     carries a ``cid`` column, and a row scores only for the queries
     probing its cell; everything else is masked to -inf before the
-    per-batch top-k)."""
+    per-batch top-k).  ``qpdf``: a pre-collected queries frame — REQUIRED
+    whenever cell_probes is set, because the probe indices were computed
+    against that exact row order and a second toPandas() of a
+    non-order-stable queries plan could lay the LUT out differently
+    (masking query i against query j's column)."""
     spark = codes.sparkSession
-    qpdf = queries.select(id_col, vec_col).toPandas()
+    if qpdf is None:
+        qpdf = queries.select(id_col, vec_col).toPandas()
     out_schema = StructType(
         [
             StructField("query_id", queries.schema[id_col].dataType),
@@ -559,6 +575,11 @@ def ivf_pq_topk(
         n_nearest=n_probe,
         carry_vec=False,
     ).select(F.col("id").alias("qid"), "cid")
+    # collect the queries ONCE: the probe indices below are positions
+    # in THIS frame, and the scorer must index its LUT by the same
+    # order (a second toPandas() of a non-order-stable plan could lay
+    # the queries out differently — the same frame object is threaded
+    # through _adc_topk instead)
     qpdf = queries.select(id_col, vec_col).toPandas()
     qpos = {qid: i for i, qid in enumerate(qpdf[id_col])}
     cell_probes: dict = {}
@@ -568,12 +589,15 @@ def ivf_pq_topk(
         c: np.asarray(sorted(set(v)), dtype=np.int64)
         for c, v in cell_probes.items()
     }
-    if cell_probes:
+    if not cell_probes:
+        # no queries, OR queries but an empty centroid table: either
+        # way the answer is the typed empty frame — never scan the
+        # artifact to mask every row to -inf
+        probed = coded.limit(0)
+    else:
         probed = coded.where(
             F.col("cid").isin([int(c) for c in cell_probes])
         )
-    else:  # no queries: _adc_topk returns the typed empty frame
-        probed = coded
     return _adc_topk(
         probed,
         codebook,
@@ -583,4 +607,5 @@ def ivf_pq_topk(
         k,
         exclude_self,
         cell_probes,
+        qpdf=qpdf,
     )

@@ -152,3 +152,20 @@ def test_bloom_probe_bigint_keys(spark):
             assert r["maybe_dup"] is True, r   # guarantee: no false negatives
         else:
             assert r["maybe_dup"] is False, r  # deterministic at this sizing
+
+
+def test_bloom_probe_rejects_mismatched_sizing(spark):
+    """A filter built with MORE bits than the probe assumes must raise
+    (r9 review: a silent mismatch voids the no-false-negative
+    guarantee); same-sizing probes are unaffected."""
+    import pytest
+
+    from excelstream_spark.operators.bloom import bloom_build, bloom_probe
+
+    fps = spark.createDataFrame([(i,) for i in range(64)], "fp_a bigint")
+    big = bloom_build(fps, n_bits=1 << 20, fp_col="fp_a")
+    df = spark.createDataFrame([(1,)], "fp_a bigint")
+    with pytest.raises(ValueError, match="different n_bits"):
+        bloom_probe(df, big, fp_col="fp_a")          # default 1<<17
+    out = bloom_probe(df, big, fp_col="fp_a", n_bits=1 << 20)
+    assert "maybe_dup" in out.columns

@@ -468,3 +468,28 @@ def test_media_dedup_gate_bloom_equals_exact_gate(spark, crafted_images):
         media_dedup_gate_bloom(df, bloom).columns
         == multimodal_fingerprints(df).columns
     )
+
+
+def test_media_dedup_gate_rejects_unguaranteed_hamming(spark):
+    """max_hamming > 3 would silently miss in-budget neighbors (4 bits
+    spread one per band share no band key) — must raise."""
+    from excelstream_spark.operators.image_hash import media_dedup_gate
+
+    df = spark.createDataFrame([(1, None)], "doc_id bigint, payload binary")
+    with pytest.raises(ValueError, match="recall 1 only for 0..3"):
+        media_dedup_gate(df, [7], max_hamming=4)
+
+
+def test_degenerate_quarantine_opt_out(spark):
+    """quarantine_degenerate=False restores exact-equal degenerate
+    pairing for fixture-scale callers that use this operator as their
+    sole pair source (the default stays quarantined — corpus scale)."""
+    rows = [(1, 0), (2, 0), (3, 0x0F0F)]
+    hashes = spark.createDataFrame(rows, "doc_id bigint, ahash bigint")
+    assert dedup_image_ahash(hashes).count() == 0
+    pairs = dedup_image_ahash(
+        hashes, quarantine_degenerate=False, max_bucket=None
+    ).collect()
+    assert [(p["doc_a"], p["doc_b"], p["hamming"]) for p in pairs] == [
+        (1, 2, 0)
+    ]

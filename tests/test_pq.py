@@ -343,3 +343,31 @@ def test_ivf_pq_partitioned_artifact_prunes(spark, emb, codebook, tmp_path):
         cells
     )
     assert probed.count() < stored.count()
+
+
+def test_pq_k_over_256_rejected(spark, emb):
+    """Codes are one byte per subspace: k>256 must raise, not wrap
+    (code 300 -> byte 44 would corrupt every artifact silently)."""
+    with pytest.raises(ValueError, match="256"):
+        pq_train(emb, k=300)
+    bad = PQCodebook(
+        dim=2, m=1, centroids=(np.zeros((257, 2)),)
+    )
+    from excelstream_spark.operators.pq import _encode_matrix
+
+    with pytest.raises(ValueError, match="256"):
+        _encode_matrix(np.zeros((1, 2)), bad)
+
+
+def test_ivf_pq_empty_centroids_returns_empty(spark, emb, codebook):
+    """Queries but an EMPTY centroid table: the typed empty frame, via
+    a limit-0 scan — never a full-artifact pass masked to -inf."""
+    from excelstream_spark.operators.pq import ivf_pq_index, ivf_pq_topk
+
+    cent, coded = ivf_pq_index(emb, codebook)
+    empty_cent = cent.limit(0)
+    out = ivf_pq_topk(
+        coded, codebook, empty_cent, emb.filter(F.col("vec_id") < 3), k=5
+    )
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "rank", "cos_sim"]
