@@ -409,17 +409,27 @@ def dedup_semantic(
     centroid_every: int = 50,
     threshold: float = 0.45,
     max_cell: int = 4096,
+    score_col: str | None = None,
 ) -> DataFrame:
-    """The composed SemDeDup keep-set: one representative (minimum id)
-    per semantic-duplicate component, every unpaired row kept.  Pairs
-    from :func:`semantic_pairs`, clustering + keep policy from
+    """The composed SemDeDup keep-set: one representative per
+    semantic-duplicate component, every unpaired row kept.  Pairs from
+    :func:`semantic_pairs`, clustering + keep policy from
     operators/components.py — the same composition every other dedup
-    family uses."""
-    from excelstream_spark.operators.components import dedup_keep_representatives
+    family uses.  Default representative = minimum id; pass
+    ``score_col`` to keep the BEST-scoring member instead
+    (components.dedup_keep_best, r9 — ties by ascending id, NULL
+    scores last): the SemDeDup-paper shape of keeping the highest-
+    quality copy of each semantic cluster."""
+    from excelstream_spark.operators.components import (
+        dedup_keep_best,
+        dedup_keep_representatives,
+    )
 
     pairs = semantic_pairs(
         corpus, vec_col, id_col, centroid_every, threshold, max_cell
     )
+    if score_col is not None:
+        return dedup_keep_best(corpus, pairs, score_col, id_col=id_col)
     return dedup_keep_representatives(corpus, pairs, id_col=id_col)
 
 

@@ -1302,3 +1302,39 @@ def test_sim_topk_bruteforce_oracle(spark, duck):
         FROM scored WHERE rn <= 5
         """,
     )
+
+
+def test_dedup_semantic_keep_best_variant(spark):
+    """score_col switches the SemDeDup keep policy from min-id to
+    best-score (components.dedup_keep_best): same components, the
+    highest-scoring member survives each one, unpaired rows untouched,
+    and the keep-set size equals the min-id variant's."""
+    emb = load_table(spark, SF_DIR, "embeddings").withColumn(
+        "quality", (F.col("vec_id") % 17).cast("double")
+    )
+    base = SIM.dedup_semantic(emb)
+    best = SIM.dedup_semantic(emb, score_col="quality")
+    n_base, n_best = base.count(), best.count()
+    assert n_base == n_best            # one survivor per component
+    # the kept sets differ only where a higher-quality member displaced
+    # the minimum id; verify every displaced min-id's replacement
+    # scores at least as high
+    pairs = SIM.semantic_pairs(emb)
+    from excelstream_spark.operators.components import connected_components
+
+    comp = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            pairs, id_a="id_a", id_b="id_b"
+        ).collect()
+    }
+    q = {r["vec_id"]: r["quality"] for r in emb.collect()}
+    kept_best = {r["vec_id"] for r in best.collect()}
+    by_comp: dict = {}
+    for node, c in comp.items():
+        by_comp.setdefault(c, []).append(node)
+    for c, members in by_comp.items():
+        winners = [m for m in members if m in kept_best]
+        assert len(winners) == 1, (c, winners)
+        top = max(q[m] for m in members)
+        assert q[winners[0]] == top, (c, winners)
