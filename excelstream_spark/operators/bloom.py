@@ -73,6 +73,27 @@ WORD_BITS = 32
 DEFAULT_N_BITS = 1 << 17
 DEFAULT_N_HASHES = 7
 
+#: Sentinel ``word`` of the OPT-IN sizing-metadata row (r9 advice #1:
+#: "carry n_bits/n_hashes with the artifact").  Bit positions are
+#: always >= 0, so ``shiftright(p, 5)`` never equals -1 and the probe
+#: joins ignore the row; ``bits`` encodes the sizing as
+#: ``n_bits * _META_SCALE + n_hashes``.
+BLOOM_META_WORD = -1
+_META_SCALE = 1024
+
+
+def bloom_sizing(bloom: DataFrame) -> tuple[int, int] | None:
+    """(n_bits, n_hashes) decoded from the artifact's metadata row
+    (``bloom_build(..., with_meta=True)``), or None for a filter built
+    without one.  One tiny aggregation job — call it once when loading
+    a stored artifact, then pass the sizing explicitly to every probe."""
+    r = bloom.where(F.col("word") == BLOOM_META_WORD).agg(
+        F.max("bits").alias("m")
+    ).collect()[0]
+    if r["m"] is None:
+        return None
+    return int(r["m"]) // _META_SCALE, int(r["m"]) % _META_SCALE
+
 
 def _position(fp: Column, i: int, n_bits: int) -> Column:
     """The i-th bloom bit position of fingerprint ``fp`` — salted md5
@@ -91,6 +112,7 @@ def bloom_build(
     n_bits: int = DEFAULT_N_BITS,
     n_hashes: int = DEFAULT_N_HASHES,
     fp_col: str = "fp",
+    with_meta: bool = False,
 ) -> DataFrame:
     """(word, bits) — the Bloom filter of a fingerprint set (e.g.
     ``incremental.corpus_fingerprints``), at most ``n_bits/32`` rows.
@@ -98,14 +120,27 @@ def bloom_build(
     fingerprints contribute nothing (they can never match a probe).
     Store alongside the fingerprint table and rebuild incrementally by
     OR-ing in each increment's own :func:`bloom_build` output
-    (``union`` + the same groupBy — bit_or is associative)."""
+    (``union`` + the same groupBy — bit_or is associative).
+
+    ``with_meta=True`` (r9 advice #1) appends one sizing-metadata row
+    (word ``BLOOM_META_WORD``, bits = n_bits*1024 + n_hashes) so the
+    sizing TRAVELS WITH the stored artifact: :func:`bloom_probe`
+    validates BOTH mismatch directions against it (a bare range scan
+    can only prove built-larger-than-probed), and the associative
+    incremental rebuild preserves it (bit_or of equal metadata rows is
+    the row itself — unequal sizings corrupt the encoded value, which
+    the probe's equality check then rejects instead of silently
+    probing wrong words).  Opt-in so every pre-r10 artifact, oracle
+    and plan stays byte-identical."""
     if n_bits % WORD_BITS:
         raise ValueError(f"n_bits must be a multiple of {WORD_BITS}")
+    if not 0 < n_hashes < _META_SCALE:
+        raise ValueError(f"n_hashes must be in 1..{_META_SCALE - 1}")
     fp = F.col(fp_col)
     positions = F.array(
         *[_position(fp, i, n_bits) for i in range(n_hashes)]
     )
-    return (
+    filt = (
         fps.where(fp.isNotNull())
         .select(F.explode(positions).alias("p"))
         .select(
@@ -117,6 +152,13 @@ def bloom_build(
         .groupBy("word")
         .agg(F.bit_or("m").alias("bits"))
     )
+    if not with_meta:
+        return filt
+    meta = fps.sparkSession.createDataFrame(
+        [(BLOOM_META_WORD, n_bits * _META_SCALE + n_hashes)],
+        "word bigint, bits bigint",
+    )
+    return filt.unionByName(meta)
 
 
 def bloom_probe(
@@ -126,6 +168,7 @@ def bloom_probe(
     n_bits: int = DEFAULT_N_BITS,
     n_hashes: int = DEFAULT_N_HASHES,
     flag_col: str = "maybe_dup",
+    validate: bool = True,
 ) -> DataFrame:
     """``df`` + ``flag_col`` — the raw broadcast map-side membership
     probe over an EXISTING fingerprint column (any type; the salted
@@ -141,21 +184,45 @@ def bloom_probe(
     SIZING CONTRACT: ``n_bits``/``n_hashes`` MUST equal the values the
     filter was BUILT with — positions are taken mod n_bits, so a
     mismatch probes the wrong words/bits and silently voids the
-    no-false-negative guarantee (r9 review finding).  One direction is
-    guarded cheaply: a stored word at or beyond this probe's word
-    range proves the filter was built with more bits than probed
-    (ValueError).  The opposite direction (built smaller than probed)
-    is indistinguishable from a sparse filter — carry the sizing with
-    the artifact."""
-    max_word_row = bloom.agg(F.max("word").alias("w")).collect()[0]
-    n_words = (n_bits + WORD_BITS - 1) // WORD_BITS
-    if max_word_row["w"] is not None and max_word_row["w"] >= n_words:
-        raise ValueError(
-            f"bloom_probe: filter contains word {max_word_row['w']} but "
-            f"n_bits={n_bits} spans only {n_words} words — the filter "
-            "was built with a different n_bits (sizing must travel "
-            "with the artifact)"
-        )
+    no-false-negative guarantee (r9 review finding).  ``validate=True``
+    runs ONE aggregation over the filter (r9 advice #1 — previously
+    one full scan per probe construction with only one direction
+    detectable): an artifact carrying the :func:`bloom_build`
+    ``with_meta`` sizing row is checked for EXACT n_bits/n_hashes
+    equality (both directions); a meta-less artifact falls back to the
+    range check (a stored word at or beyond this probe's word range
+    proves built-larger-than-probed; built-SMALLER stays undetectable
+    without metadata).  ``validate=False`` skips the job entirely —
+    for hot paths that construct many probe plans against an artifact
+    whose sizing was already checked once (e.g. via
+    :func:`bloom_sizing` at load time)."""
+    if validate:
+        chk = bloom.agg(
+            F.max(F.when(F.col("word") >= 0, F.col("word"))).alias("w"),
+            F.max(
+                F.when(F.col("word") == BLOOM_META_WORD, F.col("bits"))
+            ).alias("meta"),
+        ).collect()[0]
+        if chk["meta"] is not None:
+            built_bits = int(chk["meta"]) // _META_SCALE
+            built_hashes = int(chk["meta"]) % _META_SCALE
+            if (built_bits, built_hashes) != (n_bits, n_hashes):
+                raise ValueError(
+                    f"bloom_probe: artifact metadata says n_bits="
+                    f"{built_bits}, n_hashes={built_hashes} but the probe "
+                    f"was given n_bits={n_bits}, n_hashes={n_hashes} — "
+                    "sizing must match the build exactly"
+                )
+        else:
+            n_words = (n_bits + WORD_BITS - 1) // WORD_BITS
+            if chk["w"] is not None and chk["w"] >= n_words:
+                raise ValueError(
+                    f"bloom_probe: filter contains word {chk['w']} but "
+                    f"n_bits={n_bits} spans only {n_words} words — the "
+                    "filter was built with a different n_bits (sizing "
+                    "must travel with the artifact: bloom_build "
+                    "with_meta=True)"
+                )
     out = df.withColumn("_pfp", F.col(fp_col).cast("string"))
     hit_cols = []
     for i in range(n_hashes):

@@ -298,7 +298,10 @@ def media_dedup_gate(
             "recall 1 only for 0..3"
         )
     fps = multimodal_fingerprints(multimodal, payload_col, id_col)
-    known = [int(v) for v in known_fps]
+    # dedup + sort the known set (r9 advice #4): repetitive inputs used
+    # to append the same fp's band entries repeatedly, bloating the
+    # plan-embedded map and candidate arrays for no recall gain
+    known = sorted({int(v) for v in known_fps})
     if not known:
         return fps
     if max_hamming == 0:
@@ -365,10 +368,23 @@ def media_dedup_gate_bloom(
     constant-size index.  Keep-set equality modulo that drop rate is
     pinned in tests/test_image_hash.py.  Stateless: the decision is a
     pure function of the payload + the broadcast word table, so batch
-    and streaming decide identically on every redelivery."""
+    and streaming decide identically on every redelivery.
+
+    Sizing: with ``n_bits``/``n_hashes`` omitted, an artifact built via
+    ``bloom_build(..., with_meta=True)`` supplies its OWN sizing
+    (r9 advice #1 — the sizing travels with the artifact); a meta-less
+    artifact probes at the module defaults, with the one-directional
+    range guard."""
     from excelstream_spark.operators import bloom as BL
 
     kw = {}
+    if n_bits is None and n_hashes is None:
+        sizing = BL.bloom_sizing(bloom)
+        if sizing is not None:
+            kw["n_bits"], kw["n_hashes"] = sizing
+            # the probe's own validation would re-run the aggregation
+            # just to re-confirm the sizing this call read one line up
+            kw["validate"] = False
     if n_bits is not None:
         kw["n_bits"] = n_bits
     if n_hashes is not None:
@@ -453,6 +469,7 @@ def dedup_image_ahash(
     verify_col: str | None = None,
     verify_max_hamming: int = 10,
     quarantine_degenerate: bool = True,
+    degenerate_exact_pairs: bool = False,
 ) -> DataFrame:
     """(doc_a, doc_b, hamming) near-dup image pairs from an
     :func:`image_ahash` table: 4 x 16-bit band blocking + exact Hamming
@@ -469,11 +486,26 @@ def dedup_image_ahash(
       (group by the fp value itself), not a quadratic pair
       enumeration's.  NOTE this means two identical all-black
       thumbnails no longer pair HERE (a behavior change vs r8) — a
-      caller using this operator as its sole pair source must group
-      degenerate fps exactly (trivial: they are equal by value), or
-      pass ``quarantine_degenerate=False`` to restore the old
+      caller using this operator as its sole pair source has three
+      options: ``degenerate_exact_pairs=True`` (below, the in-band
+      LINEAR form — r9 advice #2), grouping degenerate fps exactly
+      itself, or ``quarantine_degenerate=False`` to restore the old
       enumeration at fixture scale (NEVER at corpus scale: a million
       placeholder frames form a 10^12-pair clique).
+    - ``degenerate_exact_pairs=True`` emits the quarantined rows'
+      exact-equal closure as STAR pairs — per degenerate fp value (by
+      popcount arithmetic there are at most two: fp 0 and fp -1) one
+      hub (the minimum id) pairs with every other member at hamming 0,
+      so connected components over the output equal the full clique's
+      while the pair count stays LINEAR in members (a million black
+      thumbnails cost ~10^6 star rows, not the 10^12-pair clique).
+      CAVEAT (why this is not the default): degenerate fp equality is
+      the WEAKEST evidence class — every constant-color image collides
+      on fp 0 regardless of its color, and dHash is also 0 for any
+      constant image, so the ``verify_col`` budget cannot separate a
+      black placeholder from a white one.  Pipelines that must keep
+      distinct solid colors apart need a byte-level or richer hash on
+      the quarantined set (the audit names it) instead of this flag.
     - ``max_bucket`` caps every (band, 16-bit key) bucket: buckets
       with more members are excluded from pairing via a broadcast
       anti-join of the (tiny, <= 4*n_rows/max_bucket) hot-bucket
@@ -554,4 +586,44 @@ def dedup_image_ahash(
     )
     if verify_col:
         pairs = pairs.filter(F.col("hamming_b") <= verify_max_hamming)
+    if quarantine_degenerate and degenerate_exact_pairs:
+        degen = hashes.where(_is_degenerate(h)).select(
+            F.col(id_col).alias("id"),
+            h.alias("h"),
+            *extra,
+        )
+        # min(struct) picks the hub row (minimum id) AND carries its
+        # verify hash, so hamming_b below compares hub vs member
+        hub_struct = F.min(F.struct("id", *vcols)).alias("_hub")
+        hubs = degen.groupBy("h").agg(hub_struct).select(
+            "h",
+            F.col("_hub.id").alias("doc_a"),
+            *[F.col("_hub.v").alias("v_hub") for _ in vcols],
+        )
+        stars = (
+            degen.join(F.broadcast(hubs), "h")
+            .where(F.col("id") != F.col("doc_a"))
+            .select(
+                "doc_a",
+                F.col("id").alias("doc_b"),
+                # exact-equal fp_a by construction: distance 0, typed
+                # identically to the banded path's bit_count column
+                VEC.hamming64(F.col("h"), F.col("h")).alias("hamming"),
+                *(
+                    # fp_a is equal within the class but the verify
+                    # hash may differ — compute it honestly and apply
+                    # the same budget as the banded path
+                    [
+                        VEC.hamming64(
+                            F.col("v_hub"), F.col("v")
+                        ).alias("hamming_b")
+                    ]
+                    if verify_col
+                    else []
+                ),
+            )
+        )
+        if verify_col:
+            stars = stars.filter(F.col("hamming_b") <= verify_max_hamming)
+        pairs = pairs.unionByName(stars)
     return pairs

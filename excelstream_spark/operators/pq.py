@@ -581,6 +581,16 @@ def ivf_pq_topk(
     # the queries out differently — the same frame object is threaded
     # through _adc_topk instead)
     qpdf = queries.select(id_col, vec_col).toPandas()
+    if qpdf[id_col].duplicated().any():
+        # a dict {qid: position} would keep only the LAST duplicate's
+        # position: earlier duplicates' LUT columns would get no probes
+        # and silently return zero rows, diverging from topk_pq's
+        # full-probe contract (r9 advice #3)
+        dup = sorted(qpdf[id_col][qpdf[id_col].duplicated()].unique().tolist())
+        raise ValueError(
+            f"ivf_pq_topk: duplicate query ids {dup[:5]} — query ids "
+            "must be unique (dedup the query frame first)"
+        )
     qpos = {qid: i for i, qid in enumerate(qpdf[id_col])}
     cell_probes: dict = {}
     for r in probes.collect():

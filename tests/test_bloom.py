@@ -169,3 +169,69 @@ def test_bloom_probe_rejects_mismatched_sizing(spark):
         bloom_probe(df, big, fp_col="fp_a")          # default 1<<17
     out = bloom_probe(df, big, fp_col="fp_a", n_bits=1 << 20)
     assert "maybe_dup" in out.columns
+
+
+def test_bloom_meta_sizing_travels_with_artifact(spark):
+    """r9 advice #1: with_meta=True carries n_bits/n_hashes in the
+    artifact.  bloom_sizing decodes it; a probe at ANY wrong sizing —
+    including built-SMALLER-than-probed, undetectable by the range
+    guard — raises; the matching probe is unaffected and flags
+    identically to the meta-less artifact (the metadata row never
+    joins); validate=False skips the check entirely."""
+    import pytest
+
+    from excelstream_spark.operators.bloom import (
+        BLOOM_META_WORD,
+        bloom_build,
+        bloom_probe,
+        bloom_sizing,
+    )
+
+    fps = spark.createDataFrame([(i,) for i in range(64)], "fp_a bigint")
+    small = bloom_build(
+        fps, n_bits=1 << 12, n_hashes=5, fp_col="fp_a", with_meta=True
+    )
+    assert bloom_sizing(small) == (1 << 12, 5)
+    plain = bloom_build(fps, n_bits=1 << 12, n_hashes=5, fp_col="fp_a")
+    assert bloom_sizing(plain) is None
+
+    df = spark.createDataFrame([(1,), (9999,)], "fp_a bigint")
+    # built SMALLER than probed: the range guard cannot see this
+    # direction, the metadata equality can
+    with pytest.raises(ValueError, match="sizing must match"):
+        bloom_probe(df, small, fp_col="fp_a", n_bits=1 << 17, n_hashes=5)
+    with pytest.raises(ValueError, match="sizing must match"):
+        bloom_probe(df, small, fp_col="fp_a", n_bits=1 << 12, n_hashes=7)
+    ok = bloom_probe(
+        df, small, fp_col="fp_a", n_bits=1 << 12, n_hashes=5
+    ).collect()
+    base = bloom_probe(
+        df, plain, fp_col="fp_a", n_bits=1 << 12, n_hashes=5
+    ).collect()
+    assert sorted(map(tuple, ok)) == sorted(map(tuple, base))
+    # validate=False: no job, no error even at a wrong sizing (the
+    # caller's responsibility — e.g. sizing checked once at load time)
+    unchecked = bloom_probe(
+        df,
+        small,
+        fp_col="fp_a",
+        n_bits=1 << 17,
+        n_hashes=5,
+        validate=False,
+    )
+    assert "maybe_dup" in unchecked.columns
+    # the metadata row survives the associative incremental rebuild
+    half_a = fps.where(F.col("fp_a") < 32)
+    half_b = fps.where(F.col("fp_a") >= 32)
+    rebuilt = (
+        bloom_build(half_a, n_bits=1 << 12, n_hashes=5, fp_col="fp_a",
+                    with_meta=True)
+        .unionByName(bloom_build(half_b, n_bits=1 << 12, n_hashes=5,
+                                 fp_col="fp_a", with_meta=True))
+        .groupBy("word")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    assert bloom_sizing(rebuilt) == (1 << 12, 5)
+    assert (
+        rebuilt.where(F.col("word") == BLOOM_META_WORD).count() == 1
+    )

@@ -493,3 +493,83 @@ def test_degenerate_quarantine_opt_out(spark):
     assert [(p["doc_a"], p["doc_b"], p["hamming"]) for p in pairs] == [
         (1, 2, 0)
     ]
+
+
+def test_degenerate_exact_pairs_star_form(spark):
+    """r9 advice #2: degenerate_exact_pairs=True emits the quarantined
+    rows' exact-equal closure IN-BAND as linear star pairs — per
+    degenerate fp value the minimum id hubs every other member at
+    hamming 0 — while the banded path is unchanged.  Components over
+    the stars equal the full clique's; pair count is members-1, not
+    quadratic."""
+    rows = (
+        [(i, 0) for i in (3, 7, 9, 15)]          # popcount-0 class
+        + [(20, -1), (21, -1)]                    # popcount-64 class
+        + [(10, 0x0F0F00FF), (11, 0x0F0F00FD)]    # banded hamming-1 pair
+    )
+    hashes = spark.createDataFrame(rows, "doc_id bigint, ahash bigint")
+    pairs = sorted(
+        (p["doc_a"], p["doc_b"], p["hamming"])
+        for p in dedup_image_ahash(
+            hashes, max_hamming=3, degenerate_exact_pairs=True
+        ).collect()
+    )
+    assert pairs == [
+        (3, 7, 0),
+        (3, 9, 0),
+        (3, 15, 0),
+        (10, 11, 1),
+        (20, 21, 0),
+    ]
+    # the default stays quarantine-only (unchanged r9 behavior)
+    default_pairs = dedup_image_ahash(hashes, max_hamming=3).collect()
+    assert [(p["doc_a"], p["doc_b"]) for p in default_pairs] == [(10, 11)]
+
+
+def test_degenerate_star_pairs_with_verify_col(spark):
+    """The star path computes hamming_b honestly (hub vs member) and
+    applies the same verify budget as the banded path: members whose
+    verify hash sits beyond the budget do NOT star-pair."""
+    rows = [
+        (1, 0, 0),            # hub (min id), dHash 0
+        (2, 0, 0),            # dHash agrees -> pairs
+        (3, 0, 0x7FFF7FFF),   # dHash 16 bits away -> cut by budget 10
+    ]
+    hashes = spark.createDataFrame(
+        rows, "doc_id bigint, ahash bigint, dhash bigint"
+    )
+    pairs = dedup_image_ahash(
+        hashes,
+        verify_col="dhash",
+        verify_max_hamming=10,
+        degenerate_exact_pairs=True,
+    ).collect()
+    assert [(p["doc_a"], p["doc_b"], p["hamming"], p["hamming_b"]) for p in pairs] == [
+        (1, 2, 0, 0)
+    ]
+
+
+def test_media_dedup_gate_dedups_known_fps(spark, crafted_images):
+    """r9 advice #4: a repetitive known_fps input (the same fp appended
+    many times) builds the identical literal band index as the deduped
+    set — gate decisions equal, no plan-embedded candidate bloat."""
+    from excelstream_spark.operators.image_hash import (
+        image_ahash,
+        media_dedup_gate,
+    )
+
+    base, near, far = crafted_images
+    df = spark.createDataFrame(
+        [(1, bytearray(_png(base))), (2, bytearray(_png(far)))],
+        "doc_id bigint, payload binary",
+    )
+    known = [r["ahash"] for r in image_ahash(
+        spark.createDataFrame(
+            [(9, bytearray(_png(near)))], "doc_id bigint, payload binary"
+        )
+    ).collect()]
+    once = media_dedup_gate(df, known, max_hamming=3).collect()
+    many = media_dedup_gate(df, known * 50, max_hamming=3).collect()
+    assert sorted(r["doc_id"] for r in once) == sorted(
+        r["doc_id"] for r in many
+    )

@@ -371,3 +371,16 @@ def test_ivf_pq_empty_centroids_returns_empty(spark, emb, codebook):
     )
     assert out.count() == 0
     assert out.columns == ["query_id", "neighbor_id", "rank", "cos_sim"]
+
+
+def test_ivf_pq_rejects_duplicate_query_ids(spark, emb, codebook):
+    """r9 advice #3: a {qid: position} map would keep only the LAST
+    duplicate's position — earlier duplicates' LUT columns would get no
+    probes and silently return zero rows.  Duplicates raise instead."""
+    from excelstream_spark.operators.pq import ivf_pq_index, ivf_pq_topk
+
+    centroids, coded = ivf_pq_index(emb, codebook)
+    q = emb.filter(F.col("vec_id") < 3)
+    dup = q.unionByName(q.limit(1))
+    with pytest.raises(ValueError, match="duplicate query ids"):
+        ivf_pq_topk(coded, codebook, centroids, dup, n_probe=2)
