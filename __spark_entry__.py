@@ -57,7 +57,18 @@ legs and the in-window LSH/IVF rows' recall oracles, with their
 DuckDB hash gates moved verbatim into pytest.  Product quantization
 (operators/pq.py) joins the similarity family outside the window
 (encode DuckDB-bit-replayed, candidate recall pinned in pytest — the
-IVF/quantized convention).
+IVF/quantized convention).  Round 10 (still 75 = 50 + 25): the PQ
+family gets its hard-signal row — ``sim_pq_topk_reranked`` replays
+the WHOLE serving composition (init codebook -> engine-exact encode
+-> ADC candidates -> exact re-rank) in SQL and rotates in over
+``agg_percentiles_arrays``; the MULTIMODAL capstone
+``training_corpus_pipeline_v5`` (image twins -> perceptual
+fingerprints -> banded pair stage with quarantine/star closure ->
+components -> ``dedup_keep_best`` -> shard manifest) rotates in over
+``multimodal_resize_sample``; ``dedup_ngram_containment`` and
+``join_range`` FOLD out per policy rule 4 (identical-plan /
+semantics-superset rows stay registered; hash gates moved verbatim
+to tests/test_catalog_oracle.py).
 """
 
 from __future__ import annotations

@@ -62,7 +62,8 @@ PRIORITY: tuple[str, ...] = (
     "agg_distinct_count",
     "null_semantics",
     "json_extract_props",
-    "agg_percentiles_arrays",
+    # (agg_percentiles_arrays left this block in r10: demoted to fund
+    # the sim_pq_topk_reranked promotion — see the DEMOTED annotation)
 )
 
 
@@ -125,7 +126,37 @@ PRIORITY: tuple[str, ...] = (
 #:     hash gates moved verbatim to tests/test_quality_semantic.py —
 #:     no hash-level check was lost, and the tail returns to its
 #:     25-entry soft cap (registered total 76 -> 75).
+#: r10 rotation summary (verdict #1/#2/#3/#7):
+#:   training_corpus_pipeline_v5 (NEW row — the MULTIMODAL pretraining
+#:     capstone: image twins -> perceptual fingerprints -> the full
+#:     dedup_image_ahash pair semantics -> components ->
+#:     dedup_keep_best -> shard manifest; the hard signal for both the
+#:     media-dedup composition and the keep-best closure) promoted
+#:     in-window over multimodal_resize_sample;
+#:   sim_pq_topk_reranked (NEW row — the PQ family's hard-signal row:
+#:     init codebook -> engine-exact encode -> ADC candidates -> exact
+#:     re-rank, the whole composition replayed in SQL) promoted
+#:     in-window over agg_percentiles_arrays;
+#:   dedup_ngram_containment and join_range FOLDED out of the catalog
+#:     entirely (policy rule 4): containment's plan is IDENTICAL to the
+#:     registered dedup_ngram_jaccard row's (only the closing
+#:     arithmetic differs), range-join semantics keep their driver row
+#:     via join_interval_binned (the r6 demotion's own argument), and
+#:     both DuckDB hash gates moved verbatim to
+#:     tests/test_catalog_oracle.py — no hash-level check was lost and
+#:     the tail stays at its 25-entry soft cap (registered total 75).
 DEMOTED: tuple[str, ...] = (
+    "multimodal_resize_sample",  # r10 rotation (verdict #2): funds the
+    # promoted training_corpus_pipeline_v5 row; the multimodal family
+    # keeps multimodal_features, multimodal_fingerprints AND v5
+    # in-window (policy rule 3), and the resize/transcode/decimate row
+    # keeps its bench leg, its oracle and the pytest hash sweep
+    "agg_percentiles_arrays",  # r10 rotation (verdict #1): funds the
+    # promoted sim_pq_topk_reranked row (the PQ family's hard-signal
+    # row); the aggregation family keeps q1_pricing_summary and
+    # agg_distinct_count in-window (policy rule 3), percentile/array
+    # aggregates stay hash-verified via pytest's full-catalog sweep
+    # plus the dedicated events-fixture test in test_catalog_oracle.py
     "dedup_ngram_jaccard",  # r9 rotation (verdict #2): funds the
     # promoted multimodal_fingerprints row; the dedup family keeps
     # minhash_lsh, token_chunks_cdc, winnowing and embedding_lsh
@@ -209,13 +240,12 @@ DEMOTED: tuple[str, ...] = (
     # text hash-gated string-for-string), swept by pytest's
     # full-catalog test; the rule-based-cleaning family keeps
     # text_analysis and full_repetition_gate in-window
-    "dedup_ngram_containment",  # r7: born past the window; the
-    # asymmetric subset-duplicate detector (C4/RealNews containment
-    # rule) — fully DuckDB-oracled, swept by pytest's full-catalog
-    # test; the exact-pairwise family keeps dedup_ngram_jaccard
-    # in-window (identical plan, different closing arithmetic)
-    # (streaming_c4_gate left this tail in r8: promoted over
-    # dedup_simhash — the stateless-gate family's first driver row)
+    # (dedup_ngram_containment left this tail in r10 by FOLDING:
+    # unregistered entirely — policy rule 4; its plan is identical to
+    # the registered dedup_ngram_jaccard row's and its hash gate moved
+    # verbatim to tests/test_catalog_oracle.py.  streaming_c4_gate left
+    # this tail in r8: promoted over dedup_simhash — the
+    # stateless-gate family's first driver row)
     "cardinality_kmv_tokens",  # r7: born past the window; the KMV
     # cardinality sketch (deterministic k-minimum-values — unlike HLL
     # the estimate itself hash-gates) — fully DuckDB-oracled, swept by
@@ -244,7 +274,10 @@ DEMOTED: tuple[str, ...] = (
     "q5_region_revenue",
     "events_time_rollup",
     "subquery_thresholds",
-    "join_range",
+    # (join_range left this tail in r10 by FOLDING: unregistered
+    # entirely — policy rule 4; range-join semantics keep their driver
+    # row via join_interval_binned and its hash gate moved verbatim to
+    # tests/test_catalog_oracle.py)
 )
 
 

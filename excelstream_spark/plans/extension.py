@@ -202,19 +202,20 @@ _SQL_CONTAINMENT_PAIRS = f"""
 """
 
 
-@query(
-    "dedup_ngram_containment",
-    oracle=f"""SELECT * FROM ({_SQL_CONTAINMENT_PAIRS})
-               WHERE greatest(cont_a, cont_b) >= 0.8""",
-    tags=("dedup", "containment"),
-)
 def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ASYMMETRIC shingle-containment pairs at >= 0.8 (operators/dedup.
     dedup_ngram_containment): |A∩B|/|A| and /|B| — the subset-duplicate
     detector (short article quoted inside a long page: jaccard
     arbitrarily low, containment 1.0), the C4/RealNews news-dedup rule.
-    Same inverted-index plan as the jaccard row; only the closing
-    arithmetic differs."""
+
+    FOLDED out of the catalog in r10 (policy rule 4, funding the
+    sim_pq_topk_reranked tail slot): the plan is IDENTICAL to the
+    registered dedup_ngram_jaccard row's (same inverted-index pair
+    pipeline; only the closing arithmetic differs — the argument the
+    r9 rotation already made when demoting jaccard), and its DuckDB
+    hash gate moved verbatim to tests/test_catalog_oracle.py::
+    test_folded_dedup_ngram_containment_oracle — no hash-level check
+    was lost."""
     return DD.dedup_ngram_containment(_docs(spark, sf_dir), threshold=0.8)
 
 
@@ -374,6 +375,57 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     index mechanics end-to-end, not merely recall."""
     emb = _emb(spark, sf_dir)
     return SIM.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@query(
+    "sim_pq_topk_reranked",
+    oracle=ORC.pq_init_reranked_oracle(),
+    tags=("similarity", "vector", "pq", "compression"),
+)
+def sim_pq_topk_reranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization serving composition, hash-checked
+    end-to-end (operators/pq.py — the family's hard-signal row, r9
+    verdict #1): init codebook -> distributed engine-exact encode (the
+    8-byte-code artifact, 32x smaller than float32) -> ADC candidate
+    top-20 from the codes alone (per-query subspace LUTs; the corpus
+    floats are never read) -> exact JVM-cosine re-rank of the
+    nq x 20 candidate sliver to top-5.
+
+    The codebook is the pq_train(n_iter=0) INIT over the md5-ordered
+    ``vec_id < 200`` slice — present at every fixture sf, so the whole
+    pipeline is a pure function of the data and the ORACLE rebuilds
+    codebook, codes, ADC scores and the re-rank in SQL (the
+    sim_ann_ivf seeded-construction convention; plans/oracles.
+    pq_init_reranked_oracle documents the cross-engine arithmetic).
+    Lloyd-TRAINED codebooks stay the production path (recall 0.94+
+    pinned in tests/test_pq.py; the trained encode is
+    hypothesis-pinned against the literal-codebook DuckDB replay) —
+    the init codebook is the oracle-friendly form of the same
+    contract: the codebook, not the trainer, is what encode must be
+    exact against.
+
+    100 TB shape (pq.py module docstring): encode is one Arrow scan,
+    zero exchanges; ADC reads ONLY the code column with per-batch
+    top-k pruning (shuffle O(partitions x queries x k)); the re-rank
+    fetch broadcasts the candidate sliver so the float corpus streams
+    map-side."""
+    from excelstream_spark.operators import pq as PQ
+
+    emb = _emb(spark, sf_dir)
+    cb = PQ.pq_train(
+        emb.where(F.col("vec_id") < 200), m=8, k=16, n_iter=0, sample_n=200
+    )
+    codes = PQ.pq_encode(emb, cb)
+    queries = emb.where(
+        F.col("embedding").isNotNull() & (F.col("vec_id") < 10)
+    )
+    out = PQ.topk_pq_reranked(codes, cb, emb, queries, k=5, k_prime=20)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        "rank",
+        F.round("cos_sim", 6).alias("cos_sim_r"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1874,3 +1926,85 @@ def training_corpus_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
     )
     return shard_manifest(surv, n_shards=8, seed=0)
+
+
+@query(
+    "training_corpus_pipeline_v5",
+    oracle=ORC.training_pipeline_v5_oracle(),
+    tags=("pipeline", "multimodal", "dedup", "image", "curation"),
+)
+def training_corpus_pipeline_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MULTIMODAL pretraining build (r9 verdict #2/#3 — v4 is
+    text-only; this is the media sidecar, and the hard signal for BOTH
+    the perceptual pair stage's composition and ``dedup_keep_best``):
+
+    1. image-TWIN injection: every PNG document gets a copy at
+       doc_id + 2,000,000 carrying the ORIGINAL payload verbatim (the
+       v4 text-twin precedent) — a broken media dedup doubles shard
+       counts;
+    2. perceptual fingerprints over the real decoded payloads
+       (operators/image_hash.multimodal_fingerprints — aHash + dHash);
+    3. the FULL ``dedup_image_ahash`` pair semantics: degenerate
+       quarantine with the in-band exact-equal star closure
+       (``degenerate_exact_pairs=True``, r9 advice #2), 4x16-bit
+       banded blocking with exact Hamming <= 3 verify and the dHash
+       dual-hash budget (<= 10).  Recall is exactly 1 at this budget
+       (pigeonhole), so the ORACLE replays the plain all-pairs filter;
+       no fixture bucket approaches the 10k cap (the audit operator
+       names any that would at corpus scale);
+    4. connected components + ``dedup_keep_best``: per near-dup
+       cluster the BEST-scoring member survives (score = n_chars;
+       twins carry n_chars + doc_id%5 - 2, so they win some clusters
+       and lose others — a min-id rule provably diverges, which is
+       what makes the keep-best closure falsifiable);
+    5. the sharded-export manifest gates every upstream decision
+       byte-for-byte (order-independent bit_xor content hash).
+
+    The fixture's 2x2 ramp thumbnails mostly COLLIDE on one aHash
+    value (a real-corpus phenomenon — tiny placeholder images are
+    indistinguishable at 8x8), so the keep-best stage decides one
+    survivor out of a ~230-member cluster: maximally load-bearing for
+    the hash gate, and exactly the behavior the cap+audit pair bounds
+    at 100 TB.
+
+    100 TB shape: synthesis/decode/hash are zero-shuffle Arrow scan
+    work; pairs shuffle only (id, band, key16) rows with the bucket
+    cap bounding any hot key; components is the O(log n)-round
+    large/small-star loop; keep-best is one join + one
+    component-keyed window + a map-side anti-join; the manifest is one
+    map-side groupBy(shard)."""
+    from excelstream_spark.operators import image_hash as IH
+    from excelstream_spark.operators.components import dedup_keep_best
+    from excelstream_spark.operators.curation import shard_manifest
+    from excelstream_spark.operators.dedup import _scoped_persist
+
+    off = F.lit(ORC.V5_TWIN_OFFSET)
+    docs = _docs(spark, sf_dir).where(F.col("doc_id").isNotNull())
+    png = docs.where(F.col("doc_id") % 4 == 0)
+    twins = png.select(
+        (F.col("doc_id") + off).alias("doc_id"),
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")), F.lit(" rev2")
+        ).alias("text"),
+        (F.col("n_chars") + F.col("doc_id") % 5 - 2).alias("q"),
+    )
+    corpus = docs.select(
+        "doc_id", "text", F.col("n_chars").alias("q")
+    ).unionByName(twins)
+    pay = _scoped_persist(
+        MM.synthesize_payloads(png).select("doc_id", "payload")
+    )
+    pay_all = pay.unionByName(
+        pay.select((F.col("doc_id") + off).alias("doc_id"), "payload")
+    )
+    fps = IH.multimodal_fingerprints(pay_all)
+    pairs = IH.dedup_image_ahash(
+        fps,
+        hash_col="fp_a",
+        verify_col="fp_b",
+        max_hamming=3,
+        verify_max_hamming=10,
+        degenerate_exact_pairs=True,
+    )
+    kept = dedup_keep_best(corpus, pairs, "q", id_a="doc_a", id_b="doc_b")
+    return shard_manifest(kept.select("doc_id", "text"), n_shards=8, seed=0)

@@ -1284,28 +1284,16 @@ _WRAP64 = (
 )
 
 
-def multimodal_fingerprints_oracle(src: str = "documents") -> str:
-    """DuckDB replay of operators/image_hash.multimodal_fingerprints
-    over the synthesized payload fixture (multimodal.
-    synthesize_payloads): payload content is pure doc_id arithmetic,
-    so every fingerprint recomputes as integer SQL.
-
-    - PNG rows (doc_id%4=0, w x 2, pixel i = (d*31 + i*7) % 256):
-      aHash = floor-NN 8x8 resample + ``cell*64 > total`` threshold;
-      dHash = floor-NN 9x8 resample + ``cell[ty][tx+1] > cell[ty][tx]``.
-    - Baseline-JPEG rows (doc_id%4=2) decode to a SOLID gray image
-      (DC-only, exact round-trip): constant pixels threshold every
-      aHash/dHash bit false -> both fingerprints 0 by construction.
-    - WAV rows (doc_id%4=1, n = 4 + d%5 alternating-sign samples of
-      amplitude (d%32)*1024): the sign-of-delta fingerprint over the
-      floor-NN 65-point resample, ``sample[j+1] > sample[j]``.
-
-    The HUGEINT bit sums wrap to the signed int64 the engines pack."""
+def png_fp_ctes(src: str = "documents") -> str:
+    """CTE block ending in ``pngh(doc_id, modality, fp_a, fp_b)`` — the
+    PNG aHash/dHash replay arithmetic (floor-NN resample + integer
+    threshold/gradient + HUGEINT bit pack + signed wrap) shared by
+    :func:`multimodal_fingerprints_oracle` and
+    :func:`training_pipeline_v5_oracle` (single-sourced per the r9
+    verdict's oracle-hygiene rule)."""
     a = _WRAP64.format(x="a.ub")
     dh = _WRAP64.format(x="d9.ub")
-    wv = _WRAP64.format(x="wb.ub")
-    return f"""
-        WITH png AS (SELECT doc_id, CAST(2 + 2 * (doc_id % 2) AS INT) AS w,
+    return f"""png AS (SELECT doc_id, CAST(2 + 2 * (doc_id % 2) AS INT) AS w,
                             2 AS h
                      FROM {src}
                      WHERE doc_id IS NOT NULL AND doc_id % 4 = 0),
@@ -1344,7 +1332,29 @@ def multimodal_fingerprints_oracle(src: str = "documents") -> str:
         pngh AS (SELECT p.doc_id, 'image/png' AS modality,
                         {a} AS fp_a, {dh} AS fp_b
                  FROM png p JOIN abits a USING (doc_id)
-                 JOIN dbits d9 USING (doc_id)),
+                 JOIN dbits d9 USING (doc_id))"""
+
+
+def multimodal_fingerprints_oracle(src: str = "documents") -> str:
+    """DuckDB replay of operators/image_hash.multimodal_fingerprints
+    over the synthesized payload fixture (multimodal.
+    synthesize_payloads): payload content is pure doc_id arithmetic,
+    so every fingerprint recomputes as integer SQL.
+
+    - PNG rows (doc_id%4=0, w x 2, pixel i = (d*31 + i*7) % 256):
+      aHash = floor-NN 8x8 resample + ``cell*64 > total`` threshold;
+      dHash = floor-NN 9x8 resample + ``cell[ty][tx+1] > cell[ty][tx]``.
+    - Baseline-JPEG rows (doc_id%4=2) decode to a SOLID gray image
+      (DC-only, exact round-trip): constant pixels threshold every
+      aHash/dHash bit false -> both fingerprints 0 by construction.
+    - WAV rows (doc_id%4=1, n = 4 + d%5 alternating-sign samples of
+      amplitude (d%32)*1024): the sign-of-delta fingerprint over the
+      floor-NN 65-point resample, ``sample[j+1] > sample[j]``.
+
+    The HUGEINT bit sums wrap to the signed int64 the engines pack."""
+    wv = _WRAP64.format(x="wb.ub")
+    return f"""
+        WITH {png_fp_ctes(src)},
         jpgh AS (SELECT doc_id, 'image/jpeg' AS modality,
                         CAST(0 AS BIGINT) AS fp_a, CAST(0 AS BIGINT) AS fp_b
                  FROM {src}
@@ -1533,4 +1543,260 @@ def ngram_jaccard_oracle(
                inter * 1.0 / (na + nb - inter) AS jaccard
         FROM pairs
         WHERE inter * 1.0 / (na + nb - inter) >= {threshold}
+    """
+
+
+def pq_init_reranked_oracle(
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+    train_max_id: int = 200,
+    n_queries: int = 10,
+    k_prime: int = 20,
+    k_final: int = 5,
+    src: str = "embeddings",
+) -> str:
+    """DuckDB replay of the FULL product-quantization serving
+    composition (operators/pq.py — r9 verdict #1: the family's
+    hard-signal row): codebook init -> distributed encode -> ADC
+    candidate top-``k_prime`` -> exact-cosine re-rank to ``k_final``.
+
+    The codebook is the ``pq_train(n_iter=0)`` INIT — per subspace the
+    first ``k`` distinct subvectors of the md5-ordered ``vec_id <
+    train_max_id`` slice — so the whole pipeline is a pure function of
+    the data (the sim_ann_ivf seeded-cell convention; the slice is
+    sf-independent because every fixture sf carries those ids) and the
+    oracle rebuilds the codebook itself in SQL instead of embedding
+    trained literals.  Lloyd refinement stays out of the oracle on
+    purpose: member MEANS are cross-row float64 sums whose order no
+    engine contracts (the kmeans row pays DECIMAL exactness for that;
+    here the codebook-is-the-contract convention applies — pq.py
+    module docstring), and the trained-codebook encode is separately
+    hypothesis-pinned in tests/test_pq.py.
+
+    Cross-engine arithmetic: the encode distance is the same
+    left-associated float64 ``(v-c)*(v-c)`` chain as
+    :func:`operators.pq.pq_codes_oracle_sql` with the argmin's
+    ties-to-lowest-code ``row_number``; ADC sums pivot the ``m``
+    per-subspace LUT terms into one left-associated chain (numpy
+    accumulates subspaces in the same order); candidate selection
+    compares unrounded float64 with the ascending-id tie-break
+    (identical code tuples — the only realistic near-tie source —
+    score EXACTLY equal on both engines); the re-ranked output rounds
+    the exact cosine to 6 decimals, the sim_ann_ivf gate convention."""
+    dsub = dim // m
+    dist_chain = " + ".join(
+        f"(m.e[c.sub*{dsub} + {j}] - c.cv[{j}])"
+        f" * (m.e[c.sub*{dsub} + {j}] - c.cv[{j}])"
+        for j in range(1, dsub + 1)
+    )
+    qnorm_chain = " + ".join(f"e[{i}]*e[{i}]" for i in range(1, dim + 1))
+    lut_chain = " + ".join(
+        f"c.cv[{j}] * (q.e[c.sub*{dsub} + {j}] / q.nrm)"
+        for j in range(1, dsub + 1)
+    )
+    n2_chain = " + ".join(f"cv[{j}]*cv[{j}]" for j in range(1, dsub + 1))
+    v_cols = ", ".join(
+        f"max(CASE WHEN sub = {s} THEN v END) AS v{s}" for s in range(m)
+    )
+    n2_cols = ", ".join(
+        f"max(CASE WHEN sub = {s} THEN n2 END) AS n2_{s}" for s in range(m)
+    )
+    v_chain = " + ".join(f"v{s}" for s in range(m))
+    n2_sum_chain = " + ".join(f"n2_{s}" for s in range(m))
+    return f"""
+        WITH emb AS (
+          SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e
+          FROM {src}
+          WHERE embedding IS NOT NULL AND len(embedding) = {dim}
+        ),
+        samp AS (
+          SELECT id, e,
+                 row_number() OVER (
+                   ORDER BY md5(CAST(id AS VARCHAR)), id) AS rn
+          FROM emb WHERE id < {train_max_id}
+        ),
+        subv AS (
+          SELECT rn, s.s AS sub,
+                 e[s.s*{dsub} + 1 : s.s*{dsub} + {dsub}] AS sv
+          FROM samp, unnest(generate_series(0, {m - 1})) AS s(s)
+        ),
+        firsts AS (
+          SELECT sub, sv, min(rn) AS frn FROM subv GROUP BY sub, sv
+        ),
+        cb AS (
+          SELECT sub, sv AS cv,
+                 row_number() OVER (PARTITION BY sub ORDER BY frn) - 1
+                     AS code
+          FROM firsts
+          QUALIFY row_number() OVER (PARTITION BY sub ORDER BY frn)
+                      <= {k}
+        ),
+        dists AS (
+          SELECT m.id, c.sub, c.code, ({dist_chain}) AS dist
+          FROM emb m CROSS JOIN cb c
+        ),
+        codes AS (
+          SELECT id, sub, code FROM (
+            SELECT id, sub, code,
+                   row_number() OVER (PARTITION BY id, sub
+                                      ORDER BY dist, code) AS rn
+            FROM dists) WHERE rn = 1
+        ),
+        qn AS (
+          SELECT id AS qid, e,
+                 CASE WHEN sqrt({qnorm_chain}) = 0 THEN 1
+                      ELSE sqrt({qnorm_chain}) END AS nrm
+          FROM emb WHERE id < {n_queries}
+        ),
+        lut AS (
+          SELECT q.qid, c.sub, c.code,
+                 ({lut_chain}) AS v, ({n2_chain}) AS n2
+          FROM qn q CROSS JOIN cb c
+        ),
+        lutj AS (
+          SELECT co.id, l.qid, co.sub, l.v, l.n2
+          FROM codes co JOIN lut l
+            ON l.sub = co.sub AND l.code = co.code
+        ),
+        piv AS (
+          SELECT id, qid, {v_cols}, {n2_cols}
+          FROM lutj GROUP BY id, qid
+        ),
+        adc AS (
+          SELECT id, qid,
+                 ({v_chain}) /
+                 (CASE WHEN sqrt({n2_sum_chain}) = 0 THEN 1
+                       ELSE sqrt({n2_sum_chain}) END) AS adc_score
+          FROM piv WHERE id <> qid
+        ),
+        cand AS (
+          SELECT qid, id FROM (
+            SELECT qid, id,
+                   row_number() OVER (PARTITION BY qid
+                     ORDER BY adc_score DESC, id) AS rn
+            FROM adc) WHERE rn <= {k_prime}
+        ),
+        rer AS (
+          SELECT c.qid, c.id,
+                 list_cosine_similarity(q.e, x.e) AS cs
+          FROM cand c
+          JOIN emb q ON q.id = c.qid
+          JOIN emb x ON x.id = c.id
+        )
+        SELECT qid AS query_id, id AS neighbor_id,
+               CAST(rn AS INT) AS rank, round(cs, 6) AS cos_sim_r
+        FROM (SELECT qid, id, cs,
+                     row_number() OVER (PARTITION BY qid
+                       ORDER BY cs DESC, id) AS rn
+              FROM rer)
+        WHERE rn <= {k_final}
+    """
+
+
+#: doc_id offset for the v5 image twins (distinct from V4_TWIN_OFFSET so
+#: the two pipelines' twin spaces can never collide in a shared debug
+#: session; the twin carries the ORIGINAL's payload verbatim — the v4
+#: text-twin precedent — so its fingerprints replay from the ORIGINAL
+#: doc_id's pixel arithmetic).
+V5_TWIN_OFFSET = 2_000_000
+
+
+def training_pipeline_v5_oracle(
+    max_hamming: int = 3,
+    verify_max_hamming: int = 10,
+    n_shards: int = 8,
+    seed: int = 0,
+    src: str = "documents",
+) -> str:
+    """DuckDB replay of the v5 MULTIMODAL pretraining build
+    (plans/extension.training_corpus_pipeline_v5): image-twin injection
+    -> perceptual PNG fingerprints (the :func:`png_fp_ctes` arithmetic,
+    twins inheriting the original's fps) -> the full
+    ``dedup_image_ahash`` pair semantics — degenerate quarantine with
+    the in-band exact-equal STAR closure, banded-Hamming pairs with
+    dual-hash verify (recall exactly 1 at ``max_hamming <= 3``, so the
+    replay is the plain all-pairs filter; no fixture bucket reaches
+    the 10k cap) -> connected components (recursive CTE) ->
+    ``dedup_keep_best``'s best-quality-survivor rule (score DESC NULLS
+    LAST, ties by ascending id) -> the sharded-export manifest whose
+    order-independent content hash gates every upstream decision.
+
+    Quality score: originals carry their ``n_chars``; a twin carries
+    ``n_chars + doc_id%5 - 2`` and the text ``coalesce(text,'') ||
+    ' rev2'`` — so twins win some clusters and lose others (both
+    keep-best directions exercised, and the winner's text is
+    distinguishable in the manifest hash; a min-id rule would diverge
+    wherever a twin wins, which is what makes the keep-best stage
+    falsifiable rather than dedup-shaped)."""
+    off = V5_TWIN_OFFSET
+    return f"""
+        WITH RECURSIVE {png_fp_ctes(src)},
+        fp0 AS (SELECT doc_id, fp_a, fp_b FROM pngh),
+        fps AS (
+          SELECT doc_id, fp_a, fp_b FROM fp0
+          UNION ALL
+          SELECT doc_id + {off}, fp_a, fp_b FROM fp0
+        ),
+        nd AS (SELECT * FROM fps
+               WHERE bit_count(fp_a) NOT IN (0, 64)),
+        bpairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM nd a JOIN nd b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.fp_a, b.fp_a)) <= {max_hamming}
+            AND bit_count(xor(a.fp_b, b.fp_b)) <= {verify_max_hamming}
+        ),
+        degen AS (SELECT * FROM fps
+                  WHERE bit_count(fp_a) IN (0, 64)),
+        hubs AS (SELECT fp_a, min(doc_id) AS hub,
+                        arg_min(fp_b, doc_id) AS hub_fpb
+                 FROM degen GROUP BY fp_a),
+        spairs AS (
+          SELECT h.hub AS doc_a, d.doc_id AS doc_b
+          FROM degen d JOIN hubs h USING (fp_a)
+          WHERE d.doc_id <> h.hub
+            AND bit_count(xor(d.fp_b, h.hub_fpb))
+                    <= {verify_max_hamming}
+        ),
+        pr AS (SELECT doc_a, doc_b FROM bpairs
+               UNION ALL SELECT doc_a, doc_b FROM spairs),
+        nodes AS (SELECT doc_a AS n FROM pr UNION SELECT doc_b FROM pr),
+        edges AS (SELECT doc_a AS u, doc_b AS v FROM pr
+                  UNION SELECT doc_b, doc_a FROM pr),
+        cc(node, lbl) AS (
+          SELECT n, n FROM nodes
+          UNION
+          SELECT e.v, cc.lbl FROM cc JOIN edges e ON e.u = cc.node
+          WHERE cc.lbl < e.v
+        ),
+        comp AS (SELECT node AS id, min(lbl) AS component
+                 FROM cc GROUP BY node),
+        corp AS (
+          SELECT doc_id, text, n_chars AS q
+          FROM {src} WHERE doc_id IS NOT NULL
+          UNION ALL
+          SELECT doc_id + {off},
+                 coalesce(text, '') || ' rev2',
+                 n_chars + doc_id % 5 - 2
+          FROM {src} WHERE doc_id IS NOT NULL AND doc_id % 4 = 0
+        ),
+        rankedv5 AS (
+          SELECT c.id,
+                 row_number() OVER (
+                   PARTITION BY c.component
+                   ORDER BY k.q DESC NULLS LAST, c.id) AS rn
+          FROM comp c JOIN corp k ON k.doc_id = c.id
+        ),
+        dropv5 AS (SELECT id FROM rankedv5 WHERE rn > 1),
+        survv5 AS (
+          SELECT doc_id, coalesce(text, '') AS t FROM corp
+          WHERE doc_id NOT IN (SELECT id FROM dropv5)
+        )
+        SELECT ('0x' || substr(md5('{seed}:' || cast(doc_id AS VARCHAR)),
+                               1, 8))::BIGINT % {n_shards} AS shard,
+               count(*)::BIGINT AS n_docs,
+               sum(len({_toks('t')}))::BIGINT AS n_tokens,
+               bit_xor(('0x' || substr(md5(t), 1, 15))::BIGINT)
+                   AS content_hash
+        FROM survv5 GROUP BY shard
     """

@@ -282,24 +282,18 @@ def join_outer_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "join_range",
-    oracle="""
-        SELECT o.o_orderkey,
-               CAST(count(l.l_orderkey) AS BIGINT) AS n_late_lines
-        FROM orders o
-        JOIN lineitem l
-          ON l.l_orderkey = o.o_orderkey
-         AND l.l_shipdate >  o.o_orderdate + INTERVAL 60 DAY
-         AND l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY
-        GROUP BY o.o_orderkey
-    """,
-    tags=("join", "range"),
-)
 def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join expressed as equi-join + range residual: Catalyst keeps
     the equi key for the shuffle and evaluates the band predicate post-join,
-    so this does NOT degenerate to a cartesian product at scale."""
+    so this does NOT degenerate to a cartesian product at scale.
+
+    FOLDED out of the catalog in r10 (policy rule 4, funding the
+    training_corpus_pipeline_v5 tail slot): range-join semantics keep
+    their driver row via join_interval_binned (the argument the r6
+    demotion already made — the binned form is the same semantics with
+    the scalable implementation), and this row's DuckDB hash gate
+    moved verbatim to tests/test_catalog_oracle.py::
+    test_folded_join_range_oracle — no hash-level check was lost."""
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     cond = (

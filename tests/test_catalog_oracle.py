@@ -151,12 +151,57 @@ def test_driver_window_arithmetic():
         "training_corpus_pipeline",
         "training_corpus_pipeline_v2",
         "training_corpus_pipeline_v4",
+        "training_corpus_pipeline_v5",  # r10: the multimodal capstone
+        "sim_pq_topk_reranked",  # r10: the PQ family's hard-signal row
         "streaming_neardup_replay",
         "quality_classifier_filter",
         "lm_perplexity_buckets",
         "bm25_search_topk",
-        "multimodal_resize_sample",
+        # (multimodal_resize_sample rotated to the tail in r10, funding
+        # v5 — the multimodal family keeps features/fingerprints/v5)
+        "multimodal_fingerprints",
         "dedup_minhash_lsh",
         "sort_topk",
     ):
         assert flagship in window, f"{flagship} fell out of the window"
+
+
+def test_folded_dedup_ngram_containment_oracle(spark, duck):
+    """The containment close's DuckDB hash gate, moved verbatim from
+    the folded-out catalog row (r10, policy rule 4): the operator keeps
+    the same hash-level check it had as a registered entry (its plan is
+    identical to the registered dedup_ngram_jaccard row's — only the
+    closing arithmetic differs)."""
+    from excelstream_spark.plans.extension import (
+        _SQL_CONTAINMENT_PAIRS,
+        dedup_ngram_containment,
+    )
+
+    assert_matches_oracle(
+        dedup_ngram_containment(spark, SF_DIR),
+        duck,
+        f"""SELECT * FROM ({_SQL_CONTAINMENT_PAIRS})
+            WHERE greatest(cont_a, cont_b) >= 0.8""",
+    )
+
+
+def test_folded_join_range_oracle(spark, duck):
+    """The range-join row's DuckDB hash gate, moved verbatim from the
+    folded-out catalog row (r10, policy rule 4): range-join semantics
+    keep their driver row via join_interval_binned."""
+    from excelstream_spark.plans.relational import join_range
+
+    assert_matches_oracle(
+        join_range(spark, SF_DIR),
+        duck,
+        """
+        SELECT o.o_orderkey,
+               CAST(count(l.l_orderkey) AS BIGINT) AS n_late_lines
+        FROM orders o
+        JOIN lineitem l
+          ON l.l_orderkey = o.o_orderkey
+         AND l.l_shipdate >  o.o_orderdate + INTERVAL 60 DAY
+         AND l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY
+        GROUP BY o.o_orderkey
+        """,
+    )
