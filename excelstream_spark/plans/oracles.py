@@ -1583,7 +1583,13 @@ def pq_init_reranked_oracle(
     compares unrounded float64 with the ascending-id tie-break
     (identical code tuples — the only realistic near-tie source —
     score EXACTLY equal on both engines); the re-ranked output rounds
-    the exact cosine to 6 decimals, the sim_ann_ivf gate convention."""
+    the exact cosine to 6 decimals, the sim_ann_ivf gate convention.
+
+    Known edge (documented, not fixture-reachable): the init's
+    distinctness is byte-level on the Spark side (``row.tobytes()``)
+    and value-level here (``GROUP BY sv``), which differ only on
+    -0.0-vs-0.0 and NaN subvector entries — the fixture embeddings
+    are finite uniform floats with no negative zeros."""
     dsub = dim // m
     dist_chain = " + ".join(
         f"(m.e[c.sub*{dsub} + {j}] - c.cv[{j}])"

@@ -1460,3 +1460,63 @@ def test_dedup_keep_best_crafted_and_oracle(spark, duck):
            OR doc_id IS NULL
         """,
     )
+
+
+def test_v5_keep_best_diverges_from_min_id(spark):
+    """The v5 capstone's keep-best stage is load-bearing, not
+    dedup-shaped: twins carry doc-varied scores (n_chars + doc_id%5-2),
+    so SOME twins (higher ids) must out-score and replace their
+    originals — the min-id representative rule provably diverges."""
+    from excelstream_spark.operators import image_hash as IH
+    from excelstream_spark.operators import multimodal as MM
+    from excelstream_spark.operators.components import (
+        dedup_keep_best,
+        dedup_keep_representatives,
+    )
+    from excelstream_spark.plans import oracles as ORC
+    from excelstream_spark.tables import load_table
+
+    from .conftest import SF_DIR
+
+    off = F.lit(ORC.V5_TWIN_OFFSET)
+    docs = load_table(spark, SF_DIR, "documents").where(
+        F.col("doc_id").isNotNull()
+    )
+    png = docs.where(F.col("doc_id") % 4 == 0)
+    twins = png.select(
+        (F.col("doc_id") + off).alias("doc_id"),
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")), F.lit(" rev2")
+        ).alias("text"),
+        (F.col("n_chars") + F.col("doc_id") % 5 - 2).alias("q"),
+    )
+    corpus = docs.select(
+        "doc_id", "text", F.col("n_chars").alias("q")
+    ).unionByName(twins)
+    pay = MM.synthesize_payloads(png).select("doc_id", "payload")
+    pay_all = pay.unionByName(
+        pay.select((F.col("doc_id") + off).alias("doc_id"), "payload")
+    )
+    pairs = IH.dedup_image_ahash(
+        IH.multimodal_fingerprints(pay_all),
+        hash_col="fp_a",
+        verify_col="fp_b",
+        max_hamming=3,
+        verify_max_hamming=10,
+        degenerate_exact_pairs=True,
+    )
+    best = {
+        r["doc_id"]
+        for r in dedup_keep_best(
+            corpus, pairs, "q", id_a="doc_a", id_b="doc_b"
+        ).select("doc_id").collect()
+    }
+    minid = {
+        r["doc_id"]
+        for r in dedup_keep_representatives(
+            corpus, pairs, id_a="doc_a", id_b="doc_b"
+        ).select("doc_id").collect()
+    }
+    assert best != minid, "keep-best decided exactly like min-id"
+    # at least one TWIN must have displaced its cluster's original
+    assert any(d >= ORC.V5_TWIN_OFFSET for d in best - minid)
