@@ -73,26 +73,61 @@ WORD_BITS = 32
 DEFAULT_N_BITS = 1 << 17
 DEFAULT_N_HASHES = 7
 
-#: Sentinel ``word`` of the OPT-IN sizing-metadata row (r9 advice #1:
-#: "carry n_bits/n_hashes with the artifact").  Bit positions are
-#: always >= 0, so ``shiftright(p, 5)`` never equals -1 and the probe
-#: joins ignore the row; ``bits`` encodes the sizing as
-#: ``n_bits * _META_SCALE + n_hashes``.
-BLOOM_META_WORD = -1
+#: The OPT-IN sizing-metadata row (r9 advice #1: "carry
+#: n_bits/n_hashes with the artifact") lives in the NEGATIVE word band
+#: — bit positions are always >= 0, so ``shiftright(p, 5)`` is never
+#: negative and the probe joins ignore it.  ``bits`` encodes the
+#: sizing value v = ``n_bits * _META_SCALE + n_hashes``, and the row's
+#: word is ``-(1 + v % 2^20)``: two filters built with DIFFERENT
+#: sizings carry DIFFERENT meta words whenever their v differs mod
+#: 2^20 (always true for unequal n_hashes, and for n_bits differing
+#: below 2^10 word-multiples), so the documented incremental rebuild
+#: (union + groupBy bit_or) leaves TWO meta rows instead of silently
+#: OR-merging one — a bit_or of bitwise-SUBSET encodings under one
+#: word would otherwise decode to the superset's valid sizing (r10
+#: review finding: 5-hash and 7-hash builds merged to a "7" that
+#: false-negatives on the 5-hash half's keys).  Decoders treat >1
+#: negative-word row, or a word/value mismatch, as corruption.
+_META_WORD_SPAN = 1 << 20
 _META_SCALE = 1024
+
+
+def _meta_word(n_bits: int, n_hashes: int) -> int:
+    v = n_bits * _META_SCALE + n_hashes
+    return -(1 + v % _META_WORD_SPAN)
+
+
+def _decode_meta(rows) -> tuple[int, int] | None:
+    """Decode the negative-word metadata rows collected from an
+    artifact; None when absent, ValueError on conflict/corruption."""
+    metas = [(int(r["word"]), int(r["bits"])) for r in rows]
+    if not metas:
+        return None
+    if len(metas) > 1:
+        raise ValueError(
+            "bloom artifact carries conflicting sizing metadata "
+            f"(words {sorted(w for w, _ in metas)}) — it was merged "
+            "from filters built with different n_bits/n_hashes"
+        )
+    word, v = metas[0]
+    n_bits, n_hashes = v // _META_SCALE, v % _META_SCALE
+    if word != _meta_word(n_bits, n_hashes):
+        raise ValueError(
+            "bloom sizing metadata is corrupt (word/value mismatch) — "
+            "the artifact was merged from filters built with "
+            "different sizings"
+        )
+    return n_bits, n_hashes
 
 
 def bloom_sizing(bloom: DataFrame) -> tuple[int, int] | None:
     """(n_bits, n_hashes) decoded from the artifact's metadata row
     (``bloom_build(..., with_meta=True)``), or None for a filter built
     without one.  One tiny aggregation job — call it once when loading
-    a stored artifact, then pass the sizing explicitly to every probe."""
-    r = bloom.where(F.col("word") == BLOOM_META_WORD).agg(
-        F.max("bits").alias("m")
-    ).collect()[0]
-    if r["m"] is None:
-        return None
-    return int(r["m"]) // _META_SCALE, int(r["m"]) % _META_SCALE
+    a stored artifact, then pass the sizing explicitly to every probe.
+    Raises on conflicting/corrupt metadata (an artifact merged from
+    differently-sized builds)."""
+    return _decode_meta(bloom.where(F.col("word") < 0).collect())
 
 
 def _position(fp: Column, i: int, n_bits: int) -> Column:
@@ -123,15 +158,16 @@ def bloom_build(
     (``union`` + the same groupBy — bit_or is associative).
 
     ``with_meta=True`` (r9 advice #1) appends one sizing-metadata row
-    (word ``BLOOM_META_WORD``, bits = n_bits*1024 + n_hashes) so the
-    sizing TRAVELS WITH the stored artifact: :func:`bloom_probe`
+    (negative word derived from the sizing — see ``_meta_word``) so
+    the sizing TRAVELS WITH the stored artifact: :func:`bloom_probe`
     validates BOTH mismatch directions against it (a bare range scan
     can only prove built-larger-than-probed), and the associative
-    incremental rebuild preserves it (bit_or of equal metadata rows is
-    the row itself — unequal sizings corrupt the encoded value, which
-    the probe's equality check then rejects instead of silently
-    probing wrong words).  Opt-in so every pre-r10 artifact, oracle
-    and plan stays byte-identical."""
+    incremental rebuild preserves it — equal sizings share one meta
+    word (bit_or of equal rows is the row itself), while a merge of
+    DIFFERENTLY-sized builds leaves two distinct meta words (or a
+    word/value mismatch), which every decoder rejects loudly instead
+    of silently probing wrong words.  Opt-in so every pre-r10
+    artifact, oracle and plan stays byte-identical."""
     if n_bits % WORD_BITS:
         raise ValueError(f"n_bits must be a multiple of {WORD_BITS}")
     if not 0 < n_hashes < _META_SCALE:
@@ -155,7 +191,7 @@ def bloom_build(
     if not with_meta:
         return filt
     meta = fps.sparkSession.createDataFrame(
-        [(BLOOM_META_WORD, n_bits * _META_SCALE + n_hashes)],
+        [(_meta_word(n_bits, n_hashes), n_bits * _META_SCALE + n_hashes)],
         "word bigint, bits bigint",
     )
     return filt.unionByName(meta)
@@ -165,8 +201,8 @@ def bloom_probe(
     df: DataFrame,
     bloom: DataFrame,
     fp_col: str = "fp",
-    n_bits: int = DEFAULT_N_BITS,
-    n_hashes: int = DEFAULT_N_HASHES,
+    n_bits: int | None = None,
+    n_hashes: int | None = None,
     flag_col: str = "maybe_dup",
     validate: bool = True,
 ) -> DataFrame:
@@ -189,31 +225,46 @@ def bloom_probe(
     one full scan per probe construction with only one direction
     detectable): an artifact carrying the :func:`bloom_build`
     ``with_meta`` sizing row is checked for EXACT n_bits/n_hashes
-    equality (both directions); a meta-less artifact falls back to the
-    range check (a stored word at or beyond this probe's word range
-    proves built-larger-than-probed; built-SMALLER stays undetectable
-    without metadata).  ``validate=False`` skips the job entirely —
-    for hot paths that construct many probe plans against an artifact
-    whose sizing was already checked once (e.g. via
-    :func:`bloom_sizing` at load time)."""
+    equality (both directions; conflicting/corrupt metadata from a
+    merge of differently-sized builds raises); a meta-less artifact
+    falls back to the range check (a stored word at or beyond this
+    probe's word range proves built-larger-than-probed; built-SMALLER
+    stays undetectable without metadata).  With ``n_bits``/``n_hashes``
+    OMITTED the probe ADOPTS the artifact's own metadata sizing from
+    the same single aggregation (falling back to the module defaults
+    for meta-less artifacts) — the sizing-travels-with-the-artifact
+    path, one Spark job total.  ``validate=False`` skips the job
+    entirely — for hot paths that construct many probe plans against
+    an artifact whose sizing was already checked once (e.g. via
+    :func:`bloom_sizing` at load time); explicit sizing (or the
+    defaults) applies unchecked."""
     if validate:
         chk = bloom.agg(
             F.max(F.when(F.col("word") >= 0, F.col("word"))).alias("w"),
-            F.max(
-                F.when(F.col("word") == BLOOM_META_WORD, F.col("bits"))
-            ).alias("meta"),
-        ).collect()[0]
-        if chk["meta"] is not None:
-            built_bits = int(chk["meta"]) // _META_SCALE
-            built_hashes = int(chk["meta"]) % _META_SCALE
-            if (built_bits, built_hashes) != (n_bits, n_hashes):
-                raise ValueError(
-                    f"bloom_probe: artifact metadata says n_bits="
-                    f"{built_bits}, n_hashes={built_hashes} but the probe "
-                    f"was given n_bits={n_bits}, n_hashes={n_hashes} — "
-                    "sizing must match the build exactly"
+            F.collect_list(
+                F.when(
+                    F.col("word") < 0, F.struct("word", "bits")
                 )
-        else:
+            ).alias("metas"),
+        ).collect()[0]
+        built = _decode_meta(chk["metas"])
+        if built is not None:
+            bb, bh = built
+            if (n_bits is not None and n_bits != bb) or (
+                n_hashes is not None and n_hashes != bh
+            ):
+                raise ValueError(
+                    f"bloom_probe: artifact metadata says n_bits={bb}, "
+                    f"n_hashes={bh} but the probe was given n_bits="
+                    f"{n_bits}, n_hashes={n_hashes} — sizing must match "
+                    "the build exactly"
+                )
+            n_bits, n_hashes = bb, bh
+        if n_bits is None:
+            n_bits = DEFAULT_N_BITS
+        if n_hashes is None:
+            n_hashes = DEFAULT_N_HASHES
+        if built is None:
             n_words = (n_bits + WORD_BITS - 1) // WORD_BITS
             if chk["w"] is not None and chk["w"] >= n_words:
                 raise ValueError(
@@ -223,6 +274,10 @@ def bloom_probe(
                     "must travel with the artifact: bloom_build "
                     "with_meta=True)"
                 )
+    if n_bits is None:
+        n_bits = DEFAULT_N_BITS
+    if n_hashes is None:
+        n_hashes = DEFAULT_N_HASHES
     out = df.withColumn("_pfp", F.col(fp_col).cast("string"))
     hit_cols = []
     for i in range(n_hashes):
@@ -260,8 +315,8 @@ def bloom_probe(
 def bloom_flag_increment(
     new_docs: DataFrame,
     bloom: DataFrame,
-    n_bits: int = DEFAULT_N_BITS,
-    n_hashes: int = DEFAULT_N_HASHES,
+    n_bits: int | None = None,
+    n_hashes: int | None = None,
     text_col: str = "text",
 ) -> DataFrame:
     """``new_docs`` + ``fp`` + ``maybe_dup`` — the broadcast map-side
@@ -284,8 +339,8 @@ def dedup_increment_bloom(
     new_docs: DataFrame,
     bloom: DataFrame,
     corpus_fps: DataFrame | None = None,
-    n_bits: int = DEFAULT_N_BITS,
-    n_hashes: int = DEFAULT_N_HASHES,
+    n_bits: int | None = None,
+    n_hashes: int | None = None,
     text_col: str = "text",
 ) -> DataFrame:
     """New documents not exact-present in the corpus, gated by the

@@ -372,19 +372,14 @@ def media_dedup_gate_bloom(
 
     Sizing: with ``n_bits``/``n_hashes`` omitted, an artifact built via
     ``bloom_build(..., with_meta=True)`` supplies its OWN sizing
-    (r9 advice #1 — the sizing travels with the artifact); a meta-less
+    (r9 advice #1 — the sizing travels with the artifact; the probe
+    adopts it inside its single validation aggregation, so the gate
+    costs ONE Spark job either way — r10 review finding); a meta-less
     artifact probes at the module defaults, with the one-directional
     range guard."""
     from excelstream_spark.operators import bloom as BL
 
     kw = {}
-    if n_bits is None and n_hashes is None:
-        sizing = BL.bloom_sizing(bloom)
-        if sizing is not None:
-            kw["n_bits"], kw["n_hashes"] = sizing
-            # the probe's own validation would re-run the aggregation
-            # just to re-confirm the sizing this call read one line up
-            kw["validate"] = False
     if n_bits is not None:
         kw["n_bits"] = n_bits
     if n_hashes is not None:
@@ -493,19 +488,25 @@ def dedup_image_ahash(
       enumeration at fixture scale (NEVER at corpus scale: a million
       placeholder frames form a 10^12-pair clique).
     - ``degenerate_exact_pairs=True`` emits the quarantined rows'
-      exact-equal closure as STAR pairs — per degenerate fp value (by
-      popcount arithmetic there are at most two: fp 0 and fp -1) one
-      hub (the minimum id) pairs with every other member at hamming 0,
-      so connected components over the output equal the full clique's
-      while the pair count stays LINEAR in members (a million black
-      thumbnails cost ~10^6 star rows, not the 10^12-pair clique).
+      exact-equal closure as STAR pairs: per EXACT-EQUAL hash tuple —
+      the fp value alone, or (fp, verify-fp) when ``verify_col`` is
+      given — the minimum id hubs every other member at distance 0, so
+      connected components over the output equal the clique closure of
+      tuple equality (equality is transitive, so star == clique; a
+      distance BUDGET on the verify hash would not be, which is why
+      near-but-unequal verify hashes within a degenerate class are
+      deliberately NOT paired here — a degenerate fp plus a merely
+      similar gradient hash is not trustworthy duplicate evidence).
+      Pair count stays LINEAR in members (a million black thumbnails
+      cost ~10^6 star rows, not the 10^12-pair clique).
       CAVEAT (why this is not the default): degenerate fp equality is
       the WEAKEST evidence class — every constant-color image collides
       on fp 0 regardless of its color, and dHash is also 0 for any
-      constant image, so the ``verify_col`` budget cannot separate a
-      black placeholder from a white one.  Pipelines that must keep
-      distinct solid colors apart need a byte-level or richer hash on
-      the quarantined set (the audit names it) instead of this flag.
+      constant image, so even the exact verify-hash key cannot
+      separate a black placeholder from a white one.  Pipelines that
+      must keep distinct solid colors apart need a byte-level or
+      richer hash on the quarantined set (the audit names it) instead
+      of this flag.
     - ``max_bucket`` caps every (band, 16-bit key) bucket: buckets
       with more members are excluded from pairing via a broadcast
       anti-join of the (tiny, <= 4*n_rows/max_bucket) hot-bucket
@@ -592,16 +593,17 @@ def dedup_image_ahash(
             h.alias("h"),
             *extra,
         )
-        # min(struct) picks the hub row (minimum id) AND carries its
-        # verify hash, so hamming_b below compares hub vs member
-        hub_struct = F.min(F.struct("id", *vcols)).alias("_hub")
-        hubs = degen.groupBy("h").agg(hub_struct).select(
-            "h",
-            F.col("_hub.id").alias("doc_a"),
-            *[F.col("_hub.v").alias("v_hub") for _ in vcols],
-        )
+        # star groups key on the EXACT-EQUAL hash tuple: (fp) alone,
+        # or (fp, verify-fp) when a verify column is given (r10 review
+        # finding: a hub-anchored star over fp alone with a verify
+        # BUDGET loses member-member edges whose hubs sit beyond the
+        # budget — exact tuple equality is the form whose star closure
+        # provably equals its clique closure, because equality is
+        # transitive where a distance budget is not)
+        group_keys = ["h"] + vcols
+        hubs = degen.groupBy(*group_keys).agg(F.min("id").alias("doc_a"))
         stars = (
-            degen.join(F.broadcast(hubs), "h")
+            degen.join(F.broadcast(hubs), group_keys)
             .where(F.col("id") != F.col("doc_a"))
             .select(
                 "doc_a",
@@ -610,12 +612,12 @@ def dedup_image_ahash(
                 # identically to the banded path's bit_count column
                 VEC.hamming64(F.col("h"), F.col("h")).alias("hamming"),
                 *(
-                    # fp_a is equal within the class but the verify
-                    # hash may differ — compute it honestly and apply
-                    # the same budget as the banded path
+                    # exact-equal verify hash by construction (0);
+                    # NULL verify hashes yield NULL and are dropped by
+                    # the budget filter — the banded path's semantics
                     [
                         VEC.hamming64(
-                            F.col("v_hub"), F.col("v")
+                            F.col("v"), F.col("v")
                         ).alias("hamming_b")
                     ]
                     if verify_col

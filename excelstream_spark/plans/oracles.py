@@ -1754,15 +1754,13 @@ def training_pipeline_v5_oracle(
         ),
         degen AS (SELECT * FROM fps
                   WHERE bit_count(fp_a) IN (0, 64)),
-        hubs AS (SELECT fp_a, min(doc_id) AS hub,
-                        arg_min(fp_b, doc_id) AS hub_fpb
-                 FROM degen GROUP BY fp_a),
+        hubs AS (SELECT fp_a, fp_b, min(doc_id) AS hub
+                 FROM degen WHERE fp_b IS NOT NULL
+                 GROUP BY fp_a, fp_b),
         spairs AS (
           SELECT h.hub AS doc_a, d.doc_id AS doc_b
-          FROM degen d JOIN hubs h USING (fp_a)
+          FROM degen d JOIN hubs h USING (fp_a, fp_b)
           WHERE d.doc_id <> h.hub
-            AND bit_count(xor(d.fp_b, h.hub_fpb))
-                    <= {verify_max_hamming}
         ),
         pr AS (SELECT doc_a, doc_b FROM bpairs
                UNION ALL SELECT doc_a, doc_b FROM spairs),

@@ -181,7 +181,6 @@ def test_bloom_meta_sizing_travels_with_artifact(spark):
     import pytest
 
     from excelstream_spark.operators.bloom import (
-        BLOOM_META_WORD,
         bloom_build,
         bloom_probe,
         bloom_sizing,
@@ -232,6 +231,55 @@ def test_bloom_meta_sizing_travels_with_artifact(spark):
         .agg(F.bit_or("bits").alias("bits"))
     )
     assert bloom_sizing(rebuilt) == (1 << 12, 5)
-    assert (
-        rebuilt.where(F.col("word") == BLOOM_META_WORD).count() == 1
+    assert rebuilt.where(F.col("word") < 0).count() == 1
+
+
+def test_bloom_meta_rejects_mixed_sizing_merge(spark):
+    """r10 review finding: n_hashes=7 is a bitwise SUPERSET of 5, so a
+    naive single-word metadata row would bit_or-merge two
+    differently-sized builds into a VALID-looking '7' — and probing 7
+    positions against keys inserted with 5 silently false-negatives.
+    The meta word is derived from the sizing, so the merge leaves two
+    distinct negative-word rows and every decoder raises."""
+    import pytest
+
+    from excelstream_spark.operators.bloom import (
+        bloom_build,
+        bloom_probe,
+        bloom_sizing,
     )
+
+    fps = spark.createDataFrame([(i,) for i in range(32)], "fp_a bigint")
+    merged = (
+        bloom_build(fps, n_bits=1 << 12, n_hashes=5, fp_col="fp_a",
+                    with_meta=True)
+        .unionByName(bloom_build(fps, n_bits=1 << 12, n_hashes=7,
+                                 fp_col="fp_a", with_meta=True))
+        .groupBy("word")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    with pytest.raises(ValueError, match="conflicting sizing"):
+        bloom_sizing(merged)
+    df = spark.createDataFrame([(1,)], "fp_a bigint")
+    with pytest.raises(ValueError, match="conflicting sizing"):
+        bloom_probe(df, merged, fp_col="fp_a", n_bits=1 << 12, n_hashes=7)
+
+
+def test_bloom_probe_adopts_meta_sizing(spark):
+    """With n_bits/n_hashes omitted, the probe adopts the artifact's
+    own metadata sizing inside its single validation aggregation (the
+    one-job sizing-travels-with-the-artifact path): every member still
+    flags True at the adopted sizing."""
+    from excelstream_spark.operators.bloom import bloom_build, bloom_probe
+
+    members = [11, 22, 33]
+    fps = spark.createDataFrame([(k,) for k in members], "fp_a bigint")
+    bloom = bloom_build(
+        fps, n_bits=1 << 12, n_hashes=3, fp_col="fp_a", with_meta=True
+    )
+    df = spark.createDataFrame(
+        [(k,) for k in members] + [(777,)], "fp_a bigint"
+    )
+    out = {r["fp_a"]: r["maybe_dup"] for r in
+           bloom_probe(df, bloom, fp_col="fp_a").collect()}
+    assert all(out[k] is True for k in members)  # no false negatives
