@@ -197,6 +197,12 @@ LEG_SCOPE = {
     "fixture's 2x2 thumbnails mostly collide on one aHash value, so "
     "the pair/components stages carry a ~2x-corpus-size clique — the "
     "leg prices that honestly)",
+    "video_dedup_containment": "v1:r10 new leg (REAL APNG clips: "
+    "synthesize + chunk-walk/inflate/unfilter decode + per-frame "
+    "aHash/dHash + frame-set containment over distinct fingerprints "
+    "with degenerate quarantine; the fixture's mod-256 frame classes "
+    "collide heavily, so the containment join carries real pair "
+    "volume — priced honestly)",
     "sim_pq_topk_reranked": "v1:r10 new leg — the hash-gated PQ "
     "catalog row: INLINE init-codebook train (vec_id<200 slice, k=16, "
     "n_iter=0) + full encode + ADC top-20 + exact re-rank to top-5.  "
@@ -855,6 +861,32 @@ def main() -> None:
     # hashes, all Arrow-batched zero-shuffle scan work — prices the
     # decode+hash pipeline
     run_catalog("multimodal_fingerprints")
+
+    # video dedup (r10, new family — pytest-oracled this round, catalog
+    # row next rotation per the PQ precedent): synthesize REAL APNG
+    # clips + per-frame aHash/dHash (zero-shuffle Arrow scan) + the
+    # frame-set containment close (inverted index on the fingerprint,
+    # degenerate quarantine + DF cap ahead of set sizing)
+    from excelstream_spark.operators.video import (
+        dedup_video_containment,
+        synthesize_video_payloads,
+        video_frame_fingerprints,
+    )
+
+    run(
+        "video_dedup_containment",
+        lambda: noop_fp(
+            "video_dedup_containment",
+            dedup_video_containment(
+                video_frame_fingerprints(
+                    synthesize_video_payloads(
+                        docs_full.where(F.col("doc_id").isNotNull())
+                    )
+                ),
+                threshold=0.8,
+            ),
+        ),
+    )
 
     # stored-model classifier scoring (late r7): the serving path — the
     # model trains ONCE untimed (the expensive half

@@ -6,7 +6,11 @@ columns + typed metadata structs, processed with Arrow-batched
 
 * PNG — decoded FOR REAL with the stdlib only (chunk walk, zlib inflate,
   scanline unfilter incl. Sub/Up/Average/Paeth): width/height/channels
-  plus per-channel pixel means as real feature columns.
+  plus per-channel pixel means as real feature columns.  APNG (r10):
+  the acTL chunk supplies a REAL n_frames and operators/video.py
+  extracts the per-frame pixel arrays — video is a decoded modality
+  here, not a stub (the container has no ffmpeg; APNG is the
+  stdlib-decodable container this repo's own PNG codec covers).
 * JPEG — PIL when importable (public package, optional — the production
   path); otherwise the REAL stdlib+numpy baseline decoder
   (operators/jpeg_baseline.py: Huffman entropy decode, dequant, IDCT,
@@ -106,11 +110,17 @@ def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int) -> bytearray:
 
 
 def _decode_png(payload: bytes) -> dict:
-    """Stdlib-only PNG decode: real width/height/channels always; full
-    pixel reconstruction + per-channel means for the baseline formats
-    (8-bit gray/RGB/gray-alpha/RGBA, non-interlaced)."""
+    """Stdlib-only PNG/APNG decode: real width/height/channels always;
+    full pixel reconstruction + per-channel means (of the FIRST frame
+    for animations) for the baseline formats (8-bit gray/RGB/
+    gray-alpha/RGBA, non-interlaced).  An APNG's acTL chunk supplies a
+    REAL ``n_frames`` (r10 — previously every PNG reported 1), so
+    :func:`sample_frames` over APNG video payloads explodes genuine
+    frame indices and operators/video.apng_frame_arrays extracts the
+    pixels."""
     pos = 8
     width = height = bit_depth = color_type = interlace = None
+    n_frames = None
     idat = bytearray()
     while pos + 8 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
@@ -121,6 +131,8 @@ def _decode_png(payload: bytes) -> dict:
             width, height, bit_depth, color_type, _c, _f, interlace = (
                 struct.unpack(">IIBBBBB", data)
             )
+        elif ctype == b"acTL":
+            n_frames = struct.unpack(">II", data)[0]
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -131,10 +143,10 @@ def _decode_png(payload: bytes) -> dict:
     info = {
         "width": int(width),
         "height": int(height),
-        "n_frames": 1,
+        "n_frames": 1 if n_frames is None else int(n_frames),
         "channels": channels,
         "channel_means": None,
-        "decoder": "png-stdlib",
+        "decoder": "png-stdlib" if n_frames is None else "apng-stdlib",
     }
     if bit_depth == 8 and interlace == 0 and color_type in (0, 2, 4, 6):
         import numpy as np

@@ -1,0 +1,357 @@
+"""Video columns, decoded FOR REAL: APNG (animated PNG) payloads +
+per-frame perceptual fingerprints + frame-overlap video dedup.
+
+Until r10 the video modality was plumbing-only (multimodal.
+sample_frames explodes frame indices over a stubbed extractor — the
+container has no ffmpeg/codec libraries).  APNG closes that honestly
+with the stdlib alone: it is a PUBLIC spec (the PNG extension
+registered at W3C/Mozilla — acTL/fcTL/fdAT chunks over the ordinary
+PNG chunk grammar), every frame is an ordinary zlib+filtered PNG
+image, and this repo already owns a real PNG codec
+(multimodal.encode_png/_png_unfilter).  So a "video" here is a REAL
+multi-frame container round-tripped bit-exactly, not a fake:
+
+* :func:`encode_apng` — signature, IHDR, acTL(num_frames), then per
+  frame fcTL (+ IDAT for frame 0, fdAT for the rest), each frame a
+  complete zlib stream of filter-0 scanlines.
+* :func:`apng_frame_arrays` — chunk walk -> per-frame HxWxC uint8
+  arrays.  Plain single-frame PNGs decode as 1-frame clips (no acTL);
+  sub-region or blended frames (x/y offset, blend_op 1) raise — this
+  decoder supports the full-frame subset the encoder emits, and an
+  honest failure beats silently wrong pixels.
+
+Frame fingerprints reuse the image family's 64-bit contract
+(image_hash.ahash_from_pixels / dhash_from_pixels — integer-exact, so
+the synthesized fixture's fingerprints replay arithmetically in SQL),
+and video-level dedup is the CONTAINMENT close over distinct
+frame-fingerprint sets — the published frame-sampling video-dedup
+shape (two re-encodes of one clip share ~all frame hashes; a clip
+embedded in a longer compilation scores containment ~1 on the shorter
+side), expressed as the same inverted-index pipeline as
+dedup_ngram_containment with fingerprints instead of shingles.
+
+100 TB design: decode + per-frame hashing is zero-shuffle Arrow scan
+work (payload bytes never leave their executor); the containment join
+shuffles only (video_id, fp) rows — one row per DISTINCT frame hash,
+so an hour of 30 fps video with typical shot structure contributes
+hundreds of rows, not 10^5; degenerate fingerprints (popcount 0/64 —
+black frames, title cards) are quarantined exactly like the image
+pair stage (image_hash._is_degenerate), and ``max_fp_df`` caps the
+document frequency of any remaining hot frame hash (the
+max_shingle_df convention) so intro/outro boilerplate frames shared
+by a million clips cannot form a quadratic join bucket.
+
+The reference engine (KSD-CO/excelstream) has no media surface; this
+extends the multimodal family (SURVEY.md §2 extensions, the brief's
+image/audio/VIDEO requirement).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from excelstream_spark.operators.multimodal import (
+    _PNG_MAGIC,
+    _png_unfilter,
+)
+
+#: fcTL body: seq, width, height, x_off, y_off, delay_num, delay_den,
+#: dispose_op, blend_op (APNG spec).
+_FCTL_FMT = ">IIIIIHHBB"
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_apng(
+    width: int,
+    height: int,
+    frames: list[bytes],
+    channels: int = 1,
+    delay: tuple[int, int] = (1, 10),
+) -> bytes:
+    """Minimal REAL APNG encoder (stdlib only): 8-bit, non-interlaced,
+    filter type 0, every frame full-size at offset (0,0) with
+    blend_op 0 (source) — the subset :func:`apng_frame_arrays`
+    round-trips bit-exactly.  ``frames`` are row-major interleaved
+    pixel buffers (``width*height*channels`` bytes each)."""
+    if not frames:
+        raise ValueError("encode_apng: need at least one frame")
+    stride = width * channels
+    for i, f in enumerate(frames):
+        if len(f) != height * stride:
+            raise ValueError(
+                f"frame {i}: got {len(f)} bytes, need {height * stride}"
+            )
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    out = bytearray(_PNG_MAGIC)
+    out += _chunk(b"IHDR", ihdr)
+    out += _chunk(b"acTL", struct.pack(">II", len(frames), 0))
+    seq = 0
+    for i, f in enumerate(frames):
+        fctl = struct.pack(
+            _FCTL_FMT, seq, width, height, 0, 0, delay[0], delay[1], 0, 0
+        )
+        out += _chunk(b"fcTL", fctl)
+        seq += 1
+        raw = b"".join(
+            b"\x00" + f[y * stride : (y + 1) * stride] for y in range(height)
+        )
+        z = zlib.compress(raw)
+        if i == 0:
+            out += _chunk(b"IDAT", z)
+        else:
+            out += _chunk(b"fdAT", struct.pack(">I", seq) + z)
+            seq += 1
+    out += _chunk(b"IEND", b"")
+    return bytes(out)
+
+
+def apng_frame_arrays(payload: bytes):
+    """List of HxWxC uint8 frame arrays for a baseline APNG (8-bit,
+    non-interlaced, full-frame fcTLs, blend_op 0).  A plain PNG (no
+    acTL) decodes as a 1-frame clip.  Raises ValueError on anything
+    the full-frame contract cannot represent faithfully (sub-region
+    frames, blend_op 1, interlacing, non-8-bit depth)."""
+    import numpy as np
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG/APNG payload")
+    pos = 8
+    width = height = bit_depth = color_type = interlace = None
+    n_frames = None
+    idat = bytearray()
+    fdat: dict[int, bytearray] = {}  # frame index -> zlib stream
+    fctl_seen = 0
+    first_fctl_before_idat = False
+    saw_idat = False
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _c, _f, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+        elif ctype == b"acTL":
+            n_frames = struct.unpack(">II", data)[0]
+        elif ctype == b"fcTL":
+            (_seq, fw, fh, fx, fy, _dn, _dd, _disp, blend) = struct.unpack(
+                _FCTL_FMT, data
+            )
+            if (fw, fh, fx, fy) != (width, height, 0, 0) or blend != 0:
+                raise ValueError(
+                    "APNG frame is not a full-frame source overwrite — "
+                    "unsupported by the baseline decoder"
+                )
+            if not saw_idat:
+                first_fctl_before_idat = True
+            fctl_seen += 1
+        elif ctype == b"IDAT":
+            saw_idat = True
+            idat += data
+        elif ctype == b"fdAT":
+            frame_idx = fctl_seen - 1  # fdAT belongs to the latest fcTL
+            fdat.setdefault(frame_idx, bytearray()).extend(data[4:])
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG without IHDR")
+    if not (bit_depth == 8 and interlace == 0 and color_type in (0, 2, 4, 6)):
+        raise ValueError("not a baseline 8-bit non-interlaced PNG/APNG")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    stride = width * channels
+
+    def unfilt(z: bytes):
+        px = _png_unfilter(zlib.decompress(z), height, stride, channels)
+        return np.frombuffer(bytes(px), dtype=np.uint8).reshape(
+            height, width, channels
+        )
+
+    if n_frames is None:
+        return [unfilt(bytes(idat))]
+    frames = []
+    for i in range(n_frames):
+        if i == 0:
+            if not first_fctl_before_idat:
+                # the default image (IDAT without fcTL) is NOT frame 0
+                raise ValueError("APNG default image outside the animation")
+            frames.append(unfilt(bytes(idat)))
+        else:
+            z = fdat.get(i)
+            if z is None:
+                raise ValueError(f"APNG frame {i} has no fdAT data")
+            frames.append(unfilt(bytes(z)))
+    return frames
+
+
+def synthesize_video_payloads(docs: DataFrame) -> DataFrame:
+    """Deterministic video fixture: REAL APNG payloads whose frame
+    pixels are pure doc_id arithmetic, so a SQL oracle recomputes every
+    frame fingerprint.  Per document: 8x8 grayscale frames (the aHash
+    grid size, so the fingerprint resample is the identity and the
+    oracle reads pixels directly), ``n_frames = 2 + doc_id % 3``;
+    frame ``f`` pixel ``i`` (row-major) =
+    ``(doc_id*31 + f*101 + i*i*13 + i*7) % 256``.  The QUADRATIC ``i``
+    term makes threshold patterns genuinely doc-varied (a pure ramp
+    collapses every clip onto a handful of aHash values — the image
+    fixture's 115-way collision, which over frames would make the
+    containment join quadratic fixture noise); the surviving
+    collisions are the exact-duplicate classes ``doc_id ± 256k``
+    (identical pixels — honest re-encode twins).  One Arrow-batched
+    ``mapInPandas``, zero shuffle."""
+    import pandas as pd
+
+    schema = "doc_id bigint, payload binary"
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                nf = 2 + d % 3
+                frames = [
+                    bytes(
+                        (d * 31 + f * 101 + i * i * 13 + i * 7) % 256
+                        for i in range(64)
+                    )
+                    for f in range(nf)
+                ]
+                rows.append((d, encode_apng(8, 8, frames)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+
+
+def video_frame_fingerprints(
+    videos: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, frame_idx, n_frames, fp_a, fp_b) — one row per decoded
+    frame: ``fp_a`` = aHash, ``fp_b`` = dHash (the image family's
+    64-bit integer-exact contract, so any fp column feeds
+    image_hash.dedup_image_ahash's banded pair stage directly, and the
+    synthesized fixture's fingerprints replay arithmetically in SQL).
+    Undecodable payloads are dropped (a fingerprint row asserts "this
+    frame hashes to this value").  One Arrow-batched ``mapInPandas``,
+    zero shuffle — frame extraction and hashing never leave the
+    scan."""
+    import pandas as pd
+
+    from excelstream_spark.operators.image_hash import (
+        ahash_from_pixels,
+        dhash_from_pixels,
+    )
+
+    schema = (
+        "doc_id bigint, frame_idx int, n_frames int, "
+        "fp_a bigint, fp_b bigint"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload) if payload is not None else b""
+                try:
+                    frames = apng_frame_arrays(payload)
+                except Exception:
+                    continue
+                nf = len(frames)
+                for i, arr in enumerate(frames):
+                    rows.append(
+                        (
+                            int(doc_id),
+                            i,
+                            nf,
+                            ahash_from_pixels(arr),
+                            dhash_from_pixels(arr),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "n_frames", "fp_a", "fp_b"],
+            )
+
+    return videos.select(id_col, payload_col).mapInPandas(gen, schema=schema)
+
+
+def dedup_video_containment(
+    frame_fps: DataFrame,
+    threshold: float = 0.8,
+    fp_col: str = "fp_a",
+    id_col: str = "doc_id",
+    max_fp_df: int | None = 10_000,
+    quarantine_degenerate: bool = True,
+) -> DataFrame:
+    """(vid_a, vid_b, inter, na, nb, containment) — video near-dup
+    pairs by FRAME-SET CONTAINMENT: per video the DISTINCT frame
+    fingerprints form a set; two videos pair when
+    ``|A ∩ B| / min(|A|, |B|)`` >= ``threshold`` — a re-encode shares
+    ~every frame hash (containment ~1), and a clip embedded in a
+    longer compilation scores ~1 on its own (shorter) side, exactly
+    the asymmetric subset-duplicate rule dedup_ngram_containment
+    applies to text shingles.  The plan IS that operator's: inverted
+    index on the fingerprint, per-video set sizes counted over the
+    SAME surviving fingerprint space as the intersection (prune first,
+    then count), one pair-count groupBy.
+
+    Skew bounds (the image pair stage's, applied to the join key):
+    degenerate fingerprints (popcount 0/64 — black frames, white title
+    cards; every such frame in the corpus collides) are dropped from
+    the sets when ``quarantine_degenerate``; ``max_fp_df`` drops
+    fingerprints present in more than that many VIDEOS (boilerplate
+    intro/outro frames) via one document-frequency groupBy + a
+    broadcast anti-join — both prunes happen BEFORE set sizes are
+    counted, so containment stays a ratio over one consistent space.
+
+    100 TB: the join moves one row per (video, distinct-frame-hash);
+    the DF prune bounds any bucket at ``max_fp_df``; output pairs are
+    grouped map-side."""
+    from excelstream_spark.operators.image_hash import _is_degenerate
+
+    fp = F.col(fp_col)
+    sets = frame_fps.select(
+        F.col(id_col).alias("vid"), fp.alias("fp")
+    ).distinct()
+    if quarantine_degenerate:
+        sets = sets.where(~_is_degenerate(F.col("fp")))
+    if max_fp_df is not None:
+        hot = (
+            sets.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > max_fp_df)
+            .select("fp")
+        )
+        sets = sets.join(F.broadcast(hot), "fp", "left_anti")
+    sizes = sets.groupBy("vid").agg(F.count(F.lit(1)).alias("n"))
+    lhs = sets.select(F.col("vid").alias("vid_a"), "fp")
+    rhs = sets.select(F.col("vid").alias("vid_b"), "fp")
+    pairs = (
+        lhs.join(rhs, "fp")
+        .where(F.col("vid_a") < F.col("vid_b"))
+        .groupBy("vid_a", "vid_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .join(sizes.select(F.col("vid").alias("vid_a"), F.col("n").alias("na")), "vid_a")
+        .join(sizes.select(F.col("vid").alias("vid_b"), F.col("n").alias("nb")), "vid_b")
+        .withColumn(
+            "containment",
+            F.col("inter") / F.least(F.col("na"), F.col("nb")),
+        )
+        .where(F.col("containment") >= F.lit(threshold))
+        .select("vid_a", "vid_b", "inter", "na", "nb", "containment")
+    )
+    return pairs

@@ -1804,3 +1804,60 @@ def training_pipeline_v5_oracle(
                    AS content_hash
         FROM survv5 GROUP BY shard
     """
+
+
+def video_frame_fp_oracle(src: str = "documents") -> str:
+    """DuckDB replay of operators/video.video_frame_fingerprints over
+    the synthesized APNG fixture (video.synthesize_video_payloads):
+    8x8 grayscale frames whose pixels are pure doc_id arithmetic
+    (frame ``f`` pixel ``i`` = ``(doc_id*31 + f*101 + i*i*13 + i*7) %
+    256``, 2 + doc_id%3 frames).  At 8x8 the aHash resample is the
+    IDENTITY (``((ty*8)//8)*8 + ((tx*8)//8) = ty*8+tx``), so the cells
+    read pixels directly; dHash samples the 9-column grid via
+    ``(tx*8)//9``.  -> (doc_id, frame_idx, n_frames, fp_a, fp_b)."""
+    a = _WRAP64.format(x="a.ub")
+    dh = _WRAP64.format(x="d9.ub")
+    px = "(doc_id * 31 + f * 101 + ({i}) * ({i}) * 13 + ({i}) * 7) % 256"
+    return f"""
+        WITH vids AS (SELECT doc_id, CAST(2 + doc_id % 3 AS INT) AS nf
+                      FROM {src} WHERE doc_id IS NOT NULL),
+        vframes AS (SELECT doc_id, nf, t.f
+                    FROM vids, unnest(generate_series(0, 4)) AS t(f)
+                    WHERE t.f < nf),
+        vcells AS (
+          SELECT doc_id, f, t1.ty, t2.tx,
+                 {px.format(i="t1.ty * 8 + t2.tx")} AS g
+          FROM vframes,
+               unnest(generate_series(0, 7)) AS t1(ty),
+               unnest(generate_series(0, 7)) AS t2(tx)),
+        vtot AS (SELECT doc_id, f, sum(g) AS total
+                 FROM vcells GROUP BY doc_id, f),
+        vabits AS (
+          SELECT c.doc_id, c.f,
+                 coalesce(sum(CASE WHEN c.g * 64 > t.total
+                              THEN (1::HUGEINT << (c.ty * 8 + c.tx))
+                              END), 0::HUGEINT) AS ub
+          FROM vcells c JOIN vtot t USING (doc_id, f)
+          GROUP BY c.doc_id, c.f),
+        vcells9 AS (
+          SELECT doc_id, f, t1.ty, t2.tx,
+                 {px.format(i="t1.ty * 8 + (t2.tx * 8) // 9")} AS g
+          FROM vframes,
+               unnest(generate_series(0, 7)) AS t1(ty),
+               unnest(generate_series(0, 8)) AS t2(tx)),
+        vdbits AS (
+          SELECT l.doc_id, l.f,
+                 coalesce(sum(CASE WHEN r.g > l.g
+                              THEN (1::HUGEINT << (l.ty * 8 + l.tx))
+                              END), 0::HUGEINT) AS ub
+          FROM vcells9 l JOIN vcells9 r
+            ON l.doc_id = r.doc_id AND l.f = r.f AND l.ty = r.ty
+           AND r.tx = l.tx + 1
+          WHERE l.tx < 8
+          GROUP BY l.doc_id, l.f)
+        SELECT v.doc_id, CAST(v.f AS INT) AS frame_idx,
+               v.nf AS n_frames, {a} AS fp_a, {dh} AS fp_b
+        FROM vframes v
+        JOIN vabits a ON a.doc_id = v.doc_id AND a.f = v.f
+        JOIN vdbits d9 ON d9.doc_id = v.doc_id AND d9.f = v.f
+    """
