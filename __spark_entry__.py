@@ -68,7 +68,13 @@ components -> ``dedup_keep_best`` -> shard manifest) rotates in over
 ``multimodal_resize_sample``; ``dedup_ngram_containment`` and
 ``join_range`` FOLD out per policy rule 4 (identical-plan /
 semantics-superset rows stay registered; hash gates moved verbatim
-to tests/test_catalog_oracle.py).
+to tests/test_catalog_oracle.py).  Late-r10 the VIDEO family (real
+APNG decode + frame-level dedup, operators/video.py) got its
+hard-signal row in the same round: ``video_dedup_containment``
+(full-chain oracle — decode, aHash/dHash, skew prunes, containment
+close) rotates in over ``multimodal_features``, funded by FOLDING
+``dedup_exact`` (rule 4 strongest form — its shape lives in v1/v4's
+composed in-window oracles; gate moved to pytest).  Still 75 = 50+25.
 """
 
 from __future__ import annotations

@@ -862,8 +862,8 @@ def main() -> None:
     # decode+hash pipeline
     run_catalog("multimodal_fingerprints")
 
-    # video dedup (r10, new family — pytest-oracled this round, catalog
-    # row next rotation per the PQ precedent): synthesize REAL APNG
+    # video dedup (r10, new family — hash-gated driver row
+    # video_dedup_containment registered late-r10): synthesize REAL APNG
     # clips + per-frame aHash/dHash (zero-shuffle Arrow scan) + the
     # frame-set containment close (inverted index on the fingerprint,
     # degenerate quarantine + DF cap ahead of set sizing)

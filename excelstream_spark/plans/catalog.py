@@ -145,7 +145,27 @@ PRIORITY: tuple[str, ...] = (
 #:     both DuckDB hash gates moved verbatim to
 #:     tests/test_catalog_oracle.py — no hash-level check was lost and
 #:     the tail stays at its 25-entry soft cap (registered total 75).
+#: r10 LATE rotation (the video family's hard-signal row, the PQ
+#: precedent executed within the same round):
+#:   video_dedup_containment (NEW row — REAL APNG decode -> per-frame
+#:     aHash/dHash -> frame-set containment close with the production
+#:     skew bounds, the whole chain replayed arithmetically in SQL)
+#:     promoted in-window over multimodal_features;
+#:   dedup_exact FOLDED out of the catalog entirely (policy rule 4,
+#:     STRONGEST form — the annotation it carried since r8 already
+#:     stated it: the md5-groupBy min-id shape is wholly contained in
+#:     BOTH training_corpus_pipeline (v1) and v4's in-window composed
+#:     oracles); its DuckDB hash gate moved verbatim to
+#:     tests/test_catalog_oracle.py::test_folded_dedup_exact_oracle —
+#:     no hash-level check was lost and the tail stays at its 25-entry
+#:     soft cap (registered total 75).
 DEMOTED: tuple[str, ...] = (
+    "multimodal_features",  # r10 late rotation: funds the promoted
+    # video_dedup_containment row (the video family's hard-signal row);
+    # the multimodal family keeps multimodal_fingerprints,
+    # training_corpus_pipeline_v5 AND the new video row in-window
+    # (policy rule 3), and the decode/feature row keeps its bench leg,
+    # its oracle and the pytest hash sweep
     "multimodal_resize_sample",  # r10 rotation (verdict #2): funds the
     # promoted training_corpus_pipeline_v5 row; the multimodal family
     # keeps multimodal_features, multimodal_fingerprints AND v5
@@ -170,13 +190,11 @@ DEMOTED: tuple[str, ...] = (
     # dedup_embedding_lsh in-window (policy rule 3), and the int8
     # quantized top-k stays hash-verified via pytest's full-catalog
     # sweep plus its bench leg
-    "dedup_exact",  # r8 late rotation: funds the promoted
-    # training_corpus_pipeline_v4 row (the full composed pretraining
-    # build: clean -> classifier cut -> exact dedup -> shard manifest);
-    # rule 4's strongest-form exception — the md5-groupBy min-id shape
-    # is wholly contained in BOTH training_corpus_pipeline (v1) and
-    # v4's in-window oracles, and the standalone row stays
-    # hash-verified via pytest's full-catalog sweep + its bench leg
+    # (dedup_exact left this tail late-r10 by FOLDING: unregistered
+    # entirely — policy rule 4 strongest form, funding the
+    # video_dedup_containment promotion; its hash gate moved verbatim
+    # to tests/test_catalog_oracle.py and the md5-groupBy min-id shape
+    # stays in-window inside v1's and v4's composed oracles)
     "pivot_status",  # r8 rotation (verdict #2): funds the promoted
     # bpe_train_merges row (newly hash-gated — the unrolled-merge-CTE
     # oracle closes the catalog's lone rows-only hole); the aggregation

@@ -169,17 +169,23 @@ def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Dedup
 # --------------------------------------------------------------------------
 
-@query(
-    "dedup_exact",
-    oracle=f"""
-        SELECT min(doc_id) AS doc_id, fp
-        FROM (SELECT doc_id, md5({_SQL_NORM}) AS fp FROM documents)
-        GROUP BY fp
-    """,
-    tags=("dedup",),
-)
+#: dedup_exact's former registered oracle — FOLDED out of the catalog
+#: late-r10 (policy rule 4, strongest form: the md5-groupBy min-id
+#: shape is wholly contained in BOTH training_corpus_pipeline (v1) and
+#: v4's in-window composed oracles).  The hash gate moved verbatim to
+#: tests/test_catalog_oracle.py::test_folded_dedup_exact_oracle.
+_SQL_DEDUP_EXACT = f"""
+    SELECT min(doc_id) AS doc_id, fp
+    FROM (SELECT doc_id, md5({_SQL_NORM}) AS fp FROM documents)
+    GROUP BY fp
+"""
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup on normalized-text fingerprint, min-id representative."""
+    """Exact dedup on normalized-text fingerprint, min-id representative.
+
+    Folded out of the catalog late-r10 (rule 4 strongest form — see
+    _SQL_DEDUP_EXACT above); still hash-gated in pytest."""
     return DD.dedup_exact(_docs(spark, sf_dir))
 
 
@@ -1554,6 +1560,48 @@ def multimodal_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir).where(F.col("doc_id").isNotNull())
     return fp_op(MM.synthesize_payloads(docs))
+
+
+@query(
+    "video_dedup_containment",
+    oracle=ORC.video_containment_oracle(),
+    tags=("multimodal", "video", "dedup"),
+)
+def video_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level video near-dup (operators/video.py — the r10 family's
+    hard-signal row, promoted late-r10 per the PQ precedent): synthesize
+    REAL APNG clips (8x8 grayscale frames of pure doc_id arithmetic,
+    ``n_frames = 2 + doc_id % 3``), decode them with the repo's own PNG
+    codec (acTL/fcTL/fdAT chunk walk — every frame an ordinary
+    zlib+filtered image), hash each frame to the image family's
+    integer-exact 64-bit aHash/dHash, then close video pairs by
+    FRAME-SET CONTAINMENT: distinct per-video fingerprint sets,
+    ``|A ∩ B| / min(|A|, |B|) >= 0.8`` — the published frame-sampling
+    video-dedup rule (a re-encode shares ~every frame hash; a clip
+    embedded in a longer compilation scores ~1 on its own side).  The
+    operator runs its production skew bounds (degenerate popcount-0/64
+    quarantine + the ``max_fp_df`` hot-frame document-frequency cap,
+    both BEFORE set sizes so containment stays a ratio over one space)
+    and the oracle replays decode, both hashes, both prunes, the
+    inverted-index intersection and the ratio filter arithmetically in
+    SQL — the gate proves the whole chain bit-for-bit.
+
+    100 TB shape: decode + hashing is zero-shuffle Arrow scan work; the
+    containment join moves one row per (video, distinct-frame-hash),
+    every bucket bounded by the DF cap."""
+    from excelstream_spark.operators.video import (
+        dedup_video_containment as vc_op,
+    )
+    from excelstream_spark.operators.video import (
+        synthesize_video_payloads,
+        video_frame_fingerprints,
+    )
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id").isNotNull())
+    return vc_op(
+        video_frame_fingerprints(synthesize_video_payloads(docs)),
+        threshold=0.8,
+    )
 
 
 @query(

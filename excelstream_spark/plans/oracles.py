@@ -1861,3 +1861,39 @@ def video_frame_fp_oracle(src: str = "documents") -> str:
         JOIN vabits a ON a.doc_id = v.doc_id AND a.f = v.f
         JOIN vdbits d9 ON d9.doc_id = v.doc_id AND d9.f = v.f
     """
+
+
+def video_containment_oracle(
+    src: str = "documents",
+    threshold: float = 0.8,
+    max_fp_df: int = 10_000,
+) -> str:
+    """DuckDB replay of operators/video.dedup_video_containment over
+    the synthesized APNG fixture — the FULL close on top of
+    :func:`video_frame_fp_oracle`: distinct per-video frame-fp sets
+    with degenerate fingerprints (popcount 0/64) quarantined and
+    hot fingerprints (document frequency > ``max_fp_df``) pruned
+    BEFORE set sizes are counted, inverted-index intersection, and
+    the |A∩B|/min(|A|,|B|) ratio filter.  At fixture scale the DF
+    prune is numerically a no-op (the hottest fingerprint sits far
+    below 10k videos) but it is stated in SQL so the oracle replays
+    the operator's production default, not a simplification."""
+    return f"""
+        WITH vf AS ({video_frame_fp_oracle(src)}),
+        s0 AS (SELECT DISTINCT doc_id AS vid, fp_a AS fp FROM vf
+               WHERE bit_count(fp_a) NOT IN (0, 64)),
+        s AS (SELECT vid, fp FROM s0
+              WHERE fp NOT IN (SELECT fp FROM s0 GROUP BY fp
+                               HAVING count(*) > {max_fp_df})),
+        sz AS (SELECT vid, count(*) AS n FROM s GROUP BY vid),
+        p AS (SELECT a.vid AS vid_a, b.vid AS vid_b,
+                     CAST(count(*) AS BIGINT) AS inter
+              FROM s a JOIN s b ON a.fp = b.fp AND a.vid < b.vid
+              GROUP BY 1, 2)
+        SELECT p.vid_a, p.vid_b, p.inter, na.n AS na, nb.n AS nb,
+               p.inter * 1.0 / least(na.n, nb.n) AS containment
+        FROM p
+        JOIN sz na ON na.vid = p.vid_a
+        JOIN sz nb ON nb.vid = p.vid_b
+        WHERE p.inter * 1.0 / least(na.n, nb.n) >= {threshold}
+    """

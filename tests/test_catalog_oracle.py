@@ -160,6 +160,7 @@ def test_driver_window_arithmetic():
         # (multimodal_resize_sample rotated to the tail in r10, funding
         # v5 — the multimodal family keeps features/fingerprints/v5)
         "multimodal_fingerprints",
+        "video_dedup_containment",  # r10 late: the video family's row
         "dedup_minhash_lsh",
         "sort_topk",
     ):
@@ -183,6 +184,21 @@ def test_folded_dedup_ngram_containment_oracle(spark, duck):
         f"""SELECT * FROM ({_SQL_CONTAINMENT_PAIRS})
             WHERE greatest(cont_a, cont_b) >= 0.8""",
     )
+
+
+def test_folded_dedup_exact_oracle(spark, duck):
+    """dedup_exact's DuckDB hash gate, moved verbatim from the
+    folded-out catalog row (late r10, policy rule 4 strongest form —
+    funding the video_dedup_containment promotion): the md5-groupBy
+    min-id shape stays in-window inside training_corpus_pipeline (v1)
+    and v4's composed oracles, and the standalone operator keeps the
+    same hash-level check it had as a registered entry."""
+    from excelstream_spark.plans.extension import (
+        _SQL_DEDUP_EXACT,
+        dedup_exact,
+    )
+
+    assert_matches_oracle(dedup_exact(spark, SF_DIR), duck, _SQL_DEDUP_EXACT)
 
 
 def test_folded_join_range_oracle(spark, duck):
