@@ -41,6 +41,17 @@ document frequency of any remaining hot frame hash (the
 max_shingle_df convention) so intro/outro boilerplate frames shared
 by a million clips cannot form a quadratic join bucket.
 
+Serving forms (late r10, the incremental-family conventions):
+:func:`video_fp_sets` is the shared pruned-set definition,
+:func:`save_video_fp_artifact` stores it fp-bucketed with build-time
+sizes, :func:`video_increment_containment` scores new clips against
+the stored corpus with only the increment shuffling, and
+:func:`video_dedup_gate` is the stateless broadcast-blocklist gate
+(identical decision, runs unchanged under Structured Streaming).
+:func:`synthesize_diverse_video_payloads` is the scale-measurement
+fixture (md5-diverse clips, linear duplicate structure) — the oracle
+fixture deliberately saturates its 768-clip space instead.
+
 The reference engine (KSD-CO/excelstream) has no media surface; this
 extends the multimodal family (SURVEY.md §2 extensions, the brief's
 image/audio/VIDEO requirement).
@@ -235,6 +246,63 @@ def synthesize_video_payloads(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(gen, schema=schema)
 
 
+def synthesize_diverse_video_payloads(docs: DataFrame) -> DataFrame:
+    """Scale-measurement video fixture: REAL APNG payloads whose frame
+    pixels come from md5 bytes, so every clip is CONTENT-UNIQUE except
+    a planted, bounded duplicate structure.
+
+    The oracle fixture (:func:`synthesize_video_payloads`) is 8-bit
+    arithmetic in ``doc_id`` — its reachable clip space has cardinality
+    768 (256 pixel phases x 3 frame counts), which is exactly right for
+    a hash gate (dense, SQL-replayable collisions) and exactly wrong
+    for a scale ladder: past ~10^3 videos every new clip lands in an
+    existing exact-dup class, so pair OUTPUT grows quadratically with
+    the corpus and a drift rung would time result materialization, not
+    the pipeline.  Here pixels are ``md5(copy:pair_key:frame:block)``
+    (64-bit-diverse), where ``copy = doc_id // 100_000_000`` (the bench
+    inflator's copy index) and ``pair_key`` twins each ``base%10 == 0``
+    document with its ``+1`` neighbor INSIDE the same copy: duplicate
+    classes have size exactly 2 regardless of corpus factor, so pair
+    count — and the containment join's work — scales linearly, the
+    shape real corpora have.  The twin's frame count still differs
+    (``2 + base%3`` vs ``2 + (base+1)%3``), making each twin pair a
+    genuine subset-containment (ratio 1 on the shorter side), not a
+    trivial equality.  One Arrow-batched ``mapInPandas``, zero
+    shuffle."""
+    import hashlib
+
+    import pandas as pd
+
+    schema = "doc_id bigint, payload binary"
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                copy, base = divmod(d, 100_000_000)
+                # namespace twins vs singles so a single's key can never
+                # collide with a twin pair's halved key (class size is
+                # exactly 2 or 1, never more)
+                pair_key = (
+                    f"t{base // 2}" if base % 10 < 2 else f"s{base}"
+                )
+                nf = 2 + base % 3
+                frames = []
+                for f in range(nf):
+                    px = b"".join(
+                        hashlib.md5(
+                            f"{copy}:{pair_key}:{f}:{blk}".encode()
+                        ).digest()
+                        for blk in range(4)
+                    )
+                    frames.append(px)
+                rows.append((d, encode_apng(8, 8, frames)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+
+
 def video_frame_fingerprints(
     videos: DataFrame,
     payload_col: str = "payload",
@@ -289,6 +357,235 @@ def video_frame_fingerprints(
     return videos.select(id_col, payload_col).mapInPandas(gen, schema=schema)
 
 
+def video_fp_sets(
+    frame_fps: DataFrame,
+    fp_col: str = "fp_a",
+    id_col: str = "doc_id",
+    max_fp_df: int | None = 10_000,
+    quarantine_degenerate: bool = True,
+) -> DataFrame:
+    """(vid, fp) — each video's DISTINCT frame-fingerprint set with the
+    family's skew bounds already applied: degenerate fingerprints
+    (popcount 0/64) quarantined, fingerprints present in more than
+    ``max_fp_df`` videos (boilerplate intro/outro frames) pruned via one
+    document-frequency groupBy + a broadcast anti-join.  This is both
+    the batch pair stage's input (:func:`dedup_video_containment`) and
+    the STORED corpus artifact for incremental serving
+    (:func:`save_video_fp_artifact` / :func:`video_increment_containment`)
+    — one definition, so batch and serving prune identically."""
+    from excelstream_spark.operators.image_hash import _is_degenerate
+
+    fp = F.col(fp_col)
+    sets = frame_fps.select(
+        F.col(id_col).alias("vid"), fp.alias("fp")
+    ).distinct()
+    if quarantine_degenerate:
+        sets = sets.where(~_is_degenerate(F.col("fp")))
+    if max_fp_df is not None:
+        hot = (
+            sets.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > max_fp_df)
+            .select("fp")
+        )
+        sets = sets.join(F.broadcast(hot), "fp", "left_anti")
+    return sets
+
+
+def video_fp_sizes(sets: DataFrame) -> DataFrame:
+    """(vid, n) — per-video surviving-set sizes, computed ONCE at
+    artifact-build time so serving never re-aggregates the corpus (a
+    vid-keyed groupBy over the whole corpus would shuffle it against
+    the artifact's fp bucketing)."""
+    return sets.groupBy("vid").agg(F.count(F.lit(1)).alias("n"))
+
+
+def save_video_fp_artifact(
+    sets: DataFrame, base_table: str, buckets: int = 64
+) -> None:
+    """Materialize a :func:`video_fp_sets` result as the two-table
+    serving artifact: ``{base}_sets`` BUCKETED + sorted on ``fp`` (the
+    incremental containment join's key — only the increment shuffles,
+    the incremental.py storage convention; at scale use
+    ``buckets=4096``) and ``{base}_sizes`` with the per-video
+    surviving-set sizes (driver-scale: one row per video)."""
+    (
+        sets.write.format("parquet")
+        .bucketBy(buckets, "fp")
+        .sortBy("fp")
+        .mode("overwrite")
+        .saveAsTable(f"{base_table}_sets")
+    )
+    (
+        video_fp_sizes(sets)
+        .write.format("parquet")
+        .mode("overwrite")
+        .saveAsTable(f"{base_table}_sizes")
+    )
+
+
+def video_increment_containment(
+    new_frame_fps: DataFrame,
+    corpus_sets: DataFrame,
+    corpus_sizes: DataFrame,
+    threshold: float = 0.8,
+    fp_col: str = "fp_a",
+    id_col: str = "doc_id",
+    quarantine_degenerate: bool = True,
+) -> DataFrame:
+    """(new_vid, corpus_vid, inter, n_new, n_corpus, containment) —
+    incoming clips scored against the STORED corpus without touching
+    corpus payloads: decode + hash only the increment, build its
+    pruned sets, join the inverted index once.
+
+    Consistency contract: the corpus side was pruned at BUILD time
+    (:func:`video_fp_sets` — degenerate quarantine + corpus-DF hot-frame
+    cap) and its sizes were counted then over that surviving space; the
+    increment side quarantines degenerates but applies NO df cap of its
+    own (an increment is too small to estimate document frequency —
+    corpus-hot fingerprints are simply absent from the stored side, so
+    they can never inflate an intersection; they DO count toward
+    ``n_new``, which only makes the gate conservative on boilerplate-
+    heavy new clips).  This is the production semantics: serve-time
+    decisions use corpus statistics computed at build time.
+
+    100 TB: with ``{base}_sets`` bucketed on ``fp`` only the
+    increment's (vid, fp) rows shuffle; ``corpus_sizes`` joins on the
+    pair output (bounded by the intersection), not the corpus."""
+    new_sets = video_fp_sets(
+        new_frame_fps,
+        fp_col=fp_col,
+        id_col=id_col,
+        max_fp_df=None,
+        quarantine_degenerate=quarantine_degenerate,
+    )
+    new_sizes = new_sets.groupBy("vid").agg(F.count(F.lit(1)).alias("n_new"))
+    pairs = (
+        new_sets.select(F.col("vid").alias("new_vid"), "fp")
+        .join(
+            corpus_sets.select(F.col("vid").alias("corpus_vid"), "fp"), "fp"
+        )
+        .groupBy("new_vid", "corpus_vid")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .join(new_sizes.select(F.col("vid").alias("new_vid"), "n_new"), "new_vid")
+        .join(
+            corpus_sizes.select(
+                F.col("vid").alias("corpus_vid"), F.col("n").alias("n_corpus")
+            ),
+            "corpus_vid",
+        )
+        .withColumn(
+            "containment",
+            F.col("inter") / F.least(F.col("n_new"), F.col("n_corpus")),
+        )
+        .where(F.col("containment") >= F.lit(threshold))
+        .select(
+            "new_vid", "corpus_vid", "inter", "n_new", "n_corpus",
+            "containment",
+        )
+    )
+    return pairs
+
+
+def video_dedup_gate(
+    videos: DataFrame,
+    corpus_sets,
+    corpus_sizes,
+    threshold: float = 0.8,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    quarantine_degenerate: bool = True,
+) -> DataFrame:
+    """STATELESS video-dedup gate (the media_dedup_gate shape for
+    clips): decode each arriving payload, hash its frames, and decide
+    against a broadcast corpus index with NO state store — the decision
+    is a pure function of (payload, corpus index), so redeliveries
+    re-decide identically and the same call runs under batch AND
+    Structured Streaming.
+
+    ``corpus_sets``: iterable of ``(fp, vid)`` rows — a collected
+    :func:`video_fp_sets` artifact (build-time pruned: degenerate
+    quarantine + corpus-DF cap).  ``corpus_sizes``: iterable of
+    ``(vid, n)`` rows — the build-time surviving-set sizes.  Both ship
+    with the task closure (the broadcast-the-model shape); this is the
+    curated-blocklist scale — for corpus-scale serving use the join
+    form (:func:`video_increment_containment`, same semantics, the
+    bucketed artifact).
+
+    Per clip: distinct aHash frame fingerprints (degenerates
+    quarantined, NO increment-side df cap — exactly
+    :func:`video_increment_containment`'s increment semantics), per
+    corpus-video intersection via the fp->videos index, containment =
+    ``inter / min(n_clip, n_corpus)``; ``is_dup`` when the best
+    containment >= ``threshold``.  Ties break to the lowest corpus
+    vid.  Undecodable payloads are dropped (a video gate has nothing
+    to say about them).
+
+    -> (doc_id, n_frames, n_set, best_vid, best_containment, is_dup)."""
+    import pandas as pd
+
+    from excelstream_spark.operators.image_hash import ahash_from_pixels
+
+    fp_to_vids: dict[int, list[int]] = {}
+    for fp, vid in corpus_sets:
+        fp_to_vids.setdefault(int(fp), []).append(int(vid))
+    sizes = {int(vid): int(n) for vid, n in corpus_sizes}
+    thr = float(threshold)
+    quarantine = bool(quarantine_degenerate)
+
+    schema = (
+        "doc_id bigint, n_frames int, n_set int, best_vid bigint, "
+        "best_containment double, is_dup boolean"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload) if payload is not None else b""
+                try:
+                    frames = apng_frame_arrays(payload)
+                except Exception:
+                    continue
+                fps = {ahash_from_pixels(a) for a in frames}
+                if quarantine:
+                    fps = {
+                        f for f in fps if bin(f).count("1") not in (0, 64)
+                    }
+                inter: dict[int, int] = {}
+                for f in fps:
+                    for vid in fp_to_vids.get(f, ()):
+                        inter[vid] = inter.get(vid, 0) + 1
+                best_vid, best_c = None, 0.0
+                for vid in sorted(inter):
+                    c = inter[vid] / min(len(fps), sizes[vid])
+                    if c > best_c:
+                        best_vid, best_c = vid, c
+                rows.append(
+                    (
+                        int(doc_id),
+                        len(frames),
+                        len(fps),
+                        best_vid,
+                        best_c if best_vid is not None else None,
+                        # a no-match clip is never a dup, even at
+                        # threshold 0 (best_c defaults to 0.0)
+                        best_vid is not None and best_c >= thr,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "n_set", "best_vid",
+                    "best_containment", "is_dup",
+                ],
+            )
+
+    return videos.select(id_col, payload_col).mapInPandas(
+        gen, schema=schema
+    )
+
+
 def dedup_video_containment(
     frame_fps: DataFrame,
     threshold: float = 0.8,
@@ -321,22 +618,13 @@ def dedup_video_containment(
     100 TB: the join moves one row per (video, distinct-frame-hash);
     the DF prune bounds any bucket at ``max_fp_df``; output pairs are
     grouped map-side."""
-    from excelstream_spark.operators.image_hash import _is_degenerate
-
-    fp = F.col(fp_col)
-    sets = frame_fps.select(
-        F.col(id_col).alias("vid"), fp.alias("fp")
-    ).distinct()
-    if quarantine_degenerate:
-        sets = sets.where(~_is_degenerate(F.col("fp")))
-    if max_fp_df is not None:
-        hot = (
-            sets.groupBy("fp")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .where(F.col("_df") > max_fp_df)
-            .select("fp")
-        )
-        sets = sets.join(F.broadcast(hot), "fp", "left_anti")
+    sets = video_fp_sets(
+        frame_fps,
+        fp_col=fp_col,
+        id_col=id_col,
+        max_fp_df=max_fp_df,
+        quarantine_degenerate=quarantine_degenerate,
+    )
     sizes = sets.groupBy("vid").agg(F.count(F.lit(1)).alias("n"))
     lhs = sets.select(F.col("vid").alias("vid_a"), "fp")
     rhs = sets.select(F.col("vid").alias("vid_b"), "fp")
