@@ -451,13 +451,21 @@ def video_increment_containment(
 
     100 TB: with ``{base}_sets`` bucketed on ``fp`` only the
     increment's (vid, fp) rows shuffle; ``corpus_sizes`` joins on the
-    pair output (bounded by the intersection), not the corpus."""
-    new_sets = video_fp_sets(
-        new_frame_fps,
-        fp_col=fp_col,
-        id_col=id_col,
-        max_fp_df=None,
-        quarantine_degenerate=quarantine_degenerate,
+    pair output (bounded by the intersection), not the corpus.  The
+    increment's decode+hash subtree feeds BOTH the fp join and the
+    n_new count, so it is scope-persisted (the
+    neardup_increment_winnow convention) — without it the expensive
+    Arrow scan executes twice per action."""
+    from excelstream_spark.operators.dedup import _scoped_persist
+
+    new_sets = _scoped_persist(
+        video_fp_sets(
+            new_frame_fps,
+            fp_col=fp_col,
+            id_col=id_col,
+            max_fp_df=None,
+            quarantine_degenerate=quarantine_degenerate,
+        )
     )
     new_sizes = new_sets.groupBy("vid").agg(F.count(F.lit(1)).alias("n_new"))
     pairs = (
@@ -549,8 +557,17 @@ def video_dedup_gate(
                     continue
                 fps = {ahash_from_pixels(a) for a in frames}
                 if quarantine:
+                    # two's-complement popcount (fingerprints are
+                    # signed-wrapped 64-bit: popcount-64 arrives as -1,
+                    # whose bin() magnitude popcount is 1) — keeps the
+                    # gate's quarantine identical to video_fp_sets'
+                    # F.bit_count prune if the gate is ever pointed at
+                    # dHash, where all-64-bits is reachable
+                    mask = (1 << 64) - 1
                     fps = {
-                        f for f in fps if bin(f).count("1") not in (0, 64)
+                        f
+                        for f in fps
+                        if bin(f & mask).count("1") not in (0, 64)
                     }
                 inter: dict[int, int] = {}
                 for f in fps:

@@ -353,28 +353,32 @@ def test_video_increment_shuffles_only_the_increment(spark, tmp_path):
     sets = video_fp_sets(
         video_frame_fingerprints(_clip_df(spark, corpus_rows))
     )
-    save_video_fp_artifact(sets, base, buckets=4)
-    inc_rows = [(201, encode_apng(16, 16, _frames(1, 3)))]
-    out = video_increment_containment(
-        video_frame_fingerprints(_clip_df(spark, inc_rows)),
-        spark.table(f"{base}_sets"),
-        spark.table(f"{base}_sizes"),
-        threshold=0.8,
-    )
-    assert {(r["new_vid"], r["corpus_vid"]) for r in out.collect()} == {
-        (201, 1)
-    }
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    # the corpus side reads its bucketed layout and its fp key is never
-    # re-shuffled anywhere in the plan (only the increment's rows move;
-    # every Exchange in the plan keys on vid aggregates)
-    sets_scan = [
-        ln for ln in plan.splitlines() if f"{base}_sets" in ln
-    ]
-    assert sets_scan and all("Bucketed: true" in ln for ln in sets_scan), (
-        plan[:2000]
-    )
-    assert "Exchange hashpartitioning(fp" not in plan, plan[:2000]
+    try:
+        save_video_fp_artifact(sets, base, buckets=4)
+        inc_rows = [(201, encode_apng(16, 16, _frames(1, 3)))]
+        out = video_increment_containment(
+            video_frame_fingerprints(_clip_df(spark, inc_rows)),
+            spark.table(f"{base}_sets"),
+            spark.table(f"{base}_sizes"),
+            threshold=0.8,
+        )
+        assert {
+            (r["new_vid"], r["corpus_vid"]) for r in out.collect()
+        } == {(201, 1)}
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the corpus side reads its bucketed layout and its fp key is
+        # never re-shuffled anywhere in the plan (only the increment's
+        # rows move; every Exchange in the plan keys on vid aggregates)
+        sets_scan = [
+            ln for ln in plan.splitlines() if f"{base}_sets" in ln
+        ]
+        assert sets_scan and all(
+            "Bucketed: true" in ln for ln in sets_scan
+        ), plan[:2000]
+        assert "Exchange hashpartitioning(fp" not in plan, plan[:2000]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {base}_sets")
+        spark.sql(f"DROP TABLE IF EXISTS {base}_sizes")
 
 
 def test_video_gate_matches_increment_join(spark):
