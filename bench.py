@@ -156,6 +156,10 @@ LEG_SCOPE = {
     "components_dedup_clusters": "meas-v4:r9 headline min includes the "
     "ladder 1x rung (see dedup_minhash_lsh; v3:r6 post-ladder steady "
     "state + the localCheckpoint-leak fix)",
+    "cm_sketch_estimate": "v1:r10 new leg (Count-Min frequency "
+    "sketch: 4x1024 counter-table build over all corpus tokens — "
+    "map-side partials bound the exchange at d*w rows/task — plus "
+    "broadcast-sketch point estimates for the doc_id%97 query slice)",
     "frequent_tokens": "v1:r9 new leg (Misra-Gries candidate sketches "
     "per partition + one broadcast-pruned exact recount, support "
     "1/1000 over documents)",
@@ -948,6 +952,35 @@ def main() -> None:
         if name in timings or name in POST_LADDER:
             continue
         run_catalog(name)
+
+    # Count-Min token-frequency sketch (late r10, completing the
+    # sketch family: membership / cardinality / heavy hitters /
+    # FREQUENCY): build the depth x width counter table (map-side
+    # partials bound the exchange at d*w rows per task regardless of
+    # token volume) and point-estimate a fixed query slice against the
+    # broadcast sketch — pytest-oracled this round, catalog row via
+    # rotation next round (the PQ/video precedent)
+    from excelstream_spark.functions.text import tokens as _cm_toks
+    from excelstream_spark.operators.sketches import (
+        cm_estimate as _cm_est,
+    )
+    from excelstream_spark.operators.sketches import (
+        cm_sketch_tokens as _cm_build,
+    )
+
+    def _cm_leg():
+        sk = _cm_build(docs_full.select("text"), depth=4, width=1024)
+        qs = docs_full.where(F.col("doc_id") % 97 == 0).select(
+            F.explode(
+                _cm_toks(F.coalesce(F.col("text"), F.lit("")))
+            ).alias("q")
+        )
+        return _cm_est(sk, qs, depth=4, width=1024)
+
+    run(
+        "cm_sketch_estimate",
+        lambda: noop_fp("cm_sketch_estimate", _cm_leg()),
+    )
 
     # -- scale ladder: the shuffle-heavy legs at 1x/3x/10x documents ----
     # Inflation prefixes every token of copy i with "c{i}·" so copies

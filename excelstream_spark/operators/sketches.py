@@ -48,7 +48,9 @@ the sketch is exact-replayable, so the driver hash gate covers it
 
 The reference engine (KSD-CO/excelstream) has no sketch surface; this
 extends the approximate-query family alongside the Bloom membership
-filter (`operators/bloom.py` — membership; this module — cardinality).
+filter (`operators/bloom.py` — membership; this module — cardinality
+via KMV, heavy hitters via Misra-Gries + exact recount, and point
+frequency via Count-Min, all deterministic and hash-gateable).
 """
 
 from __future__ import annotations
@@ -268,4 +270,124 @@ def frequent_tokens_mg(
         recount.crossJoin(F.broadcast(total))
         .where(F.col("cnt") * F.lit(den) > F.col("_n") * F.lit(num))
         .select("tok", "cnt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005) — frequency estimation
+# ---------------------------------------------------------------------------
+#
+# The fourth sketch in the family: membership (bloom.py), cardinality
+# (kmv_sketch), heavy hitters (frequent_tokens_mg), and now FREQUENCY —
+# "about how often does THIS key occur" for keys that are not heavy
+# enough for MG to retain, without a full-vocabulary groupBy.  The
+# 100 TB uses are the same sizing decisions the other sketches feed:
+# per-key shuffle-cost prediction (salt or not), posting-list length
+# estimates before building a BM25/winnowing index, and join-key skew
+# triage on keys discovered after the MG pass.
+#
+# Determinism (the family's hash-gate requirement): every counter is an
+# EXACT integer sum over deterministic md5-derived cells — unlike a
+# sampled or timing-dependent sketch there is no run-to-run variance,
+# so sketch AND estimates replay bit-for-bit in DuckDB.  The classic
+# "conservative update" variant is deliberately NOT offered: its
+# counter values depend on row visit order, which breaks both the
+# distributed merge (sketches of shards must sum) and the hash gate.
+#
+# 100 TB design: the build is one groupBy((row, col)) whose map-side
+# partial aggregation bounds every task's output at depth*width rows —
+# the exchange moves <= depth*width rows PER PARTITION no matter how
+# many tokens flow in, and the stored artifact is <= depth*width rows
+# total (kilobytes).  Shard sketches merge by summing cells (the KMV
+# union + re-cut convention, with + instead of min-k).  Estimates
+# broadcast the SKETCH (not the queries), left-join each query's depth
+# cells and take the min — absent cells coalesce to 0, preserving the
+# "estimate >= true count" one-sided guarantee.
+
+CM_DEFAULT_DEPTH = 4
+CM_DEFAULT_WIDTH = 1024
+
+
+def _cm_cell(expr: Column, row: int, width: int) -> Column:
+    """The row-``row`` counter column of ``expr``: 60-bit md5 of
+    ``"{row}:" || expr`` mod ``width`` (DuckDB replay:
+    ``('0x' || substr(md5(row || ':' || x), 1, 15))::BIGINT % width``)."""
+    return _h60(F.concat(F.lit(f"{row}:"), expr)) % F.lit(width)
+
+
+def cm_sketch(
+    df: DataFrame,
+    expr: Column,
+    depth: int = CM_DEFAULT_DEPTH,
+    width: int = CM_DEFAULT_WIDTH,
+) -> DataFrame:
+    """(row, col, cnt) — the Count-Min counter table of ``expr``'s
+    occurrences (NULLs skipped): ``cnt`` = exact number of occurrences
+    hashing to cell ``(row, col)``.  <= depth*width rows — THE stored
+    artifact; merge shard sketches by summing cnt per cell.  Estimate
+    error: est - true <= e/width * N with prob >= 1 - e^-depth per the
+    classic bound (w = ceil(e/eps), d = ceil(ln 1/delta))."""
+    el = df.select(expr.alias("x")).where(F.col("x").isNotNull())
+    cells = el.select(
+        F.posexplode(
+            F.array(*[_cm_cell(F.col("x"), j, width) for j in range(depth)])
+        ).alias("row", "col")
+    )
+    return cells.groupBy("row", "col").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cm_sketch_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    depth: int = CM_DEFAULT_DEPTH,
+    width: int = CM_DEFAULT_WIDTH,
+) -> DataFrame:
+    """Token-frequency Count-Min over a corpus (the repo tokenization
+    convention — TXT.tokens, empty edge tokens dropped)."""
+    from excelstream_spark.functions import text as TXT
+
+    toks = df.select(
+        F.explode(
+            TXT.tokens(F.coalesce(F.col(text_col), F.lit("")))
+        ).alias("tok")
+    )
+    return cm_sketch(toks, F.col("tok"), depth=depth, width=width)
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    queries: DataFrame,
+    query_col: str = "q",
+    depth: int = CM_DEFAULT_DEPTH,
+    width: int = CM_DEFAULT_WIDTH,
+) -> DataFrame:
+    """(q, est) — the Count-Min point estimate (min over the depth
+    counters) for every DISTINCT query key.  ``depth``/``width`` must
+    match the build (carried by the caller like bloom sizing —
+    mismatched sizing probes random cells).  An absent cell means no
+    occurrence hashed there: it counts as 0, keeping the one-sided
+    ``est >= true`` guarantee intact (an inner join would silently take
+    the min over fewer cells and could still overestimate a key whose
+    other cells are hot).
+
+    Plan: the queries explode to depth rows each and LEFT-join the
+    BROADCAST sketch (<= depth*width rows) — no shuffle of the sketch,
+    one groupBy over depth rows per query."""
+    qcells = (
+        queries.select(F.col(query_col).alias("q"))
+        .where(F.col("q").isNotNull())
+        .distinct()
+        .select(
+            "q",
+            F.posexplode(
+                F.array(
+                    *[_cm_cell(F.col("q"), j, width) for j in range(depth)]
+                )
+            ).alias("row", "col"),
+        )
+    )
+    return (
+        qcells.join(F.broadcast(sketch), ["row", "col"], "left")
+        .groupBy("q")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )

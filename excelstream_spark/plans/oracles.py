@@ -1897,3 +1897,42 @@ def video_containment_oracle(
         JOIN sz nb ON nb.vid = p.vid_b
         WHERE p.inter * 1.0 / least(na.n, nb.n) >= {threshold}
     """
+
+
+def cm_sketch_oracle(
+    depth: int = 4, width: int = 1024, src: str = "documents"
+) -> str:
+    """DuckDB replay of operators/sketches.cm_sketch_tokens: every
+    Count-Min cell hash (md5-60-bit of ``"{row}:" || tok`` mod width,
+    one per depth row) and every exact integer count.  -> (row, col,
+    cnt)."""
+    return f"""
+        WITH t AS (SELECT unnest({_toks("coalesce(text, '')")}) AS tok
+                   FROM {src}),
+        c AS (SELECT j.r AS row,
+                     ('0x' || substr(md5(CAST(j.r AS VARCHAR) || ':' || tok),
+                                     1, 15))::BIGINT % {width} AS col
+              FROM t, unnest(generate_series(0, {depth - 1})) AS j(r))
+        SELECT CAST(row AS INT) AS row, col, count(*)::BIGINT AS cnt
+        FROM c GROUP BY row, col
+    """
+
+
+def cm_estimate_oracle(
+    depth: int = 4, width: int = 1024, src: str = "documents"
+) -> str:
+    """DuckDB replay of operators/sketches.cm_estimate over every
+    distinct corpus token: min over the depth counters, absent cells
+    counting 0.  -> (q, est)."""
+    return f"""
+        WITH sk AS ({cm_sketch_oracle(depth, width, src)}),
+        t AS (SELECT DISTINCT unnest({_toks("coalesce(text, '')")}) AS q
+              FROM {src}),
+        qc AS (SELECT q, j.r AS row,
+                      ('0x' || substr(md5(CAST(j.r AS VARCHAR) || ':' || q),
+                                      1, 15))::BIGINT % {width} AS col
+               FROM t, unnest(generate_series(0, {depth - 1})) AS j(r))
+        SELECT qc.q, min(coalesce(sk.cnt, 0))::BIGINT AS est
+        FROM qc LEFT JOIN sk ON sk.row = qc.row AND sk.col = qc.col
+        GROUP BY qc.q
+    """

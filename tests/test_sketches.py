@@ -285,3 +285,121 @@ def test_frequent_tokens_mg_equals_exact_property(spark):
         assert got == want, (den, parts, docs)
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+from excelstream_spark.plans.oracles import (  # noqa: E402
+    cm_estimate_oracle as _cm_estimate_sql,
+    cm_sketch_oracle as _cm_sketch_sql,
+)
+
+
+def test_cm_sketch_vs_duckdb_oracle(spark, duck):
+    """The Count-Min counter table replays bit-for-bit in SQL: every
+    cell hash (md5-60-bit mod width, per depth row) and every exact
+    integer count — the sketch family's hash-gate convention."""
+    from excelstream_spark.operators.sketches import cm_sketch_tokens
+    from excelstream_spark.tables import load_table
+
+    from .conftest import SF_DIR, assert_matches_oracle
+
+    docs = load_table(spark, SF_DIR, "documents").select("text")
+    sk = cm_sketch_tokens(docs, depth=4, width=256)
+    assert_matches_oracle(sk, duck, _cm_sketch_sql(depth=4, width=256))
+
+
+def test_cm_estimate_vs_duckdb_and_one_sided_bound(spark, duck):
+    """Estimates replay in SQL too, and the classic one-sided guarantee
+    holds exactly: est >= true count for EVERY distinct token (absent
+    cells count as 0 via the left join, so a never-seen key estimates
+    0, not a spurious min over present cells)."""
+    from excelstream_spark.operators.sketches import (
+        cm_estimate,
+        cm_sketch_tokens,
+    )
+    from excelstream_spark.tables import load_table
+
+    from .conftest import SF_DIR, assert_matches_oracle
+
+    docs = load_table(spark, SF_DIR, "documents").select("text")
+    sk = cm_sketch_tokens(docs, depth=4, width=256).persist()
+    toks = docs.select(
+        F.explode_outer(
+            F.filter(
+                F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("q")
+    )
+    est = cm_estimate(sk, toks, depth=4, width=256)
+    assert_matches_oracle(
+        est, duck, _cm_estimate_sql(depth=4, width=256)
+    )
+    true = toks.groupBy("q").agg(F.count(F.lit(1)).alias("cnt"))
+    bad = (
+        est.join(true, "q")
+        .where(F.col("est") < F.col("cnt"))
+        .count()
+    )
+    assert bad == 0
+    # a key never inserted estimates 0 (all four cells may still be
+    # occupied by other keys at width 256 — so use a wide sketch)
+    wide = cm_sketch_tokens(docs, depth=4, width=1 << 20)
+    novel = spark.createDataFrame(
+        [("q-never-in-the-corpus-7f3a",)], "q string"
+    )
+    got = cm_estimate(wide, novel, depth=4, width=1 << 20).collect()
+    assert got[0]["est"] == 0
+    sk.unpersist()
+
+
+def test_cm_shard_merge_equals_whole(spark):
+    """Shard sketches merge by summing cells — the mergeability the
+    100 TB build relies on (sketch each shard, sum, estimate once)."""
+    from excelstream_spark.operators.sketches import cm_sketch_tokens
+    from excelstream_spark.tables import load_table
+
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").where(
+        F.col("doc_id").isNotNull()
+    )
+    whole = cm_sketch_tokens(docs.select("text"), depth=3, width=128)
+    a = cm_sketch_tokens(
+        docs.where(F.col("doc_id") % 2 == 0).select("text"),
+        depth=3,
+        width=128,
+    )
+    b = cm_sketch_tokens(
+        docs.where(F.col("doc_id") % 2 == 1).select("text"),
+        depth=3,
+        width=128,
+    )
+    merged = (
+        a.unionAll(b)
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_cm_build_exchange_is_partially_aggregated(spark):
+    """The build's exchange moves partial per-cell counts (<=
+    depth*width rows per task), never raw token rows: a partial
+    HashAggregate on (row, col) sits below the exchange."""
+    from excelstream_spark.operators.sketches import cm_sketch_tokens
+    from excelstream_spark.tables import load_table
+
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("text")
+    sk = cm_sketch_tokens(docs, depth=4, width=256)
+    sk.write.format("noop").mode("overwrite").save()
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    partial = plan.split("Exchange hashpartitioning(row")[1]
+    assert "partial_count" in partial, plan[:2000]
