@@ -49,8 +49,9 @@ the sketch is exact-replayable, so the driver hash gate covers it
 The reference engine (KSD-CO/excelstream) has no sketch surface; this
 extends the approximate-query family alongside the Bloom membership
 filter (`operators/bloom.py` — membership; this module — cardinality
-via KMV, heavy hitters via Misra-Gries + exact recount, and point
-frequency via Count-Min, all deterministic and hash-gateable).
+and set overlap via KMV, heavy hitters via Misra-Gries + exact
+recount, and point frequency via Count-Min, all deterministic and
+hash-gateable).
 """
 
 from __future__ import annotations
@@ -390,4 +391,70 @@ def cm_estimate(
         qcells.join(F.broadcast(sketch), ["row", "col"], "left")
         .groupBy("q")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )
+
+
+def kmv_jaccard(
+    sketch_a: DataFrame, sketch_b: DataFrame, k: int = DEFAULT_K
+) -> DataFrame:
+    """(n_union_seen, jaccard_est, union_est, inter_est) — KMV set-
+    operation estimates from two stored :func:`kmv_sketch` artifacts
+    (Beyer et al. 2007, "On synopses for distinct-value estimation
+    under multiset operations"): take the k smallest hashes of the
+    sketch UNION, count how many of those sit in BOTH sketches —
+    that fraction estimates the Jaccard similarity, and
+    ``inter_est = jaccard_est * union_est`` the intersection
+    cardinality.  Deterministic given the md5 hashes (the family's
+    hash-gate convention); with fewer than k union hashes every
+    estimate is EXACT (both sketches hold their full sets).
+
+    The 100 TB use this exists for: cheap CONTAMINATION TRIAGE —
+    estimate the distinct-shingle overlap between a training corpus
+    and each benchmark suite from kilobyte sketches BEFORE deciding
+    where to spend a full decontaminate() pass (whose cost is a scan
+    + broadcast join per suite).  Sketch once per corpus/suite, then
+    every pairwise overlap is driver-side arithmetic over <= 2k rows.
+
+    Plan cost: both sketches are <= k rows — unions, windows and
+    joins here are kilobyte-scale regardless of corpus size."""
+    a = sketch_a.select(F.col("h").alias("h"), F.lit(1).alias("_a"))
+    b = sketch_b.select(F.col("h").alias("h"), F.lit(1).alias("_b"))
+    u = (
+        a.select("h")
+        .unionAll(b.select("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+    w = Window.orderBy("h")
+    ranked = u.select(F.row_number().over(w).alias("rank"), "h")
+    marked = (
+        ranked.join(a.select("h", "_a").distinct(), "h", "left")
+        .join(b.select("h", "_b").distinct(), "h", "left")
+    )
+    agg = marked.agg(
+        F.count(F.lit(1)).alias("n_union_seen"),
+        F.sum(
+            F.when(
+                F.col("_a").isNotNull() & F.col("_b").isNotNull(), 1
+            ).otherwise(0)
+        ).alias("_n_both"),
+        F.max(F.when(F.col("rank") == k, F.col("h"))).alias("_hk"),
+    )
+    union_est = F.when(
+        F.col("n_union_seen") < F.lit(k),
+        F.col("n_union_seen").cast("double"),
+    ).otherwise(
+        F.floor(
+            F.lit((k - 1) * HASH_SPACE) / F.col("_hk").cast("double")
+        ).cast("double")
+    )
+    jac = F.col("_n_both").cast("double") / F.col("n_union_seen").cast(
+        "double"
+    )
+    return agg.select(
+        F.col("n_union_seen").cast("long").alias("n_union_seen"),
+        jac.alias("jaccard_est"),
+        union_est.alias("union_est"),
+        (jac * union_est).alias("inter_est"),
     )

@@ -1936,3 +1936,52 @@ def cm_estimate_oracle(
         FROM qc LEFT JOIN sk ON sk.row = qc.row AND sk.col = qc.col
         GROUP BY qc.q
     """
+
+
+def kmv_jaccard_oracle(
+    k: int = 256,
+    pred_a: str = "doc_id % 2 = 0",
+    pred_b: str = "doc_id % 2 = 1",
+    src: str = "documents",
+) -> str:
+    """DuckDB replay of operators/sketches.kmv_jaccard over the two
+    token sets selected by ``pred_a``/``pred_b``: per-side KMV sketch
+    (k smallest distinct md5-60-bit token hashes), k-cut union,
+    both-membership count, and the Beyer-et-al estimates — all
+    arithmetic, so the whole set-overlap pipeline hash-gates.
+    -> (n_union_seen, jaccard_est, union_est, inter_est)."""
+    kh = repr((k - 1) * float(1 << 60))
+    side = (
+        "SELECT DISTINCT ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h"
+        " FROM (SELECT unnest({toks}) AS tok FROM {src} WHERE {pred})"
+        " ORDER BY h LIMIT {k}"
+    )
+    t = _toks("coalesce(text, '')")
+    sa = side.format(toks=t, src=src, pred=pred_a, k=k)
+    sb = side.format(toks=t, src=src, pred=pred_b, k=k)
+    return f"""
+        WITH a AS ({sa}), b AS ({sb}),
+        u AS (SELECT h FROM (SELECT h FROM a UNION SELECT h FROM b)
+              ORDER BY h LIMIT {k}),
+        r AS (SELECT h, row_number() OVER (ORDER BY h) AS rank FROM u),
+        m AS (SELECT r.h, r.rank,
+                     (r.h IN (SELECT h FROM a)
+                      AND r.h IN (SELECT h FROM b)) AS in_both
+              FROM r),
+        agg AS (SELECT count(*) AS n_union_seen,
+                       sum(CASE WHEN in_both THEN 1 ELSE 0 END) AS n_both,
+                       max(CASE WHEN rank = {k} THEN h END) AS hk
+                FROM m)
+        SELECT CAST(n_union_seen AS BIGINT) AS n_union_seen,
+               CAST(n_both AS DOUBLE) / CAST(n_union_seen AS DOUBLE)
+                   AS jaccard_est,
+               CASE WHEN n_union_seen < {k}
+                    THEN CAST(n_union_seen AS DOUBLE)
+                    ELSE floor({kh} / CAST(hk AS DOUBLE)) END AS union_est,
+               (CAST(n_both AS DOUBLE) / CAST(n_union_seen AS DOUBLE))
+               * (CASE WHEN n_union_seen < {k}
+                       THEN CAST(n_union_seen AS DOUBLE)
+                       ELSE floor({kh} / CAST(hk AS DOUBLE)) END)
+                   AS inter_est
+        FROM agg
+    """

@@ -403,3 +403,73 @@ def test_cm_build_exchange_is_partially_aggregated(spark):
     plan = sk._jdf.queryExecution().executedPlan().toString()
     partial = plan.split("Exchange hashpartitioning(row")[1]
     assert "partial_count" in partial, plan[:2000]
+
+
+# ---------------------------------------------------------------------------
+# KMV set operations (Jaccard / intersection estimates)
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_jaccard_exact_below_k(spark):
+    """Below k the estimates are EXACT: two 6-element sets sharing 3
+    elements -> jaccard 3/9, union 9, intersection 3."""
+    from excelstream_spark.operators.sketches import kmv_jaccard
+
+    a = spark.createDataFrame([(f"x{i}",) for i in range(6)], "v string")
+    b = spark.createDataFrame(
+        [(f"x{i}",) for i in range(3, 9)], "v string"
+    )
+    sa = kmv_sketch(a, F.col("v"), k=64)
+    sb = kmv_sketch(b, F.col("v"), k=64)
+    row = kmv_jaccard(sa, sb, k=64).collect()[0]
+    assert row["n_union_seen"] == 9
+    assert abs(row["jaccard_est"] - 3 / 9) < 1e-12
+    assert row["union_est"] == 9.0
+    assert abs(row["inter_est"] - 3.0) < 1e-12
+
+
+def test_kmv_jaccard_vs_duckdb_oracle(spark, duck):
+    """The whole set-overlap pipeline replays in SQL: per-side
+    sketches, k-cut union, both-membership count, and the estimate
+    arithmetic — bit-for-bit (the contamination-triage primitive)."""
+    from excelstream_spark.functions import text as TXT
+    from excelstream_spark.operators.sketches import kmv_jaccard
+    from excelstream_spark.plans.oracles import kmv_jaccard_oracle
+    from excelstream_spark.tables import load_table
+
+    from .conftest import SF_DIR, assert_matches_oracle
+
+    docs = load_table(spark, SF_DIR, "documents")
+
+    def toks(pred):
+        return docs.where(pred).select(
+            F.explode(
+                TXT.tokens(F.coalesce(F.col("text"), F.lit("")))
+            ).alias("tok")
+        )
+
+    sa = kmv_sketch(toks(F.col("doc_id") % 2 == 0), F.col("tok"), k=128)
+    sb = kmv_sketch(toks(F.col("doc_id") % 2 == 1), F.col("tok"), k=128)
+    assert_matches_oracle(
+        kmv_jaccard(sa, sb, k=128), duck, kmv_jaccard_oracle(k=128)
+    )
+
+
+def test_kmv_jaccard_accuracy_at_scale(spark):
+    """Above k the estimates stay close to truth: two 4000-element
+    sets with 2000 shared (true J = 1/3) at k=256 land within the
+    sketch's ~3-sigma band."""
+    from excelstream_spark.operators.sketches import kmv_jaccard
+
+    a = spark.createDataFrame(
+        [(f"v{i}",) for i in range(4000)], "v string"
+    )
+    b = spark.createDataFrame(
+        [(f"v{i}",) for i in range(2000, 6000)], "v string"
+    )
+    sa = kmv_sketch(a, F.col("v"), k=256)
+    sb = kmv_sketch(b, F.col("v"), k=256)
+    row = kmv_jaccard(sa, sb, k=256).collect()[0]
+    assert abs(row["jaccard_est"] - 1 / 3) < 0.10
+    assert abs(row["union_est"] - 6000) / 6000 < 0.20
+    assert abs(row["inter_est"] - 2000) / 2000 < 0.35
