@@ -922,36 +922,6 @@ def main() -> None:
     # persist on entry)
     run_catalog("embedding_kmeans_clusters")
 
-    # round-4 extension legs (wall-clock accountability for the operators
-    # that joined the driver window this round); kept OUT of the headline
-    # total so "value" stays leg-comparable with BENCH_r02/r03
-    EXTENSION_LEGS = [
-        "dedup_simhash",
-        "components_dedup_clusters",
-        "streaming_xlsx_sink",
-        "chunk_documents",  # timed above (not a catalog entry)
-        "training_corpus_pipeline_v2",  # r7: the composed quality ->
-        # PII -> CDC substring dedup -> LSH+components chain
-        "training_corpus_pipeline_v4",  # r8: the full pretraining
-        # build — twins -> NFC -> C4 -> PII -> classifier cut ->
-        # exact dedup -> shard manifest, one flow
-        "frequent_tokens",  # r9 (verdict #4): MG heavy hitters +
-        # broadcast-pruned exact recount — the hot-key discovery
-        # primitive gets its wall-clock row
-        "training_corpus_pipeline_v5",  # r10: the multimodal capstone
-        # — image twins -> fingerprints -> banded pair stage ->
-        # components -> keep-best -> shard manifest, one flow
-        "sim_pq_topk_reranked",  # r10: the PQ family's catalog row
-        # (init codebook + inline train/encode + ADC + re-rank).
-        # DISTINCT from the near-namesake sim_topk_pq_reranked direct
-        # leg above: that one prices SERVING against a prebuilt k=256
-        # trained-codebook artifact; this one prices the whole
-        # hash-gated composition including codebook init and encode
-    ]
-    for name in EXTENSION_LEGS:
-        if name in timings or name in POST_LADDER:
-            continue
-        run_catalog(name)
 
     # Count-Min token-frequency sketch (late r10, completing the
     # sketch family: membership / cardinality / heavy hitters /
@@ -981,6 +951,41 @@ def main() -> None:
         "cm_sketch_estimate",
         lambda: noop_fp("cm_sketch_estimate", _cm_leg()),
     )
+
+    # round-4 extension legs (wall-clock accountability for the operators
+    # that joined the driver window this round); kept OUT of the headline
+    # total so "value" stays leg-comparable with BENCH_r02/r03
+    EXTENSION_LEGS = [
+        "dedup_simhash",
+        "components_dedup_clusters",
+        "streaming_xlsx_sink",
+        "chunk_documents",  # timed above (not a catalog entry)
+        "training_corpus_pipeline_v2",  # r7: the composed quality ->
+        # PII -> CDC substring dedup -> LSH+components chain
+        "training_corpus_pipeline_v4",  # r8: the full pretraining
+        # build — twins -> NFC -> C4 -> PII -> classifier cut ->
+        # exact dedup -> shard manifest, one flow
+        "frequent_tokens",  # r9 (verdict #4): MG heavy hitters +
+        # broadcast-pruned exact recount — the hot-key discovery
+        # primitive gets its wall-clock row
+        "training_corpus_pipeline_v5",  # r10: the multimodal capstone
+        # — image twins -> fingerprints -> banded pair stage ->
+        # components -> keep-best -> shard manifest, one flow
+        "cm_sketch_estimate",  # late r10: Count-Min build + broadcast
+        # point estimates — timed above (not a catalog entry yet, the
+        # chunk_documents pattern); joins value_with_extension_legs so
+        # the sketch leg is total-accountable like frequent_tokens
+        "sim_pq_topk_reranked",  # r10: the PQ family's catalog row
+        # (init codebook + inline train/encode + ADC + re-rank).
+        # DISTINCT from the near-namesake sim_topk_pq_reranked direct
+        # leg above: that one prices SERVING against a prebuilt k=256
+        # trained-codebook artifact; this one prices the whole
+        # hash-gated composition including codebook init and encode
+    ]
+    for name in EXTENSION_LEGS:
+        if name in timings or name in POST_LADDER:
+            continue
+        run_catalog(name)
 
     # -- scale ladder: the shuffle-heavy legs at 1x/3x/10x documents ----
     # Inflation prefixes every token of copy i with "c{i}·" so copies

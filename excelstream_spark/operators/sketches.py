@@ -73,6 +73,18 @@ def _h60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
+def _kmv_est(n_col: Column, hk_col: Column, k: int) -> Column:
+    """The KMV estimator expression over (count, k-th-min hash): exact
+    below k, (k-1)*H/h_k floored otherwise — ONE definition shared by
+    kmv_estimate, kmv_distinct_tokens_by_group and kmv_jaccard so the
+    arithmetic (and its DuckDB replays) can never drift apart."""
+    return F.when(n_col < F.lit(k), n_col.cast("double")).otherwise(
+        F.floor(
+            F.lit((k - 1) * HASH_SPACE) / hk_col.cast("double")
+        ).cast("double")
+    )
+
+
 def kmv_sketch(
     df: DataFrame, expr: Column, k: int = DEFAULT_K
 ) -> DataFrame:
@@ -100,13 +112,7 @@ def kmv_estimate(sketch: DataFrame, k: int = DEFAULT_K) -> DataFrame:
         F.count(F.lit(1)).alias("n_seen"),
         F.max(F.when(F.col("rank") == k, F.col("h"))).alias("_hk"),
     )
-    est = F.when(
-        F.col("n_seen") < F.lit(k), F.col("n_seen").cast("double")
-    ).otherwise(
-        F.floor(
-            F.lit((k - 1) * HASH_SPACE) / F.col("_hk").cast("double")
-        ).cast("double")
-    )
+    est = _kmv_est(F.col("n_seen"), F.col("_hk"), k)
     return agg.select(
         F.col("n_seen").cast("long").alias("n_seen"), est.alias("est")
     )
@@ -146,13 +152,7 @@ def kmv_distinct_tokens_by_group(
         F.count(F.lit(1)).alias("n_seen"),
         F.max(F.when(F.col("rank") == k, F.col("h"))).alias("_hk"),
     )
-    est = F.when(
-        F.col("n_seen") < F.lit(k), F.col("n_seen").cast("double")
-    ).otherwise(
-        F.floor(
-            F.lit((k - 1) * HASH_SPACE) / F.col("_hk").cast("double")
-        ).cast("double")
-    )
+    est = _kmv_est(F.col("n_seen"), F.col("_hk"), k)
     return agg.select(
         F.col("grp").alias(group_col),
         F.col("n_seen").cast("long").alias("n_seen"),
@@ -416,9 +416,19 @@ def kmv_jaccard(
     every pairwise overlap is driver-side arithmetic over <= 2k rows.
 
     Plan cost: both sketches are <= k rows — unions, windows and
-    joins here are kilobyte-scale regardless of corpus size."""
-    a = sketch_a.select(F.col("h").alias("h"), F.lit(1).alias("_a"))
-    b = sketch_b.select(F.col("h").alias("h"), F.lit(1).alias("_b"))
+    joins here are kilobyte-scale regardless of corpus size.  Each
+    input feeds TWO plan subtrees (the union k-cut and the membership
+    join), so both are scope-persisted: an inline-composed sketch
+    (kmv_sketch over a fresh corpus scan) would otherwise execute its
+    whole upstream pipeline twice per side."""
+    from excelstream_spark.operators.dedup import _scoped_persist
+
+    a = _scoped_persist(
+        sketch_a.select(F.col("h").alias("h"), F.lit(1).alias("_a"))
+    )
+    b = _scoped_persist(
+        sketch_b.select(F.col("h").alias("h"), F.lit(1).alias("_b"))
+    )
     u = (
         a.select("h")
         .unionAll(b.select("h"))
@@ -441,14 +451,7 @@ def kmv_jaccard(
         ).alias("_n_both"),
         F.max(F.when(F.col("rank") == k, F.col("h"))).alias("_hk"),
     )
-    union_est = F.when(
-        F.col("n_union_seen") < F.lit(k),
-        F.col("n_union_seen").cast("double"),
-    ).otherwise(
-        F.floor(
-            F.lit((k - 1) * HASH_SPACE) / F.col("_hk").cast("double")
-        ).cast("double")
-    )
+    union_est = _kmv_est(F.col("n_union_seen"), F.col("_hk"), k)
     jac = F.col("_n_both").cast("double") / F.col("n_union_seen").cast(
         "double"
     )

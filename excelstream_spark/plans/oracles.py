@@ -1899,6 +1899,16 @@ def video_containment_oracle(
     """
 
 
+def _cm_cell_sql(expr: str, width: int) -> str:
+    """The Count-Min cell hash in SQL — must match
+    operators/sketches._cm_cell exactly (one definition for both the
+    sketch and the estimate oracles, the _toks convention)."""
+    return (
+        "('0x' || substr(md5(CAST(j.r AS VARCHAR) || ':' || "
+        f"{expr}), 1, 15))::BIGINT % {width}"
+    )
+
+
 def cm_sketch_oracle(
     depth: int = 4, width: int = 1024, src: str = "documents"
 ) -> str:
@@ -1909,9 +1919,7 @@ def cm_sketch_oracle(
     return f"""
         WITH t AS (SELECT unnest({_toks("coalesce(text, '')")}) AS tok
                    FROM {src}),
-        c AS (SELECT j.r AS row,
-                     ('0x' || substr(md5(CAST(j.r AS VARCHAR) || ':' || tok),
-                                     1, 15))::BIGINT % {width} AS col
+        c AS (SELECT j.r AS row, {_cm_cell_sql("tok", width)} AS col
               FROM t, unnest(generate_series(0, {depth - 1})) AS j(r))
         SELECT CAST(row AS INT) AS row, col, count(*)::BIGINT AS cnt
         FROM c GROUP BY row, col
@@ -1928,9 +1936,7 @@ def cm_estimate_oracle(
         WITH sk AS ({cm_sketch_oracle(depth, width, src)}),
         t AS (SELECT DISTINCT unnest({_toks("coalesce(text, '')")}) AS q
               FROM {src}),
-        qc AS (SELECT q, j.r AS row,
-                      ('0x' || substr(md5(CAST(j.r AS VARCHAR) || ':' || q),
-                                      1, 15))::BIGINT % {width} AS col
+        qc AS (SELECT q, j.r AS row, {_cm_cell_sql("q", width)} AS col
                FROM t, unnest(generate_series(0, {depth - 1})) AS j(r))
         SELECT qc.q, min(coalesce(sk.cnt, 0))::BIGINT AS est
         FROM qc LEFT JOIN sk ON sk.row = qc.row AND sk.col = qc.col

@@ -326,12 +326,11 @@ def test_cm_estimate_vs_duckdb_and_one_sided_bound(spark, duck):
 
     docs = load_table(spark, SF_DIR, "documents").select("text")
     sk = cm_sketch_tokens(docs, depth=4, width=256).persist()
+    from excelstream_spark.functions import text as TXT
+
     toks = docs.select(
-        F.explode_outer(
-            F.filter(
-                F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
-                lambda x: x != "",
-            )
+        F.explode(
+            TXT.tokens(F.coalesce(F.col("text"), F.lit("")))
         ).alias("q")
     )
     est = cm_estimate(sk, toks, depth=4, width=256)
@@ -401,8 +400,9 @@ def test_cm_build_exchange_is_partially_aggregated(spark):
     sk = cm_sketch_tokens(docs, depth=4, width=256)
     sk.write.format("noop").mode("overwrite").save()
     plan = sk._jdf.queryExecution().executedPlan().toString()
-    partial = plan.split("Exchange hashpartitioning(row")[1]
-    assert "partial_count" in partial, plan[:2000]
+    parts = plan.split("Exchange hashpartitioning(row")
+    assert len(parts) > 1, plan[:2000]  # the exchange must exist at all
+    assert "partial_count" in parts[1], plan[:2000]
 
 
 # ---------------------------------------------------------------------------
