@@ -473,3 +473,95 @@ def test_kmv_jaccard_accuracy_at_scale(spark):
     assert abs(row["jaccard_est"] - 1 / 3) < 0.10
     assert abs(row["union_est"] - 6000) / 6000 < 0.20
     assert abs(row["inter_est"] - 2000) / 2000 < 0.35
+
+
+def test_cm_one_sided_bound_property(spark):
+    """Hypothesis hardening of the Count-Min contract: random small
+    corpora, random depth/width, random partitionings — est >= true
+    for every key (distribution-free: min over cells each of which
+    sums the key's own count plus non-negative collisions), and the
+    merged shard sketches equal the whole-corpus sketch (cell counts
+    are sums; partitioning cannot move them)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from excelstream_spark.operators.sketches import (
+        cm_estimate,
+        cm_sketch_tokens,
+    )
+
+    pool = [f"t{i}" for i in range(10)]
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        docs=st.lists(
+            st.lists(st.sampled_from(pool), min_size=0, max_size=6),
+            min_size=1,
+            max_size=25,
+        ),
+        depth=st.integers(min_value=1, max_value=5),
+        width=st.sampled_from([2, 8, 64]),
+        parts=st.integers(min_value=1, max_value=5),
+    )
+    def check(docs, depth, width, parts):
+        df = spark.createDataFrame(
+            [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+            "doc_id bigint, text string",
+        ).repartition(parts)
+        sk = cm_sketch_tokens(df, depth=depth, width=width)
+        qs = spark.createDataFrame([(t,) for t in pool], "q string")
+        est = {
+            r["q"]: r["est"]
+            for r in cm_estimate(sk, qs, depth=depth, width=width).collect()
+        }
+        true = {t: 0 for t in pool}
+        for toks in docs:
+            for t in toks:
+                true[t] += 1
+        for t in pool:
+            assert est[t] >= true[t], (t, est[t], true[t], depth, width)
+        # total mass per sketch row == total token occurrences
+        n = sum(true.values())
+        per_row = {
+            r["row"]: 0 for r in sk.select("row").distinct().collect()
+        }
+        for r in sk.collect():
+            per_row[r["row"]] += r["cnt"]
+        if n:
+            assert all(v == n for v in per_row.values()), (per_row, n)
+
+    check()
+
+
+def test_kmv_jaccard_exact_below_k_property(spark):
+    """Hypothesis hardening of the exact-below-k contract: any two
+    random sets whose union fits in k yield EXACT jaccard/union/
+    intersection (the sketches hold the full sets, the estimator's
+    below-k branch is arithmetic identity)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from excelstream_spark.operators.sketches import kmv_jaccard
+
+    pool = [f"v{i}" for i in range(24)]
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        sa=st.sets(st.sampled_from(pool), min_size=1, max_size=12),
+        sb=st.sets(st.sampled_from(pool), min_size=1, max_size=12),
+    )
+    def check(sa, sb):
+        a = spark.createDataFrame([(v,) for v in sa], "v string")
+        b = spark.createDataFrame([(v,) for v in sb], "v string")
+        row = kmv_jaccard(
+            kmv_sketch(a, F.col("v"), k=64),
+            kmv_sketch(b, F.col("v"), k=64),
+            k=64,
+        ).collect()[0]
+        union, inter = len(sa | sb), len(sa & sb)
+        assert row["n_union_seen"] == union
+        assert row["union_est"] == float(union)
+        assert abs(row["jaccard_est"] - inter / union) < 1e-12
+        assert abs(row["inter_est"] - inter) < 1e-9
+
+    check()
