@@ -408,6 +408,21 @@ def kmv_jaccard(
     hash-gate convention); with fewer than k union hashes every
     estimate is EXACT (both sketches hold their full sets).
 
+    Sizing contract (the cm_estimate depth/width convention): ``k``
+    must equal the BUILD-TIME k of BOTH sketches.  A ``k`` larger
+    than the build's makes ``n_union_seen`` fall below k and the
+    exact-below-k branch silently treats TRUNCATED sketches as
+    complete sets (underestimating union and overlap); a ``k``
+    smaller than the build's cuts the union deeper than either side
+    was cut, which biases ``jaccard_est``.  The contract cannot be
+    derived from the artifact itself — a sketch of a small set
+    legitimately holds fewer than k rows (``max(rank) < k``), which
+    is indistinguishable from a truncated larger-k build — so it is
+    the caller's, exactly like cm_estimate's "depth/width must match
+    the build".  Two EMPTY sketches are well-defined: every estimate
+    is 0.0 (``jaccard_est`` is 0 by convention — no evidence of
+    overlap — rather than a 0/0 null row).
+
     The 100 TB use this exists for: cheap CONTAMINATION TRIAGE —
     estimate the distinct-shingle overlap between a training corpus
     and each benchmark suite from kilobyte sketches BEFORE deciding
@@ -452,8 +467,11 @@ def kmv_jaccard(
         F.max(F.when(F.col("rank") == k, F.col("h"))).alias("_hk"),
     )
     union_est = _kmv_est(F.col("n_union_seen"), F.col("_hk"), k)
-    jac = F.col("_n_both").cast("double") / F.col("n_union_seen").cast(
-        "double"
+    # empty-union guard: two empty sketches otherwise yield a 0/0
+    # null row; 0.0 (no evidence of overlap) is the documented result
+    jac = F.when(F.col("n_union_seen") == 0, F.lit(0.0)).otherwise(
+        F.col("_n_both").cast("double")
+        / F.col("n_union_seen").cast("double")
     )
     return agg.select(
         F.col("n_union_seen").cast("long").alias("n_union_seen"),

@@ -538,6 +538,25 @@ def video_dedup_gate(
     for fp, vid in corpus_sets:
         fp_to_vids.setdefault(int(fp), []).append(int(vid))
     sizes = {int(vid): int(n) for vid, n in corpus_sizes}
+    # artifact consistency (r10 advice #1): every vid in the fp index
+    # must carry a build-time size — a malformed artifact pair (sets
+    # and sizes from different builds) would otherwise KeyError inside
+    # the Arrow worker mid-job; fail fast at setup with a diagnosable
+    # message instead
+    missing = {
+        vid
+        for vids in fp_to_vids.values()
+        for vid in vids
+        if vid not in sizes
+    }
+    if missing:
+        raise ValueError(
+            "video_dedup_gate: corpus_sizes is missing "
+            f"{len(missing)} vid(s) present in corpus_sets "
+            f"(e.g. {sorted(missing)[:5]}) — sets and sizes must come "
+            "from the same video_fp_sets build "
+            "(save_video_fp_artifact writes both)"
+        )
     thr = float(threshold)
     quarantine = bool(quarantine_degenerate)
 
@@ -634,13 +653,20 @@ def dedup_video_containment(
 
     100 TB: the join moves one row per (video, distinct-frame-hash);
     the DF prune bounds any bucket at ``max_fp_df``; output pairs are
-    grouped map-side."""
-    sets = video_fp_sets(
-        frame_fps,
-        fp_col=fp_col,
-        id_col=id_col,
-        max_fp_df=max_fp_df,
-        quarantine_degenerate=quarantine_degenerate,
+    grouped map-side.  The pruned ``sets`` plan feeds THREE subtrees
+    (sizes, both join sides), so it is scope-persisted (r10 advice #3,
+    the video_increment_containment convention) — without it the
+    decode-downstream prune executes three times per action."""
+    from excelstream_spark.operators.dedup import _scoped_persist
+
+    sets = _scoped_persist(
+        video_fp_sets(
+            frame_fps,
+            fp_col=fp_col,
+            id_col=id_col,
+            max_fp_df=max_fp_df,
+            quarantine_degenerate=quarantine_degenerate,
+        )
     )
     sizes = sets.groupBy("vid").agg(F.count(F.lit(1)).alias("n"))
     lhs = sets.select(F.col("vid").alias("vid_a"), "fp")

@@ -1979,12 +1979,16 @@ def kmv_jaccard_oracle(
                        max(CASE WHEN rank = {k} THEN h END) AS hk
                 FROM m)
         SELECT CAST(n_union_seen AS BIGINT) AS n_union_seen,
-               CAST(n_both AS DOUBLE) / CAST(n_union_seen AS DOUBLE)
+               CASE WHEN n_union_seen = 0 THEN 0.0
+                    ELSE CAST(n_both AS DOUBLE)
+                         / CAST(n_union_seen AS DOUBLE) END
                    AS jaccard_est,
                CASE WHEN n_union_seen < {k}
                     THEN CAST(n_union_seen AS DOUBLE)
                     ELSE floor({kh} / CAST(hk AS DOUBLE)) END AS union_est,
-               (CAST(n_both AS DOUBLE) / CAST(n_union_seen AS DOUBLE))
+               (CASE WHEN n_union_seen = 0 THEN 0.0
+                     ELSE CAST(n_both AS DOUBLE)
+                          / CAST(n_union_seen AS DOUBLE) END)
                * (CASE WHEN n_union_seen < {k}
                        THEN CAST(n_union_seen AS DOUBLE)
                        ELSE floor({kh} / CAST(hk AS DOUBLE)) END)

@@ -565,3 +565,21 @@ def test_kmv_jaccard_exact_below_k_property(spark):
         assert abs(row["inter_est"] - inter) < 1e-9
 
     check()
+
+
+def test_kmv_jaccard_empty_sketches_defined(spark):
+    """r10 advice #4: two EMPTY sketches yield the documented
+    (0, 0.0, 0.0, 0.0) row — jaccard 0 by convention (no evidence of
+    overlap), union/intersection 0 exactly — not a 0/0 null row."""
+    from excelstream_spark.operators.sketches import kmv_jaccard
+
+    e = spark.createDataFrame([], "v string")
+    row = kmv_jaccard(
+        kmv_sketch(e, F.col("v"), k=16),
+        kmv_sketch(e, F.col("v"), k=16),
+        k=16,
+    ).collect()[0]
+    assert row["n_union_seen"] == 0
+    assert row["jaccard_est"] == 0.0
+    assert row["union_est"] == 0.0
+    assert row["inter_est"] == 0.0

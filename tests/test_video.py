@@ -496,3 +496,17 @@ def test_streaming_video_gate_batch_parity_and_idempotence(spark):
         )
     assert all(len(v) == 1 for v in per_doc.values())  # idempotent
     assert {d: next(iter(v)) for d, v in per_doc.items()} == batch
+
+
+def test_video_gate_rejects_mismatched_artifact(spark):
+    """r10 advice #1: a corpus vid present in the fp index but missing
+    from the sizes artifact fails FAST at gate setup with a diagnosable
+    message, instead of a KeyError inside the Arrow worker mid-job."""
+    from excelstream_spark.operators.video import video_dedup_gate
+
+    with pytest.raises(ValueError, match="corpus_sizes is missing"):
+        video_dedup_gate(
+            _clip_df(spark, [(9, encode_apng(8, 8, _frames(9, 2, 8, 8)))]),
+            corpus_sets=[(12345, 1), (23456, 2)],
+            corpus_sizes=[(1, 4)],  # vid 2 has no build-time size
+        )
