@@ -1,0 +1,112 @@
+"""Mechanical guard for catalog counts stated in driver-read docs.
+
+Three consecutive rounds shipped a stale catalog count in a
+driver-read document (r8: SURVEY, r9: README:269, r10: README:87/:125
+said 76 against the 75 the package registers) — hand-editing the
+numbers does not work, so this test greps the stated counts and
+asserts them against the registry itself (r10 verdict, next-round #3):
+
+* README.md is a LIVING doc: every ``N-query``/``N queries`` claim on
+  a line that talks about the catalog must equal ``len(queries())``,
+  and every ``N/N registered`` style claim must too.
+* SURVEY.md appends a per-round status appendix and keeps the old ones
+  as historical snapshots, so only the LAST round appendix is checked:
+  its ``N registered (M windowed`` claims must match the registry and
+  the driver-window arithmetic.
+* The verify skill's SKILL.md states the export count the round driver
+  will see ("the catalog exports N entries") — checked too.
+
+If this test fails after a rotation, fix the DOC (or add the round's
+new appendix), never the assertion.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _registered_count() -> tuple[int, int]:
+    import excelstream_spark.plans.extension  # noqa: F401
+    import excelstream_spark.plans.io_parity  # noqa: F401
+    import excelstream_spark.plans.relational  # noqa: F401
+    import excelstream_spark.plans.scale  # noqa: F401
+    import excelstream_spark.plans.streaming_ops  # noqa: F401
+    from excelstream_spark.plans import catalog
+
+    total = len(catalog.spark_queries())
+    tail = len([n for n in catalog.DEMOTED if n in catalog.CATALOG])
+    return total, tail
+
+
+def test_readme_catalog_counts_match_registry():
+    total, _ = _registered_count()
+    text = (REPO / "README.md").read_text()
+    claims = []
+    for line in text.splitlines():
+        if "catalog" not in line.lower():
+            continue
+        for m in re.finditer(r"(\d+)[- ]quer(?:y|ies)", line):
+            claims.append((int(m.group(1)), line.strip()))
+    # README must state the count somewhere, and every statement must
+    # be the registry's number — a README with no claim at all would
+    # silently defeat the guard
+    assert claims, "README.md no longer states the catalog size"
+    stale = [(n, line) for n, line in claims if n != total]
+    assert not stale, (
+        f"README.md states catalog counts {stale} but the package "
+        f"registers {total} — update the doc, not this test"
+    )
+
+
+def test_readme_registered_counts_match_registry():
+    total, _ = _registered_count()
+    text = (REPO / "README.md").read_text()
+    stale = [
+        (int(m.group(1)), int(m.group(2)))
+        for m in re.finditer(r"(\d+)/(\d+) registered", text)
+        if int(m.group(1)) != total or int(m.group(2)) != total
+    ]
+    assert not stale, (
+        f"README.md claims {stale} registered entries but the package "
+        f"registers {total}"
+    )
+
+
+def test_survey_current_appendix_counts_match_registry():
+    total, tail = _registered_count()
+    window = total - tail
+    text = (REPO / "SURVEY.md").read_text()
+    # historical round appendices are snapshots; only the LAST one is a
+    # claim about the CURRENT tree
+    heads = list(re.finditer(r"^## \d+\. Round-\d+ build status", text, re.M))
+    assert heads, "SURVEY.md lost its round-status appendices"
+    current = text[heads[-1].start():]
+    claims = [
+        (int(m.group(1)), int(m.group(2)))
+        for m in re.finditer(
+            r"(\d+) registered \((\d+) windowed", current
+        )
+    ]
+    stale = [c for c in claims if c != (total, window)]
+    assert not stale, (
+        f"SURVEY.md's current round appendix states {stale} but the "
+        f"package registers {total} = {window} windowed + {tail} tail"
+    )
+
+
+def test_verify_skill_count_matches_registry():
+    total, _ = _registered_count()
+    skill = REPO / ".claude" / "skills" / "verify" / "SKILL.md"
+    text = skill.read_text()
+    claims = [
+        int(m.group(1))
+        for m in re.finditer(r"catalog exports (\d+) entries", text)
+    ]
+    assert claims, "verify SKILL.md no longer states the export count"
+    assert all(c == total for c in claims), (
+        f"verify SKILL.md states {claims} exported entries but the "
+        f"package registers {total}"
+    )
