@@ -87,6 +87,49 @@ from excelstream_spark.partitioning import fan_out
 DEFAULT_M = 8
 DEFAULT_K = 256
 
+#: Driver-traffic ceiling for the query side of the ADC/IVF serving
+#: paths (r10 verdict #6).  These paths move nq (the collected query
+#: frame, which also sizes the per-query LUT broadcast into every
+#: scorer task) plus nq x n_probe (the probe assignment) rows through
+#: the driver BY DESIGN — the "broadcast the small query side"
+#: convention.  That is kilobytes at the intended serving scale
+#: (nq ~ 10^2-10^3) and silently multi-MB at a 10^5-query batch, so
+#: the bound is stated and VALIDATED like bloom sizing instead of
+#: living only in a docstring: exceeding it raises with the fix
+#: (split the query batch, or pass ``max_driver_rows`` deliberately).
+MAX_DRIVER_QUERY_ROWS = 100_000
+
+
+def _bounded_query_collect(
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_probe: int = 1,
+    max_driver_rows: int | None = None,
+):
+    """toPandas() of the query side under the stated driver bound:
+    at most ``bound + 1`` rows are ever pulled (the +1 detects
+    overflow without a separate count job), and ``nq * n_probe`` must
+    also clear the bound since the probe collect scales with it."""
+    bound = (
+        MAX_DRIVER_QUERY_ROWS
+        if max_driver_rows is None
+        else int(max_driver_rows)
+    )
+    qpdf = queries.select(id_col, vec_col).limit(bound + 1).toPandas()
+    nq = len(qpdf)
+    probe_rows = nq * max(int(n_probe), 1)
+    if nq > bound or probe_rows > bound:
+        size = f"over {bound}" if nq > bound else str(nq)
+        raise ValueError(
+            f"pq: query batch of {size} rows x n_probe={n_probe} "
+            f"exceeds the driver-traffic bound of {bound} rows "
+            "(the query frame and its probe assignment are collected "
+            "and broadcast by design) — split the query batch, or "
+            "pass max_driver_rows explicitly to accept the transfer"
+        )
+    return qpdf
+
 
 @dataclass(frozen=True)
 class PQCodebook:
@@ -356,7 +399,7 @@ def _adc_topk(
     (masking query i against query j's column)."""
     spark = codes.sparkSession
     if qpdf is None:
-        qpdf = queries.select(id_col, vec_col).toPandas()
+        qpdf = _bounded_query_collect(queries, id_col, vec_col)
     out_schema = StructType(
         [
             StructField("query_id", queries.schema[id_col].dataType),
@@ -548,6 +591,7 @@ def ivf_pq_topk(
     k: int = 5,
     n_probe: int = 3,
     exclude_self: bool = True,
+    max_driver_rows: int | None = None,
 ) -> DataFrame:
     """IVF-PQ search: probe the ``n_probe`` nearest cells per query
     (broadcast matmul against the tiny centroid table), filter the
@@ -561,10 +605,14 @@ def ivf_pq_topk(
     :func:`topk_pq` (pinned in tests) — the probe is a pure pruning
     layer over the identical scorer.
 
-    Driver traffic is bounded: the probe collect is nq x n_probe rows
-    (queries are small by construction — the topk_quantized/ADC
-    convention of broadcasting the query side), and the cell->queries
-    map broadcasts inside the scorer closure."""
+    Driver traffic is bounded AND validated (r10 verdict #6): the
+    probe collect is nq x n_probe rows and the query frame nq rows
+    (the topk_quantized/ADC convention of broadcasting the query
+    side); both must clear :data:`MAX_DRIVER_QUERY_ROWS` (or an
+    explicit ``max_driver_rows``) or the call raises before pulling
+    the batch — a 10^5-query batch cannot silently move MBs through
+    the driver.  The cell->queries map broadcasts inside the scorer
+    closure."""
     from excelstream_spark.operators import vectorized as VZ
 
     probes = VZ.nearest_against_broadcast(
@@ -579,8 +627,13 @@ def ivf_pq_topk(
     # in THIS frame, and the scorer must index its LUT by the same
     # order (a second toPandas() of a non-order-stable plan could lay
     # the queries out differently — the same frame object is threaded
-    # through _adc_topk instead)
-    qpdf = queries.select(id_col, vec_col).toPandas()
+    # through _adc_topk instead).  The collect runs under the stated
+    # driver bound: nq AND nq x n_probe must clear it, because the
+    # probes.collect() below scales with the product
+    qpdf = _bounded_query_collect(
+        queries, id_col, vec_col, n_probe=n_probe,
+        max_driver_rows=max_driver_rows,
+    )
     if qpdf[id_col].duplicated().any():
         # a dict {qid: position} would keep only the LAST duplicate's
         # position: earlier duplicates' LUT columns would get no probes
