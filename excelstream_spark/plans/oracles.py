@@ -1899,6 +1899,110 @@ def video_containment_oracle(
     """
 
 
+def _video_seq_shingle_ctes(
+    n: int, max_sh_df: int, restrict: str | None = None
+) -> str:
+    """Shared CTE text (sq/sh0/shp) for the frame-SEQUENCE shingle
+    stage — one definition for the standalone and verified oracles
+    (the _cm_cell_sql convention), replaying operators/video.
+    video_sequence_shingles: n-grams of the per-video fp_a sequence
+    ordered by frame_idx (order preserved inside the shingle string),
+    60-bit md5 shingle hashes, distinct per video, hot shingles
+    (document frequency > max_sh_df) pruned.  ``restrict`` names a CTE
+    of candidate vids to semi-restrict the stage to."""
+    parts = " || ':' || ".join(
+        "CAST(fp_a AS VARCHAR)"
+        if i == 0
+        else f"CAST(lead(fp_a, {i}) OVER w AS VARCHAR)"
+        for i in range(n)
+    )
+    where = (
+        f"WHERE doc_id IN (SELECT vid FROM {restrict})" if restrict else ""
+    )
+    return f"""
+        sq AS (SELECT doc_id, {parts} AS shs,
+                      lead(fp_a, {n - 1}) OVER w AS f_last
+               FROM vf {where}
+               WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)),
+        sh0 AS (SELECT DISTINCT doc_id AS vid,
+                       ('0x' || substr(md5(shs), 1, 15))::BIGINT AS sh
+                FROM sq WHERE f_last IS NOT NULL),
+        shp AS (SELECT vid, sh FROM sh0
+                WHERE sh NOT IN (SELECT sh FROM sh0 GROUP BY sh
+                                 HAVING count(*) > {max_sh_df}))
+    """
+
+
+def video_sequence_oracle(
+    src: str = "documents",
+    threshold: float = 0.8,
+    n: int = 2,
+    max_sh_df: int = 10_000,
+) -> str:
+    """DuckDB replay of operators/video.dedup_video_sequence over the
+    synthesized APNG fixture: the ORDER-AWARE close — shingle the
+    per-video frame-fingerprint sequence, inverted-index
+    intersection, |A∩B|/min(|A|,|B|) over shingle-set sizes."""
+    return f"""
+        WITH vf AS ({video_frame_fp_oracle(src)}),
+        {_video_seq_shingle_ctes(n, max_sh_df)},
+        ssz AS (SELECT vid, count(*) AS sn FROM shp GROUP BY vid),
+        sp AS (SELECT a.vid AS vid_a, b.vid AS vid_b,
+                      CAST(count(*) AS BIGINT) AS inter
+               FROM shp a JOIN shp b ON a.sh = b.sh AND a.vid < b.vid
+               GROUP BY 1, 2)
+        SELECT sp.vid_a, sp.vid_b, sp.inter, na.sn AS na, nb.sn AS nb,
+               sp.inter * 1.0 / least(na.sn, nb.sn) AS seq_containment
+        FROM sp
+        JOIN ssz na ON na.vid = sp.vid_a
+        JOIN ssz nb ON nb.vid = sp.vid_b
+        WHERE sp.inter * 1.0 / least(na.sn, nb.sn) >= {threshold}
+    """
+
+
+def video_sequence_verified_oracle(
+    src: str = "documents",
+    threshold: float = 0.8,
+    seq_threshold: float = 0.8,
+    n: int = 2,
+    max_fp_df: int = 10_000,
+    max_sh_df: int = 10_000,
+) -> str:
+    """DuckDB replay of operators/video.dedup_video_containment_verified:
+    the set-containment candidates (semantics unchanged —
+    :func:`video_containment_oracle` verbatim as a sub-CTE) each gain
+    the order-aware seq_containment verify column, computed only over
+    candidate vids, with zero-shingle sides (clips shorter than n
+    frames) scoring 0.0."""
+    seq_c = (
+        "CASE WHEN least(coalesce(sa.sn, 0), coalesce(sb.sn, 0)) > 0 "
+        "THEN coalesce(sp.seq_inter, 0) * 1.0 "
+        "/ least(coalesce(sa.sn, 0), coalesce(sb.sn, 0)) "
+        "ELSE 0.0 END"
+    )
+    return f"""
+        WITH cand AS ({video_containment_oracle(src, threshold, max_fp_df)}),
+        vf AS ({video_frame_fp_oracle(src)}),
+        cvids AS (SELECT DISTINCT vid FROM (
+                    SELECT vid_a AS vid FROM cand
+                    UNION ALL SELECT vid_b AS vid FROM cand)),
+        {_video_seq_shingle_ctes(n, max_sh_df, restrict="cvids")},
+        ssz AS (SELECT vid, count(*) AS sn FROM shp GROUP BY vid),
+        sp AS (SELECT a.vid AS vid_a, b.vid AS vid_b,
+                      CAST(count(*) AS BIGINT) AS seq_inter
+               FROM shp a JOIN shp b ON a.sh = b.sh AND a.vid < b.vid
+               GROUP BY 1, 2)
+        SELECT c.vid_a, c.vid_b, c.inter, c.na, c.nb, c.containment,
+               coalesce(sp.seq_inter, 0) AS seq_inter,
+               {seq_c} AS seq_containment,
+               ({seq_c}) >= {seq_threshold} AS seq_verified
+        FROM cand c
+        LEFT JOIN sp ON sp.vid_a = c.vid_a AND sp.vid_b = c.vid_b
+        LEFT JOIN ssz sa ON sa.vid = c.vid_a
+        LEFT JOIN ssz sb ON sb.vid = c.vid_b
+    """
+
+
 def _cm_cell_sql(expr: str, width: int) -> str:
     """The Count-Min cell hash in SQL — must match
     operators/sketches._cm_cell exactly (one definition for both the

@@ -510,3 +510,109 @@ def test_video_gate_rejects_mismatched_artifact(spark):
             corpus_sets=[(12345, 1), (23456, 2)],
             corpus_sizes=[(1, 4)],  # vid 2 has no build-time size
         )
+
+
+def test_video_sequence_separates_reorder_from_reencode(spark):
+    """r10 verdict #4 (order-aware video dedup): the set-containment
+    close scores a scene-REORDERED re-edit identically to a re-encode;
+    the sequence-shingle verify stage separates them.  Candidate
+    semantics unchanged: every set-containment pair survives with a
+    seq_containment column."""
+    from excelstream_spark.operators.video import (
+        dedup_video_containment_verified,
+    )
+
+    fr = _frames(7, 4)  # A B C D
+    rows = [
+        (1, encode_apng(16, 16, fr)),                  # original
+        (2, encode_apng(16, 16, fr)),                  # re-encode
+        (3, encode_apng(16, 16, list(reversed(fr)))),  # reordered re-edit
+        (4, encode_apng(16, 16, fr[1:])),              # uncut subset B C D
+    ]
+    out = {
+        (r["vid_a"], r["vid_b"]): r
+        for r in dedup_video_containment_verified(
+            video_frame_fingerprints(_clip_df(spark, rows)),
+            threshold=0.8,
+            seq_threshold=0.8,
+            n=2,
+        ).collect()
+    }
+    # all three pairs are set-containment candidates (same frame sets)
+    assert set(out) >= {(1, 2), (1, 3), (1, 4)}
+    re_enc, re_edit, subset = out[(1, 2)], out[(1, 3)], out[(1, 4)]
+    assert re_enc["containment"] == 1.0 and re_enc["seq_verified"]
+    assert re_enc["seq_containment"] == 1.0
+    # the reorder shares every frame HASH but no ordered bigram
+    assert re_edit["containment"] == 1.0
+    assert re_edit["seq_containment"] == 0.0
+    assert not re_edit["seq_verified"]
+    # an uncut subset keeps its shingle run intact on its own side
+    assert subset["containment"] == 1.0 and subset["seq_verified"]
+
+
+def test_video_sequence_short_clip_has_no_order_evidence(spark):
+    """A clip shorter than n frames yields zero shingles: its candidate
+    pairs keep seq_containment 0.0 (defined, not a null division) and
+    do not verify."""
+    from excelstream_spark.operators.video import (
+        dedup_video_containment_verified,
+    )
+
+    fr = _frames(11, 2)
+    rows = [
+        (1, encode_apng(16, 16, fr)),
+        (2, encode_apng(16, 16, fr)),  # exact twin, but only 2 frames
+    ]
+    out = dedup_video_containment_verified(
+        video_frame_fingerprints(_clip_df(spark, rows)),
+        threshold=0.8,
+        n=3,  # > clip length -> no shingles on either side
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["containment"] == 1.0
+    assert r["seq_containment"] == 0.0 and not r["seq_verified"]
+
+
+def test_video_sequence_vs_duckdb_oracle(spark, duck):
+    """The standalone order-aware close replays in SQL over the
+    synthesized fixture: shingle strings, 60-bit md5 shingle hashes,
+    the hot-shingle prune, sizes and the ratio filter."""
+    from excelstream_spark.operators.video import dedup_video_sequence
+    from excelstream_spark.plans import oracles as ORC
+
+    docs = load_table(spark, SF_DIR, "documents").where(
+        F.col("doc_id").isNotNull()
+    )
+    out = dedup_video_sequence(
+        video_frame_fingerprints(synthesize_video_payloads(docs)),
+        threshold=0.5,
+        n=2,
+    )
+    assert_matches_oracle(
+        out, duck, ORC.video_sequence_oracle(threshold=0.5, n=2)
+    )
+
+
+def test_video_sequence_verified_vs_duckdb_oracle(spark, duck):
+    """The composed candidates+verify operator replays in SQL: the
+    candidate stage verbatim (video_containment_oracle as a sub-CTE)
+    plus the order-aware verify columns."""
+    from excelstream_spark.operators.video import (
+        dedup_video_containment_verified,
+    )
+    from excelstream_spark.plans import oracles as ORC
+
+    docs = load_table(spark, SF_DIR, "documents").where(
+        F.col("doc_id").isNotNull()
+    )
+    out = dedup_video_containment_verified(
+        video_frame_fingerprints(synthesize_video_payloads(docs)),
+        threshold=0.8,
+        seq_threshold=0.8,
+        n=2,
+    )
+    assert_matches_oracle(
+        out, duck, ORC.video_sequence_verified_oracle()
+    )
