@@ -159,7 +159,44 @@ PRIORITY: tuple[str, ...] = (
 #:     tests/test_catalog_oracle.py::test_folded_dedup_exact_oracle —
 #:     no hash-level check was lost and the tail stays at its 25-entry
 #:     soft cap (registered total 75).
+#: r11 rotation summary (r10 verdict #2/#5):
+#:   video_increment_containment (NEW row — the video family's SERVING
+#:     path: stored-corpus fp sets + build-time sizes vs a decoded
+#:     increment, the asymmetric build-time-prune contract replayed in
+#:     SQL via oracles.video_increment_oracle) promoted in-window over
+#:     multimodal_fingerprints;
+#:   cm_frequency_estimates (NEW row — the Count-Min family's
+#:     hard-signal row: deterministic counter table + broadcast point
+#:     estimates for every distinct corpus token, cell hashes and the
+#:     one-sided min-estimate arithmetic replayed bit-for-bit via
+#:     oracles.cm_estimate_oracle) promoted in-window over
+#:     dedup_winnowing;
+#:   corpus_shard_manifest FOLDED out of the catalog entirely (policy
+#:     rule 4 STRONGEST form: the manifest aggregation is inlined
+#:     verbatim inside training_corpus_pipeline_v4's in-window
+#:     composed oracle and v5 carries its own manifest gate) and
+#:   q5_region_revenue FOLDED out (rule 4: the multi-join + agg shape
+#:     stays in-window via q3_shipping_priority — the r7 demotion's
+#:     own argument); both DuckDB hash gates moved verbatim to
+#:     tests/test_catalog_oracle.py — no hash-level check was lost and
+#:     the tail stays at its 25-entry soft cap (registered total 75).
 DEMOTED: tuple[str, ...] = (
+    "multimodal_fingerprints",  # r11 rotation (r10 verdict #5): funds
+    # the promoted video_increment_containment row (the video family's
+    # serving path); demotion-eligible in rule 3's STRONGEST form —
+    # the full banded pair semantics (degenerate star closure,
+    # dual-hash verify) are composed verbatim inside the in-window
+    # training_corpus_pipeline_v5 oracle — and the multimodal family
+    # keeps video_dedup_containment, v5 and the new serving row
+    # in-window; the row keeps its bench leg, its oracle and the
+    # pytest hash sweep
+    "dedup_winnowing",  # r11 rotation (r10 verdict #2): funds the
+    # promoted cm_frequency_estimates row (the Count-Min family's
+    # hard-signal row); the dedup family remains the window's most
+    # over-represented (minhash_lsh, token_chunks_cdc, embedding_lsh,
+    # components, the composed v1/v2/v4/v5 pipelines — policy rule 3),
+    # and winnowing keeps its bench leg, scale/serving ladder rungs,
+    # its oracle and the pytest hash sweep
     "multimodal_features",  # r10 late rotation: funds the promoted
     # video_dedup_containment row (the video family's hard-signal row);
     # the multimodal family keeps multimodal_fingerprints,
@@ -278,18 +315,23 @@ DEMOTED: tuple[str, ...] = (
     "corpus_epoch_order",  # r7: born past the window; reproducible
     # per-epoch training order (md5 draw + per-shard rank) — fully
     # DuckDB-oracled, swept by pytest's full-catalog test
-    "corpus_shard_manifest",  # r7: born past the window; the
-    # sharded-export audit manifest (md5 shard assignment + bit_xor
-    # set hash) — fully DuckDB-oracled, swept by pytest's full-catalog
-    # test; the curation family keeps corpus_curation and
-    # corpus_sampling_exact in-window
+    # (corpus_shard_manifest left this tail in r11 by FOLDING:
+    # unregistered entirely — policy rule 4 strongest form; its
+    # manifest aggregation is inlined verbatim inside v4's in-window
+    # composed oracle, v5 carries its own manifest gate, and its hash
+    # gate moved verbatim to tests/test_catalog_oracle.py::
+    # test_folded_corpus_shard_manifest_oracle)
     # (multimodal_fingerprints left this tail in r9: promoted over
     # dedup_ngram_jaccard once the pair stage gained its skew bounds —
     # the r8 verdict's ordering.  dedup_embedding left in r9 too, by
     # FOLDING: unregistered entirely, hash gate moved to
     # tests/test_quality_semantic.py, recall-oracle duty unchanged)
     "join_outer_coalesce",
-    "q5_region_revenue",
+    # (q5_region_revenue left this tail in r11 by FOLDING:
+    # unregistered entirely — policy rule 4; the multi-join + agg +
+    # dimension-broadcast shape stays in-window via
+    # q3_shipping_priority, and its hash gate moved verbatim to
+    # tests/test_catalog_oracle.py::test_folded_q5_region_revenue_oracle)
     "events_time_rollup",
     "subquery_thresholds",
     # (join_range left this tail in r10 by FOLDING: unregistered

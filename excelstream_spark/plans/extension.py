@@ -1605,6 +1605,53 @@ def video_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "video_increment_containment",
+    oracle=ORC.video_increment_oracle(),
+    tags=("multimodal", "video", "dedup", "serving"),
+)
+def video_increment_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video family's SERVING path under the driver hash gate (r10
+    verdict #5): incoming clips scored against a STORED corpus without
+    touching corpus payloads.  Even-doc_id clips play the corpus —
+    their pruned fingerprint sets (degenerate quarantine + the
+    corpus-DF hot-frame cap) and build-time sizes are exactly what
+    ``save_video_fp_artifact`` materializes fp-bucketed; odd-doc_id
+    clips are the increment, which decodes+hashes only itself,
+    quarantines degenerates but applies NO df cap of its own (an
+    increment is too small to estimate document frequency — the
+    production contract: serve-time decisions use corpus statistics
+    computed at build time).  The oracle replays the asymmetric
+    semantics in SQL: corpus-side prunes, increment-side quarantine
+    only, cross pairs, |new ∩ corpus| / min ratio.
+
+    100 TB shape: with the artifact bucketed on fp only the
+    increment's (vid, fp) rows shuffle; sizes join on the pair output,
+    not the corpus (plan-pinned in tests/test_video.py)."""
+    from excelstream_spark.operators.dedup import _scoped_persist
+    from excelstream_spark.operators.video import (
+        synthesize_video_payloads,
+        video_fp_sets,
+        video_fp_sizes,
+        video_frame_fingerprints,
+    )
+    from excelstream_spark.operators.video import (
+        video_increment_containment as vic_op,
+    )
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id").isNotNull())
+    corpus_fps = video_frame_fingerprints(
+        synthesize_video_payloads(docs.where(F.col("doc_id") % 2 == 0))
+    )
+    new_fps = video_frame_fingerprints(
+        synthesize_video_payloads(docs.where(F.col("doc_id") % 2 == 1))
+    )
+    # the corpus sets feed BOTH the fp join and the build-time sizes —
+    # scope-persist so the corpus decode+hash scan runs once
+    sets = _scoped_persist(video_fp_sets(corpus_fps))
+    return vic_op(new_fps, sets, video_fp_sizes(sets), threshold=0.8)
+
+
+@query(
     "dedup_increment_bloom",
     oracle=ORC.bloom_gate_oracle(1 << 17, 7),
     tags=("dedup", "incremental", "bloom", "sketch"),
@@ -1721,18 +1768,21 @@ def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assign_exact(emb, k=8, n_iter=2)
 
 
-@query(
-    "corpus_shard_manifest",
-    oracle=ORC.shard_manifest_oracle(n_shards=16),
-    tags=("curation", "export", "audit"),
-)
 def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sharded-export audit manifest (operators/curation.
     shard_manifest): md5-deterministic shard assignment, per-shard doc
     and token counts, and an order-independent bit_xor content hash —
     the artifact a pipeline diffs against a re-export to name exactly
     which shard changed.  One map-side-combined groupBy(shard); the
-    md5/tokenize work is scan-stage."""
+    md5/tokenize work is scan-stage.
+
+    Folded out of the catalog in r11 (rule 4 strongest form — the
+    manifest aggregation is INLINED verbatim inside the in-window
+    training_corpus_pipeline_v4 composed oracle and v5 carries its own
+    manifest gate, so the shape loses no in-window coverage; funding
+    the video_increment_containment promotion).  Still hash-gated in
+    pytest: tests/test_catalog_oracle.py::
+    test_folded_corpus_shard_manifest_oracle."""
     from excelstream_spark.operators.curation import shard_manifest
 
     return shard_manifest(
@@ -1792,6 +1842,44 @@ def frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequent_tokens_mg(
         _docs(spark, sf_dir).select("text"), support=(1, 1000)
     )
+
+
+@query(
+    "cm_frequency_estimates",
+    oracle=ORC.cm_estimate_oracle(),
+    tags=("sketch", "frequency", "text"),
+)
+def cm_frequency_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Count-Min family's hard-signal row (r10 verdict #2, the
+    PQ/video rotation precedent): build the 4x1024 counter table over
+    ALL corpus tokens (operators/sketches.cm_sketch_tokens — every
+    counter an exact integer sum over md5-derived cells, so the sketch
+    is deterministic and engine-portable), then point-estimate every
+    DISTINCT corpus token from the BROADCAST sketch: min over the
+    depth counters, absent cells coalescing to 0 so the classic
+    one-sided ``est >= true`` guarantee survives the left join.  The
+    oracle replays cell hashes, exact counts and the min-estimate
+    arithmetic bit-for-bit — the whole frequency-sketch pipeline under
+    the hash gate, not just its output shape.
+
+    100 TB shape: the build's map-side partial aggregation bounds the
+    exchange at depth*width rows per task regardless of token volume;
+    estimates move only the kilobyte sketch (broadcast), never the
+    corpus."""
+    from excelstream_spark.functions import text as TXT
+    from excelstream_spark.operators.sketches import (
+        cm_estimate,
+        cm_sketch_tokens,
+    )
+
+    docs = _docs(spark, sf_dir)
+    sk = cm_sketch_tokens(docs)
+    queries = docs.select(
+        F.explode(
+            TXT.tokens(F.coalesce(F.col("text"), F.lit("")))
+        ).alias("q")
+    )
+    return cm_estimate(sk, queries, query_col="q")
 
 
 @query(

@@ -1899,6 +1899,45 @@ def video_containment_oracle(
     """
 
 
+def video_increment_oracle(
+    src: str = "documents",
+    threshold: float = 0.8,
+    max_fp_df: int = 10_000,
+) -> str:
+    """DuckDB replay of operators/video.video_increment_containment —
+    the video family's SERVING path: even-doc_id clips are the stored
+    corpus (build-time pruned: degenerate quarantine + the corpus-DF
+    hot-frame cap, sizes counted over that surviving space), odd-doc_id
+    clips are the increment (quarantined but NO df cap of its own —
+    the production consistency contract: serve-time decisions use
+    corpus statistics computed at build time).  Cross pairs only, the
+    |new ∩ corpus| / min(n_new, n_corpus) ratio filter.
+    -> (new_vid, corpus_vid, inter, n_new, n_corpus, containment)."""
+    return f"""
+        WITH vf AS ({video_frame_fp_oracle(src)}),
+        cs0 AS (SELECT DISTINCT doc_id AS vid, fp_a AS fp FROM vf
+                WHERE doc_id % 2 = 0 AND bit_count(fp_a) NOT IN (0, 64)),
+        cs AS (SELECT vid, fp FROM cs0
+               WHERE fp NOT IN (SELECT fp FROM cs0 GROUP BY fp
+                                HAVING count(*) > {max_fp_df})),
+        csz AS (SELECT vid, count(*) AS n FROM cs GROUP BY vid),
+        ns AS (SELECT DISTINCT doc_id AS vid, fp_a AS fp FROM vf
+               WHERE doc_id % 2 = 1 AND bit_count(fp_a) NOT IN (0, 64)),
+        nsz AS (SELECT vid, count(*) AS n_new FROM ns GROUP BY vid),
+        p AS (SELECT n.vid AS new_vid, c.vid AS corpus_vid,
+                     CAST(count(*) AS BIGINT) AS inter
+              FROM ns n JOIN cs c ON n.fp = c.fp
+              GROUP BY 1, 2)
+        SELECT p.new_vid, p.corpus_vid, p.inter, nz.n_new,
+               cz.n AS n_corpus,
+               p.inter * 1.0 / least(nz.n_new, cz.n) AS containment
+        FROM p
+        JOIN nsz nz ON nz.vid = p.new_vid
+        JOIN csz cz ON cz.vid = p.corpus_vid
+        WHERE p.inter * 1.0 / least(nz.n_new, cz.n) >= {threshold}
+    """
+
+
 def _video_seq_shingle_ctes(
     n: int, max_sh_df: int, restrict: str | None = None
 ) -> str:

@@ -215,9 +215,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q5_region_revenue",
-    oracle=f"""
+#: q5's DuckDB hash gate — folded out of the catalog in r11 (policy
+#: rule 4: the multi-join + agg shape stays in-window via
+#: q3_shipping_priority, the r7 demotion's own argument; funding the
+#: cm_frequency_estimates promotion).  The gate moved verbatim to
+#: tests/test_catalog_oracle.py::test_folded_q5_region_revenue_oracle.
+_SQL_Q5_REGION_REVENUE = f"""
         SELECT n.n_name,
                {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue
         FROM customer c
@@ -228,12 +231,14 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN region r   ON n.n_regionkey = r.r_regionkey
         WHERE r.r_name = 'ASIA'
         GROUP BY n.n_name
-    """,
-    tags=("join", "agg"),
-)
+    """
+
+
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 5-way join.  All dimensions broadcast; the only
-    shuffle is lineitem x orders on orderkey."""
+    shuffle is lineitem x orders on orderkey.  Folded out of the
+    catalog in r11 (see _SQL_Q5_REGION_REVENUE); still hash-gated in
+    pytest."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")

@@ -158,9 +158,12 @@ def test_driver_window_arithmetic():
         "lm_perplexity_buckets",
         "bm25_search_topk",
         # (multimodal_resize_sample rotated to the tail in r10, funding
-        # v5 — the multimodal family keeps features/fingerprints/v5)
-        "multimodal_fingerprints",
+        # v5; multimodal_fingerprints rotated to the tail in r11,
+        # funding the video serving row — its pair semantics are
+        # composed verbatim inside v5's in-window oracle)
         "video_dedup_containment",  # r10 late: the video family's row
+        "video_increment_containment",  # r11: the video SERVING row
+        "cm_frequency_estimates",  # r11: the Count-Min family's row
         "dedup_minhash_lsh",
         "sort_topk",
     ):
@@ -220,4 +223,38 @@ def test_folded_join_range_oracle(spark, duck):
          AND l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY
         GROUP BY o.o_orderkey
         """,
+    )
+
+
+def test_folded_q5_region_revenue_oracle(spark, duck):
+    """q5's DuckDB hash gate, moved verbatim from the folded-out
+    catalog row (r11, policy rule 4 — funding the
+    cm_frequency_estimates promotion): the multi-join + agg +
+    dimension-broadcast shape stays in-window via q3_shipping_priority
+    (the r7 demotion's own argument), and the standalone operator
+    keeps the same hash-level check it had as a registered entry."""
+    from excelstream_spark.plans.relational import (
+        _SQL_Q5_REGION_REVENUE,
+        q5_region_revenue,
+    )
+
+    assert_matches_oracle(
+        q5_region_revenue(spark, SF_DIR), duck, _SQL_Q5_REGION_REVENUE
+    )
+
+
+def test_folded_corpus_shard_manifest_oracle(spark, duck):
+    """corpus_shard_manifest's DuckDB hash gate, moved verbatim from
+    the folded-out catalog row (r11, policy rule 4 STRONGEST form —
+    funding the video_increment_containment promotion): the manifest
+    aggregation is inlined verbatim inside training_corpus_pipeline_v4's
+    in-window composed oracle and v5 carries its own manifest gate, so
+    the fold loses no in-window shape coverage."""
+    from excelstream_spark.plans import oracles as ORC
+    from excelstream_spark.plans.extension import corpus_shard_manifest
+
+    assert_matches_oracle(
+        corpus_shard_manifest(spark, SF_DIR),
+        duck,
+        ORC.shard_manifest_oracle(n_shards=16),
     )
