@@ -52,6 +52,23 @@ the stored corpus with only the increment shuffling, and
 fixture (md5-diverse clips, linear duplicate structure) — the oracle
 fixture deliberately saturates its 768-clip space instead.
 
+ORDER-AWARE dedup (r11, closing the set-containment blind spot — a
+re-edit that reorders scenes scores identically to a re-encode on
+frame SETS): :func:`video_sequence_shingles` n-grams the per-video
+fingerprint SEQUENCE (order preserved inside the shingle),
+:func:`dedup_video_sequence` closes pairs over shingle sets, and
+:func:`dedup_video_containment_verified` composes them — unchanged
+set-containment candidates, each gaining a seq_containment verify
+column (re-encodes and uncut subsets ~1, reorderings ~0).  The family
+meets the house serving conventions the same round:
+:func:`save_video_seq_artifact` stores the shingles sh-BUCKETED with
+build-time sizes, :func:`video_increment_verified` runs the full
+candidates + order-verify composition against the stored artifacts
+with only the increment shuffling, and
+:func:`video_dedup_gate_verified` is the stateless broadcast gate
+whose in-worker md5 shingle hash equals the engine's _h60 column
+expression bit-for-bit (parity-pinned).
+
 The reference engine (KSD-CO/excelstream) has no media surface; this
 extends the multimodal family (SURVEY.md §2 extensions, the brief's
 image/audio/VIDEO requirement).
@@ -904,3 +921,284 @@ def dedup_video_containment_verified(
         )
     )
     return out
+
+
+def video_seq_sizes(sh: DataFrame) -> DataFrame:
+    """(vid, sn) — per-video surviving shingle-set sizes, computed ONCE
+    at artifact-build time (the :func:`video_fp_sizes` convention —
+    serving never re-aggregates the corpus)."""
+    return sh.groupBy("vid").agg(F.count(F.lit(1)).alias("sn"))
+
+
+def save_video_seq_artifact(
+    sh: DataFrame, base_table: str, buckets: int = 64
+) -> None:
+    """Materialize a :func:`video_sequence_shingles` result as the
+    order-verify serving artifact: ``{base}_sh`` BUCKETED + sorted on
+    ``sh`` (the verify join's key — only the increment shuffles, the
+    save_video_fp_artifact convention) and ``{base}_sh_sizes`` with the
+    build-time per-video shingle counts.  Stored alongside the fp-set
+    artifact, it lets every future increment run the full
+    candidates + order-verify composition without touching corpus
+    payloads."""
+    (
+        sh.write.format("parquet")
+        .bucketBy(buckets, "sh")
+        .sortBy("sh")
+        .mode("overwrite")
+        .saveAsTable(f"{base_table}_sh")
+    )
+    (
+        video_seq_sizes(sh)
+        .write.format("parquet")
+        .mode("overwrite")
+        .saveAsTable(f"{base_table}_sh_sizes")
+    )
+
+
+def video_increment_verified(
+    new_frame_fps: DataFrame,
+    corpus_sets: DataFrame,
+    corpus_sizes: DataFrame,
+    corpus_shingles: DataFrame,
+    corpus_sh_sizes: DataFrame,
+    threshold: float = 0.8,
+    seq_threshold: float = 0.8,
+    n: int = 2,
+    fp_col: str = "fp_a",
+    id_col: str = "doc_id",
+    quarantine_degenerate: bool = True,
+) -> DataFrame:
+    """The SERVING form of :func:`dedup_video_containment_verified`:
+    incoming clips against the STORED corpus — set-containment
+    candidates from the fp artifact (:func:`video_increment_containment`,
+    semantics unchanged), then the ORDER-AWARE verify against the
+    stored shingle artifact (:func:`save_video_seq_artifact`), all
+    without touching corpus payloads.
+
+    Consistency contract (the fp path's, extended to shingles): the
+    corpus shingles were pruned at BUILD time (``max_sh_df`` hot-run
+    cap) and their sizes counted then; the increment side shingles its
+    own raw sequence with NO df cap (corpus-hot shingles are absent
+    from the stored side, so they can never inflate an intersection —
+    they only make the verify conservative on boilerplate-heavy new
+    clips).
+
+    100 TB: with both artifacts bucketed on their join keys only the
+    increment's rows shuffle; the shingle verify join is bounded by
+    the candidate pair output via the closing LEFT join, and the
+    increment's decode+hash scan feeds the fp AND shingle stages
+    through one scoped persist.
+
+    -> (new_vid, corpus_vid, inter, n_new, n_corpus, containment,
+    seq_inter, seq_containment, seq_verified)."""
+    from excelstream_spark.operators.dedup import _scoped_persist
+
+    fps = _scoped_persist(new_frame_fps)
+    cands = _scoped_persist(
+        video_increment_containment(
+            fps,
+            corpus_sets,
+            corpus_sizes,
+            threshold=threshold,
+            fp_col=fp_col,
+            id_col=id_col,
+            quarantine_degenerate=quarantine_degenerate,
+        )
+    )
+    new_sh = _scoped_persist(
+        video_sequence_shingles(
+            fps, n=n, fp_col=fp_col, id_col=id_col, max_sh_df=None
+        )
+    )
+    new_sh_sizes = new_sh.groupBy("vid").agg(
+        F.count(F.lit(1)).alias("_sa")
+    )
+    seq_pairs = (
+        new_sh.select(F.col("vid").alias("new_vid"), "sh")
+        .join(
+            corpus_shingles.select(
+                F.col("vid").alias("corpus_vid"), "sh"
+            ),
+            "sh",
+        )
+        .groupBy("new_vid", "corpus_vid")
+        .agg(F.count(F.lit(1)).alias("seq_inter"))
+    )
+    return (
+        cands.join(seq_pairs, ["new_vid", "corpus_vid"], "left")
+        .join(
+            new_sh_sizes.select(F.col("vid").alias("new_vid"), "_sa"),
+            "new_vid",
+            "left",
+        )
+        .join(
+            corpus_sh_sizes.select(
+                F.col("vid").alias("corpus_vid"), F.col("sn").alias("_sb")
+            ),
+            "corpus_vid",
+            "left",
+        )
+        .withColumn("seq_inter", F.coalesce(F.col("seq_inter"), F.lit(0)))
+        .withColumn("_sa", F.coalesce(F.col("_sa"), F.lit(0)))
+        .withColumn("_sb", F.coalesce(F.col("_sb"), F.lit(0)))
+        .withColumn(
+            "seq_containment",
+            F.when(
+                F.least(F.col("_sa"), F.col("_sb")) > 0,
+                F.col("seq_inter")
+                / F.least(F.col("_sa"), F.col("_sb")),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "seq_verified",
+            F.col("seq_containment") >= F.lit(seq_threshold),
+        )
+        .select(
+            "new_vid", "corpus_vid", "inter", "n_new", "n_corpus",
+            "containment", "seq_inter", "seq_containment",
+            "seq_verified",
+        )
+    )
+
+
+def video_dedup_gate_verified(
+    videos: DataFrame,
+    corpus_sets,
+    corpus_sizes,
+    corpus_seq,
+    corpus_seq_sizes,
+    threshold: float = 0.8,
+    seq_threshold: float = 0.8,
+    n: int = 2,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    quarantine_degenerate: bool = True,
+) -> DataFrame:
+    """The stateless gate with the ORDER verify on top
+    (:func:`video_dedup_gate`'s shape + the serving composition's
+    semantics): decide set-containment against the broadcast fp index
+    exactly as before, then verify the WINNING corpus vid by shingle
+    overlap against the broadcast shingle index — still a pure
+    function of (payload, broadcast artifacts), so redeliveries
+    re-decide identically and the same call runs under batch AND
+    Structured Streaming.
+
+    ``corpus_seq``: iterable of ``(sh, vid)`` rows — a collected
+    :func:`video_sequence_shingles` artifact (build-time pruned);
+    ``corpus_seq_sizes``: iterable of ``(vid, sn)`` rows.  The shingle
+    hash computed in-worker is EXACTLY the engine's
+    (``int(md5("fpa:fpb").hexdigest()[:15], 16)`` == the _h60 column
+    expression), pinned by the parity test against the join form.
+
+    -> (doc_id, n_frames, n_set, best_vid, best_containment, is_dup,
+    seq_containment, seq_verified)."""
+    import hashlib
+
+    import pandas as pd
+
+    from excelstream_spark.operators.image_hash import ahash_from_pixels
+
+    fp_to_vids: dict[int, list[int]] = {}
+    for fp, vid in corpus_sets:
+        fp_to_vids.setdefault(int(fp), []).append(int(vid))
+    sizes = {int(vid): int(nn) for vid, nn in corpus_sizes}
+    missing = {
+        vid
+        for vids in fp_to_vids.values()
+        for vid in vids
+        if vid not in sizes
+    }
+    if missing:
+        raise ValueError(
+            "video_dedup_gate_verified: corpus_sizes is missing "
+            f"{len(missing)} vid(s) present in corpus_sets "
+            f"(e.g. {sorted(missing)[:5]})"
+        )
+    sh_to_vids: dict[int, set[int]] = {}
+    for sh, vid in corpus_seq:
+        sh_to_vids.setdefault(int(sh), set()).add(int(vid))
+    sh_sizes = {int(vid): int(sn) for vid, sn in corpus_seq_sizes}
+    thr, sthr = float(threshold), float(seq_threshold)
+    quarantine = bool(quarantine_degenerate)
+    ngram = int(n)
+
+    schema = (
+        "doc_id bigint, n_frames int, n_set int, best_vid bigint, "
+        "best_containment double, is_dup boolean, "
+        "seq_containment double, seq_verified boolean"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload) if payload is not None else b""
+                try:
+                    frames = apng_frame_arrays(payload)
+                except Exception:
+                    continue
+                seq_fps = [ahash_from_pixels(a) for a in frames]
+                fps = set(seq_fps)
+                if quarantine:
+                    mask = (1 << 64) - 1
+                    fps = {
+                        f
+                        for f in fps
+                        if bin(f & mask).count("1") not in (0, 64)
+                    }
+                inter: dict[int, int] = {}
+                for f in fps:
+                    for vid in fp_to_vids.get(f, ()):
+                        inter[vid] = inter.get(vid, 0) + 1
+                best_vid, best_c = None, 0.0
+                for vid in sorted(inter):
+                    c = inter[vid] / min(len(fps), sizes[vid])
+                    if c > best_c:
+                        best_vid, best_c = vid, c
+                seq_c, seq_ok = 0.0, False
+                if best_vid is not None:
+                    shs = {
+                        int(
+                            hashlib.md5(
+                                ":".join(
+                                    str(f)
+                                    for f in seq_fps[i : i + ngram]
+                                ).encode()
+                            ).hexdigest()[:15],
+                            16,
+                        )
+                        for i in range(len(seq_fps) - ngram + 1)
+                    }
+                    s_inter = sum(
+                        1
+                        for sh in shs
+                        if best_vid in sh_to_vids.get(sh, ())
+                    )
+                    denom = min(len(shs), sh_sizes.get(best_vid, 0))
+                    seq_c = s_inter / denom if denom > 0 else 0.0
+                    seq_ok = seq_c >= sthr
+                rows.append(
+                    (
+                        int(doc_id),
+                        len(frames),
+                        len(fps),
+                        best_vid,
+                        best_c if best_vid is not None else None,
+                        best_vid is not None and best_c >= thr,
+                        seq_c,
+                        seq_ok,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "n_set", "best_vid",
+                    "best_containment", "is_dup",
+                    "seq_containment", "seq_verified",
+                ],
+            )
+
+    return videos.select(id_col, payload_col).mapInPandas(
+        gen, schema=schema
+    )

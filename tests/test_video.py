@@ -616,3 +616,176 @@ def test_video_sequence_verified_vs_duckdb_oracle(spark, duck):
     assert_matches_oracle(
         out, duck, ORC.video_sequence_verified_oracle()
     )
+
+
+def test_video_increment_verified_matches_batch_verified(spark):
+    """The serving composition (stored fp artifact candidates + stored
+    shingle artifact order-verify) equals the batch verified operator's
+    cross pairs when the build-time df caps don't trip — the
+    video_increment_containment parity contract extended to the
+    order-aware columns."""
+    from excelstream_spark.operators.video import (
+        dedup_video_containment_verified,
+        video_fp_sets,
+        video_fp_sizes,
+        video_increment_verified,
+        video_seq_sizes,
+        video_sequence_shingles,
+    )
+
+    corpus_rows = [
+        (1, encode_apng(16, 16, _frames(1, 4))),
+        (2, encode_apng(16, 16, _frames(2, 3))),
+        (3, encode_apng(16, 16, _frames(3, 5))),
+    ]
+    inc_rows = [
+        (101, encode_apng(16, 16, _frames(1, 4))),                 # re-encode of 1
+        (102, encode_apng(16, 16, list(reversed(_frames(2, 3))))), # reorder of 2
+        (103, encode_apng(16, 16, _frames(3, 5)[1:])),             # subset of 3
+    ]
+    corpus_fps = video_frame_fingerprints(_clip_df(spark, corpus_rows))
+    inc_fps = video_frame_fingerprints(_clip_df(spark, inc_rows))
+    sets = video_fp_sets(corpus_fps)
+    sh = video_sequence_shingles(corpus_fps, n=2)
+    served = {
+        (r["new_vid"], r["corpus_vid"]): (
+            r["containment"], r["seq_inter"], r["seq_containment"],
+            r["seq_verified"],
+        )
+        for r in video_increment_verified(
+            inc_fps, sets, video_fp_sizes(sets), sh, video_seq_sizes(sh),
+            threshold=0.8, seq_threshold=0.8, n=2,
+        ).collect()
+    }
+    both = video_frame_fingerprints(
+        _clip_df(spark, corpus_rows + inc_rows)
+    )
+    batch = {
+        (r["vid_b"], r["vid_a"]): (
+            r["containment"], r["seq_inter"], r["seq_containment"],
+            r["seq_verified"],
+        )
+        for r in dedup_video_containment_verified(
+            both, threshold=0.8, seq_threshold=0.8, n=2
+        ).collect()
+        if r["vid_a"] <= 3 < r["vid_b"]  # cross pairs only
+    }
+    assert served == batch
+    # semantics spot-check: re-encode verifies, reorder does not
+    assert served[(101, 1)][3] is True
+    assert served[(102, 2)][2] == 0.0 and served[(102, 2)][3] is False
+    assert served[(103, 3)][3] is True
+
+
+def test_video_gate_verified_matches_increment_join(spark):
+    """The stateless order-verifying gate decides exactly what the
+    serving join decides for the winning corpus vid — including the
+    in-worker md5 shingle hash matching the engine's _h60 column
+    expression bit-for-bit (the decision is a pure function of
+    payload + broadcast artifacts)."""
+    from excelstream_spark.operators.video import (
+        video_dedup_gate_verified,
+        video_fp_sets,
+        video_fp_sizes,
+        video_increment_verified,
+        video_seq_sizes,
+        video_sequence_shingles,
+    )
+
+    corpus_rows = [
+        (1, encode_apng(16, 16, _frames(1, 4))),
+        (2, encode_apng(16, 16, _frames(2, 3))),
+    ]
+    inc_rows = [
+        (101, encode_apng(16, 16, _frames(1, 4))),                 # re-encode
+        (102, encode_apng(16, 16, list(reversed(_frames(2, 3))))), # reorder
+        (103, encode_apng(16, 16, _frames(42, 3))),                # new
+    ]
+    corpus_fps = video_frame_fingerprints(_clip_df(spark, corpus_rows))
+    sets = video_fp_sets(corpus_fps)
+    sh = video_sequence_shingles(corpus_fps, n=2)
+    set_rows = [(r["fp"], r["vid"]) for r in sets.collect()]
+    size_rows = [(r["vid"], r["n"]) for r in video_fp_sizes(sets).collect()]
+    sh_rows = [(r["sh"], r["vid"]) for r in sh.collect()]
+    sh_size_rows = [
+        (r["vid"], r["sn"]) for r in video_seq_sizes(sh).collect()
+    ]
+    gate = {
+        r["doc_id"]: (
+            r["best_vid"], r["best_containment"], r["is_dup"],
+            r["seq_containment"], r["seq_verified"],
+        )
+        for r in video_dedup_gate_verified(
+            _clip_df(spark, inc_rows), set_rows, size_rows,
+            sh_rows, sh_size_rows, threshold=0.8, seq_threshold=0.8, n=2,
+        ).collect()
+    }
+    joined = {
+        r["new_vid"]: (
+            r["corpus_vid"], r["containment"], r["seq_containment"],
+            r["seq_verified"],
+        )
+        for r in video_increment_verified(
+            video_frame_fingerprints(_clip_df(spark, inc_rows)),
+            sets, video_fp_sizes(sets), sh, video_seq_sizes(sh),
+            threshold=0.8, seq_threshold=0.8, n=2,
+        ).collect()
+    }
+    for vid in (101, 102):
+        jv = joined[vid]
+        assert gate[vid] == (jv[0], jv[1], True, jv[2], jv[3])
+    assert gate[101][4] is True   # re-encode order-verifies
+    assert gate[102][4] is False  # reorder fails the order verify
+    assert gate[103][2] is False and 103 not in joined
+
+
+def test_video_seq_artifact_shuffles_only_the_increment(spark, tmp_path):
+    """The shingle artifact honors the same plan contract as the fp
+    artifact: saved bucketed on sh, the verify join's corpus side reads
+    pre-partitioned and the sh key is never re-shuffled — only the
+    increment's rows move."""
+    import uuid
+
+    from excelstream_spark.operators.video import (
+        save_video_fp_artifact,
+        save_video_seq_artifact,
+        video_fp_sets,
+        video_increment_verified,
+        video_sequence_shingles,
+    )
+
+    base = f"vsq_{uuid.uuid4().hex[:8]}"
+    corpus_rows = [
+        (v, encode_apng(16, 16, _frames(v, 3))) for v in range(1, 9)
+    ]
+    corpus_fps = video_frame_fingerprints(_clip_df(spark, corpus_rows))
+    sets = video_fp_sets(corpus_fps)
+    sh = video_sequence_shingles(corpus_fps, n=2)
+    try:
+        save_video_fp_artifact(sets, base, buckets=4)
+        save_video_seq_artifact(sh, base, buckets=4)
+        inc_rows = [(201, encode_apng(16, 16, _frames(1, 3)))]
+        out = video_increment_verified(
+            video_frame_fingerprints(_clip_df(spark, inc_rows)),
+            spark.table(f"{base}_sets"),
+            spark.table(f"{base}_sizes"),
+            spark.table(f"{base}_sh"),
+            spark.table(f"{base}_sh_sizes"),
+            threshold=0.8,
+        )
+        rows = out.collect()
+        assert {(r["new_vid"], r["corpus_vid"]) for r in rows} == {(201, 1)}
+        assert rows[0]["seq_verified"] is True  # identical clip
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        for t in (f"{base}_sets", f"{base}_sh"):
+            # match the table's own FileScan only ("_sh[" does not hit
+            # the unbucketed "_sh_sizes" scan lines)
+            scans = [ln for ln in plan.splitlines() if f"{t}[" in ln]
+            assert scans and all(
+                "Bucketed: true" in ln for ln in scans
+            ), plan[:2000]
+        assert "Exchange hashpartitioning(fp" not in plan, plan[:2000]
+        assert "Exchange hashpartitioning(sh" not in plan, plan[:2000]
+    finally:
+        for t in ("_sets", "_sizes", "_sh", "_sh_sizes"):
+            spark.sql(f"DROP TABLE IF EXISTS {base}{t}")
