@@ -203,6 +203,10 @@ LEG_SCOPE = {
     "— no ladder rung exists for the iterative trainer); v1:r7 new "
     "leg (12 BPE merge rounds on the vocabulary table; "
     "fixed-overhead-bound after the word-count scan)",
+    "video_dedup_verified": "v1:r11 new leg (the ORDER-AWARE composed "
+    "close: set-containment candidates + frame-sequence-shingle "
+    "verify, shingle stage semi-restricted to candidate vids; "
+    "pytest-oracled — tests/test_video.py DuckDB replays)",
     "video_increment_containment": "v1:r11 new leg (the video "
     "family's hash-gated SERVING row: even-id clips form the pruned "
     "corpus fp sets + build-time sizes, odd-id clips decode+hash and "
@@ -317,8 +321,11 @@ ROUND_SCOPE_NOTES = {
     "never-converged sequence while the same run's ladder rung read "
     "6.32s).  New legs (r10 verdict #2/#5 rotations): "
     "video_increment_containment (the video family's hash-gated "
-    "serving row) and cm_frequency_estimates (the Count-Min family's "
-    "catalog row).  q5_region_revenue folded out of the catalog "
+    "serving row), cm_frequency_estimates (the Count-Min family's "
+    "catalog row), and video_dedup_verified (the order-aware "
+    "candidates + sequence-shingle verify close, pytest-oracled) "
+    "with its scale_ladder.video_sequence_diverse drift rung.  "
+    "q5_region_revenue folded out of the catalog "
     "(rule 4) — its headline leg now times the identical plain plan "
     "function via FOLDED_LEGS, plan unchanged.",
     "r10": "Measurement changes (r9 verdict #4): "
@@ -927,6 +934,38 @@ def main() -> None:
     # and join; single-sourced from the catalog row
     run_catalog("video_increment_containment")
 
+    # ORDER-AWARE verified close (r11): set-containment candidates +
+    # frame-sequence-shingle verify over the oracle fixture — prices
+    # the composed operator (pytest-oracled; the sequence stage is
+    # semi-restricted to candidate vids)
+    from excelstream_spark.operators.video import (
+        dedup_video_containment_verified as _vcv_leg,
+    )
+    from excelstream_spark.operators.video import (
+        synthesize_video_payloads as _vv_synth,
+    )
+    from excelstream_spark.operators.video import (
+        video_frame_fingerprints as _vv_fps,
+    )
+
+    def _video_verified_leg():
+        release_persists()  # the composed op scope-persists internally
+        noop_fp(
+            "video_dedup_verified",
+            _vcv_leg(
+                _vv_fps(
+                    _vv_synth(
+                        docs_full.where(F.col("doc_id").isNotNull())
+                    )
+                ),
+                threshold=0.8,
+                seq_threshold=0.8,
+                n=2,
+            ),
+        )
+
+    run("video_dedup_verified", _video_verified_leg)
+
     # stored-model classifier scoring (late r7): the serving path — the
     # model trains ONCE untimed (the expensive half
     # quality_classifier_filter prices), the leg times only the
@@ -1034,6 +1073,8 @@ def main() -> None:
         # hash-gated composition including codebook init and encode
         "video_increment_containment",  # r11: the video family's
         # hash-gated SERVING row — timed above via run_catalog
+        "video_dedup_verified",  # r11: the order-aware composed close
+        # (candidates + sequence verify) — timed above, pytest-oracled
         "cm_frequency_estimates",  # r11: the Count-Min family's
         # hash-gated catalog row — timed above via run_catalog
     ]
@@ -1158,6 +1199,13 @@ def main() -> None:
         # synthesize_diverse_video_payloads), so decode+hash scan AND
         # the containment join both carry linear work by construction
         "video_containment_diverse": lambda d: _video_diverse(d),
+        # r11: the ORDER-AWARE composed form over the same diverse
+        # fixture — set-containment candidates + sequence-shingle
+        # verify.  The shingle stage is semi-restricted to candidate
+        # vids, so its work scales with the (linear-by-construction)
+        # pair output; the rung verifies the whole composition stays
+        # linear, not just the candidate stage
+        "video_sequence_diverse": lambda d: _video_verified_diverse(d),
     }
 
     def _mm_fps(d):
@@ -1184,6 +1232,24 @@ def main() -> None:
         return _vc(
             _vfps(_vsynth(d.where(F.col("doc_id").isNotNull()))),
             threshold=0.8,
+        )
+
+    def _video_verified_diverse(d):
+        from excelstream_spark.operators.video import (
+            dedup_video_containment_verified as _vcv,
+        )
+        from excelstream_spark.operators.video import (
+            synthesize_diverse_video_payloads as _vsynth,
+        )
+        from excelstream_spark.operators.video import (
+            video_frame_fingerprints as _vfps,
+        )
+
+        return _vcv(
+            _vfps(_vsynth(d.where(F.col("doc_id").isNotNull()))),
+            threshold=0.8,
+            seq_threshold=0.8,
+            n=2,
         )
 
     def _clf_leg(d):
