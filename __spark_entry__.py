@@ -75,6 +75,19 @@ hard-signal row in the same round: ``video_dedup_containment``
 close) rotates in over ``multimodal_features``, funded by FOLDING
 ``dedup_exact`` (rule 4 strongest form — its shape lives in v1/v4's
 composed in-window oracles; gate moved to pytest).  Still 75 = 50+25.
+Round 11: the video family's SERVING path
+(``video_increment_containment`` — stored pruned corpus fp sets +
+build-time sizes vs a decoded increment, the asymmetric
+build-time-prune contract stated in SQL) and the Count-Min family's
+hard-signal row (``cm_frequency_estimates`` — deterministic counter
+table + broadcast point estimates for every distinct corpus token)
+rotate in over ``multimodal_fingerprints`` (pair semantics composed
+verbatim inside v5's in-window oracle) and ``dedup_winnowing``;
+``corpus_shard_manifest`` (inlined in v4's in-window oracle) and
+``q5_region_revenue`` (shape kept by q3) FOLD out per rule 4, gates
+verbatim in tests/test_catalog_oracle.py.  Still 75 = 50 + 25, every
+count now guard-tested against the registry by
+tests/test_doc_counts.py.
 """
 
 from __future__ import annotations

@@ -985,8 +985,10 @@ def video_increment_verified(
     clips).
 
     100 TB: with both artifacts bucketed on their join keys only the
-    increment's rows shuffle; the shingle verify join is bounded by
-    the candidate pair output via the closing LEFT join, and the
+    increment's rows shuffle; the shingle join itself moves one row
+    per shared (shingle, corpus-vid) match (bounded like the fp join —
+    the build-time ``max_sh_df`` prune caps any bucket), the closing
+    LEFT join restricts OUTPUT to candidate pairs, and the
     increment's decode+hash scan feeds the fp AND shingle stages
     through one scoped persist.
 
@@ -1090,6 +1092,11 @@ def video_dedup_gate_verified(
     hash computed in-worker is EXACTLY the engine's
     (``int(md5("fpa:fpb").hexdigest()[:15], 16)`` == the _h60 column
     expression), pinned by the parity test against the join form.
+    A corpus vid absent from ``corpus_seq_sizes`` (e.g. a clip shorter
+    than n frames, which legitimately has no shingle row) degrades to
+    seq_containment 0.0 — conservative and identical to the join
+    form's coalesce-to-zero, so only the fp-side artifacts get the
+    fail-fast mismatch validation.
 
     -> (doc_id, n_frames, n_set, best_vid, best_containment, is_dup,
     seq_containment, seq_verified)."""
