@@ -203,6 +203,11 @@ LEG_SCOPE = {
     "— no ladder rung exists for the iterative trainer); v1:r7 new "
     "leg (12 BPE merge rounds on the vocabulary table; "
     "fixed-overhead-bound after the word-count scan)",
+    "audio_dedup_containment": "v1:r11 new leg (AUDIO windowed dedup: "
+    "synthesize int16 WAVs + per-window sign-of-delta fingerprints + "
+    "the video family's containment close running unchanged over the "
+    "(id, frame_idx, fp) contract; pytest-oracled, rotation next "
+    "round per the new-family precedent)",
     "video_dedup_verified": "v1:r11 new leg (the ORDER-AWARE composed "
     "close: set-containment candidates + frame-sequence-shingle "
     "verify, shingle stage semi-restricted to candidate vids; "
@@ -324,7 +329,10 @@ ROUND_SCOPE_NOTES = {
     "serving row), cm_frequency_estimates (the Count-Min family's "
     "catalog row), and video_dedup_verified (the order-aware "
     "candidates + sequence-shingle verify close, pytest-oracled) "
-    "with its scale_ladder.video_sequence_diverse drift rung.  "
+    "with its scale_ladder.video_sequence_diverse drift rung, and "
+    "audio_dedup_containment (AUDIO windowed fingerprints closed by "
+    "the video family's modality-generic containment operator, "
+    "pytest-oracled).  "
     "q5_region_revenue folded out of the catalog "
     "(rule 4) — its headline leg now times the identical plain plan "
     "function via FOLDED_LEGS, plan unchanged.",
@@ -948,6 +956,36 @@ def main() -> None:
         video_frame_fingerprints as _vv_fps,
     )
 
+    # AUDIO windowed dedup (r11, new family): synthesize REAL int16
+    # WAVs + per-window sign-of-delta fingerprints (zero-shuffle Arrow
+    # scan) + the video family's containment close running UNCHANGED
+    # over the (id, frame_idx, fp) contract — pytest-oracled
+    # (tests/test_audio.py; catalog row via rotation next round, the
+    # PQ/video/cm precedent)
+    from excelstream_spark.operators.audio import (
+        audio_window_fingerprints as _aw_fps,
+    )
+    from excelstream_spark.operators.audio import (
+        synthesize_audio_payloads as _aw_synth,
+    )
+    from excelstream_spark.operators.video import (
+        dedup_video_containment as _vcv_containment,
+    )
+
+    def _audio_leg():
+        release_persists()  # the containment close persists internally
+        noop_fp(
+            "audio_dedup_containment",
+            _vcv_containment(
+                _aw_fps(
+                    _aw_synth(docs_full.where(F.col("doc_id").isNotNull()))
+                ),
+                threshold=0.8,
+            ),
+        )
+
+    run("audio_dedup_containment", _audio_leg)
+
     def _video_verified_leg():
         release_persists()  # the composed op scope-persists internally
         noop_fp(
@@ -1075,6 +1113,8 @@ def main() -> None:
         # hash-gated SERVING row — timed above via run_catalog
         "video_dedup_verified",  # r11: the order-aware composed close
         # (candidates + sequence verify) — timed above, pytest-oracled
+        "audio_dedup_containment",  # r11: the audio windowed-dedup
+        # family — timed above, pytest-oracled (rotation next round)
         "cm_frequency_estimates",  # r11: the Count-Min family's
         # hash-gated catalog row — timed above via run_catalog
     ]

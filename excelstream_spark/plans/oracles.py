@@ -1863,23 +1863,16 @@ def video_frame_fp_oracle(src: str = "documents") -> str:
     """
 
 
-def video_containment_oracle(
-    src: str = "documents",
-    threshold: float = 0.8,
-    max_fp_df: int = 10_000,
-) -> str:
-    """DuckDB replay of operators/video.dedup_video_containment over
-    the synthesized APNG fixture — the FULL close on top of
-    :func:`video_frame_fp_oracle`: distinct per-video frame-fp sets
-    with degenerate fingerprints (popcount 0/64) quarantined and
-    hot fingerprints (document frequency > ``max_fp_df``) pruned
-    BEFORE set sizes are counted, inverted-index intersection, and
-    the |A∩B|/min(|A|,|B|) ratio filter.  At fixture scale the DF
-    prune is numerically a no-op (the hottest fingerprint sits far
-    below 10k videos) but it is stated in SQL so the oracle replays
-    the operator's production default, not a simplification."""
+def _fp_containment_close_sql(threshold: float, max_fp_df: int) -> str:
+    """The frame/window-fingerprint CONTAINMENT close — CTE text
+    (s0/s/sz/p + the final SELECT) shared by the video and audio
+    oracles (one definition, the _cm_cell_sql convention).  Assumes a
+    CTE ``vf`` with (doc_id, fp_a): distinct per-id fp sets with
+    degenerate fingerprints (popcount 0/64) quarantined and hot
+    fingerprints (document frequency > ``max_fp_df``) pruned BEFORE
+    set sizes are counted, inverted-index intersection, and the
+    |A∩B|/min(|A|,|B|) ratio filter."""
     return f"""
-        WITH vf AS ({video_frame_fp_oracle(src)}),
         s0 AS (SELECT DISTINCT doc_id AS vid, fp_a AS fp FROM vf
                WHERE bit_count(fp_a) NOT IN (0, 64)),
         s AS (SELECT vid, fp FROM s0
@@ -1896,6 +1889,77 @@ def video_containment_oracle(
         JOIN sz na ON na.vid = p.vid_a
         JOIN sz nb ON nb.vid = p.vid_b
         WHERE p.inter * 1.0 / least(na.n, nb.n) >= {threshold}
+    """
+
+
+def video_containment_oracle(
+    src: str = "documents",
+    threshold: float = 0.8,
+    max_fp_df: int = 10_000,
+) -> str:
+    """DuckDB replay of operators/video.dedup_video_containment over
+    the synthesized APNG fixture — the FULL close on top of
+    :func:`video_frame_fp_oracle` (see :func:`_fp_containment_close_sql`
+    for the shared close).  At fixture scale the DF prune is
+    numerically a no-op (the hottest fingerprint sits far below 10k
+    videos) but it is stated in SQL so the oracle replays the
+    operator's production default, not a simplification."""
+    return f"""
+        WITH vf AS ({video_frame_fp_oracle(src)}),
+        {_fp_containment_close_sql(threshold, max_fp_df)}
+    """
+
+
+def audio_window_fp_oracle(src: str = "documents") -> str:
+    """DuckDB replay of operators/audio.audio_window_fingerprints over
+    the synthesized WAV fixture (audio.synthesize_audio_payloads):
+    ``2 + doc_id % 3`` windows of 65 int16 samples, sample ``i`` of
+    window ``w`` = ``(doc_id*37 + w*101 + i*i*11 + i*5) % 251 - 125``
+    (AUDIO_FIXTURE_MOD single-sources the modulus).  At 65 samples the
+    sign fingerprint's resample is the IDENTITY, so bit ``j`` is just
+    ``sample[j+1] > sample[j]``.  -> (doc_id, frame_idx, n_frames,
+    fp_a)."""
+    from excelstream_spark.operators.audio import AUDIO_FIXTURE_MOD
+
+    m = AUDIO_FIXTURE_MOD
+    fp = _WRAP64.format(x="b.ub")
+    return f"""
+        WITH aids AS (SELECT doc_id, CAST(2 + doc_id % 3 AS INT) AS nw
+                      FROM {src} WHERE doc_id IS NOT NULL),
+        awin AS (SELECT doc_id, nw, t.w
+                 FROM aids, unnest(generate_series(0, 3)) AS t(w)
+                 WHERE t.w < nw),
+        sm AS (SELECT doc_id, w, t.i,
+                      (doc_id * 37 + w * 101 + t.i * t.i * 11
+                       + t.i * 5) % {m} - {m // 2} AS v
+               FROM awin, unnest(generate_series(0, 64)) AS t(i)),
+        ab AS (SELECT l.doc_id, l.w,
+                      coalesce(sum(CASE WHEN r.v > l.v
+                                   THEN (1::HUGEINT << l.i) END),
+                               0::HUGEINT) AS ub
+               FROM sm l JOIN sm r ON r.doc_id = l.doc_id
+                                  AND r.w = l.w AND r.i = l.i + 1
+               WHERE l.i < 64
+               GROUP BY l.doc_id, l.w)
+        SELECT a.doc_id, CAST(a.w AS INT) AS frame_idx,
+               a.nw AS n_frames, {fp} AS fp_a
+        FROM awin a JOIN ab b ON b.doc_id = a.doc_id AND b.w = a.w
+    """
+
+
+def audio_containment_oracle(
+    src: str = "documents",
+    threshold: float = 0.8,
+    max_fp_df: int = 10_000,
+) -> str:
+    """DuckDB replay of the audio containment close — the video
+    family's operator (dedup_video_containment) running UNCHANGED over
+    :func:`audio_window_fp_oracle` rows, closed by the SHARED
+    :func:`_fp_containment_close_sql` text: the modality-generic
+    contract proven at the SQL level too."""
+    return f"""
+        WITH vf AS ({audio_window_fp_oracle(src)}),
+        {_fp_containment_close_sql(threshold, max_fp_df)}
     """
 
 

@@ -789,3 +789,85 @@ def test_video_seq_artifact_shuffles_only_the_increment(spark, tmp_path):
     finally:
         for t in ("_sets", "_sizes", "_sh", "_sh_sizes"):
             spark.sql(f"DROP TABLE IF EXISTS {base}{t}")
+
+
+def test_streaming_video_gate_verified_batch_parity_and_idempotence(spark):
+    """The ORDER-verifying gate under Structured Streaming (the
+    stateless-gate family's standard proof): exact-redelivery replay,
+    per-clip decisions — including the seq_containment verify columns —
+    bit-identical across deliveries and equal to the batch gate's."""
+    import uuid
+
+    from excelstream_spark.operators.video import (
+        synthesize_diverse_video_payloads,
+        video_dedup_gate_verified,
+        video_fp_sets,
+        video_fp_sizes,
+        video_seq_sizes,
+        video_sequence_shingles,
+    )
+    from excelstream_spark.streaming.pipelines import (
+        replayed_docs_stream,
+        run_available_now,
+    )
+    from excelstream_spark.tables import table_path
+
+    docs = load_table(spark, SF_DIR, "documents").where(
+        F.col("doc_id").isNotNull()
+    )
+    corpus_fps = video_frame_fingerprints(
+        synthesize_diverse_video_payloads(
+            docs.where(F.col("doc_id") % 2 == 0)
+        )
+    )
+    sets = video_fp_sets(corpus_fps)
+    sh = video_sequence_shingles(corpus_fps, n=2)
+    set_rows = [(r["fp"], r["vid"]) for r in sets.collect()]
+    size_rows = [
+        (r["vid"], r["n"]) for r in video_fp_sizes(sets).collect()
+    ]
+    sh_rows = [(r["sh"], r["vid"]) for r in sh.collect()]
+    sh_size_rows = [
+        (r["vid"], r["sn"]) for r in video_seq_sizes(sh).collect()
+    ]
+
+    def decisions(df):
+        return {
+            r["doc_id"]: (
+                r["best_vid"], r["best_containment"], r["is_dup"],
+                r["seq_containment"], r["seq_verified"],
+            )
+            for r in df
+        }
+
+    batch = decisions(
+        video_dedup_gate_verified(
+            synthesize_diverse_video_payloads(docs),
+            set_rows, size_rows, sh_rows, sh_size_rows, n=2,
+        ).collect()
+    )
+    # the planted twins are SUBSETS in the same order: they must both
+    # set-match and order-verify
+    dups = {d: v for d, v in batch.items() if v[2]}
+    assert dups and all(v[4] for v in dups.values())
+
+    stream = replayed_docs_stream(spark, table_path(SF_DIR, "documents"))
+    gated = video_dedup_gate_verified(
+        synthesize_diverse_video_payloads(
+            stream.where(F.col("doc_id").isNotNull()).select("doc_id")
+        ),
+        set_rows, size_rows, sh_rows, sh_size_rows, n=2,
+    )
+    rows = run_available_now(
+        gated, f"vgv_{uuid.uuid4().hex[:8]}", output_mode="append"
+    ).collect()
+    per_doc: dict[int, set] = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], set()).add(
+            (
+                r["best_vid"], r["best_containment"], r["is_dup"],
+                r["seq_containment"], r["seq_verified"],
+            )
+        )
+    assert all(len(v) == 1 for v in per_doc.values())  # idempotent
+    assert {d: next(iter(v)) for d, v in per_doc.items()} == batch
