@@ -332,7 +332,8 @@ ROUND_SCOPE_NOTES = {
     "with its scale_ladder.video_sequence_diverse drift rung, and "
     "audio_dedup_containment (AUDIO windowed fingerprints closed by "
     "the video family's modality-generic containment operator, "
-    "pytest-oracled).  "
+    "pytest-oracled) with its scale_ladder.audio_containment_diverse "
+    "drift rung.  "
     "q5_region_revenue folded out of the catalog "
     "(rule 4) — its headline leg now times the identical plain plan "
     "function via FOLDED_LEGS, plan unchanged.",
@@ -1246,6 +1247,12 @@ def main() -> None:
         # pair output; the rung verifies the whole composition stays
         # linear, not just the candidate stage
         "video_sequence_diverse": lambda d: _video_verified_diverse(d),
+        # r11: the AUDIO family's drift rung — windowed fingerprints
+        # closed by the (modality-generic) containment operator over
+        # the md5-diverse WAV fixture (linear twin structure, same
+        # rationale as video_containment_diverse: the oracle fixture's
+        # 251-value offset space saturates past ~10^3 tracks)
+        "audio_containment_diverse": lambda d: _audio_diverse(d),
     }
 
     def _mm_fps(d):
@@ -1290,6 +1297,22 @@ def main() -> None:
             threshold=0.8,
             seq_threshold=0.8,
             n=2,
+        )
+
+    def _audio_diverse(d):
+        from excelstream_spark.operators.audio import (
+            audio_window_fingerprints as _afps,
+        )
+        from excelstream_spark.operators.audio import (
+            synthesize_diverse_audio_payloads as _asynth,
+        )
+        from excelstream_spark.operators.video import (
+            dedup_video_containment as _vc,
+        )
+
+        return _vc(
+            _afps(_asynth(d.where(F.col("doc_id").isNotNull()))),
+            threshold=0.8,
         )
 
     def _clf_leg(d):

@@ -151,3 +151,62 @@ def audio_window_fingerprints(
     return audios.select(id_col, payload_col).mapInPandas(
         gen, schema=schema
     )
+
+
+def synthesize_diverse_audio_payloads(
+    docs: DataFrame, window_samples: int = 65
+) -> DataFrame:
+    """Scale-measurement audio fixture (the video family's
+    synthesize_diverse_video_payloads, for WAV): window samples come
+    from md5 bytes, so every track is CONTENT-UNIQUE except a planted,
+    bounded duplicate structure — the oracle fixture's 251-value
+    offset space saturates past ~10^3 tracks (every new track lands in
+    an existing window-offset class, pair OUTPUT grows quadratically,
+    and a drift rung would time result materialization, not the
+    pipeline).  Here ``copy = doc_id // 100_000_000`` (the bench
+    inflator's copy index) and ``pair_key`` twins each ``base%10 < 2``
+    document with its neighbour INSIDE the same copy: duplicate
+    classes have size exactly 2 regardless of corpus factor, so pair
+    count — and the containment join's work — scales linearly.  The
+    twin's window count still differs (``2 + base%3`` vs
+    ``2 + (base+1)%3``), making each twin pair a genuine
+    subset-containment, not a trivial equality.  One Arrow-batched
+    ``mapInPandas``, zero shuffle."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from excelstream_spark.operators.multimodal import encode_wav
+
+    schema = "doc_id bigint, payload binary"
+    ws = int(window_samples)
+    n_blocks = (ws * 2 + 15) // 16  # md5 digests per int16 window
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                copy, base = divmod(d, 100_000_000)
+                pair_key = (
+                    f"t{base // 2}" if base % 10 < 2 else f"s{base}"
+                )
+                nw = 2 + base % 3
+                samples: list[int] = []
+                for w in range(nw):
+                    raw = b"".join(
+                        hashlib.md5(
+                            f"{copy}:{pair_key}:{w}:{blk}".encode()
+                        ).digest()
+                        for blk in range(n_blocks)
+                    )
+                    samples.extend(
+                        np.frombuffer(raw[: ws * 2], dtype="<i2")
+                        .astype(np.int64)
+                        .tolist()
+                    )
+                rows.append((d, encode_wav(8000, samples)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return docs.select("doc_id").mapInPandas(gen, schema=schema)

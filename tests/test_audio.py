@@ -178,3 +178,33 @@ def test_audio_roundtrip_and_fingerprint_property(spark):
         ).collect()
     }
     assert base == repart and len(base) == sum(2 + i % 3 for i in range(12))
+
+
+def test_audio_diverse_fixture_linear_duplicate_structure(spark):
+    """The scale-ladder fixture (synthesize_diverse_audio_payloads):
+    every track content-unique except the planted within-copy twins
+    (base%10 == 0 pairs with base+1), duplicate classes of size
+    exactly 2, cross-copy tracks never collide — the linear pair
+    structure the drift rung relies on (the ORACLE fixture's
+    251-value offset space deliberately saturates instead)."""
+    from excelstream_spark.operators.audio import (
+        synthesize_diverse_audio_payloads,
+    )
+    from excelstream_spark.operators.video import dedup_video_containment
+
+    base = spark.range(0, 40).select(F.col("id").alias("doc_id"))
+    two_copies = base.unionAll(
+        base.select((F.col("doc_id") + F.lit(100_000_000)).alias("doc_id"))
+    )
+    fps = audio_window_fingerprints(
+        synthesize_diverse_audio_payloads(two_copies)
+    )
+    pairs = dedup_video_containment(fps, threshold=0.8).collect()
+    got = {(r["vid_a"], r["vid_b"]) for r in pairs}
+    want = {
+        (b + off, b + 1 + off)
+        for b in (0, 10, 20, 30)
+        for off in (0, 100_000_000)
+    }
+    assert got == want
+    assert all(abs(r["containment"] - 1.0) < 1e-12 for r in pairs)
