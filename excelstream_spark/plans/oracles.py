@@ -2041,13 +2041,18 @@ def video_sequence_oracle(
     threshold: float = 0.8,
     n: int = 2,
     max_sh_df: int = 10_000,
+    vf_sql: str | None = None,
 ) -> str:
-    """DuckDB replay of operators/video.dedup_video_sequence over the
-    synthesized APNG fixture: the ORDER-AWARE close — shingle the
-    per-video frame-fingerprint sequence, inverted-index
-    intersection, |A∩B|/min(|A|,|B|) over shingle-set sizes."""
+    """DuckDB replay of operators/video.dedup_video_sequence: the
+    ORDER-AWARE close — shingle the per-id frame-fingerprint sequence,
+    inverted-index intersection, |A∩B|/min(|A|,|B|) over shingle-set
+    sizes.  The operator is modality-generic over (doc_id, frame_idx,
+    fp_a) rows and so is this oracle: ``vf_sql`` names the fingerprint
+    CTE body (default: the synthesized APNG fixture's
+    :func:`video_frame_fp_oracle`; pass
+    :func:`audio_window_fp_oracle` for WAV windows)."""
     return f"""
-        WITH vf AS ({video_frame_fp_oracle(src)}),
+        WITH vf AS ({vf_sql or video_frame_fp_oracle(src)}),
         {_video_seq_shingle_ctes(n, max_sh_df)},
         ssz AS (SELECT vid, count(*) AS sn FROM shp GROUP BY vid),
         sp AS (SELECT a.vid AS vid_a, b.vid AS vid_b,

@@ -208,3 +208,28 @@ def test_audio_diverse_fixture_linear_duplicate_structure(spark):
     }
     assert got == want
     assert all(abs(r["containment"] - 1.0) < 1e-12 for r in pairs)
+
+
+def test_audio_sequence_vs_duckdb_oracle(spark, duck):
+    """The ORDER-AWARE close over audio windows replays in SQL too:
+    the modality-generic sequence oracle (video_sequence_oracle with
+    the audio fingerprint CTE) gates shingle strings, 60-bit shingle
+    hashes, sizes and the ratio filter bit-for-bit."""
+    from excelstream_spark.operators.video import dedup_video_sequence
+    from excelstream_spark.plans import oracles as ORC
+
+    docs = load_table(spark, SF_DIR, "documents").where(
+        F.col("doc_id").isNotNull()
+    )
+    out = dedup_video_sequence(
+        audio_window_fingerprints(synthesize_audio_payloads(docs)),
+        threshold=0.5,
+        n=2,
+    )
+    assert_matches_oracle(
+        out,
+        duck,
+        ORC.video_sequence_oracle(
+            threshold=0.5, n=2, vf_sql=ORC.audio_window_fp_oracle()
+        ),
+    )
