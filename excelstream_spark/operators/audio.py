@@ -38,8 +38,9 @@ black-frame story as video.
 100 TB: decode + windowing + hashing is zero-shuffle Arrow scan work;
 one row moves per (track, DISTINCT window hash) — an hour of 44.1 kHz
 audio at 65-sample windows is ~2.4M windows, so production sizing
-uses larger windows (e.g. ``window_samples=4096``, ~11 ms at 44.1 kHz
--> ~5k rows/hour after distinct); the fingerprint's internal resample
+uses larger windows (e.g. ``window_samples=4096``, ~93 ms at
+44.1 kHz -> ~39k windows per hour-long track BEFORE the distinct,
+typically far fewer after it); the fingerprint's internal resample
 makes the hash width independent of the window length.
 
 The reference engine (KSD-CO/excelstream) has no media surface; this

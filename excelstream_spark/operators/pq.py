@@ -357,6 +357,7 @@ def topk_pq(
     id_col: str = "vec_id",
     k: int = 5,
     exclude_self: bool = True,
+    max_driver_rows: int | None = None,
 ) -> DataFrame:
     """Top-k approximate cosine of float ``queries`` against a PQ-coded
     corpus (output of :func:`pq_encode`) via asymmetric distance
@@ -370,9 +371,13 @@ def topk_pq(
 
     Returns (query_id, neighbor_id, rank, cos_sim) — cos_sim is the
     query x reconstructed-corpus cosine (approximate; recall vs the
-    exact brute force is pinned in tests/test_pq.py)."""
+    exact brute force is pinned in tests/test_pq.py).  The query-side
+    collect runs under :data:`MAX_DRIVER_QUERY_ROWS`;
+    ``max_driver_rows`` is the deliberate escape hatch for larger
+    batches (the ivf_pq_topk convention)."""
     return _adc_topk(
-        codes, codebook, queries, vec_col, id_col, k, exclude_self, None
+        codes, codebook, queries, vec_col, id_col, k, exclude_self, None,
+        max_driver_rows=max_driver_rows,
     )
 
 
@@ -386,6 +391,7 @@ def _adc_topk(
     exclude_self: bool,
     cell_probes: dict | None,
     qpdf=None,
+    max_driver_rows: int | None = None,
 ) -> DataFrame:
     """The shared ADC engine behind :func:`topk_pq` (cell_probes=None —
     score every row for every query) and :func:`ivf_pq_topk`
@@ -399,7 +405,9 @@ def _adc_topk(
     (masking query i against query j's column)."""
     spark = codes.sparkSession
     if qpdf is None:
-        qpdf = _bounded_query_collect(queries, id_col, vec_col)
+        qpdf = _bounded_query_collect(
+            queries, id_col, vec_col, max_driver_rows=max_driver_rows
+        )
     out_schema = StructType(
         [
             StructField("query_id", queries.schema[id_col].dataType),
@@ -512,6 +520,7 @@ def topk_pq_reranked(
     id_col: str = "vec_id",
     k: int = 5,
     k_prime: int = 20,
+    max_driver_rows: int | None = None,
 ) -> DataFrame:
     """The full PQ serving composition (the published two-stage shape):
     :func:`topk_pq` proposes ``k_prime`` ADC candidates per query from
@@ -527,7 +536,8 @@ def topk_pq_reranked(
     from excelstream_spark.functions import vectors as VEC
 
     cand = topk_pq(
-        codes, codebook, queries, vec_col, id_col, k=k_prime
+        codes, codebook, queries, vec_col, id_col, k=k_prime,
+        max_driver_rows=max_driver_rows,
     ).select("query_id", "neighbor_id")
     qv = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")

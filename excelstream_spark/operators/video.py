@@ -512,6 +512,59 @@ def video_increment_containment(
     return pairs
 
 
+def _gate_corpus_index(corpus_sets, corpus_sizes, caller: str):
+    """Build the broadcast (fp -> vids, vid -> size) index both
+    stateless gates share, validating artifact consistency up front
+    (r10 advice #1): every vid in the fp index must carry a build-time
+    size — a malformed artifact pair (sets and sizes from different
+    builds) would otherwise KeyError inside the Arrow worker mid-job;
+    fail fast at setup with a diagnosable message instead."""
+    fp_to_vids: dict[int, list[int]] = {}
+    for fp, vid in corpus_sets:
+        fp_to_vids.setdefault(int(fp), []).append(int(vid))
+    sizes = {int(vid): int(n) for vid, n in corpus_sizes}
+    missing = {
+        vid
+        for vids in fp_to_vids.values()
+        for vid in vids
+        if vid not in sizes
+    }
+    if missing:
+        raise ValueError(
+            f"{caller}: corpus_sizes is missing "
+            f"{len(missing)} vid(s) present in corpus_sets "
+            f"(e.g. {sorted(missing)[:5]}) — sets and sizes must come "
+            "from the same video_fp_sets build "
+            "(save_video_fp_artifact writes both)"
+        )
+    return fp_to_vids, sizes
+
+
+def _best_set_containment(seq_fps, fp_to_vids, sizes, quarantine):
+    """The per-clip SET-containment decision both gates share:
+    quarantine degenerate fingerprints (two's-complement popcount —
+    signed-wrapped popcount-64 arrives as -1, whose bin() magnitude
+    popcount is 1), intersect against the broadcast index, and pick
+    the best corpus vid (ties to the lowest vid).  Returns
+    (surviving fp set, best_vid, best_containment)."""
+    fps = set(seq_fps)
+    if quarantine:
+        mask = (1 << 64) - 1
+        fps = {
+            f for f in fps if bin(f & mask).count("1") not in (0, 64)
+        }
+    inter: dict[int, int] = {}
+    for f in fps:
+        for vid in fp_to_vids.get(f, ()):
+            inter[vid] = inter.get(vid, 0) + 1
+    best_vid, best_c = None, 0.0
+    for vid in sorted(inter):
+        c = inter[vid] / min(len(fps), sizes[vid])
+        if c > best_c:
+            best_vid, best_c = vid, c
+    return fps, best_vid, best_c
+
+
 def video_dedup_gate(
     videos: DataFrame,
     corpus_sets,
@@ -551,29 +604,9 @@ def video_dedup_gate(
 
     from excelstream_spark.operators.image_hash import ahash_from_pixels
 
-    fp_to_vids: dict[int, list[int]] = {}
-    for fp, vid in corpus_sets:
-        fp_to_vids.setdefault(int(fp), []).append(int(vid))
-    sizes = {int(vid): int(n) for vid, n in corpus_sizes}
-    # artifact consistency (r10 advice #1): every vid in the fp index
-    # must carry a build-time size — a malformed artifact pair (sets
-    # and sizes from different builds) would otherwise KeyError inside
-    # the Arrow worker mid-job; fail fast at setup with a diagnosable
-    # message instead
-    missing = {
-        vid
-        for vids in fp_to_vids.values()
-        for vid in vids
-        if vid not in sizes
-    }
-    if missing:
-        raise ValueError(
-            "video_dedup_gate: corpus_sizes is missing "
-            f"{len(missing)} vid(s) present in corpus_sets "
-            f"(e.g. {sorted(missing)[:5]}) — sets and sizes must come "
-            "from the same video_fp_sets build "
-            "(save_video_fp_artifact writes both)"
-        )
+    fp_to_vids, sizes = _gate_corpus_index(
+        corpus_sets, corpus_sizes, "video_dedup_gate"
+    )
     thr = float(threshold)
     quarantine = bool(quarantine_degenerate)
 
@@ -591,29 +624,12 @@ def video_dedup_gate(
                     frames = apng_frame_arrays(payload)
                 except Exception:
                     continue
-                fps = {ahash_from_pixels(a) for a in frames}
-                if quarantine:
-                    # two's-complement popcount (fingerprints are
-                    # signed-wrapped 64-bit: popcount-64 arrives as -1,
-                    # whose bin() magnitude popcount is 1) — keeps the
-                    # gate's quarantine identical to video_fp_sets'
-                    # F.bit_count prune if the gate is ever pointed at
-                    # dHash, where all-64-bits is reachable
-                    mask = (1 << 64) - 1
-                    fps = {
-                        f
-                        for f in fps
-                        if bin(f & mask).count("1") not in (0, 64)
-                    }
-                inter: dict[int, int] = {}
-                for f in fps:
-                    for vid in fp_to_vids.get(f, ()):
-                        inter[vid] = inter.get(vid, 0) + 1
-                best_vid, best_c = None, 0.0
-                for vid in sorted(inter):
-                    c = inter[vid] / min(len(fps), sizes[vid])
-                    if c > best_c:
-                        best_vid, best_c = vid, c
+                fps, best_vid, best_c = _best_set_containment(
+                    [ahash_from_pixels(a) for a in frames],
+                    fp_to_vids,
+                    sizes,
+                    quarantine,
+                )
                 rows.append(
                     (
                         int(doc_id),
@@ -842,7 +858,15 @@ def dedup_video_containment_verified(
     semi-join (bounded by the pair output, not the corpus), the
     pair-level shingle intersection joins back LEFT so zero-overlap
     candidates keep their row, and the shared ``frame_fps`` scan
-    feeds both stages through one scoped persist.
+    feeds both stages through one scoped persist.  Note the
+    ``max_sh_df`` document frequency is therefore counted over
+    CANDIDATE vids, not the whole corpus — deliberately (a corpus-wide
+    DF would cost the corpus-wide shingle pass this composition
+    exists to avoid), but it means a non-default ``max_sh_df`` small
+    enough to trip can keep a shingle here that the standalone
+    :func:`dedup_video_sequence` (corpus-wide DF) would prune; the
+    oracle replays the candidate-space semantics, so the hash gate is
+    unaffected.
 
     -> (vid_a, vid_b, inter, na, nb, containment, seq_inter,
     seq_containment, seq_verified)."""
@@ -1106,22 +1130,9 @@ def video_dedup_gate_verified(
 
     from excelstream_spark.operators.image_hash import ahash_from_pixels
 
-    fp_to_vids: dict[int, list[int]] = {}
-    for fp, vid in corpus_sets:
-        fp_to_vids.setdefault(int(fp), []).append(int(vid))
-    sizes = {int(vid): int(nn) for vid, nn in corpus_sizes}
-    missing = {
-        vid
-        for vids in fp_to_vids.values()
-        for vid in vids
-        if vid not in sizes
-    }
-    if missing:
-        raise ValueError(
-            "video_dedup_gate_verified: corpus_sizes is missing "
-            f"{len(missing)} vid(s) present in corpus_sets "
-            f"(e.g. {sorted(missing)[:5]})"
-        )
+    fp_to_vids, sizes = _gate_corpus_index(
+        corpus_sets, corpus_sizes, "video_dedup_gate_verified"
+    )
     sh_to_vids: dict[int, set[int]] = {}
     for sh, vid in corpus_seq:
         sh_to_vids.setdefault(int(sh), set()).add(int(vid))
@@ -1146,23 +1157,9 @@ def video_dedup_gate_verified(
                 except Exception:
                     continue
                 seq_fps = [ahash_from_pixels(a) for a in frames]
-                fps = set(seq_fps)
-                if quarantine:
-                    mask = (1 << 64) - 1
-                    fps = {
-                        f
-                        for f in fps
-                        if bin(f & mask).count("1") not in (0, 64)
-                    }
-                inter: dict[int, int] = {}
-                for f in fps:
-                    for vid in fp_to_vids.get(f, ()):
-                        inter[vid] = inter.get(vid, 0) + 1
-                best_vid, best_c = None, 0.0
-                for vid in sorted(inter):
-                    c = inter[vid] / min(len(fps), sizes[vid])
-                    if c > best_c:
-                        best_vid, best_c = vid, c
+                fps, best_vid, best_c = _best_set_containment(
+                    seq_fps, fp_to_vids, sizes, quarantine
+                )
                 seq_c, seq_ok = 0.0, False
                 if best_vid is not None:
                     shs = {

@@ -413,3 +413,17 @@ def test_pq_driver_traffic_bound_enforced(spark, emb, codebook):
             coded.select("id", "code"), codebook, q.limit(2), k=1
         ).count() > 0
     )
+
+
+def test_topk_pq_has_driver_bound_escape_hatch(spark, emb, codebook):
+    """r11 review: the plain-ADC path (topk_pq / topk_pq_reranked)
+    accepts max_driver_rows too — the bound error's advised fix must
+    be possible on every guarded path, not only ivf_pq_topk."""
+    from excelstream_spark.operators.pq import pq_encode, topk_pq
+
+    codes = pq_encode(emb, codebook)
+    q = emb.filter(F.col("vec_id") < 8)
+    with pytest.raises(ValueError, match="driver-traffic bound"):
+        topk_pq(codes, codebook, q, k=2, max_driver_rows=4)
+    ok = topk_pq(codes, codebook, q, k=2, max_driver_rows=16)
+    assert ok.count() > 0
