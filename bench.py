@@ -176,7 +176,13 @@ LEG_SCOPE = {
     "unigram_scores_stored": "v1:r6 new leg (stored-vocab reuse path)",
     "dedup_token_blocks_twopass": "v1:r6 new leg (coprime two-pass)",
     "repetition_full_gate": "v1:r6 new leg (line/para + 9 n-gram Gopher rules)",
-    "dedup_increment": "meas-v4:r11 post-ladder refold (r10 verdict "
+    "dedup_increment": "meas-v5:r12 the increment-ladder 1x rung no "
+    "longer folds into the headline min (r11 advice #2 — the rung "
+    "times the operator against a persisted corpus, different "
+    "conditions; it stays reported separately in increment_ladder "
+    "with its own converged run array) and the refold loop gains the "
+    "spread guard + still-descending-at-cap warning; "
+    "meas-v4:r11 post-ladder refold (r10 verdict "
     "#1: the driver's official record min'd at 14.54s on a "
     "never-converged descending sequence [25.7->14.5] while the SAME "
     "run's increment-ladder 1x cold rung read 6.32s) — the leg is "
@@ -191,8 +197,10 @@ LEG_SCOPE = {
     "(r5 and earlier runs were flattered by lingering caches from "
     "prior runs — the 'already cached' warning spam; numbers are now "
     "honest and higher)",
-    "dedup_increment_stored": "meas-v3:r11 post-ladder refold + ladder "
-    "1x stored rung folded into the min (see dedup_increment); "
+    "dedup_increment_stored": "meas-v4:r12 ladder rung un-folded from "
+    "the headline min + spread-guarded refold (see dedup_increment); "
+    "meas-v3:r11 post-ladder refold + ladder "
+    "1x stored rung folded into the min; "
     "meas-v2:r6 scoped persists released per run "
     "(see dedup_increment)",
     "unigram_scores": "meas-v2:r6 scoped persists released per run",
@@ -206,8 +214,10 @@ LEG_SCOPE = {
     "audio_dedup_containment": "v1:r11 new leg (AUDIO windowed dedup: "
     "synthesize int16 WAVs + per-window sign-of-delta fingerprints + "
     "the video family's containment close running unchanged over the "
-    "(id, frame_idx, fp) contract; pytest-oracled, rotation next "
-    "round per the new-family precedent)",
+    "(id, frame_idx, fp) contract); r12: hash-gated catalog row "
+    "registered (the r11-scheduled rotation) and the leg "
+    "single-sources from it — same chain, same threshold, plan "
+    "unchanged",
     "video_dedup_verified": "v1:r11 new leg (the ORDER-AWARE composed "
     "close: set-containment candidates + frame-sequence-shingle "
     "verify, shingle stage semi-restricted to candidate vids; "
@@ -220,7 +230,9 @@ LEG_SCOPE = {
     "family's hash-gated catalog row: 4x1024 build + broadcast point "
     "estimates for EVERY distinct corpus token; distinct from "
     "cm_sketch_estimate's fixed %97 query slice)",
-    "training_corpus_pipeline_v5": "meas-v2:r11 post-ladder refold "
+    "training_corpus_pipeline_v5": "meas-v3:r12 refold loop gains the "
+    "spread guard + still-descending-at-cap warning (r11 advice #2); "
+    "meas-v2:r11 post-ladder refold "
     "(r10 verdict #1/what's-wrong #3: driver runs spread 2.1x "
     "[8.89..16.64] — the leg is re-timed at end-of-run, runs extended "
     "while still descending, min folded in); v1:r10 new leg (the multimodal "
@@ -317,6 +329,18 @@ LEG_SCOPE = {
 #: per-leg LEG_SCOPE stays the authoritative cross-round comparability
 #: signal; these document repo-wide changes that move MANY fingerprints)
 ROUND_SCOPE_NOTES = {
+    "r12": "Measurement changes (r11 what's-wrong #1 + advice #2): "
+    "every scale/increment/serving ladder rung now CONVERGES like the "
+    "base legs — the per-rung warmup is timed (never in the min) to "
+    "seed a descent check, runs extend while the sequence is still "
+    "descending (cap n_timed+3), and the artifact carries per-rung "
+    "run arrays (scale_ladder.<leg>.run_arrays, "
+    "<ladder>.<factor>x.{cold,stored}_runs) so drift ratios are "
+    "auditable as converged, not single samples.  The increment legs' "
+    "headline refold no longer folds the increment-ladder 1x rung "
+    "(mixed conditions — the rung's corpus is persisted); the refold "
+    "loop gains the spread guard and warns if still descending at its "
+    "8-run cap.",
     "r11": "Measurement changes (r10 verdict #1): dedup_increment / "
     "dedup_increment_stored / training_corpus_pipeline_v5 gain the "
     "post-ladder REFOLD — re-timed at end-of-run with runs extended "
@@ -960,32 +984,11 @@ def main() -> None:
     # AUDIO windowed dedup (r11, new family): synthesize REAL int16
     # WAVs + per-window sign-of-delta fingerprints (zero-shuffle Arrow
     # scan) + the video family's containment close running UNCHANGED
-    # over the (id, frame_idx, fp) contract — pytest-oracled
-    # (tests/test_audio.py; catalog row via rotation next round, the
-    # PQ/video/cm precedent)
-    from excelstream_spark.operators.audio import (
-        audio_window_fingerprints as _aw_fps,
-    )
-    from excelstream_spark.operators.audio import (
-        synthesize_audio_payloads as _aw_synth,
-    )
-    from excelstream_spark.operators.video import (
-        dedup_video_containment as _vcv_containment,
-    )
-
-    def _audio_leg():
-        release_persists()  # the containment close persists internally
-        noop_fp(
-            "audio_dedup_containment",
-            _vcv_containment(
-                _aw_fps(
-                    _aw_synth(docs_full.where(F.col("doc_id").isNotNull()))
-                ),
-                threshold=0.8,
-            ),
-        )
-
-    run("audio_dedup_containment", _audio_leg)
+    # over the (id, frame_idx, fp) contract.  r12: the family's
+    # hash-gated catalog row registered (the rotation the r11 verdict
+    # scheduled), so the leg single-sources from the catalog — same
+    # chain, same threshold, plan unchanged
+    run_catalog("audio_dedup_containment")
 
     def _video_verified_leg():
         release_persists()  # the composed op scope-persists internally
@@ -1375,21 +1378,47 @@ def main() -> None:
         ),
     }
 
-    def _rung(make, factor: int, n_timed: int, inflator=None) -> float:
-        # one UNTIMED warmup per rung before the timed runs: each rung's
-        # plan is new generated code (different union width), and a cold
-        # first execution times the JIT, not the operator — measured 4x
+    def _rung(
+        make, factor: int, n_timed: int, inflator=None, runs_out=None
+    ) -> float:
+        # one warmup per rung before the timed runs: each rung's plan is
+        # new generated code (different union width), and a cold first
+        # execution times the JIT, not the operator — measured 4x
         # inflation of the 1x rung (12.4s cold vs ~3s steady), which
-        # corrupted the drift DENOMINATOR into a flattering 0.07
+        # corrupted the drift DENOMINATOR into a flattering 0.07.
+        # r12 (r11 what's-wrong #1): the warmup is now TIMED (never
+        # folded into the min) purely to seed the descent check, and the
+        # rung extends while the sequence is still descending — the
+        # drift-ratio rungs were single samples on a box with a
+        # documented ±30-80% ambient band (driver r11 recorded the
+        # increment stored-10x rung at 2.05x while the committed
+        # same-code run read 1.16x).  Every timed run lands in
+        # ``runs_out`` so the artifact carries the rung's run array
+        # like the base legs.
         d = (inflator or inflate)(factor)
         DDo.release_persists()
+        t0 = time.perf_counter()
         noop(make(d))
+        warm = round(time.perf_counter() - t0, 3)
         durs = []
         for _ in range(n_timed):
             DDo.release_persists()
             t0 = time.perf_counter()
             noop(make(d))
             durs.append(round(time.perf_counter() - t0, 3))
+        seq = [warm] + durs
+        while (
+            seq[-1] == min(seq)
+            and seq[-1] < 0.9 * seq[-2]
+            and len(durs) < n_timed + 3
+        ):
+            DDo.release_persists()
+            t0 = time.perf_counter()
+            noop(make(d))
+            durs.append(round(time.perf_counter() - t0, 3))
+            seq.append(durs[-1])
+        if runs_out is not None:
+            runs_out.extend(durs)
         return min(durs)
 
     scale_ladder: dict[str, dict] = {}
@@ -1414,11 +1443,12 @@ def main() -> None:
         # that repeatably runs ~3s).  The 10x rung runs once after its
         # warmup, then once more only if the ladder looks anomalous
         # (non-monotonic or super-linear) — bounding worst-case cost.
+        arrays: dict[str, list[float]] = {"1x": [], "3x": [], "10x": []}
         rungs = {
-            "1x": _rung(make, 1, 2, _inflator),
-            "3x": _rung(make, 3, 2, _inflator),
+            "1x": _rung(make, 1, 2, _inflator, runs_out=arrays["1x"]),
+            "3x": _rung(make, 3, 2, _inflator, runs_out=arrays["3x"]),
         }
-        rungs["10x"] = _rung(make, 10, 1, _inflator)
+        rungs["10x"] = _rung(make, 10, 1, _inflator, runs_out=arrays["10x"])
         # retry ANY rung that makes the ladder non-monotonic (or the
         # drift super-linear): a one-off ambient stall on the 1x rung
         # flatters drift 10x (observed: a 23.6s minhash 1x against a
@@ -1427,11 +1457,18 @@ def main() -> None:
         # against a repeatable ~0.45) — and neither is distinguishable
         # from a real scaling cliff without a second sample
         if rungs["1x"] > rungs["3x"]:
-            rungs["1x"] = min(rungs["1x"], _rung(make, 1, 2, _inflator))
+            rungs["1x"] = min(
+                rungs["1x"], _rung(make, 1, 2, _inflator, runs_out=arrays["1x"])
+            )
         if rungs["3x"] > rungs["10x"]:
-            rungs["3x"] = min(rungs["3x"], _rung(make, 3, 2, _inflator))
+            rungs["3x"] = min(
+                rungs["3x"], _rung(make, 3, 2, _inflator, runs_out=arrays["3x"])
+            )
         if rungs["10x"] < rungs["3x"] or rungs["10x"] > 10 * rungs["1x"]:
-            rungs["10x"] = min(rungs["10x"], _rung(make, 10, 1, _inflator))
+            rungs["10x"] = min(
+                rungs["10x"],
+                _rung(make, 10, 1, _inflator, runs_out=arrays["10x"]),
+            )
         # r8: cross-round drift self-heal — a 10x rung that lands >1.5x
         # the PREVIOUS artifact's drift for the same leg (same scope) is
         # more likely an ambient stall than a real scaling change (the
@@ -1442,10 +1479,17 @@ def main() -> None:
             prev_drift
             and rungs["10x"] / (10 * rungs["1x"]) > 1.5 * prev_drift
         ):
-            rungs["10x"] = min(rungs["10x"], _rung(make, 10, 1, _inflator))
+            rungs["10x"] = min(
+                rungs["10x"],
+                _rung(make, 10, 1, _inflator, runs_out=arrays["10x"]),
+            )
         DDo.release_persists()
         drift = round(rungs["10x"] / (10 * rungs["1x"]), 3)
-        scale_ladder[name] = {"runs": rungs, "drift_10x": drift}
+        scale_ladder[name] = {
+            "runs": rungs,
+            "drift_10x": drift,
+            "run_arrays": arrays,
+        }
         print(
             f"  ladder {name}: {rungs} drift_10x={drift}"
             + (" (SUPER-LINEAR)" if drift > 1.3 else ""),
@@ -1464,15 +1508,35 @@ def main() -> None:
     # constant, flatness not sub-linearity is the claim).
     inc_new = docs_base.filter(F.col("doc_id") % 2 == 1)
 
-    def _inc_rung(make, n_timed: int = 2) -> float:
+    def _inc_rung(make, n_timed: int = 2, runs_out=None) -> float:
+        # r12 (r11 what's-wrong #1): same convergence treatment as
+        # _rung — timed warmup seeds the descent check (never in the
+        # min), runs extend while still descending, and every timed
+        # run lands in ``runs_out`` so the increment/serving rung
+        # ratios come from converged samples the artifact can show.
         DDo.release_persists()
+        t0 = time.perf_counter()
         noop(make())
+        warm = round(time.perf_counter() - t0, 3)
         durs = []
         for _ in range(n_timed):
             DDo.release_persists()
             t0 = time.perf_counter()
             noop(make())
             durs.append(round(time.perf_counter() - t0, 3))
+        seq = [warm] + durs
+        while (
+            seq[-1] == min(seq)
+            and seq[-1] < 0.9 * seq[-2]
+            and len(durs) < n_timed + 3
+        ):
+            DDo.release_persists()
+            t0 = time.perf_counter()
+            noop(make())
+            durs.append(round(time.perf_counter() - t0, 3))
+            seq.append(durs[-1])
+        if runs_out is not None:
+            runs_out.extend(durs)
         return min(durs)
 
     increment_ladder: dict[str, dict] = {}
@@ -1486,8 +1550,11 @@ def main() -> None:
             inflate(factor).filter(F.col("doc_id") % 2 == 0).persist()
         )
         corpus_f.count()
+        cold_runs: list[float] = []
+        stored_runs: list[float] = []
         cold = _inc_rung(
-            lambda c=corpus_f: INC.dedup_increment(inc_new, c)
+            lambda c=corpus_f: INC.dedup_increment(inc_new, c),
+            runs_out=cold_runs,
         )
         fps_f = INC.corpus_fingerprints(corpus_f).persist()
         idx_f = INC.corpus_band_index(corpus_f).persist()
@@ -1495,12 +1562,16 @@ def main() -> None:
         stored = _inc_rung(
             lambda c=corpus_f, fp=fps_f, ix=idx_f: INC.dedup_increment(
                 inc_new, c, corpus_fps=fp, band_index=ix
-            )
+            ),
+            runs_out=stored_runs,
         )
         fps_f.unpersist()
         idx_f.unpersist()
         corpus_f.unpersist()
-        increment_ladder[f"{factor}x"] = {"cold": cold, "stored": stored}
+        increment_ladder[f"{factor}x"] = {
+            "cold": cold, "stored": stored,
+            "cold_runs": cold_runs, "stored_runs": stored_runs,
+        }
     increment_ladder["corpus_10x_ratio"] = {
         "cold": round(
             increment_ladder["10x"]["cold"] / increment_ladder["1x"]["cold"], 3
@@ -1532,9 +1603,11 @@ def main() -> None:
     for factor in (1, 10):
         corpus_f = inflate(factor).persist()
         corpus_f.count()
+        cold_runs, stored_runs = [], []
         cold = _inc_rung(
             lambda c=corpus_f: _bm25(c, _BM25_QUERIES, k=10),
             n_timed=2 if factor == 1 else 1,
+            runs_out=cold_runs,
         )
         post_f, pstats_f = build_postings(corpus_f)
         post_f = post_f.persist()
@@ -1543,12 +1616,16 @@ def main() -> None:
         stored = _inc_rung(
             lambda p=post_f, s=pstats_f: bm25_topk_stored(
                 p, s, _BM25_QUERIES, k=10
-            )
+            ),
+            runs_out=stored_runs,
         )
         post_f.unpersist()
         pstats_f.unpersist()
         corpus_f.unpersist()
-        bm25_rungs[f"{factor}x"] = {"cold": cold, "stored": stored}
+        bm25_rungs[f"{factor}x"] = {
+            "cold": cold, "stored": stored,
+            "cold_runs": cold_runs, "stored_runs": stored_runs,
+        }
     bm25_rungs["corpus_10x_ratio"] = {
         "cold": round(bm25_rungs["10x"]["cold"] / bm25_rungs["1x"]["cold"], 3),
         "stored": round(
@@ -1582,13 +1659,20 @@ def main() -> None:
             m = _clf_train(c, "y", n_buckets=1024, steps=4, lr=8.0)
             return classifier_score_mapside(clf_inc, m)
 
-        cold = _inc_rung(_clf_cold, n_timed=2 if factor == 1 else 1)
+        cold_runs, stored_runs = [], []
+        cold = _inc_rung(
+            _clf_cold, n_timed=2 if factor == 1 else 1, runs_out=cold_runs
+        )
         m_stored = _clf_train(corpus_f, "y", n_buckets=1024, steps=4, lr=8.0)
         stored = _inc_rung(
-            lambda m=m_stored: classifier_score_mapside(clf_inc, m)
+            lambda m=m_stored: classifier_score_mapside(clf_inc, m),
+            runs_out=stored_runs,
         )
         corpus_f.unpersist()
-        clf_rungs[f"{factor}x"] = {"cold": cold, "stored": stored}
+        clf_rungs[f"{factor}x"] = {
+            "cold": cold, "stored": stored,
+            "cold_runs": cold_runs, "stored_runs": stored_runs,
+        }
     clf_rungs["corpus_10x_ratio"] = {
         "cold": round(clf_rungs["10x"]["cold"] / clf_rungs["1x"]["cold"], 3),
         "stored": round(
@@ -1614,18 +1698,24 @@ def main() -> None:
     for factor in (1, 10):
         corpus_f = inflate(factor).persist()
         corpus_f.count()
+        cold_runs, stored_runs = [], []
         cold = _inc_rung(
             lambda c=corpus_f: _win_gate(inc_new, _win_table(c)),
             n_timed=2 if factor == 1 else 1,
+            runs_out=cold_runs,
         )
         table_f = _win_table(corpus_f).persist()
         table_f.count()
         stored = _inc_rung(
-            lambda t=table_f: _win_gate(inc_new, t)
+            lambda t=table_f: _win_gate(inc_new, t),
+            runs_out=stored_runs,
         )
         table_f.unpersist()
         corpus_f.unpersist()
-        win_rungs[f"{factor}x"] = {"cold": cold, "stored": stored}
+        win_rungs[f"{factor}x"] = {
+            "cold": cold, "stored": stored,
+            "cold_runs": cold_runs, "stored_runs": stored_runs,
+        }
     win_rungs["corpus_10x_ratio"] = {
         "cold": round(win_rungs["10x"]["cold"] / win_rungs["1x"]["cold"], 3),
         "stored": round(
@@ -1648,18 +1738,24 @@ def main() -> None:
     for factor in (1, 10):
         corpus_f = inflate(factor).persist()
         corpus_f.count()
+        cold_runs, stored_runs = [], []
         cold = _inc_rung(
             lambda c=corpus_f: _uni_score(inc_new, vocab=_uni_vocab(c)),
             n_timed=2 if factor == 1 else 1,
+            runs_out=cold_runs,
         )
         vocab_f = _uni_vocab(corpus_f).persist()
         vocab_f.count()
         stored = _inc_rung(
-            lambda v=vocab_f: _uni_score(inc_new, vocab=v)
+            lambda v=vocab_f: _uni_score(inc_new, vocab=v),
+            runs_out=stored_runs,
         )
         vocab_f.unpersist()
         corpus_f.unpersist()
-        uni_rungs[f"{factor}x"] = {"cold": cold, "stored": stored}
+        uni_rungs[f"{factor}x"] = {
+            "cold": cold, "stored": stored,
+            "cold_runs": cold_runs, "stored_runs": stored_runs,
+        }
     uni_rungs["corpus_10x_ratio"] = {
         "cold": round(uni_rungs["10x"]["cold"] / uni_rungs["1x"]["cold"], 3),
         "stored": round(
@@ -1692,20 +1788,26 @@ def main() -> None:
             centroids_f = centroids_f.persist()
             centroids_f.count()
             stored_codes = spark.read.parquet(path)
+            full_runs, pruned_runs = [], []
             full = _inc_rung(
                 lambda s=stored_codes: topk_pq(
                     s.select("id", "code"), pq_cb, queries, k=10
                 ),
                 n_timed=2 if factor == 1 else 1,
+                runs_out=full_runs,
             )
             pruned = _inc_rung(
                 lambda s=stored_codes, c=centroids_f: ivf_pq_topk(
                     s, pq_cb, c, queries, k=10, n_probe=3
-                )
+                ),
+                runs_out=pruned_runs,
             )
             centroids_f.unpersist()
             corpus_f.unpersist()
-            ivfpq_rungs[f"{factor}x"] = {"full_adc": full, "pruned": pruned}
+            ivfpq_rungs[f"{factor}x"] = {
+                "full_adc": full, "pruned": pruned,
+                "full_adc_runs": full_runs, "pruned_runs": pruned_runs,
+            }
         ivfpq_rungs["corpus_10x_ratio"] = {
             "full_adc": round(
                 ivfpq_rungs["10x"]["full_adc"] / ivfpq_rungs["1x"]["full_adc"],
@@ -1763,19 +1865,26 @@ def main() -> None:
                 _vfps_inc(vid_inc_pay), s, _vsizes(s), threshold=0.8
             )
 
-        cold = _inc_rung(_vid_cold, n_timed=2 if factor == 1 else 1)
+        cold_runs, stored_runs = [], []
+        cold = _inc_rung(
+            _vid_cold, n_timed=2 if factor == 1 else 1, runs_out=cold_runs
+        )
         sets_f = _vsets(_vfps_inc(corpus_pay)).persist()
         sizes_f = _vsizes(sets_f).persist()
         sets_f.count(), sizes_f.count()
         stored = _inc_rung(
             lambda s=sets_f, z=sizes_f: _vinc(
                 _vfps_inc(vid_inc_pay), s, z, threshold=0.8
-            )
+            ),
+            runs_out=stored_runs,
         )
         sets_f.unpersist()
         sizes_f.unpersist()
         corpus_pay.unpersist()
-        vid_rungs[f"{factor}x"] = {"cold": cold, "stored": stored}
+        vid_rungs[f"{factor}x"] = {
+            "cold": cold, "stored": stored,
+            "cold_runs": cold_runs, "stored_runs": stored_runs,
+        }
     vid_inc_pay.unpersist()
     vid_rungs["corpus_10x_ratio"] = {
         "cold": round(vid_rungs["10x"]["cold"] / vid_rungs["1x"]["cold"], 3),
@@ -1812,42 +1921,51 @@ def main() -> None:
     # training_corpus_pipeline_v5 (driver spread 2.1x) — are re-timed
     # HERE, at the process's deepest JIT/steady state, with extra runs
     # while the sequence is still descending, and the min folds into
-    # the earlier base record.  The increment legs also fold their
-    # increment-ladder 1x rungs (identical operator over the same 1x
-    # corpus in the same process; the rung's corpus-text persist
-    # covers a 5000-row table at sf0.1 — negligible next to the
-    # fingerprint Arrow work, so the r10 "different conditions"
-    # objection is retired).
-    def refold(name: str, fn, ladder_rung: float | None = None) -> None:
+    # the earlier base record.
+    # r12 (r11 advice #2): the increment-ladder 1x rungs are NO LONGER
+    # folded into the headline min — the rung times the operator against
+    # a PERSISTED corpus / prebuilt artifacts (different conditions, and
+    # a min over mixed conditions can only lower the headline); the rung
+    # stays reported separately in increment_ladder, now with its own
+    # converged run array.  The refold loop also gains run()'s spread
+    # guard (extend while the spread is wide, not only while descending)
+    # and WARNS when the sequence is still descending at the run cap, so
+    # "runs extended until the sequence stops descending" is checkable
+    # from the log instead of asserted.
+    def refold(name: str, fn) -> None:
         fn()  # untimed steady-state warmup
         durs: list[float] = []
         for _ in range(2):
             t0 = time.perf_counter()
             fn()
             durs.append(round(time.perf_counter() - t0, 3))
-        while (
-            durs[-1] == min(durs)
-            and durs[-1] < 0.9 * durs[-2]
-            and len(durs) < 6
-        ):
+
+        def widespread() -> bool:
+            return max(durs) / max(min(durs), 1e-9) > 1.5
+
+        def descending() -> bool:
+            return durs[-1] == min(durs) and durs[-1] < 0.9 * durs[-2]
+
+        while (descending() or widespread()) and len(durs) < 8:
             t0 = time.perf_counter()
             fn()
             durs.append(round(time.perf_counter() - t0, 3))
+        if descending():
+            print(
+                f"  WARNING {name}: refold sequence still descending at "
+                f"the {len(durs)}-run cap — the recorded min may "
+                "overstate steady state",
+                file=sys.stderr,
+            )
         runs[name].extend(durs)
-        if ladder_rung is not None:
-            runs[name].append(ladder_rung)
         timings[name] = min(runs[name])
         print(
             f"  {name}: post-ladder refold -> {timings[name]:.2f}s "
-            f"(post runs={durs}, ladder rung={ladder_rung})",
+            f"(post runs={durs})",
             file=sys.stderr,
         )
 
-    refold(
-        "dedup_increment",
-        increment_gate,
-        ladder_rung=increment_ladder["1x"]["cold"],
-    )
+    refold("dedup_increment", increment_gate)
     fps_rf = INC.corpus_fingerprints(corpus_inc).persist()
     idx_rf = INC.corpus_band_index(corpus_inc).persist()
     fps_rf.count(), idx_rf.count()
@@ -1859,11 +1977,7 @@ def main() -> None:
             new_inc, corpus_inc, corpus_fps=fps_rf, band_index=idx_rf,
         ))
 
-    refold(
-        "dedup_increment_stored",
-        _stored_refold,
-        ladder_rung=increment_ladder["1x"]["stored"],
-    )
+    refold("dedup_increment_stored", _stored_refold)
     fps_rf.unpersist()
     idx_rf.unpersist()
 

@@ -1,0 +1,175 @@
+"""Language identification: character-n-gram rank profiles — the
+Cavnar & Trenkle (1994) "out-of-place" classifier, the published
+method CCNet-class pretraining pipelines use for their language step
+(Wenzek et al. 2020 runs a fasttext model of the same shape: score a
+document against per-language character-n-gram statistics built
+offline).  Until now every plan that needed language took the
+fixture's ``lang`` column as given (r11 verdict "what's missing" #2);
+this derives it.
+
+The classifier is INTEGER-EXACT by construction, so it hash-gates in
+DuckDB bit-for-bit — no floats anywhere:
+
+* profile = the language's ``top_k`` character n-grams ranked by
+  frequency (ties broken by the 60-bit md5 gram hash, the house
+  convention — ``('0x' || substr(md5(g), 1, 15))::BIGINT`` replays
+  identically in DuckDB);
+* a document is ranked the same way, and its distance to a language
+  is the sum over its top-k grams of ``|doc_rank - profile_rank|``,
+  with grams absent from the profile charged the maximum out-of-place
+  penalty ``top_k`` (the paper's measure);
+* the call is the arg-min language, ties to the lexicographically
+  smallest code.
+
+Documents that yield NO n-grams (null or shorter-than-n text) are
+absent from the output — a language call needs evidence, and both
+engines express that as plain inner-group semantics.
+
+100 TB shape: gram explode + md5 hash is scan work; the doc profile
+is one groupBy(doc, gram) count with map-side partials plus one
+row_number window partitioned by doc (the text families' standard
+single doc-keyed shuffle); the per-language profiles are a broadcast
+table (n_langs x top_k rows — kilobytes); scoring is
+doc-profile x broadcast(langs) x broadcast(profiles) with the
+summed distance partially aggregated, and the final arg-min is one
+more doc-keyed window.  The corpus text never shuffles.
+
+The reference engine (KSD-CO/excelstream) has no text-analysis
+surface; this extends the LLM-pipeline family (SURVEY.md §2
+extensions — the brief's text-analysis requirement).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: default n-gram sizes (the paper uses 1-5; bigrams+trigrams carry
+#: nearly all of the signal and keep the explode 2 rows/char)
+DEFAULT_NS: tuple[int, ...] = (2, 3)
+
+
+def _gram_hash(gram: Column) -> Column:
+    """60-bit md5 hash of a gram — the house ``_h60`` convention
+    (collisions ~2^-60; both engines hash the same UTF-8 bytes, so a
+    collision would merge the same two grams on both sides)."""
+    return F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long")
+
+
+def char_ngram_hashes(
+    df: DataFrame,
+    key_col: str,
+    ns: tuple[int, ...] = DEFAULT_NS,
+    text_col: str = "text",
+) -> DataFrame:
+    """(key_col, gram_h) — one row per character n-gram occurrence of
+    the lowercased text, for every n in ``ns``; the gram itself leaves
+    the plan immediately as its 60-bit hash (fixed-width shuffle
+    rows).  Pure JVM expressions: transform(sequence(...)) over
+    substring — no Python in the scan."""
+    t = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    base = df.select(F.col(key_col), t.alias("_t"))
+    arrays = [
+        F.expr(
+            f"CASE WHEN length(_t) >= {int(n)} THEN "
+            f"transform(sequence(1, length(_t) - {int(n)} + 1), "
+            f"i -> substring(_t, i, {int(n)})) "
+            "ELSE array() END"
+        )
+        for n in ns
+    ]
+    grams = base.select(
+        key_col, F.explode(F.concat(*arrays)).alias("_g")
+    )
+    return grams.select(key_col, _gram_hash(F.col("_g")).alias("gram_h"))
+
+
+def _rank_top_k(
+    counts: DataFrame, part_col: str, top_k: int, rank_col: str
+) -> DataFrame:
+    """row_number over (cnt DESC, gram_h ASC) per partition, kept to
+    ``top_k`` — the deterministic rank shared by profiles and docs."""
+    w = Window.partitionBy(part_col).orderBy(
+        F.col("cnt").desc(), F.col("gram_h").asc()
+    )
+    return (
+        counts.withColumn(rank_col, F.row_number().over(w))
+        .where(F.col(rank_col) <= F.lit(int(top_k)))
+        .drop("cnt")
+    )
+
+
+def train_language_profiles(
+    labeled: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    ns: tuple[int, ...] = DEFAULT_NS,
+    top_k: int = 300,
+) -> DataFrame:
+    """(lang, gram_h, rank) — per-language rank profiles from a labeled
+    slice: count every n-gram occurrence across the language's
+    documents, rank by (count DESC, gram_h ASC), keep the top
+    ``top_k``.  Rows with a NULL label are excluded (no language to
+    credit).  The result is the broadcast model: n_langs x top_k rows."""
+    grams = char_ngram_hashes(
+        labeled.where(F.col(lang_col).isNotNull()).select(
+            F.col(lang_col).alias("lang"), F.col(text_col).alias("text")
+        ),
+        key_col="lang",
+        ns=ns,
+        text_col="text",
+    )
+    counts = grams.groupBy("lang", "gram_h").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return _rank_top_k(counts, "lang", top_k, "rank")
+
+
+def language_id(
+    docs: DataFrame,
+    profiles: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ns: tuple[int, ...] = DEFAULT_NS,
+    top_k: int = 300,
+) -> DataFrame:
+    """(doc_id, lang_pred, distance) — classify each document against
+    the trained ``profiles`` (:func:`train_language_profiles`, built
+    with the SAME ``ns``/``top_k``; like the PQ codebook and the
+    Count-Min depth/width, the model's geometry travels with the
+    build, not the artifact).  Distance is the integer out-of-place
+    sum over the document's top-k grams; grams missing from a
+    language's profile are charged ``top_k``.  Arg-min language wins,
+    ties to the smallest language code; documents with no grams are
+    absent (see module docstring)."""
+    grams = char_ngram_hashes(docs, key_col=id_col, ns=ns, text_col=text_col)
+    dcounts = grams.groupBy(id_col, "gram_h").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    dprofile = _rank_top_k(dcounts, id_col, top_k, "drank")
+    langs = profiles.select("lang").distinct()
+    scored = (
+        dprofile.crossJoin(F.broadcast(langs))
+        .join(F.broadcast(profiles), ["lang", "gram_h"], "left")
+        .withColumn(
+            "_contrib",
+            F.when(
+                F.col("rank").isNotNull(),
+                F.abs(F.col("drank") - F.col("rank")),
+            ).otherwise(F.lit(int(top_k))),
+        )
+        .groupBy(id_col, "lang")
+        .agg(F.sum("_contrib").cast("long").alias("distance"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("distance").asc(), F.col("lang").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col("lang").alias("lang_pred"),
+            F.col("distance"),
+        )
+    )

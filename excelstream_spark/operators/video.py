@@ -1116,11 +1116,18 @@ def video_dedup_gate_verified(
     hash computed in-worker is EXACTLY the engine's
     (``int(md5("fpa:fpb").hexdigest()[:15], 16)`` == the _h60 column
     expression), pinned by the parity test against the join form.
-    A corpus vid absent from ``corpus_seq_sizes`` (e.g. a clip shorter
+    A corpus vid ABSENT from both seq artifacts (e.g. a clip shorter
     than n frames, which legitimately has no shingle row) degrades to
     seq_containment 0.0 — conservative and identical to the join
-    form's coalesce-to-zero, so only the fp-side artifacts get the
-    fail-fast mismatch validation.
+    form's coalesce-to-zero.  A vid PRESENT in ``corpus_seq`` whose
+    stored ``sn`` is smaller than its observed shingle count is NOT
+    conservative (it inflates seq_containment past 1.0 and can falsely
+    verify), so setup validates it the way the fp artifacts are
+    validated: every vid in the shingle index must carry
+    ``sn >= observed distinct-shingle count`` or the gate fails fast
+    (r11 advice #1; a strictly LARGER stored sn only deflates the
+    ratio and is allowed — e.g. an index filtered to a vid subset of
+    the same build).
 
     -> (doc_id, n_frames, n_set, best_vid, best_containment, is_dup,
     seq_containment, seq_verified)."""
@@ -1137,6 +1144,26 @@ def video_dedup_gate_verified(
     for sh, vid in corpus_seq:
         sh_to_vids.setdefault(int(sh), set()).add(int(vid))
     sh_sizes = {int(vid): int(sn) for vid, sn in corpus_seq_sizes}
+    # r11 advice #1: fail fast on a stale/mismatched seq artifact pair —
+    # a vid whose stored sn undercounts its shingles inflates seq_c past
+    # 1.0 (see docstring); the sets-per-shingle index dedups (sh, vid)
+    # repeats, so `observed` is the distinct-shingle count per vid.
+    observed: dict[int, int] = {}
+    for vids in sh_to_vids.values():
+        for vid in vids:
+            observed[vid] = observed.get(vid, 0) + 1
+    stale = sorted(
+        vid for vid, cnt in observed.items()
+        if sh_sizes.get(vid, 0) < cnt
+    )
+    if stale:
+        raise ValueError(
+            "video_dedup_gate_verified: corpus_seq_sizes is missing or "
+            f"undercounts {len(stale)} vid(s) present in corpus_seq "
+            f"(e.g. {stale[:5]}) — shingles and sizes must come from "
+            "the same video_sequence_shingles build "
+            "(save_video_seq_artifact writes both)"
+        )
     thr, sthr = float(threshold), float(seq_threshold)
     quarantine = bool(quarantine_degenerate)
     ngram = int(n)

@@ -180,7 +180,36 @@ PRIORITY: tuple[str, ...] = (
 #:     own argument); both DuckDB hash gates moved verbatim to
 #:     tests/test_catalog_oracle.py — no hash-level check was lost and
 #:     the tail stays at its 25-entry soft cap (registered total 75).
+#: r12 rotation summary (r11 verdict #1):
+#:   audio_dedup_containment (NEW row — the audio family's hard-signal
+#:     row: windowed WAV fingerprints closed by the video family's
+#:     containment operator UNCHANGED, the modality-generic contract
+#:     proven at the hash level via the SHARED _fp_containment_close_sql
+#:     CTE) promoted in-window over video_dedup_containment (rule 3
+#:     STRONGEST form: the symmetric containment close stays in-window
+#:     BIT-FOR-BIT through the new audio row — same operator, same SQL
+#:     close text — and the APNG decode + dual-hash chain stays
+#:     in-window through video_increment_containment's oracle; the
+#:     multimodal family keeps that serving row, v5 and the audio row
+#:     in-window);
+#:   dedup_ngram_jaccard FOLDED out of the catalog entirely (policy
+#:     rule 4, the fold the r11 verdict itself proposed): its plan is
+#:     IDENTICAL to the r10-folded dedup_ngram_containment's (the two
+#:     siblings' gates now sit side by side in
+#:     tests/test_catalog_oracle.py), the shingle pair close stays
+#:     in-window via dedup_minhash_lsh (whose oracle IS the brute-force
+#:     jaccard answer) and the composed v2 pipeline — no hash-level
+#:     check was lost and the tail stays at its 25-entry soft cap
+#:     (registered total 75).
 DEMOTED: tuple[str, ...] = (
+    "video_dedup_containment",  # r12 rotation (r11 verdict #1): funds
+    # the promoted audio_dedup_containment row (the audio family's
+    # hard-signal row); demotion-eligible in rule 3's STRONGEST form —
+    # the symmetric containment close is the SAME operator and the SAME
+    # shared SQL close CTE the new in-window audio row runs, and the
+    # APNG decode + per-frame aHash chain stays in-window via
+    # video_increment_containment's oracle (video_frame_fp_oracle); the
+    # row keeps its bench leg, its oracle and the pytest hash sweep
     "multimodal_fingerprints",  # r11 rotation (r10 verdict #5): funds
     # the promoted video_increment_containment row (the video family's
     # serving path); demotion-eligible in rule 3's STRONGEST form —
@@ -214,13 +243,14 @@ DEMOTED: tuple[str, ...] = (
     # agg_distinct_count in-window (policy rule 3), percentile/array
     # aggregates stay hash-verified via pytest's full-catalog sweep
     # plus the dedicated events-fixture test in test_catalog_oracle.py
-    "dedup_ngram_jaccard",  # r9 rotation (verdict #2): funds the
-    # promoted multimodal_fingerprints row; the dedup family keeps
-    # minhash_lsh, token_chunks_cdc, winnowing and embedding_lsh
-    # in-window (policy rule 3), the exact shingle-pairwise plan shape
-    # stays registered via the tail's dedup_ngram_containment
-    # (identical plan, different closing arithmetic), and the row keeps
-    # its bench leg, scale-ladder rung and the pytest hash sweep
+    # (dedup_ngram_jaccard left this tail in r12 by FOLDING:
+    # unregistered entirely — policy rule 4, the fold the r11 verdict
+    # itself proposed, funding the audio_dedup_containment promotion;
+    # its hash gate moved verbatim to tests/test_catalog_oracle.py::
+    # test_folded_dedup_ngram_jaccard_oracle beside its r10-folded
+    # containment sibling's, and the shingle pair close stays in-window
+    # via dedup_minhash_lsh + the composed v2 pipeline.  It had sat
+    # here since r9, funding the multimodal_fingerprints promotion.)
     "sim_topk_quantized",  # r9 rotation (verdict #4): funds the
     # promoted frequent_tokens row (the heavy-hitters family's first
     # hard-signal row); the similarity family keeps sim_ann_ivf and

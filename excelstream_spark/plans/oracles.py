@@ -2207,3 +2207,78 @@ def kmv_jaccard_oracle(
                    AS inter_est
         FROM agg
     """
+
+
+def _langid_gram_cte(src_cte: str, key: str, ns: tuple[int, ...]) -> str:
+    """Shared n-gram-hash CTE body for the langid oracle: one row per
+    character n-gram occurrence of lower(text) for every n in ``ns``,
+    the gram reduced to the house 60-bit md5 hash — replays
+    operators/langid.char_ngram_hashes.  ``src_cte`` must expose
+    (``key``, t)."""
+    n_list = ", ".join(str(int(n)) for n in ns)
+    return f"""
+        SELECT {key},
+               ('0x' || substr(md5(substr(t, ix.i, nn.n)), 1, 15))::BIGINT
+                   AS gram_h
+        FROM {src_cte}
+        CROSS JOIN (SELECT unnest([{n_list}]) AS n) nn,
+        unnest(generate_series(1, length(t) - nn.n + 1)) AS ix(i)
+    """
+
+
+def langid_oracle(
+    src: str = "documents",
+    ns: tuple[int, ...] = (2, 3),
+    top_k: int = 300,
+    train_mod: int = 2,
+) -> str:
+    """DuckDB replay of operators/langid — train Cavnar-Trenkle rank
+    profiles on the ``doc_id % train_mod == 0`` labeled slice, classify
+    the rest: per-language and per-document n-gram ranks over
+    (count DESC, gram_h ASC), integer out-of-place distance with the
+    ``top_k`` absent-gram penalty, arg-min language (ties to the
+    smallest code).  Documents with no grams are absent — inner-group
+    semantics on both engines.  -> (doc_id, lang_pred, distance)."""
+    k = int(top_k)
+    tg = _langid_gram_cte("tr", "lang", ns)
+    dg = _langid_gram_cte("sc", "doc_id", ns)
+    return f"""
+        WITH tr AS (SELECT lang, lower(coalesce(text, '')) AS t
+                    FROM {src}
+                    WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+                      AND doc_id % {train_mod} = 0),
+        tg AS ({tg}),
+        tc AS (SELECT lang, gram_h, count(*) AS cnt
+               FROM tg GROUP BY 1, 2),
+        lp AS (SELECT lang, gram_h,
+                      row_number() OVER (PARTITION BY lang
+                          ORDER BY cnt DESC, gram_h ASC) AS rank
+               FROM tc
+               QUALIFY rank <= {k}),
+        sc AS (SELECT doc_id, lower(coalesce(text, '')) AS t
+               FROM {src}
+               WHERE doc_id IS NOT NULL AND doc_id % {train_mod} <> 0),
+        dg AS ({dg}),
+        dc AS (SELECT doc_id, gram_h, count(*) AS cnt
+               FROM dg GROUP BY 1, 2),
+        dp AS (SELECT doc_id, gram_h,
+                      row_number() OVER (PARTITION BY doc_id
+                          ORDER BY cnt DESC, gram_h ASC) AS drank
+               FROM dc
+               QUALIFY drank <= {k}),
+        langs AS (SELECT DISTINCT lang FROM lp),
+        scored AS (SELECT d.doc_id, l.lang,
+                          sum(CASE WHEN p.rank IS NULL THEN {k}
+                                   ELSE abs(d.drank - p.rank) END)
+                              AS distance
+                   FROM dp d
+                   CROSS JOIN langs l
+                   LEFT JOIN lp p ON p.lang = l.lang
+                                 AND p.gram_h = d.gram_h
+                   GROUP BY 1, 2)
+        SELECT doc_id, lang AS lang_pred, CAST(distance AS BIGINT) AS distance
+        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                  ORDER BY distance ASC, lang ASC) AS _rn
+              FROM scored)
+        WHERE _rn = 1
+    """

@@ -160,8 +160,11 @@ def test_driver_window_arithmetic():
         # (multimodal_resize_sample rotated to the tail in r10, funding
         # v5; multimodal_fingerprints rotated to the tail in r11,
         # funding the video serving row — its pair semantics are
-        # composed verbatim inside v5's in-window oracle)
-        "video_dedup_containment",  # r10 late: the video family's row
+        # composed verbatim inside v5's in-window oracle;
+        # video_dedup_containment rotated to the tail in r12, funding
+        # the audio row — the SAME operator and the SAME shared SQL
+        # close CTE stay in-window through audio_dedup_containment)
+        "audio_dedup_containment",  # r12: the audio family's row
         "video_increment_containment",  # r11: the video SERVING row
         "cm_frequency_estimates",  # r11: the Count-Min family's row
         "dedup_minhash_lsh",
@@ -186,6 +189,26 @@ def test_folded_dedup_ngram_containment_oracle(spark, duck):
         duck,
         f"""SELECT * FROM ({_SQL_CONTAINMENT_PAIRS})
             WHERE greatest(cont_a, cont_b) >= 0.8""",
+    )
+
+
+def test_folded_dedup_ngram_jaccard_oracle(spark, duck):
+    """dedup_ngram_jaccard's DuckDB hash gate, moved verbatim from the
+    folded-out catalog row (r12, policy rule 4 — the fold the r11
+    verdict itself proposed, funding the audio_dedup_containment
+    promotion): its plan is identical to the r10-folded containment
+    sibling's (same inverted-index pair pipeline, different closing
+    arithmetic), the shingle pair close stays in-window via
+    dedup_minhash_lsh (whose oracle IS the brute-force jaccard answer)
+    and the composed v2 pipeline, and the standalone operator keeps
+    the same hash-level check it had as a registered entry."""
+    from excelstream_spark.plans.extension import (
+        _SQL_JACCARD_05,
+        dedup_ngram_jaccard,
+    )
+
+    assert_matches_oracle(
+        dedup_ngram_jaccard(spark, SF_DIR), duck, _SQL_JACCARD_05
     )
 
 

@@ -512,6 +512,40 @@ def test_video_gate_rejects_mismatched_artifact(spark):
         )
 
 
+def test_video_gate_verified_rejects_stale_seq_artifact(spark):
+    """r11 advice #1: a vid PRESENT in the shingle index whose stored
+    sn UNDERCOUNTS its shingles would inflate seq_containment past 1.0
+    and falsely verify — unlike an absent vid (coalesce-to-zero,
+    conservative).  The gate fails fast at setup, for a missing sizes
+    row AND for a present-but-undercounting one; a strictly larger
+    stored sn (deflating, conservative) is allowed."""
+    from excelstream_spark.operators.video import video_dedup_gate_verified
+
+    clips = _clip_df(spark, [(9, encode_apng(8, 8, _frames(9, 2, 8, 8)))])
+    fp_sets = [(12345, 1)]
+    fp_sizes = [(1, 1)]
+    # vid 1 has 3 shingles in the index but the sizes artifact says 2
+    with pytest.raises(ValueError, match="undercounts"):
+        video_dedup_gate_verified(
+            clips, fp_sets, fp_sizes,
+            corpus_seq=[(11, 1), (22, 1), (33, 1)],
+            corpus_seq_sizes=[(1, 2)],
+        )
+    # vid 1 present in the index with NO sizes row at all
+    with pytest.raises(ValueError, match="undercounts"):
+        video_dedup_gate_verified(
+            clips, fp_sets, fp_sizes,
+            corpus_seq=[(11, 1)],
+            corpus_seq_sizes=[],
+        )
+    # a LARGER stored sn only deflates the ratio — allowed at setup
+    video_dedup_gate_verified(
+        clips, fp_sets, fp_sizes,
+        corpus_seq=[(11, 1), (22, 1)],
+        corpus_seq_sizes=[(1, 5)],
+    )
+
+
 def test_video_sequence_separates_reorder_from_reencode(spark):
     """r10 verdict #4 (order-aware video dedup): the set-containment
     close scores a scene-REORDERED re-edit identically to a re-encode;
