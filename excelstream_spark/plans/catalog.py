@@ -201,7 +201,31 @@ PRIORITY: tuple[str, ...] = (
 #:     jaccard answer) and the composed v2 pipeline — no hash-level
 #:     check was lost and the tail stays at its 25-entry soft cap
 #:     (registered total 75).
+#: r12 rotation, second move (r11 verdict #2 — language ID):
+#:   langid_ngram_rank (NEW row — Cavnar-Trenkle character-n-gram rank
+#:     profiles, integer-exact out-of-place distance, the first
+#:     language-identification operator) promoted in-window over
+#:     dedup_token_chunks_cdc (rule 3 STRONGEST form: the CDC
+#:     substring-dedup stage is composed VERBATIM inside the in-window
+#:     training_corpus_pipeline_v2 oracle — its stage 4 — and the
+#:     dedup family keeps minhash_lsh, embedding_lsh, components and
+#:     the four composed pipelines in-window);
+#:   events_time_rollup FOLDED out of the catalog entirely (policy
+#:     rule 4): the time-bucketed aggregation shape stays in-window via
+#:     the streaming event-time rows + sessionize_events, date_trunc
+#:     arithmetic stays registered via the tail's date_math_functions,
+#:     and its hash gate moved verbatim to tests/test_catalog_oracle.py
+#:     — tail stays at 25, registered total 75.
 DEMOTED: tuple[str, ...] = (
+    "dedup_token_chunks_cdc",  # r12 rotation (r11 verdict #2): funds
+    # the promoted langid_ngram_rank row (the first language-ID
+    # operator); demotion-eligible in rule 3's STRONGEST form — the
+    # CDC substring-dedup stage is composed verbatim inside the
+    # in-window training_corpus_pipeline_v2 oracle (its stage 4), and
+    # the dedup family keeps minhash_lsh, embedding_lsh, components
+    # and the composed v1/v2/v4/v5 pipelines in-window; the row keeps
+    # its bench leg, its scale-ladder rung, its oracle and the pytest
+    # hash sweep
     "video_dedup_containment",  # r12 rotation (r11 verdict #1): funds
     # the promoted audio_dedup_containment row (the audio family's
     # hard-signal row); demotion-eligible in rule 3's STRONGEST form —
@@ -362,7 +386,12 @@ DEMOTED: tuple[str, ...] = (
     # dimension-broadcast shape stays in-window via
     # q3_shipping_priority, and its hash gate moved verbatim to
     # tests/test_catalog_oracle.py::test_folded_q5_region_revenue_oracle)
-    "events_time_rollup",
+    # (events_time_rollup left this tail in r12 by FOLDING:
+    # unregistered entirely — policy rule 4, funding the
+    # langid_ngram_rank promotion; the time-bucketed aggregation shape
+    # stays in-window via the streaming event-time rows +
+    # sessionize_events, and its hash gate moved verbatim to
+    # tests/test_catalog_oracle.py::test_folded_events_time_rollup_oracle)
     "subquery_thresholds",
     # (join_range left this tail in r10 by FOLDING: unregistered
     # entirely — policy rule 4; range-join semantics keep their driver

@@ -1244,13 +1244,22 @@ def training_corpus_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH; recursive CTE for components).  100 TB shape: stages 1-3 are
     scan-stage; stage 4 shuffles text once by (doc, chunk); stage 5
     shuffles fixed-width shingle hashes and ids only."""
+    return _v2_core(_docs(spark, sf_dir).select("doc_id", "lang", "text"))
+
+
+def _v2_core(docs: DataFrame) -> DataFrame:
+    """training_corpus_pipeline_v2's stage chain over an arbitrary
+    (doc_id, lang, text) frame — shared by the catalog row and the
+    bench scale-ladder rung (r11 verdict #4: the two most expensive
+    composed legs had prose 100 TB stories but no measured drift), so
+    the rung times the IDENTICAL composition, not a copy that can
+    drift."""
     from excelstream_spark.operators.components import (
         dedup_keep_representatives,
     )
 
     from excelstream_spark.operators.dedup import _scoped_persist
 
-    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
     subset = tuple(
         r for r in TXT.GOPHER_RULES if r[0] != "n_gopher_stopwords"
     )
@@ -1710,6 +1719,41 @@ def audio_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "langid_ngram_rank",
+    oracle=ORC.langid_oracle(),
+    tags=("text", "langid", "classifier"),
+)
+def langid_ngram_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification (r11 verdict #2 — the last published
+    pretraining-pipeline stage class with zero implementation; until
+    now every plan that needed language took the fixture's ``lang``
+    column as given).  The Cavnar-Trenkle (1994) rank-profile
+    classifier, INTEGER-EXACT so it hash-gates: train per-language
+    character-n-gram rank profiles (count DESC, 60-bit md5 gram-hash
+    tie-break, top 300) on the even-doc_id labeled slice, classify the
+    odd docs by the out-of-place distance — sum over the document's
+    top-k grams of |doc_rank - profile_rank|, absent grams charged
+    top_k — arg-min language, ties to the smallest code.  The oracle
+    replays gram extraction, hashing, both rank windows, the penalty
+    arithmetic and the arg-min bit-for-bit (plans/oracles.
+    langid_oracle); docs with no grams are absent on both engines.
+
+    100 TB shape (operators/langid.py): gram explode + md5 is scan
+    work; one doc-keyed count + rank window; the model is a broadcast
+    n_langs x top_k table; the corpus text never shuffles."""
+    from excelstream_spark.operators.langid import (
+        language_id,
+        train_language_profiles,
+    )
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id").isNotNull())
+    profiles = train_language_profiles(
+        docs.where(F.col("doc_id") % 2 == 0)
+    )
+    return language_id(docs.where(F.col("doc_id") % 2 != 0), profiles)
+
+
+@query(
     "dedup_increment_bloom",
     oracle=ORC.bloom_gate_oracle(1 << 17, 7),
     tags=("dedup", "incremental", "bloom", "sketch"),
@@ -2069,6 +2113,13 @@ def training_corpus_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature table; stage 6 is one keyed window; stage 7 one map-side
     groupBy(shard).  The cleaned corpus is scope-persisted: it feeds
     training, scoring, dedup and the manifest."""
+    return _v4_core(_docs(spark, sf_dir).where(F.col("doc_id").isNotNull()))
+
+
+def _v4_core(docs: DataFrame) -> DataFrame:
+    """training_corpus_pipeline_v4's stage chain over an arbitrary
+    (doc_id, text, ...) frame — shared by the catalog row and the
+    bench scale-ladder rung (see :func:`_v2_core`)."""
     from excelstream_spark.operators import quality as QL
     from excelstream_spark.operators.classifier import (
         hashed_doc_features,
@@ -2079,10 +2130,8 @@ def training_corpus_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     from excelstream_spark.operators.dedup import _scoped_persist
     from pyspark.sql import Window as W
 
-    aug = (
-        _docs(spark, sf_dir)
-        .where(F.col("doc_id").isNotNull())
-        .select("doc_id", F.expr(ORC.CLEANING_V3_AUG_SQL).alias("text"))
+    aug = docs.select(
+        "doc_id", F.expr(ORC.CLEANING_V3_AUG_SQL).alias("text")
     )
     twins = aug.select(
         (F.col("doc_id") + F.lit(ORC.V4_TWIN_OFFSET)).alias("doc_id"),

@@ -604,9 +604,9 @@ def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "events_time_rollup",
-    oracle=f"""
+#: events_time_rollup's oracle, kept importable for the folded gate
+#: (tests/test_catalog_oracle.py::test_folded_events_time_rollup_oracle)
+_SQL_EVENTS_TIME_ROLLUP = f"""
         SELECT date_trunc('day', ts)               AS day_b,
                date_trunc('hour', ts)              AS hour_b,
                time_bucket(INTERVAL 15 MINUTE, ts) AS bucket_15m,
@@ -616,15 +616,25 @@ def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         FROM events
         GROUP BY 1, 2, 3, 4
-    """,
-    tags=("agg", "time"),
-)
+    """
+
+
 def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style time rollup (round-1's events_hourly +
     events_time_buckets consolidated): day / hour / 15-minute buckets in
     one pass (timescale time_bucket semantics via epoch floor-division,
     identical across engines) — the batch shape of the streaming windowed
-    aggregation in streaming/pipelines.py."""
+    aggregation in streaming/pipelines.py.
+
+    FOLDED out of the catalog in r12 (policy rule 4, funding the
+    langid_ngram_rank promotion): the time-bucketed aggregation shape
+    stays in-window via the streaming event-time rows
+    (streaming_user_tracker's windowed state, streaming_xlsx_sink's ts
+    round-trip) and sessionize_events, multi-granularity date_trunc
+    stays registered via the tail's date_math_functions, and its
+    DuckDB hash gate moved verbatim to tests/test_catalog_oracle.py::
+    test_folded_events_time_rollup_oracle — no hash-level check was
+    lost."""
     ev = _t(spark, sf_dir, "events")
     bucket = F.timestamp_seconds(
         (F.unix_timestamp("ts") / 900).cast("bigint") * 900

@@ -266,6 +266,23 @@ def test_folded_q5_region_revenue_oracle(spark, duck):
     )
 
 
+def test_folded_events_time_rollup_oracle(spark, duck):
+    """events_time_rollup's DuckDB hash gate, moved verbatim from the
+    folded-out catalog row (r12, policy rule 4 — funding the
+    langid_ngram_rank promotion): the time-bucketed aggregation shape
+    stays in-window via the streaming event-time rows and
+    sessionize_events, and the standalone operator keeps the same
+    hash-level check it had as a registered entry."""
+    from excelstream_spark.plans.relational import (
+        _SQL_EVENTS_TIME_ROLLUP,
+        events_time_rollup,
+    )
+
+    assert_matches_oracle(
+        events_time_rollup(spark, SF_DIR), duck, _SQL_EVENTS_TIME_ROLLUP
+    )
+
+
 def test_folded_corpus_shard_manifest_oracle(spark, duck):
     """corpus_shard_manifest's DuckDB hash gate, moved verbatim from
     the folded-out catalog row (r11, policy rule 4 STRONGEST form —
