@@ -228,6 +228,12 @@ LEG_SCOPE = {
     "char-n-gram rank profiles trained on the even-id labeled slice, "
     "odd docs classified by integer out-of-place distance; "
     "single-sourced from the catalog)",
+    "training_corpus_pipeline_v6": "v1:r12 new leg (r11 verdict #5 — "
+    "the CROSS-MODAL capstone: APNG clips + WAV tracks with "
+    "frame-level DUP/REORDER twins, per-modality order-aware verified "
+    "dedup over the shared (id, frame_idx, fp) contract, connected "
+    "components, keep-best, shard manifest; hash-gated catalog row, "
+    "single-sourced)",
     "video_dedup_verified": "v1:r11 new leg (the ORDER-AWARE composed "
     "close: set-containment candidates + frame-sequence-shingle "
     "verify, shingle stage semi-restricted to candidate vids; "
@@ -350,15 +356,19 @@ ROUND_SCOPE_NOTES = {
     "headline refold no longer folds the increment-ladder 1x rung "
     "(mixed conditions — the rung's corpus is persisted); the refold "
     "loop gains the spread guard and warns if still descending at its "
-    "8-run cap.  New legs (r11 verdict #2/#6): langid_ngram_rank and "
-    "bpe_encode_stats, each with a scale-ladder drift rung; new rungs "
+    "8-run cap.  New legs (r11 verdict #2/#5/#6): langid_ngram_rank "
+    "and bpe_encode_stats (each with a scale-ladder drift rung) and "
+    "training_corpus_pipeline_v6 (the cross-modal capstone — "
+    "video+audio frame-level twins, order-aware verified dedup, "
+    "keep-best, manifest; hash-gated catalog row); new rungs "
     "(verdict #4): training_corpus_pipeline_v2/_v4 — both run the "
     "IDENTICAL stage chain via the shared _v2_core/_v4_core the "
     "catalog rows call.  audio_dedup_containment single-sources from "
     "its newly registered catalog row (plan unchanged).  Rotation: "
-    "dedup_ngram_jaccard and events_time_rollup folded out of the "
-    "catalog (gates moved verbatim to tests/test_catalog_oracle.py); "
-    "jaccard keeps its scale-ladder rung via the operator directly.",
+    "dedup_ngram_jaccard, events_time_rollup and subquery_thresholds "
+    "folded out of the catalog (gates moved verbatim to "
+    "tests/test_catalog_oracle.py); jaccard keeps its scale-ladder "
+    "rung via the operator directly.",
     "r11": "Measurement changes (r10 verdict #1): dedup_increment / "
     "dedup_increment_stored / training_corpus_pipeline_v5 gain the "
     "post-ladder REFOLD — re-timed at end-of-run with runs extended "
@@ -1053,6 +1063,12 @@ def main() -> None:
 
     run("video_dedup_verified", _video_verified_leg)
 
+    # CROSS-MODAL capstone (r12, r11 verdict #5): video clips + audio
+    # tracks with frame-level dup/reorder twins, per-modality
+    # order-aware verified dedup, components, keep-best, manifest —
+    # the hash-gated catalog row, single-sourced
+    run_catalog("training_corpus_pipeline_v6")
+
     # stored-model classifier scoring (late r7): the serving path — the
     # model trains ONCE untimed (the expensive half
     # quality_classifier_filter prices), the leg times only the
@@ -1170,6 +1186,9 @@ def main() -> None:
         # merges — the steady-state cost the trainer leg amortizes
         "langid_ngram_rank",  # r12: the language-ID family's
         # hash-gated catalog row — timed above via run_catalog
+        "training_corpus_pipeline_v6",  # r12: the cross-modal capstone
+        # — video + audio twins, order-aware verified dedup, keep-best,
+        # manifest; timed above via run_catalog
     ]
     for name in EXTENSION_LEGS:
         if name in timings or name in POST_LADDER:

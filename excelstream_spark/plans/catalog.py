@@ -216,7 +216,34 @@ PRIORITY: tuple[str, ...] = (
 #:     arithmetic stays registered via the tail's date_math_functions,
 #:     and its hash gate moved verbatim to tests/test_catalog_oracle.py
 #:     — tail stays at 25, registered total 75.
+#: r12 rotation, third move (r11 verdict #5 — the cross-modal capstone):
+#:   training_corpus_pipeline_v6 (NEW row — video clips + audio tracks
+#:     with frame-level DUP and REORDER twins, per-modality order-aware
+#:     verified dedup, components, keep-best, manifest gate: the hard
+#:     signal that makes the ORDER machinery load-bearing under a
+#:     driver hash — a set-only dedup would drop the reorder twins and
+#:     move shard counts) promoted in-window over full_repetition_gate
+#:     (rule 3 STRONGEST form: the complete 13-rule repetition gate is
+#:     composed VERBATIM inside the in-window
+#:     training_corpus_pipeline_v2 oracle — its stage 2 — and the
+#:     quality family keeps text_analysis, cleaning_pipeline_v3,
+#:     streaming_c4_gate and the composed v2/v4 in-window);
+#:   subquery_thresholds FOLDED out of the catalog entirely (policy
+#:     rule 4): the subquery family keeps exists_not_exists in-window
+#:     (the r7 demotion's own argument), the decorrelated
+#:     window-average shape stays via window_topn_per_group, and its
+#:     hash gate moved verbatim to tests/test_catalog_oracle.py —
+#:     tail stays at 25, registered total 75.
 DEMOTED: tuple[str, ...] = (
+    "full_repetition_gate",  # r12 rotation (r11 verdict #5): funds
+    # the promoted training_corpus_pipeline_v6 row (the cross-modal
+    # capstone); demotion-eligible in rule 3's STRONGEST form — the
+    # complete 13-rule repetition gate is composed verbatim inside the
+    # in-window v2 oracle (its stage 2), and the quality family keeps
+    # text_analysis, cleaning_pipeline_v3, streaming_c4_gate and the
+    # composed v2/v4 in-window; the row keeps its bench leg
+    # (repetition_full_gate), its scale-ladder rung, its oracle and
+    # the pytest hash sweep
     "dedup_token_chunks_cdc",  # r12 rotation (r11 verdict #2): funds
     # the promoted langid_ngram_rank row (the first language-ID
     # operator); demotion-eligible in rule 3's STRONGEST form — the
@@ -391,8 +418,11 @@ DEMOTED: tuple[str, ...] = (
     # langid_ngram_rank promotion; the time-bucketed aggregation shape
     # stays in-window via the streaming event-time rows +
     # sessionize_events, and its hash gate moved verbatim to
-    # tests/test_catalog_oracle.py::test_folded_events_time_rollup_oracle)
-    "subquery_thresholds",
+    # tests/test_catalog_oracle.py::test_folded_events_time_rollup_oracle.
+    # subquery_thresholds left this tail in r12 by FOLDING too —
+    # policy rule 4, funding the training_corpus_pipeline_v6 promotion;
+    # the subquery family keeps exists_not_exists in-window and its
+    # hash gate moved verbatim to test_folded_subquery_thresholds_oracle)
     # (join_range left this tail in r10 by FOLDING: unregistered
     # entirely — policy rule 4; range-join semantics keep their driver
     # row via join_interval_binned and its hash gate moved verbatim to

@@ -2251,3 +2251,128 @@ def training_corpus_pipeline_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = dedup_keep_best(corpus, pairs, "q", id_a="doc_a", id_b="doc_b")
     return shard_manifest(kept.select("doc_id", "text"), n_shards=8, seed=0)
+
+
+@query(
+    "training_corpus_pipeline_v6",
+    oracle=ORC.training_pipeline_v6_oracle(),
+    tags=("pipeline", "multimodal", "dedup", "video", "audio", "curation"),
+)
+def training_corpus_pipeline_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CROSS-MODAL pretraining build (r11 verdict #5 — v5 composed
+    IMAGES; this composes the r11 modalities, and it is the hard
+    signal that makes the ORDER-AWARE machinery load-bearing under a
+    driver hash gate instead of pytest-only):
+
+    1. video clips for doc_id%4==1 docs (REAL APNG decode via the
+       repo's own codec), audio tracks for doc_id%4==2 docs (REAL WAV
+       windows) — both emitting the modality-generic
+       ``(doc_id, frame_idx, n_frames, fp_a)`` contract;
+    2. TWIN injection at the frame level (the v4/v5 twin precedent one
+       level up the contract): a DUP twin (same frames, same order —
+       must collapse) and a REORDER twin (same frame SET, sequence
+       REVERSED — must SURVIVE; a set-only dedup would drop it and
+       move shard counts, which is exactly what this gate falsifies);
+    3. per modality, the FULL order-aware composition
+       (``dedup_video_containment_verified``: set-containment
+       candidates + sequence-shingle verify, running UNCHANGED over
+       video frames and audio windows) — only ``seq_verified`` pairs
+       become dedup edges;
+    4. connected components + ``dedup_keep_best`` (score DESC NULLS
+       LAST, ties ascending id; dup twins carry ``n_chars + doc_id%5
+       - 2``, so they win some clusters and lose others — the v5
+       falsifiability argument);
+    5. the sharded-export manifest gates every upstream decision
+       byte-for-byte — including every order decision.
+
+    The oracle composes the per-modality
+    ``video_sequence_verified_oracle`` VERBATIM (shared CTE text, the
+    _cm_cell_sql convention) under the v5 closure/manifest chain.
+
+    100 TB shape: decode+hash is zero-shuffle Arrow scan work shared
+    through one scoped persist per modality (base frames feed the
+    original + both twin derivations AND both stages of the verified
+    close); the containment join moves one row per (id, distinct fp),
+    the shingle verify is semi-restricted to candidate ids; components
+    is the O(log n) star loop; keep-best one keyed window; manifest
+    one map-side groupBy(shard).  Modalities dedup independently (no
+    cross-modal fp space) and their pair outputs just union."""
+    from excelstream_spark.operators.audio import (
+        audio_window_fingerprints,
+        synthesize_audio_payloads,
+    )
+    from excelstream_spark.operators.components import dedup_keep_best
+    from excelstream_spark.operators.curation import shard_manifest
+    from excelstream_spark.operators.dedup import _scoped_persist
+    from excelstream_spark.operators.video import (
+        dedup_video_containment_verified,
+        synthesize_video_payloads,
+        video_frame_fingerprints,
+    )
+
+    dup_off = F.lit(ORC.V6_DUP_OFFSET)
+    reo_off = F.lit(ORC.V6_REORDER_OFFSET)
+    docs = _docs(spark, sf_dir).where(F.col("doc_id").isNotNull())
+    vdocs = docs.where(F.col("doc_id") % 4 == 1)
+    adocs = docs.where(F.col("doc_id") % 4 == 2)
+
+    def with_twins(frame_fps: DataFrame) -> DataFrame:
+        base = _scoped_persist(
+            frame_fps.select("doc_id", "frame_idx", "n_frames", "fp_a")
+        )
+        dup = base.select(
+            (F.col("doc_id") + dup_off).alias("doc_id"),
+            "frame_idx", "n_frames", "fp_a",
+        )
+        reo = base.select(
+            (F.col("doc_id") + reo_off).alias("doc_id"),
+            (F.col("n_frames") - 1 - F.col("frame_idx")).alias(
+                "frame_idx"
+            ),
+            "n_frames", "fp_a",
+        )
+        return base.unionByName(dup).unionByName(reo)
+
+    vframes = with_twins(
+        video_frame_fingerprints(synthesize_video_payloads(vdocs))
+    )
+    awindows = with_twins(
+        audio_window_fingerprints(synthesize_audio_payloads(adocs))
+    )
+    edges = None
+    for frames in (vframes, awindows):
+        verified = (
+            dedup_video_containment_verified(
+                frames, threshold=0.8, seq_threshold=0.8, n=2
+            )
+            .where(F.col("seq_verified"))
+            .select(
+                F.col("vid_a").alias("doc_a"),
+                F.col("vid_b").alias("doc_b"),
+            )
+        )
+        edges = verified if edges is None else edges.unionByName(verified)
+    media = vdocs.unionByName(adocs)
+    corpus = (
+        media.select("doc_id", "text", F.col("n_chars").alias("q"))
+        .unionByName(
+            media.select(
+                (F.col("doc_id") + dup_off).alias("doc_id"),
+                F.concat(
+                    F.coalesce(F.col("text"), F.lit("")), F.lit(" dup6")
+                ).alias("text"),
+                (F.col("n_chars") + F.col("doc_id") % 5 - 2).alias("q"),
+            )
+        )
+        .unionByName(
+            media.select(
+                (F.col("doc_id") + reo_off).alias("doc_id"),
+                F.concat(
+                    F.coalesce(F.col("text"), F.lit("")), F.lit(" re6")
+                ).alias("text"),
+                (F.col("n_chars") - 1).alias("q"),
+            )
+        )
+    )
+    kept = dedup_keep_best(corpus, edges, "q", id_a="doc_a", id_b="doc_b")
+    return shard_manifest(kept.select("doc_id", "text"), n_shards=8, seed=0)

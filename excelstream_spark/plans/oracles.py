@@ -1871,11 +1871,20 @@ def _fp_containment_close_sql(threshold: float, max_fp_df: int) -> str:
     degenerate fingerprints (popcount 0/64) quarantined and hot
     fingerprints (document frequency > ``max_fp_df``) pruned BEFORE
     set sizes are counted, inverted-index intersection, and the
-    |A∩B|/min(|A|,|B|) ratio filter."""
+    |A∩B|/min(|A|,|B|) ratio filter.
+
+    The multi-referenced CTEs are MATERIALIZED (s0 feeds s + the DF
+    subquery; s feeds sizes + both pair sides): DuckDB otherwise
+    re-inlines each reference, and in the composed v6 oracle — where
+    the whole close nests inside a twice-referenced candidate CTE —
+    that re-evaluation measured 128s vs 0.2s materialized at sf0.001,
+    with identical results."""
     return f"""
-        s0 AS (SELECT DISTINCT doc_id AS vid, fp_a AS fp FROM vf
+        s0 AS MATERIALIZED (
+              SELECT DISTINCT doc_id AS vid, fp_a AS fp FROM vf
                WHERE bit_count(fp_a) NOT IN (0, 64)),
-        s AS (SELECT vid, fp FROM s0
+        s AS MATERIALIZED (
+              SELECT vid, fp FROM s0
               WHERE fp NOT IN (SELECT fp FROM s0 GROUP BY fp
                                HAVING count(*) > {max_fp_df})),
         sz AS (SELECT vid, count(*) AS n FROM s GROUP BY vid),
@@ -1896,6 +1905,7 @@ def video_containment_oracle(
     src: str = "documents",
     threshold: float = 0.8,
     max_fp_df: int = 10_000,
+    vf_sql: str | None = None,
 ) -> str:
     """DuckDB replay of operators/video.dedup_video_containment over
     the synthesized APNG fixture — the FULL close on top of
@@ -1903,9 +1913,11 @@ def video_containment_oracle(
     for the shared close).  At fixture scale the DF prune is
     numerically a no-op (the hottest fingerprint sits far below 10k
     videos) but it is stated in SQL so the oracle replays the
-    operator's production default, not a simplification."""
+    operator's production default, not a simplification.  Like
+    :func:`video_sequence_oracle`, ``vf_sql`` swaps in any fingerprint
+    CTE body (the operator is modality-generic and so is the close)."""
     return f"""
-        WITH vf AS ({video_frame_fp_oracle(src)}),
+        WITH vf AS MATERIALIZED ({vf_sql or video_frame_fp_oracle(src)}),
         {_fp_containment_close_sql(threshold, max_fp_df)}
     """
 
@@ -1958,7 +1970,7 @@ def audio_containment_oracle(
     :func:`_fp_containment_close_sql` text: the modality-generic
     contract proven at the SQL level too."""
     return f"""
-        WITH vf AS ({audio_window_fp_oracle(src)}),
+        WITH vf AS MATERIALIZED ({audio_window_fp_oracle(src)}),
         {_fp_containment_close_sql(threshold, max_fp_df)}
     """
 
@@ -2027,10 +2039,12 @@ def _video_seq_shingle_ctes(
                       lead(fp_a, {n - 1}) OVER w AS f_last
                FROM vf {where}
                WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)),
-        sh0 AS (SELECT DISTINCT doc_id AS vid,
+        sh0 AS MATERIALIZED (
+                SELECT DISTINCT doc_id AS vid,
                        ('0x' || substr(md5(shs), 1, 15))::BIGINT AS sh
                 FROM sq WHERE f_last IS NOT NULL),
-        shp AS (SELECT vid, sh FROM sh0
+        shp AS MATERIALIZED (
+                SELECT vid, sh FROM sh0
                 WHERE sh NOT IN (SELECT sh FROM sh0 GROUP BY sh
                                  HAVING count(*) > {max_sh_df}))
     """
@@ -2052,7 +2066,7 @@ def video_sequence_oracle(
     :func:`video_frame_fp_oracle`; pass
     :func:`audio_window_fp_oracle` for WAV windows)."""
     return f"""
-        WITH vf AS ({vf_sql or video_frame_fp_oracle(src)}),
+        WITH vf AS MATERIALIZED ({vf_sql or video_frame_fp_oracle(src)}),
         {_video_seq_shingle_ctes(n, max_sh_df)},
         ssz AS (SELECT vid, count(*) AS sn FROM shp GROUP BY vid),
         sp AS (SELECT a.vid AS vid_a, b.vid AS vid_b,
@@ -2075,13 +2089,16 @@ def video_sequence_verified_oracle(
     n: int = 2,
     max_fp_df: int = 10_000,
     max_sh_df: int = 10_000,
+    vf_sql: str | None = None,
 ) -> str:
     """DuckDB replay of operators/video.dedup_video_containment_verified:
     the set-containment candidates (semantics unchanged —
     :func:`video_containment_oracle` verbatim as a sub-CTE) each gain
     the order-aware seq_containment verify column, computed only over
     candidate vids, with zero-shingle sides (clips shorter than n
-    frames) scoring 0.0."""
+    frames) scoring 0.0.  ``vf_sql`` swaps in any fingerprint CTE body
+    (the :func:`video_sequence_oracle` convention — the composed close
+    is modality-generic too)."""
     seq_c = (
         "CASE WHEN least(coalesce(sa.sn, 0), coalesce(sb.sn, 0)) > 0 "
         "THEN coalesce(sp.seq_inter, 0) * 1.0 "
@@ -2089,8 +2106,10 @@ def video_sequence_verified_oracle(
         "ELSE 0.0 END"
     )
     return f"""
-        WITH cand AS ({video_containment_oracle(src, threshold, max_fp_df)}),
-        vf AS ({video_frame_fp_oracle(src)}),
+        WITH cand AS MATERIALIZED (
+            {video_containment_oracle(src, threshold, max_fp_df, vf_sql)}
+        ),
+        vf AS MATERIALIZED ({vf_sql or video_frame_fp_oracle(src)}),
         cvids AS (SELECT DISTINCT vid FROM (
                     SELECT vid_a AS vid FROM cand
                     UNION ALL SELECT vid_b AS vid FROM cand)),
@@ -2281,4 +2300,127 @@ def langid_oracle(
                   ORDER BY distance ASC, lang ASC) AS _rn
               FROM scored)
         WHERE _rn = 1
+    """
+
+
+#: v6 twin doc_id offsets (the V4/V5 convention at new, disjoint
+#: offsets): DUP = a verbatim copy of the clip/track (same frames,
+#: same order — must collapse), REORDER = the same frames REVERSED
+#: (same fingerprint SET, different sequence — must SURVIVE: the
+#: order-aware verify is what refuses to call it a duplicate)
+V6_DUP_OFFSET = 3_000_000
+V6_REORDER_OFFSET = 4_000_000
+
+
+def _v6_twin_vf(base_sql: str) -> str:
+    """(doc_id, frame_idx, n_frames, fp_a) for the v6 fixture: a
+    modality's decoded base frames plus the verbatim DUP twin and the
+    REORDERED twin (frame_idx reversed) — twins are frame-level
+    derivations of the SAME decoded clip (the v5 payload-twin
+    convention one level up, at the modality-generic frame
+    contract)."""
+    return f"""
+        WITH v6base AS ({base_sql})
+        SELECT doc_id, frame_idx, n_frames, fp_a FROM v6base
+        UNION ALL
+        SELECT doc_id + {V6_DUP_OFFSET} AS doc_id, frame_idx,
+               n_frames, fp_a
+        FROM v6base
+        UNION ALL
+        SELECT doc_id + {V6_REORDER_OFFSET} AS doc_id,
+               n_frames - 1 - frame_idx AS frame_idx, n_frames, fp_a
+        FROM v6base
+    """
+
+
+def training_pipeline_v6_oracle(
+    threshold: float = 0.8,
+    seq_threshold: float = 0.8,
+    n: int = 2,
+    n_shards: int = 8,
+    seed: int = 0,
+    src: str = "documents",
+) -> str:
+    """DuckDB replay of the v6 CROSS-MODAL pretraining build
+    (plans/extension.training_corpus_pipeline_v6): video clips
+    (doc_id%4==1, real APNG decode arithmetic) and audio tracks
+    (doc_id%4==2, real WAV window arithmetic) each gain a DUP twin and
+    a REORDERED twin at the frame level; each modality closes with the
+    FULL order-aware composition — set-containment candidates + the
+    sequence-shingle verify (:func:`video_sequence_verified_oracle`
+    verbatim, per-modality ``vf_sql``); only seq_verified pairs become
+    dedup edges; connected components (recursive CTE) ->
+    ``dedup_keep_best`` (score DESC NULLS LAST, ties ascending id) ->
+    the sharded-export manifest whose order-independent content hash
+    gates every upstream decision — including the ORDER decisions: a
+    set-only dedup would drop the reorder twins and move shard counts,
+    so the order-aware machinery is load-bearing under this hash."""
+    vsrc = f"(SELECT * FROM {src} WHERE doc_id % 4 = 1) v6v"
+    asrc = f"(SELECT * FROM {src} WHERE doc_id % 4 = 2) v6a"
+    vver = video_sequence_verified_oracle(
+        threshold=threshold,
+        seq_threshold=seq_threshold,
+        n=n,
+        vf_sql=_v6_twin_vf(video_frame_fp_oracle(vsrc)),
+    )
+    aver = video_sequence_verified_oracle(
+        threshold=threshold,
+        seq_threshold=seq_threshold,
+        n=n,
+        vf_sql=_v6_twin_vf(audio_window_fp_oracle(asrc)),
+    )
+    return f"""
+        WITH RECURSIVE
+        vp AS ({vver}),
+        ap AS ({aver}),
+        pr AS (SELECT vid_a AS doc_a, vid_b AS doc_b FROM vp
+               WHERE seq_verified
+               UNION ALL
+               SELECT vid_a AS doc_a, vid_b AS doc_b FROM ap
+               WHERE seq_verified),
+        nodes AS (SELECT doc_a AS n FROM pr UNION SELECT doc_b FROM pr),
+        edges AS (SELECT doc_a AS u, doc_b AS v FROM pr
+                  UNION SELECT doc_b, doc_a FROM pr),
+        cc(node, lbl) AS (
+          SELECT n, n FROM nodes
+          UNION
+          SELECT e.v, cc.lbl FROM cc JOIN edges e ON e.u = cc.node
+          WHERE cc.lbl < e.v
+        ),
+        comp AS (SELECT node AS id, min(lbl) AS component
+                 FROM cc GROUP BY node),
+        media AS (SELECT doc_id, text, n_chars FROM {src}
+                  WHERE doc_id IS NOT NULL AND doc_id % 4 IN (1, 2)),
+        corp AS (
+          SELECT doc_id, text, n_chars AS q FROM media
+          UNION ALL
+          SELECT doc_id + {V6_DUP_OFFSET},
+                 coalesce(text, '') || ' dup6',
+                 n_chars + doc_id % 5 - 2
+          FROM media
+          UNION ALL
+          SELECT doc_id + {V6_REORDER_OFFSET},
+                 coalesce(text, '') || ' re6',
+                 n_chars - 1
+          FROM media
+        ),
+        rankedv6 AS (
+          SELECT c.id,
+                 row_number() OVER (
+                   PARTITION BY c.component
+                   ORDER BY k.q DESC NULLS LAST, c.id) AS rn
+          FROM comp c JOIN corp k ON k.doc_id = c.id
+        ),
+        dropv6 AS (SELECT id FROM rankedv6 WHERE rn > 1),
+        survv6 AS (
+          SELECT doc_id, coalesce(text, '') AS t FROM corp
+          WHERE doc_id NOT IN (SELECT id FROM dropv6)
+        )
+        SELECT ('0x' || substr(md5('{seed}:' || cast(doc_id AS VARCHAR)),
+                               1, 8))::BIGINT % {n_shards} AS shard,
+               count(*)::BIGINT AS n_docs,
+               sum(len({_toks('t')}))::BIGINT AS n_tokens,
+               bit_xor(('0x' || substr(md5(t), 1, 15))::BIGINT)
+                   AS content_hash
+        FROM survv6 GROUP BY shard
     """

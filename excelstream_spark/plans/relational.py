@@ -688,9 +688,9 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Subquery shapes (decorrelated the Spark way)
 # --------------------------------------------------------------------------
 
-@query(
-    "subquery_thresholds",
-    oracle="""
+#: subquery_thresholds' oracle, kept importable for the folded gate
+#: (tests/test_catalog_oracle.py::test_folded_subquery_thresholds_oracle)
+_SQL_SUBQUERY_THRESHOLDS = """
         WITH g AS (
           SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) * 1.5 AS thr
           FROM customer
@@ -705,9 +705,9 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c_custkey, c_nationkey, c_acctbal,
                CAST(c_acctbal > (SELECT thr FROM g) AS INT) AS above_global
         FROM n WHERE c_acctbal > nat_avg
-    """,
-    tags=("subquery",),
-)
+    """
+
+
 def subquery_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated + scalar aggregate subqueries in one entry (round-1's
     corr_above_nation_avg + scalar_subquery_threshold consolidated):
@@ -715,7 +715,16 @@ def subquery_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
     global 1.5x-average threshold.  The correlated subquery decorrelates
     to a window average (one shuffle on the correlation key — what
     Catalyst produces from the SQL form too); the scalar subquery is a
-    1-row aggregate broadcast-cross-joined, never collected."""
+    1-row aggregate broadcast-cross-joined, never collected.
+
+    FOLDED out of the catalog in r12 (policy rule 4, funding the
+    training_corpus_pipeline_v6 promotion): the subquery family keeps
+    exists_not_exists in-window (the r7 demotion's own argument), the
+    decorrelated window-average shape stays in-window via
+    window_topn_per_group's keyed windows, and its DuckDB hash gate
+    moved verbatim to tests/test_catalog_oracle.py::
+    test_folded_subquery_thresholds_oracle — no hash-level check was
+    lost."""
     c = _t(spark, sf_dir, "customer")
     w = W.partitionBy("c_nationkey")
     nat_avg = (

@@ -283,6 +283,23 @@ def test_folded_events_time_rollup_oracle(spark, duck):
     )
 
 
+def test_folded_subquery_thresholds_oracle(spark, duck):
+    """subquery_thresholds' DuckDB hash gate, moved verbatim from the
+    folded-out catalog row (r12, policy rule 4 — funding the
+    training_corpus_pipeline_v6 promotion): the subquery family keeps
+    exists_not_exists in-window (the r7 demotion's own argument), and
+    the standalone operator keeps the same hash-level check it had as
+    a registered entry."""
+    from excelstream_spark.plans.relational import (
+        _SQL_SUBQUERY_THRESHOLDS,
+        subquery_thresholds,
+    )
+
+    assert_matches_oracle(
+        subquery_thresholds(spark, SF_DIR), duck, _SQL_SUBQUERY_THRESHOLDS
+    )
+
+
 def test_folded_corpus_shard_manifest_oracle(spark, duck):
     """corpus_shard_manifest's DuckDB hash gate, moved verbatim from
     the folded-out catalog row (r11, policy rule 4 STRONGEST form —
