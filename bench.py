@@ -70,9 +70,13 @@ sustained steady-state throughput, e.g. README.md:519-523's rows/s claims):
   "unit", "sf", "queries": {leg: min_sec}, "detail": path} — because
   the driver captures only a bounded tail of output and the r5 line
   (with per-run arrays + the ladder inlined) outgrew it, making
-  BENCH_r05.json unparseable.  Everything else (per-run arrays, the
-  scale ladder, rows/s rates, per-leg scope tags) goes to
-  bench_detail.json beside this script.
+  BENCH_r05.json unparseable.  r12: the tail window is 2,000 chars
+  and the r11 compact line overflowed it again (parsed: null), so the
+  line now HARD-FITS a 1,900-byte budget — 2-decimal seconds, rates
+  in the detail file only, cheapest legs dropped from the stdout copy
+  (queries_omitted counts them) if legs keep growing.  Everything
+  else (per-run arrays, the scale ladder, rows/s rates, per-leg scope
+  tags) goes to bench_detail.json beside this script.
 * LEG SCOPE TAGS: each leg carries a scope tag in the detail file;
   the tag is bumped whenever the TIMED PLAN or the measurement
   methodology for that leg changes, so cross-round comparisons of a
@@ -2204,19 +2208,40 @@ def main() -> None:
         )
         fh.write("\n")
     # COMPACT final line only (the driver tail-captures stdout and the
-    # r5 line with runs+ladder inlined outgrew the window -> parsed:null)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "detail": "bench_detail.json",
-            }
-        )
-    )
+    # r5 line with runs+ladder inlined outgrew the window -> parsed:null).
+    # r12: the window is 2,000 chars and the r11 line (~2,050 bytes
+    # after four new legs) overflowed it AGAIN — BENCH_r11.json records
+    # parsed: null.  The line now guarantees fit: seconds rounded to 2
+    # decimals, the *_rows_per_sec rates live in the detail file only
+    # (they are derivable from the seconds + fixed row counts), and if
+    # future legs outgrow even that, the CHEAPEST legs drop from the
+    # stdout copy (never from bench_detail.json) until the line fits a
+    # 1,900-byte budget, with queries_omitted recording how many.
+    line_q = {
+        k: round(v, 2)
+        for k, v in timings.items()
+        if not k.endswith("_rows_per_sec")
+    }
+    omitted = 0
+
+    def _line() -> str:
+        payload = {
+            "metric": "headline_total",
+            "value": total,
+            "unit": "sec",
+            "queries": line_q,
+            "sf": sf,
+            "detail": "bench_detail.json",
+        }
+        if omitted:
+            payload["queries_omitted"] = omitted
+        return json.dumps(payload)
+
+    while len(_line()) > 1900 and line_q:
+        cheapest = min(line_q, key=line_q.get)
+        del line_q[cheapest]
+        omitted += 1
+    print(_line())
 
 
 if __name__ == "__main__":

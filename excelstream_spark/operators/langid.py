@@ -5,7 +5,10 @@ method CCNet-class pretraining pipelines use for their language step
 document against per-language character-n-gram statistics built
 offline).  Until now every plan that needed language took the
 fixture's ``lang`` column as given (r11 verdict "what's missing" #2);
-this derives it.
+this derives it.  (functions/text.lang_id is the complementary
+zero-training marker-word heuristic used inside text_analysis; THIS
+module is the trained-model path — profiles learned from a labeled
+slice, any language set.)
 
 The classifier is INTEGER-EXACT by construction, so it hash-gates in
 DuckDB bit-for-bit — no floats anywhere:
