@@ -88,6 +88,25 @@ verbatim inside v5's in-window oracle) and ``dedup_winnowing``;
 verbatim in tests/test_catalog_oracle.py.  Still 75 = 50 + 25, every
 count now guard-tested against the registry by
 tests/test_doc_counts.py.
+Round 12 (three rotations, still 75 = 50 + 25): the AUDIO family's
+hard-signal row (``audio_dedup_containment`` — windowed WAV
+fingerprints closed by the video family's containment operator
+UNCHANGED, the shared SQL close CTE proving the modality-generic
+contract at the hash level) rotates in over
+``video_dedup_containment`` (same operator + same close text stay
+in-window through the audio row; APNG decode stays via the serving
+row's oracle); LANGUAGE IDENTIFICATION lands
+(``langid_ngram_rank`` — Cavnar-Trenkle character-n-gram rank
+profiles, integer-exact out-of-place distance, the whole classifier
+replayed in DuckDB) over ``dedup_token_chunks_cdc`` (CDC composed
+verbatim in v2's in-window oracle); and the CROSS-MODAL capstone
+(``training_corpus_pipeline_v6`` — video + audio frame-level
+dup/reorder twins, per-modality order-aware verified dedup,
+keep-best, manifest: the gate that falsifies set-only dedup) over
+``full_repetition_gate`` (the 13-rule gate composed verbatim in
+v2's oracle).  ``dedup_ngram_jaccard``, ``events_time_rollup`` and
+``subquery_thresholds`` FOLD out per rule 4, gates verbatim in
+tests/test_catalog_oracle.py.
 """
 
 from __future__ import annotations

@@ -113,7 +113,14 @@ def train_language_profiles(
     slice: count every n-gram occurrence across the language's
     documents, rank by (count DESC, gram_h ASC), keep the top
     ``top_k``.  Rows with a NULL label are excluded (no language to
-    credit).  The result is the broadcast model: n_langs x top_k rows."""
+    credit).  The result is the broadcast model: n_langs x top_k rows.
+
+    100 TB note: the rank window partitions by ``lang`` (few, large
+    partitions) — safe because its input is the (lang, gram_h) COUNT
+    table, whose size is bounded by the character-n-gram vocabulary
+    (alphabet^n, ~1e4-1e6 rows/language), not by the corpus; the
+    corpus-sized work (gram explode + count) is map-side partial
+    aggregation ahead of it."""
     grams = char_ngram_hashes(
         labeled.where(F.col(lang_col).isNotNull()).select(
             F.col(lang_col).alias("lang"), F.col(text_col).alias("text")
