@@ -1182,8 +1182,9 @@ def main() -> None:
         # hash-gated SERVING row — timed above via run_catalog
         "video_dedup_verified",  # r11: the order-aware composed close
         # (candidates + sequence verify) — timed above, pytest-oracled
-        "audio_dedup_containment",  # r11: the audio windowed-dedup
-        # family — timed above, pytest-oracled (rotation next round)
+        "audio_dedup_containment",  # r12: the audio family's
+        # hash-gated catalog row (the r11-scheduled rotation executed)
+        # — timed above via run_catalog, single-sourced
         "cm_frequency_estimates",  # r11: the Count-Min family's
         # hash-gated catalog row — timed above via run_catalog
         "bpe_encode_stats",  # r12: corpus tokenization under stored

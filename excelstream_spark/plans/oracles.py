@@ -2105,11 +2105,16 @@ def video_sequence_verified_oracle(
         "/ least(coalesce(sa.sn, 0), coalesce(sb.sn, 0)) "
         "ELSE 0.0 END"
     )
+    # the fingerprint CTE is emitted ONCE and shared (r12 self-review
+    # #3): the candidate close's inner WITH references the OUTER vf —
+    # previously the vf body appeared twice (inside cand and again for
+    # the shingle stage), doubling the decode replay per modality in
+    # the composed v6 oracle
     return f"""
-        WITH cand AS MATERIALIZED (
-            {video_containment_oracle(src, threshold, max_fp_df, vf_sql)}
+        WITH vf AS MATERIALIZED ({vf_sql or video_frame_fp_oracle(src)}),
+        cand AS MATERIALIZED (
+            WITH {_fp_containment_close_sql(threshold, max_fp_df)}
         ),
-        vf AS MATERIALIZED ({vf_sql or video_frame_fp_oracle(src)}),
         cvids AS (SELECT DISTINCT vid FROM (
                     SELECT vid_a AS vid FROM cand
                     UNION ALL SELECT vid_b AS vid FROM cand)),

@@ -103,9 +103,9 @@ def test_survey_pinned_pytest_count_matches_collection(request):
     collection drift after the number was hand-pinned.  Same cure as
     the catalog counts: if the CURRENT appendix pins a pytest figure
     ("N passed / M skipped"), N+M must equal what pytest actually
-    collects.  Only asserts when the FULL suite is running (a subset
-    run legitimately collects fewer items) — then the doc, not this
-    test, is what moves."""
+    collects.  Only asserts on full-suite INVOCATIONS (no -k/-m, no
+    narrower paths — so both drift directions are caught, including an
+    overstated pin); then the doc, not this test, is what moves."""
     import pytest
 
     text = (REPO / "SURVEY.md").read_text()
@@ -115,12 +115,24 @@ def test_survey_pinned_pytest_count_matches_collection(request):
     if not m:
         pytest.skip("current appendix pins no pytest count")
     claimed = int(m.group(1)) + int(m.group(2))
+    # Full-suite runs are detected from the INVOCATION (no -k/-m
+    # filters, no paths narrower than the tests dir).  r12 self-review
+    # #1: the first cut inferred "subset" from collected < claimed,
+    # which made the guard one-sided — an OVERSTATED pin (tests
+    # deleted after pinning) could never fail.
+    inv = list(request.config.invocation_params.args)
+    filtered = any(
+        str(a) in ("-k", "-m") or str(a).startswith(("-k", "-m"))
+        for a in inv
+    )
+    paths = [str(a) for a in inv if not str(a).startswith("-")]
+    full_dirs = {REPO, REPO / "tests"}
+    whole_suite = not filtered and all(
+        (Path.cwd() / a).resolve() in full_dirs for a in paths
+    )
+    if not whole_suite:
+        pytest.skip("subset invocation — the claim needs the full suite")
     collected = len(request.session.items)
-    if collected < claimed:
-        pytest.skip(
-            f"subset run ({collected} items) — the claim needs the "
-            "full suite"
-        )
     assert collected == claimed, (
         f"SURVEY.md's current appendix pins pytest {m.group(0)!r} "
         f"(= {claimed} collected) but this full run collected "
