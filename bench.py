@@ -28,10 +28,13 @@ sustained steady-state throughput, e.g. README.md:519-523's rows/s claims):
   from the artifact alone (round 3 recorded a 3x swing on two legs with
   identical code — environment contention — and nothing in the JSON could
   prove it; now the per-run spread does).
-* ADAPTIVE RE-RUNS: when a leg's max/min spread exceeds 1.5x after the
-  standard timed runs, up to 2 extra timed runs are added — a min taken
-  from a tight set is trustworthy, a min from a 2-run set with a 2x+
-  spread is a coin flip.  A second rule targets JIT transients: while
+* ADAPTIVE RE-RUNS: when the spread across the TRAILING 3 timed runs
+  exceeds 1.5x after the standard timed runs, up to 2 extra timed runs
+  are added — a min taken from a tight set is trustworthy, a min from a
+  2-run set with a 2x+ spread is a coin flip.  (Trailing window, r13:
+  the r12 all-runs spread was monotone — one early outlier forced the
+  loop to its cap every time; three consecutive in-band runs now end
+  it.)  A second rule targets JIT transients: while
   the LATEST run is the minimum and still >10% faster than the run
   before it (the sequence is still descending, i.e. HotSpot is still
   compiling the generated code), keep adding runs up to a higher bound.
@@ -180,7 +183,9 @@ LEG_SCOPE = {
     "unigram_scores_stored": "v1:r6 new leg (stored-vocab reuse path)",
     "dedup_token_blocks_twopass": "v1:r6 new leg (coprime two-pass)",
     "repetition_full_gate": "v1:r6 new leg (line/para + 9 n-gram Gopher rules)",
-    "dedup_increment": "meas-v5:r12 the increment-ladder 1x rung no "
+    "dedup_increment": "meas-v6:r13 convergence loops consolidated "
+    "into converge() and the refold spread rule is trailing-window "
+    "(see ROUND_SCOPE_NOTES r13); meas-v5:r12 the increment-ladder 1x rung no "
     "longer folds into the headline min (r11 advice #2 — the rung "
     "times the operator against a persisted corpus, different "
     "conditions; it stays reported separately in increment_ladder "
@@ -201,7 +206,9 @@ LEG_SCOPE = {
     "(r5 and earlier runs were flattered by lingering caches from "
     "prior runs — the 'already cached' warning spam; numbers are now "
     "honest and higher)",
-    "dedup_increment_stored": "meas-v4:r12 ladder rung un-folded from "
+    "dedup_increment_stored": "meas-v5:r13 consolidated converge() + "
+    "trailing-window spread (see dedup_increment); "
+    "meas-v4:r12 ladder rung un-folded from "
     "the headline min + spread-guarded refold (see dedup_increment); "
     "meas-v3:r11 post-ladder refold + ladder "
     "1x stored rung folded into the min; "
@@ -227,12 +234,46 @@ LEG_SCOPE = {
     "bpe_train_merges amortizes: distinct-word encode via 12 chained "
     "merge folds + join-back + per-doc piece counts; merges trained "
     "untimed)",
+    "streaming_langid_gate": "v1:r13 new leg (r12 verdict #3 — the "
+    "language-ID family's streaming/serving form: rank profiles "
+    "trained in batch on the even-id labeled slice, the odd-doc "
+    "stream delivered twice and scored by the stateless INTEGER-exact "
+    "mapside scorer; redelivery idempotence + batch parity "
+    "hash-gated)",
+    "dedup_paired_crossmodal": "v1:r13 new leg (r12 verdict #4 — "
+    "cross-modal PAIRED dedup: the LAION-rule (image, caption) "
+    "decision matrix over quadrant twins; image side = real APNG "
+    "frame-0 aHash per image key broadcast back, caption side = the "
+    "inverted-index shingle counts; every candidate carries both "
+    "integer-exact criteria)",
+    "dedup_url_canonical": "v1:r13 new leg (r12 verdict #5 — "
+    "provenance/URL canonical exact dedup: codegen'd canonicalizer + "
+    "map-side-partial groupBy close; the cheapest first-pass "
+    "web-corpus stage)",
+    "audio_sequence_diverse": "v1:r13 ladder-only entry (r12 verdict "
+    "#6 — the ORDER-AWARE audio drift rung: candidates + sequence-"
+    "shingle verify over the md5-diverse WAV fixture, the "
+    "video_sequence_diverse pattern)",
+    "paired_crossmodal_diverse": "v1:r13 ladder-only entry (the "
+    "paired matrix's drift rung: images keyed on doc_id DIV 10 so "
+    "class size is constant under inflation — linear candidates by "
+    "construction; the catalog row's %50 fixture is for the hash "
+    "gate, not the ladder)",
+    "langid_score_stored": "v1:r13 serving-ladder-only entry (r12 "
+    "verdict #3 — stored-profile mapside scoring of a fixed odd-id "
+    "increment vs cold profile refit at 1x/10x corpus)",
     "langid_ngram_rank": "v1:r12 new leg (r11 verdict #2 — the "
     "language-ID family's hash-gated catalog row: Cavnar-Trenkle "
     "char-n-gram rank profiles trained on the even-id labeled slice, "
     "odd docs classified by integer out-of-place distance; "
     "single-sourced from the catalog)",
-    "training_corpus_pipeline_v6": "v1:r12 new leg (r11 verdict #5 — "
+    "training_corpus_pipeline_v6": "v2:r13 scale-ladder rung added "
+    "(r12 verdict #1) via the refactored shared _v6_core the catalog "
+    "row calls — headline plan UNCHANGED (same stage chain, same "
+    "oracle fixtures); the RUNG runs the identical chain over the "
+    "md5-diverse video/audio fixtures (the video_containment_diverse "
+    "rationale — the oracle fixtures' content space saturates under "
+    "inflation); v1:r12 new leg (r11 verdict #5 — "
     "the CROSS-MODAL capstone: APNG clips + WAV tracks with "
     "frame-level DUP/REORDER twins, per-modality order-aware verified "
     "dedup over the shared (id, frame_idx, fp) contract, connected "
@@ -250,7 +291,9 @@ LEG_SCOPE = {
     "family's hash-gated catalog row: 4x1024 build + broadcast point "
     "estimates for EVERY distinct corpus token; distinct from "
     "cm_sketch_estimate's fixed %97 query slice)",
-    "training_corpus_pipeline_v5": "meas-v3:r12 refold loop gains the "
+    "training_corpus_pipeline_v5": "meas-v4:r13 consolidated "
+    "converge() + trailing-window spread (see dedup_increment); "
+    "meas-v3:r12 refold loop gains the "
     "spread guard + still-descending-at-cap warning (r11 advice #2); "
     "meas-v2:r11 post-ladder refold "
     "(r10 verdict #1/what's-wrong #3: driver runs spread 2.1x "
@@ -349,6 +392,32 @@ LEG_SCOPE = {
 #: per-leg LEG_SCOPE stays the authoritative cross-round comparability
 #: signal; these document repo-wide changes that move MANY fingerprints)
 ROUND_SCOPE_NOTES = {
+    "r13": "Measurement consolidation (r12 verdict #2, done at round "
+    "START so this round's artifact comes from the consolidated code): "
+    "the four convergence-loop variants (run/_rung/_inc_rung/refold) "
+    "now all call the single converge() helper — same descent rule, "
+    "same per-variant caps as before.  One semantic change (r12 advice "
+    "#2): the SPREAD rule measures the trailing 3 runs instead of all "
+    "runs — the all-runs max/min was monotone, so a single early "
+    "outlier forced every spread-extended loop to its run cap; the "
+    "trailing window stops the loop once 3 consecutive runs land "
+    "inside the 1.5x band.  No timed plan changes from this; run "
+    "counts on noisy legs may shrink.  New legs (r12 verdict #3/#4/"
+    "#5): streaming_langid_gate (the language-ID streaming/serving "
+    "form), dedup_paired_crossmodal (the LAION-rule paired matrix) "
+    "and dedup_url_canonical (provenance dedup) — all hash-gated "
+    "catalog rows; new rungs (verdict #1/#4/#6): "
+    "scale_ladder.training_corpus_pipeline_v6 via the shared _v6_core "
+    "over the md5-diverse media fixtures, "
+    "scale_ladder.audio_sequence_diverse (the order-aware audio "
+    "close), scale_ladder.paired_crossmodal_diverse (constant image-"
+    "class size under inflation), and "
+    "serving_ladder.langid_score_stored (profiles train-once, mapside "
+    "scorer flat at 10x corpus).  Rotation: streaming_c4_gate and "
+    "dedup_minhash_lsh demoted to the tail (plans/catalog.py rule-3 "
+    "annotations; both keep their bench legs unchanged), "
+    "pivot_status / string_functions / date_math_functions folded "
+    "out (gates moved verbatim to tests/test_catalog_oracle.py).",
     "r12": "Measurement changes (r11 what's-wrong #1 + advice #2): "
     "every scale/increment/serving ladder rung now CONVERGES like the "
     "base legs — the per-rung warmup is timed (never in the min) to "
@@ -511,6 +580,85 @@ _FINGERPRINT_VERSION = 4  # v3: uuid8 memory-sink query names normalized;
 # v4: float literals stripped (data-dependent model/threshold scalars)
 
 
+def converge(
+    fn,
+    n_timed: int,
+    *,
+    warm_fn=None,
+    pre=None,
+    timed_warmup: bool = False,
+    spread_extra: int = 0,
+    descent_extra: int = 0,
+    spread_window: int = 3,
+) -> tuple[list[float], bool]:
+    """THE convergence loop (r13, r12 verdict #2): this descent/spread
+    policy previously existed as four near-identical copies
+    (``run`` / ``_rung`` / ``_inc_rung`` / ``refold``) — measurement-
+    critical code that had already begun to drift (the refold variant
+    shipped r12 with a subtly different spread rule).  One warmup,
+    ``n_timed`` base timed runs, then extra runs under two rules:
+
+    * SPREAD (r12 advice #2 fix folded in): extend while the TRAILING
+      ``spread_window`` runs span more than 1.5x, up to ``n_timed +
+      spread_extra`` total runs.  The old rule measured spread over ALL
+      runs, which is monotone — once one early outlier landed, the
+      condition could never become false and the loop always ran to its
+      cap; the trailing window lets it stop as soon as ``spread_window``
+      consecutive runs land inside the band (steady state reached).
+    * DESCENT: extend while the latest run is the minimum and >10%
+      under its predecessor (HotSpot still compiling the generated
+      code), up to ``n_timed + descent_extra`` total runs.  With
+      ``timed_warmup=True`` the warmup's duration SEEDS this check (the
+      ladder rungs: each rung's plan is fresh generated code, so the
+      first timed run descending from the warmup is itself evidence)
+      but never lands in the returned run array.
+
+    ``warm_fn`` replaces ``fn`` for the warmup only (sink legs warm
+    into a different scratch path); ``pre`` runs before EVERY execution
+    including the warmup (the rungs release scoped persists there).
+    Returns ``(durs, still_descending)``: the timed run array — the
+    caller records it verbatim and takes the min — and whether the
+    sequence was still descending when the loop stopped (the caller's
+    at-cap warning).  A rule with extra budget 0 is off.
+    """
+    if pre is not None:
+        pre()
+    t0 = time.perf_counter()
+    (warm_fn or fn)()
+    warm = round(time.perf_counter() - t0, 3)
+    durs: list[float] = []
+    # seq is the descent-check view: includes the warmup iff timed_warmup
+    seq: list[float] = [warm] if timed_warmup else []
+
+    def one() -> None:
+        if pre is not None:
+            pre()
+        t0 = time.perf_counter()
+        fn()
+        durs.append(round(time.perf_counter() - t0, 3))
+        seq.append(durs[-1])
+
+    for _ in range(n_timed):
+        one()
+
+    def widespread() -> bool:
+        w = durs[-spread_window:]
+        return len(w) >= 2 and max(w) / max(min(w), 1e-9) > 1.5
+
+    def descending() -> bool:
+        return (
+            len(seq) >= 2 and seq[-1] == min(seq) and seq[-1] < 0.9 * seq[-2]
+        )
+
+    while (
+        spread_extra and widespread() and len(durs) < n_timed + spread_extra
+    ) or (
+        descent_extra and descending() and len(durs) < n_timed + descent_extra
+    ):
+        one()
+    return durs, descending()
+
+
 def _sf_from_dir(path: str) -> float:
     m = re.search(r"sf([0-9.]+)", path)
     return float(m.group(1).rstrip(".")) if m else -1.0
@@ -547,30 +695,15 @@ def main() -> None:
     MAX_DESCENT_RUNS = 4
 
     def run(name: str, fn, warm_fn=None, n_timed: int | None = None) -> None:
-        (warm_fn or fn)()  # untimed steady-state warmup (see module docstring)
-        durs = []
-        for _ in range(n_timed or N_RUNS):  # min recorded: robust to one-off GC stalls
-            t0 = time.perf_counter()
-            fn()
-            durs.append(round(time.perf_counter() - t0, 3))
-        # adaptive: a min from a small set with a wide spread is a coin
-        # flip — keep adding runs (bounded) until the spread tightens;
-        # and while the sequence is still DESCENDING (last run is the
-        # min and >10% under its predecessor) the JIT hasn't reached
-        # steady state — keep going (see module docstring)
-        def widespread() -> bool:
-            return max(durs) / max(min(durs), 1e-9) > 1.5
-
-        def descending() -> bool:
-            return durs[-1] == min(durs) and durs[-1] < 0.9 * durs[-2]
-
-        base_runs = n_timed or N_RUNS
-        while (widespread() and len(durs) < base_runs + MAX_EXTRA_RUNS) or (
-            descending() and len(durs) < base_runs + MAX_DESCENT_RUNS
-        ):
-            t0 = time.perf_counter()
-            fn()
-            durs.append(round(time.perf_counter() - t0, 3))
+        # min recorded: robust to one-off GC stalls.  Adaptive extension
+        # (spread + descent rules) consolidated in converge() — r13.
+        durs, _ = converge(
+            fn,
+            n_timed or N_RUNS,
+            warm_fn=warm_fn,
+            spread_extra=MAX_EXTRA_RUNS,
+            descent_extra=MAX_DESCENT_RUNS,
+        )
         runs[name] = durs
         timings[name] = min(durs)
         spread = max(durs) / max(min(durs), 1e-9)
@@ -1194,6 +1327,16 @@ def main() -> None:
         "training_corpus_pipeline_v6",  # r12: the cross-modal capstone
         # — video + audio twins, order-aware verified dedup, keep-best,
         # manifest; timed above via run_catalog
+        "streaming_langid_gate",  # r13: the language-ID family's
+        # streaming/serving form (r12 verdict #3) — batch-trained rank
+        # profiles + stateless integer-exact mapside scorer over the
+        # redelivered doc stream; hash-gated catalog row
+        "dedup_paired_crossmodal",  # r13: cross-modal PAIRED dedup
+        # (r12 verdict #4) — the LAION-rule (image, caption) decision
+        # matrix with quadrant twins; hash-gated catalog row
+        "dedup_url_canonical",  # r13: provenance/URL canonical exact
+        # dedup (r12 verdict #5) — the cheapest first-pass web-corpus
+        # stage; hash-gated catalog row (born past the window)
     ]
     for name in EXTENSION_LEGS:
         if name in timings or name in POST_LADDER:
@@ -1329,6 +1472,23 @@ def main() -> None:
         # rationale as video_containment_diverse: the oracle fixture's
         # 251-value offset space saturates past ~10^3 tracks)
         "audio_containment_diverse": lambda d: _audio_diverse(d),
+        # r13 (r12 verdict #6): the ORDER-AWARE audio path gets its own
+        # drift rung — the video_sequence_diverse rung pattern over the
+        # md5-diverse WAV fixture (the set-containment audio rung above
+        # measures only the candidate stage; this one runs candidates +
+        # the sequence-shingle verify, semi-restricted to candidates)
+        "audio_sequence_diverse": lambda d: _audio_verified_diverse(d),
+        # r13 (r12 verdict #4): the paired (image, caption) matrix at a
+        # growing corpus.  The catalog row's fixture (img_k = doc_id %
+        # 50) holds class COUNT fixed, so inflation grows class size
+        # and candidate pairs quadratically — right for a hash gate,
+        # wrong for a drift rung (the video_containment_diverse
+        # rationale).  The rung keys images on doc_id DIV 10: class
+        # size stays <= 10 at every factor (inflated copies occupy
+        # disjoint id blocks), so image candidates AND the
+        # token-prefixed caption side both scale linearly by
+        # construction
+        "paired_crossmodal_diverse": lambda d: _paired_diverse(d),
         # r12 (r11 verdict #4): the two most expensive composed legs
         # finally get measured drift — both rungs run the IDENTICAL
         # stage chain via the shared _v2_core/_v4_core the catalog
@@ -1340,6 +1500,17 @@ def main() -> None:
         # their own copy
         "training_corpus_pipeline_v2": lambda d: _v2_rung(d),
         "training_corpus_pipeline_v4": lambda d: _v4_rung(d),
+        # r13 (r12 verdict #1): the cross-modal capstone — the most
+        # expensive leg — gets measured drift via the shared _v6_core
+        # the catalog row calls (identical stage chain, no copy to
+        # drift).  The rung swaps in the md5-DIVERSE video/audio
+        # synthesizers (the video_containment_diverse rationale: the
+        # oracle fixtures' mod-256 content space saturates past ~10^3
+        # media docs and an inflated rung would time quadratic pair
+        # materialization); frame-level DUP/REORDER twin injection,
+        # both verified closes, components, keep-best and the manifest
+        # all run verbatim
+        "training_corpus_pipeline_v6": lambda d: _v6_rung(d),
         # r12 (r11 verdict #6): tokenization at a growing corpus under
         # the FIXED stored merges (a tokenizer never retrains because
         # the corpus grew — the PQ-codebook rationale); distinct-word
@@ -1369,6 +1540,23 @@ def main() -> None:
         from excelstream_spark.plans.extension import _v4_core
 
         return _v4_core(d.where(F.col("doc_id").isNotNull()))
+
+    def _v6_rung(d):
+        from excelstream_spark.operators.audio import (
+            synthesize_diverse_audio_payloads as _a_div,
+        )
+        from excelstream_spark.operators.video import (
+            synthesize_diverse_video_payloads as _v_div,
+        )
+        from excelstream_spark.plans.extension import _v6_core
+
+        return _v6_core(
+            d.where(F.col("doc_id").isNotNull()).withColumn(
+                "n_chars", F.length(F.coalesce(F.col("text"), F.lit("")))
+            ),
+            synth_video=_v_div,
+            synth_audio=_a_div,
+        )
 
     def _langid_rung(d):
         from excelstream_spark.operators.langid import (
@@ -1450,6 +1638,38 @@ def main() -> None:
             threshold=0.8,
         )
 
+    def _audio_verified_diverse(d):
+        from excelstream_spark.operators.audio import (
+            audio_window_fingerprints as _afps,
+        )
+        from excelstream_spark.operators.audio import (
+            synthesize_diverse_audio_payloads as _asynth,
+        )
+        from excelstream_spark.operators.video import (
+            dedup_video_containment_verified as _vcv,
+        )
+
+        return _vcv(
+            _afps(_asynth(d.where(F.col("doc_id").isNotNull()))),
+            threshold=0.8,
+            seq_threshold=0.8,
+            n=2,
+        )
+
+    def _paired_diverse(d):
+        from excelstream_spark.operators.paired import (
+            paired_crossmodal_matrix as _pm,
+        )
+
+        dd = d.where(F.col("doc_id").isNotNull())
+        return _pm(
+            dd.select(
+                "doc_id",
+                F.expr("doc_id DIV 10").alias("img_k"),
+                F.coalesce(F.col("text"), F.lit("")).alias("caption"),
+            )
+        )
+
     def _clf_leg(d):
         from excelstream_spark.operators.classifier import (
             hashed_doc_features as _clf_feats,
@@ -1528,27 +1748,13 @@ def main() -> None:
         # ``runs_out`` so the artifact carries the rung's run array
         # like the base legs.
         d = (inflator or inflate)(factor)
-        DDo.release_persists()
-        t0 = time.perf_counter()
-        noop(make(d))
-        warm = round(time.perf_counter() - t0, 3)
-        durs = []
-        for _ in range(n_timed):
-            DDo.release_persists()
-            t0 = time.perf_counter()
-            noop(make(d))
-            durs.append(round(time.perf_counter() - t0, 3))
-        seq = [warm] + durs
-        while (
-            seq[-1] == min(seq)
-            and seq[-1] < 0.9 * seq[-2]
-            and len(durs) < n_timed + 3
-        ):
-            DDo.release_persists()
-            t0 = time.perf_counter()
-            noop(make(d))
-            durs.append(round(time.perf_counter() - t0, 3))
-            seq.append(durs[-1])
+        durs, _ = converge(
+            lambda: noop(make(d)),
+            n_timed,
+            pre=DDo.release_persists,
+            timed_warmup=True,
+            descent_extra=3,
+        )
         if runs_out is not None:
             runs_out.extend(durs)
         return min(durs)
@@ -1646,27 +1852,13 @@ def main() -> None:
         # min), runs extend while still descending, and every timed
         # run lands in ``runs_out`` so the increment/serving rung
         # ratios come from converged samples the artifact can show.
-        DDo.release_persists()
-        t0 = time.perf_counter()
-        noop(make())
-        warm = round(time.perf_counter() - t0, 3)
-        durs = []
-        for _ in range(n_timed):
-            DDo.release_persists()
-            t0 = time.perf_counter()
-            noop(make())
-            durs.append(round(time.perf_counter() - t0, 3))
-        seq = [warm] + durs
-        while (
-            seq[-1] == min(seq)
-            and seq[-1] < 0.9 * seq[-2]
-            and len(durs) < n_timed + 3
-        ):
-            DDo.release_persists()
-            t0 = time.perf_counter()
-            noop(make())
-            durs.append(round(time.perf_counter() - t0, 3))
-            seq.append(durs[-1])
+        durs, _ = converge(
+            lambda: noop(make()),
+            n_timed,
+            pre=DDo.release_persists,
+            timed_warmup=True,
+            descent_extra=3,
+        )
         if runs_out is not None:
             runs_out.extend(durs)
         return min(durs)
@@ -2025,6 +2217,65 @@ def main() -> None:
         ),
     }
     serving_ladder["video_increment_stored"] = vid_rungs
+
+    # language-ID serving (r13, r12 verdict #3): the scored increment
+    # FIXED at 1x odd-id docs; the cold path refits the rank profiles
+    # on the inflated even-id labeled corpus inside the timed rung
+    # (train + collect + mapside score), the stored path scores
+    # against the pre-collected profile dict — the production
+    # train-once shape (the quality_classifier_stored convention
+    # applied to the rank-profile classifier).  The stored path's work
+    # is the increment's gram extraction alone, so it should read
+    # ~flat at 10x corpus.
+    from excelstream_spark.operators.langid import (
+        collect_language_profiles as _lid_collect,
+    )
+    from excelstream_spark.operators.langid import (
+        langid_score_mapside as _lid_score,
+    )
+    from excelstream_spark.operators.langid import (
+        train_language_profiles as _lid_train,
+    )
+
+    lid_rungs: dict[str, dict] = {}
+    for factor in (1, 10):
+        corpus_f = (
+            inflate(factor)
+            .where(F.col("doc_id").isNotNull())
+            .withColumn(
+                "lang",
+                F.concat(F.lit("l"), (F.col("doc_id") % 5).cast("string")),
+            )
+            .persist()
+        )
+        corpus_f.count()
+
+        def _lid_cold(c=corpus_f):
+            prof = _lid_train(c.where(F.col("doc_id") % 2 == 0))
+            return _lid_score(inc_new, prof)
+
+        cold_runs, stored_runs = [], []
+        cold = _inc_rung(
+            _lid_cold, n_timed=2 if factor == 1 else 1, runs_out=cold_runs
+        )
+        model = _lid_collect(
+            _lid_train(corpus_f.where(F.col("doc_id") % 2 == 0))
+        )
+        stored = _inc_rung(
+            lambda m=model: _lid_score(inc_new, m), runs_out=stored_runs
+        )
+        corpus_f.unpersist()
+        lid_rungs[f"{factor}x"] = {
+            "cold": cold, "stored": stored,
+            "cold_runs": cold_runs, "stored_runs": stored_runs,
+        }
+    lid_rungs["corpus_10x_ratio"] = {
+        "cold": round(lid_rungs["10x"]["cold"] / lid_rungs["1x"]["cold"], 3),
+        "stored": round(
+            lid_rungs["10x"]["stored"] / lid_rungs["1x"]["stored"], 3
+        ),
+    }
+    serving_ladder["langid_score_stored"] = lid_rungs
     print(f"  serving_ladder: {serving_ladder}", file=sys.stderr)
 
     # post-ladder steady-state legs: the ladder's 1x rungs just executed
@@ -2065,24 +2316,15 @@ def main() -> None:
     # "runs extended until the sequence stops descending" is checkable
     # from the log instead of asserted.
     def refold(name: str, fn) -> None:
-        fn()  # untimed steady-state warmup
-        durs: list[float] = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            fn()
-            durs.append(round(time.perf_counter() - t0, 3))
-
-        def widespread() -> bool:
-            return max(durs) / max(min(durs), 1e-9) > 1.5
-
-        def descending() -> bool:
-            return durs[-1] == min(durs) and durs[-1] < 0.9 * durs[-2]
-
-        while (descending() or widespread()) and len(durs) < 8:
-            t0 = time.perf_counter()
-            fn()
-            durs.append(round(time.perf_counter() - t0, 3))
-        if descending():
+        # r13: same converge() loop as everything else (r12 verdict #2);
+        # the 8-run cap is 2 base + 6 extra under either rule, and the
+        # spread rule is the trailing-window form (r12 advice #2 — the
+        # old all-runs max/min was monotone, so one outlier forced every
+        # refold to the cap).
+        durs, still_descending = converge(
+            fn, 2, spread_extra=6, descent_extra=6
+        )
+        if still_descending:
             print(
                 f"  WARNING {name}: refold sequence still descending at "
                 f"the {len(durs)}-run cap — the recorded min may "

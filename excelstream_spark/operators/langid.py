@@ -135,6 +135,120 @@ def train_language_profiles(
     return _rank_top_k(counts, "lang", top_k, "rank")
 
 
+def collect_language_profiles(
+    profiles: DataFrame,
+) -> dict[str, dict[int, int]]:
+    """Materialize trained profiles into the broadcast-the-model
+    structure ``{lang: {gram_h: rank}}`` — the stored-artifact form
+    :func:`langid_score_mapside` serves from (the ClassifierModel /
+    PQ-codebook convention).  BOUNDED driver pull: n_langs x top_k
+    rows (kilobytes) — the model, never the corpus."""
+    out: dict[str, dict[int, int]] = {}
+    for r in profiles.select("lang", "gram_h", "rank").collect():
+        out.setdefault(r["lang"], {})[int(r["gram_h"])] = int(r["rank"])
+    return out
+
+
+def langid_score_mapside(
+    docs: DataFrame,
+    profiles: DataFrame | dict[str, dict[int, int]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ns: tuple[int, ...] = DEFAULT_NS,
+    top_k: int = 300,
+) -> DataFrame:
+    """Shuffle-FREE serving/streaming form of :func:`language_id`:
+    appends ``lang_pred`` and ``distance`` to every row with ZERO
+    exchanges — one Arrow-batched ``mapInPandas`` computes each
+    document's top-k gram ranks and out-of-place distances against the
+    collected profile dict (n_langs x top_k entries, kilobytes; the
+    ``classifier_score_mapside`` broadcast-the-model shape applied to
+    the rank-profile classifier).
+
+    Stateless, so it scores batch AND STREAMING DataFrames identically
+    — the production gate: profiles trained once in batch
+    (:func:`train_language_profiles`, same ``ns``/``top_k``), applied
+    per micro-batch with no state store; every redelivery of a
+    document calls the same language at the same distance.
+
+    INTEGER-EXACT parity with the batch path by construction — every
+    step is integer or exact string arithmetic, so there is no float
+    boundary to diverge on:
+
+    * grams: the same code-point n-gram windows over
+      ``lower(coalesce(text, ''))`` (Python slicing and Spark
+      ``substring`` both index code points);
+    * gram hash: ``int(md5(utf8(gram))[:15], 16)`` — bit-identical to
+      ``conv(substring(md5(g), 1, 15), 16, 10)``;
+    * doc rank: sort by (count DESC, gram_h ASC), keep ``top_k`` —
+      the same total order as the batch ``row_number`` window;
+    * distance: ``|drank - rank|`` summed, absent grams charged
+      ``top_k``; arg-min language, ties to the smallest code.
+
+    Documents with no grams are DROPPED (a language call needs
+    evidence — the batch path's inner-group semantics)."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    model = (
+        profiles
+        if isinstance(profiles, dict)
+        else collect_language_profiles(profiles)
+    )
+    langs = sorted(model)
+    sizes = tuple(int(n) for n in ns)
+    k = int(top_k)
+
+    schema = StructType(
+        list(docs.schema.fields)
+        + [
+            StructField("lang_pred", StringType(), False),
+            StructField("distance", LongType(), False),
+        ]
+    )
+
+    def _call(text) -> tuple[str, int] | None:
+        t = ("" if text is None else str(text)).lower()
+        counts: dict[int, int] = {}
+        for n in sizes:
+            for i in range(len(t) - n + 1):
+                g = t[i : i + n]
+                h = int(
+                    hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16
+                )
+                counts[h] = counts.get(h, 0) + 1
+        if not counts:
+            return None
+        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        best: tuple[int, str] | None = None
+        for lang in langs:
+            prof = model[lang]
+            dist = 0
+            for drank, (h, _cnt) in enumerate(ranked, start=1):
+                rank = prof.get(h)
+                dist += k if rank is None else abs(drank - rank)
+            if best is None or (dist, lang) < best:
+                best = (dist, lang)
+        return best[1], best[0]
+
+    def score(batches):
+        for pdf in batches:
+            calls = [_call(t) for t in pdf[text_col]]
+            keep = [i for i, c in enumerate(calls) if c is not None]
+            out = pdf.iloc[keep].copy()
+            out["lang_pred"] = pd.Series(
+                [calls[i][0] for i in keep], index=out.index, dtype="object"
+            )
+            out["distance"] = pd.Series(
+                [calls[i][1] for i in keep], index=out.index, dtype="int64"
+            )
+            yield out
+
+    return docs.mapInPandas(score, schema)
+
+
 def language_id(
     docs: DataFrame,
     profiles: DataFrame,

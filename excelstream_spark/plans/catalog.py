@@ -234,7 +234,69 @@ PRIORITY: tuple[str, ...] = (
 #:     window-average shape stays via window_topn_per_group, and its
 #:     hash gate moved verbatim to tests/test_catalog_oracle.py —
 #:     tail stays at 25, registered total 75.
+#: r13 rotation summary (r12 verdict #3/#4/#5):
+#:   streaming_langid_gate (NEW row — the language-ID family's
+#:     streaming/serving form: batch-trained rank profiles applied to
+#:     the redelivered doc stream by the stateless integer-exact
+#:     mapside scorer; n_deliveries/n_distinct_calls/batch-parity
+#:     facts, the classifier-gate contract) promoted in-window over
+#:     streaming_c4_gate (rule 3 STRONGEST form: the complete C4
+#:     line-rule arithmetic is composed verbatim inside the in-window
+#:     cleaning_pipeline_v3 AND training_corpus_pipeline_v4 oracles,
+#:     and the stateless-gate contract keeps an in-window
+#:     representative through the NEW langid gate — same
+#:     redelivery-idempotence + batch-parity oracle shape);
+#:   dedup_paired_crossmodal (NEW row — cross-modal PAIRED dedup: the
+#:     LAION-rule (image, caption) decision matrix with quadrant
+#:     twins; image side through the real APNG frame-0 aHash chain,
+#:     caption side through the shared inverted-index shingle body)
+#:     promoted in-window over dedup_minhash_lsh (rule 3 STRONGEST
+#:     form: the minhash-LSH close is composed verbatim inside the
+#:     in-window training_corpus_pipeline_v2 — its stage 5, whose
+#:     oracle IS the same brute-force jaccard answer the minhash row
+#:     gates against — and the dedup family keeps embedding_lsh,
+#:     components, the composed v1/v2/v4/v5/v6 pipelines AND the new
+#:     paired row in-window);
+#:   dedup_url_canonical (NEW row — provenance/URL canonical exact
+#:     dedup, the cheapest first-pass web-corpus stage) registered
+#:     born-past-the-window (the streaming_dsir_gate precedent);
+#:   pivot_status, string_functions and date_math_functions FOLDED out
+#:     of the catalog entirely (policy rule 4 — funding the three
+#:     registrations above, tail back to its 25-entry soft cap): the
+#:     pivot's conditional-agg shape stays in-window via
+#:     q1_pricing_summary + agg_distinct_count, the scalar-string
+#:     family keeps json_extract_props + text_token_pieces, temporal
+#:     semantics keep excel_serial_dates + join_asof + sessionize
+#:     (each fold reusing its own earlier demotion argument); all
+#:     three DuckDB hash gates moved verbatim to
+#:     tests/test_catalog_oracle.py — no hash-level check was lost and
+#:     the registered total stays 75.
 DEMOTED: tuple[str, ...] = (
+    "streaming_c4_gate",  # r13 rotation (r12 verdict #3): funds the
+    # promoted streaming_langid_gate row (the language-ID family's
+    # streaming/serving form); demotion-eligible in rule 3's STRONGEST
+    # form — the complete C4 line-rule arithmetic (c4_metrics) is
+    # composed verbatim inside the in-window cleaning_pipeline_v3 AND
+    # training_corpus_pipeline_v4 oracles, and the stateless-gate
+    # contract (redelivery idempotence + stream-vs-batch parity facts)
+    # keeps an in-window representative through the new langid gate;
+    # the row keeps its bench leg, its oracle and the pytest hash sweep
+    "dedup_minhash_lsh",  # r13 rotation (r12 verdict #4): funds the
+    # promoted dedup_paired_crossmodal row (the first PAIRED
+    # cross-modal dedup); demotion-eligible in rule 3's STRONGEST form
+    # — the minhash-LSH close is composed verbatim inside the
+    # in-window training_corpus_pipeline_v2 (its stage 5, whose oracle
+    # is the same brute-force jaccard answer this row gates against),
+    # and the dedup family keeps embedding_lsh, components, the
+    # composed v1/v2/v4/v5/v6 pipelines and the new paired row
+    # in-window; the row keeps its HEADLINE bench leg, its POST_LADDER
+    # treatment, its scale-ladder rung, its oracle and the pytest
+    # hash sweep
+    "dedup_url_canonical",  # r13: born past the window (the
+    # streaming_dsir_gate precedent) — fully DuckDB-oracled
+    # provenance/URL canonical dedup (r12 verdict #5), swept by
+    # pytest; the exact-dedup close shape stays in-window via v1/v4's
+    # composed oracles
     "full_repetition_gate",  # r12 rotation (r11 verdict #5): funds
     # the promoted training_corpus_pipeline_v6 row (the cross-modal
     # capstone); demotion-eligible in rule 3's STRONGEST form — the
@@ -313,12 +375,13 @@ DEMOTED: tuple[str, ...] = (
     # video_dedup_containment promotion; its hash gate moved verbatim
     # to tests/test_catalog_oracle.py and the md5-groupBy min-id shape
     # stays in-window inside v1's and v4's composed oracles)
-    "pivot_status",  # r8 rotation (verdict #2): funds the promoted
-    # bpe_train_merges row (newly hash-gated — the unrolled-merge-CTE
-    # oracle closes the catalog's lone rows-only hole); the aggregation
-    # family keeps q1_pricing_summary, agg_distinct_count and
-    # agg_percentiles_arrays in-window, and the pivot shape stays
-    # hash-verified via pytest's full-catalog sweep (policy rule 3)
+    # (pivot_status left this tail in r13 by FOLDING: unregistered
+    # entirely — policy rule 4, funding the dedup_url_canonical
+    # registration; its hash gate moved verbatim to
+    # tests/test_catalog_oracle.py::test_folded_pivot_status_oracle
+    # and the conditional-agg shape stays in-window via
+    # q1_pricing_summary + agg_distinct_count.  It had sat here since
+    # r8, funding the bpe_train_merges promotion.)
     "q19_disjunctive_predicates",  # r8 rotation (verdict #2): funds
     # the promoted cleaning_pipeline_v3 row (the composed NFC -> C4 ->
     # PII scan-stage preamble every 100 TB run executes first);
@@ -331,12 +394,13 @@ DEMOTED: tuple[str, ...] = (
     # winnowing, embedding_lsh all stay in-window — policy rule 3),
     # and simhash keeps its bench leg, its scale-ladder rung and the
     # pytest hash sweep
-    "string_functions",  # r7 late rotation: funds the
-    # multimodal_resize_sample driver row (new operator family — media
-    # transforms); the scalar-function family keeps json_extract_props
-    # and text_token_pieces in-window, string expressions also flow
-    # through every text/dedup oracle, and the row stays hash-verified
-    # via pytest's full-catalog sweep
+    # (string_functions left this tail in r13 by FOLDING: unregistered
+    # entirely — policy rule 4, funding the dedup_paired_crossmodal
+    # promotion's tail arithmetic; its hash gate moved verbatim to
+    # tests/test_catalog_oracle.py::test_folded_string_functions_oracle
+    # and the scalar-string family keeps json_extract_props +
+    # text_token_pieces in-window.  It had sat here since late r7,
+    # funding the multimodal_resize_sample promotion.)
     "streaming_classifier_gate",  # r7: born past the window (the
     # streaming_dsir_gate precedent) — fully DuckDB-oracled stream-vs-
     # batch parity for the classifier family, swept by pytest
@@ -361,11 +425,14 @@ DEMOTED: tuple[str, ...] = (
     # stream-vs-batch score-parity row for the selection family
     # (bpe_train_merges left this tail in r8: its unrolled-merge-CTE
     # oracle landed and it was promoted over pivot_status)
-    "date_math_functions",  # r7 late rotation: funds the
-    # dsir_select_resample driver row (new operator family); the
-    # scalar-function family keeps string_functions +
-    # json_extract_props, temporal semantics keep excel_serial_dates,
-    # join_asof_forward_tolerance and sessionize_events
+    # (date_math_functions left this tail in r13 by FOLDING:
+    # unregistered entirely — policy rule 4, funding the
+    # streaming_langid_gate promotion's tail arithmetic; its hash gate
+    # moved verbatim to tests/test_catalog_oracle.py::
+    # test_folded_date_math_functions_oracle and temporal semantics
+    # keep excel_serial_dates, join_asof_forward_tolerance and
+    # sessionize_events in-window.  It had sat here since late r7,
+    # funding the dsir_select_resample promotion.)
     "dedup_increment_bloom",  # r7: born past the window (50 slots
     # spoken for); fully DuckDB-oracled — the Bloom membership-sketch
     # gate for the incremental family, swept by pytest's full-catalog

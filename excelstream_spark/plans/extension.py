@@ -2297,6 +2297,23 @@ def training_corpus_pipeline_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the O(log n) star loop; keep-best one keyed window; manifest
     one map-side groupBy(shard).  Modalities dedup independently (no
     cross-modal fp space) and their pair outputs just union."""
+    return _v6_core(_docs(spark, sf_dir).where(F.col("doc_id").isNotNull()))
+
+
+def _v6_core(
+    docs: DataFrame, synth_video=None, synth_audio=None
+) -> DataFrame:
+    """training_corpus_pipeline_v6's stage chain over an arbitrary
+    (doc_id, text, n_chars) frame — shared by the catalog row and the
+    bench scale-ladder rung (r12 verdict #1: the most expensive leg's
+    100 TB story was plan-audit prose, not measured drift), the
+    _v2_core/_v4_core convention so the rung times the IDENTICAL
+    composition.  ``synth_video``/``synth_audio`` default to the
+    oracle fixtures; the drift rung swaps in the md5-DIVERSE
+    synthesizers (the video_containment_diverse rationale: the oracle
+    fixtures' mod-256 content space saturates past ~10^3 media docs,
+    and an inflated rung over them would time quadratic pair
+    materialization, not the pipeline)."""
     from excelstream_spark.operators.audio import (
         audio_window_fingerprints,
         synthesize_audio_payloads,
@@ -2310,9 +2327,10 @@ def training_corpus_pipeline_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
         video_frame_fingerprints,
     )
 
+    synth_video = synth_video or synthesize_video_payloads
+    synth_audio = synth_audio or synthesize_audio_payloads
     dup_off = F.lit(ORC.V6_DUP_OFFSET)
     reo_off = F.lit(ORC.V6_REORDER_OFFSET)
-    docs = _docs(spark, sf_dir).where(F.col("doc_id").isNotNull())
     vdocs = docs.where(F.col("doc_id") % 4 == 1)
     adocs = docs.where(F.col("doc_id") % 4 == 2)
 
@@ -2333,12 +2351,8 @@ def training_corpus_pipeline_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return base.unionByName(dup).unionByName(reo)
 
-    vframes = with_twins(
-        video_frame_fingerprints(synthesize_video_payloads(vdocs))
-    )
-    awindows = with_twins(
-        audio_window_fingerprints(synthesize_audio_payloads(adocs))
-    )
+    vframes = with_twins(video_frame_fingerprints(synth_video(vdocs)))
+    awindows = with_twins(audio_window_fingerprints(synth_audio(adocs)))
     edges = None
     for frames in (vframes, awindows):
         verified = (
@@ -2376,3 +2390,118 @@ def training_corpus_pipeline_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = dedup_keep_best(corpus, edges, "q", id_a="doc_a", id_b="doc_b")
     return shard_manifest(kept.select("doc_id", "text"), n_shards=8, seed=0)
+
+
+@query(
+    "dedup_paired_crossmodal",
+    oracle=ORC.paired_crossmodal_oracle(),
+    tags=("dedup", "multimodal", "paired", "image", "text"),
+)
+def dedup_paired_crossmodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal PAIRED dedup (r12 verdict #4 — v6 dedups modalities
+    independently; real multimodal training data is (image, caption)
+    PAIRS whose dedup decision must consider both sides, the
+    LAION-style rule): every document becomes a pair whose image is
+    the REAL PNG of its image key (``doc_id % 50`` — encode -> stdlib
+    decode -> aHash, computed once per key and broadcast back) and
+    whose caption is its text; every ``doc_id % 10 == 0`` document
+    spawns the three QUADRANT TWINS (oracles.PAIRED_* offsets):
+
+    * DUP   — same image key, same caption: the only quadrant that may
+      collapse (``is_dup`` true);
+    * RECAP — same image key, unrelated 2-token caption: an IMAGE-ONLY
+      dedup would wrongly flag it (``same_image`` true, ``cap_match``
+      false — must survive);
+    * REIMG — shifted image key, same caption: a CAPTION-ONLY dedup
+      would wrongly flag it (``cap_match`` true, ``same_image``
+      false/fp-dependent — must survive).
+
+    Output: the integer-exact decision matrix — (doc_a, doc_b,
+    same_image, cap_inter, cap_union, cap_match, is_dup) over every
+    candidate pair from EITHER side's blocking — replayed bit-for-bit
+    by plans/oracles.paired_crossmodal_oracle (image side through the
+    established png_fp_ctes arithmetic, caption side through the
+    shared inverted-index shingle body).
+
+    100 TB shape (operators/paired.py): one equality join on a 64-bit
+    fingerprint (hot-image quarantine via ``max_image_df``), the
+    shingle inverted index with its ``max_shingle_df`` bound, and
+    per-pair count joins — no pixels or caption text move past their
+    scan stages."""
+    from excelstream_spark.operators.paired import paired_crossmodal_matrix
+
+    n_classes, twin_mod = 50, 10
+    docs = _docs(spark, sf_dir).where(F.col("doc_id").isNotNull())
+    cap = F.coalesce(F.col("text"), F.lit(""))
+
+    def frame(ids, keys, caption):
+        return docs.where(F.col("doc_id") % twin_mod == 0).select(
+            ids.alias("doc_id"), keys.alias("img_k"), caption.alias("caption")
+        ) if ids is not None else None
+
+    base = docs.select(
+        F.col("doc_id"),
+        (F.col("doc_id") % n_classes).alias("img_k"),
+        cap.alias("caption"),
+    )
+    pairs = (
+        base
+        .unionByName(frame(
+            F.col("doc_id") + F.lit(ORC.PAIRED_DUP_OFFSET),
+            F.col("doc_id") % n_classes, cap,
+        ))
+        .unionByName(frame(
+            F.col("doc_id") + F.lit(ORC.PAIRED_RECAP_OFFSET),
+            F.col("doc_id") % n_classes,
+            F.concat(F.lit("recap "), F.col("doc_id").cast("string")),
+        ))
+        .unionByName(frame(
+            F.col("doc_id") + F.lit(ORC.PAIRED_REIMG_OFFSET),
+            (F.col("doc_id") + 1) % n_classes, cap,
+        ))
+    )
+    return paired_crossmodal_matrix(pairs)
+
+
+@query(
+    "dedup_url_canonical",
+    oracle=ORC.url_dedup_oracle(),
+    tags=("dedup", "provenance", "url"),
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance (URL) exact dedup (r12 verdict #5 — the cheapest,
+    highest-yield dedup stage a web-corpus build runs FIRST: C4 dedups
+    pages by URL before any content work).  Each document carries the
+    deterministic fixture URL (oracles.url_fixture_sql: page key
+    ``doc_id % 100``, five crawl-noise variants by ``doc_id // 100 %
+    5``); the canonicalizer (operators/provenance.canonicalize_url —
+    fragment/scheme/www strip, host lowercase, trailing-slash strip,
+    utm_* drop + query-param sort, all codegen'd JVM expressions)
+    merges the re-crawl variants while the REAL-query variant
+    (``?b=2&a=1`` -> ``?a=1&b=2``) stays its own group — an
+    over-merging canonicalizer is falsified by the hash gate.  Output:
+    per document the canonical string, its 60-bit md5 key, the min-id
+    keeper, the group size and the keep decision.
+
+    100 TB shape (operators/provenance.py): canonicalization is scan
+    work; the close is one groupBy(canonical) with MAP-SIDE partial
+    aggregation + a join back — deliberately not a window, so a hot
+    boilerplate URL reduces map-side instead of serializing one window
+    partition."""
+    from excelstream_spark.operators.provenance import dedup_url_canonical as _op
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id").isNotNull())
+    pk = F.concat(
+        ((F.col("doc_id") % 100) % 7).cast("string"),
+        F.lit(".com/a/"),
+        (F.col("doc_id") % 100).cast("string"),
+    )
+    v = F.expr("(doc_id DIV 100) % 5")
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://example"), pk))
+        .when(v == 1, F.concat(F.lit("http://www.example"), pk))
+        .when(v == 2, F.concat(F.lit("https://EXAMPLE"), pk, F.lit("?utm_source=x")))
+        .when(v == 3, F.concat(F.lit("https://example"), pk, F.lit("?b=2&a=1")))
+        .otherwise(F.concat(F.lit("https://example"), pk, F.lit("/#frag")))
+    )
+    return _op(docs.select("doc_id", url.alias("url")))

@@ -1470,9 +1470,17 @@ def training_pipeline_v4_oracle(
 
 
 def ngram_pairs_ctes(src: str = "documents", max_shingle_df: int | None = None) -> str:
-    """CTE block ending in ``pairs(doc_a, doc_b, inter, na, nb)`` — the
-    inverted-index 3-shingle pair pipeline shared by the jaccard and
-    containment closes.  ``max_shingle_df`` replays the hot-shingle
+    """``WITH``-prefixed form of :func:`_ngram_pairs_cte_body` — the
+    shape the standalone jaccard/containment oracles consume."""
+    return f"WITH {_ngram_pairs_cte_body(src, max_shingle_df)}"
+
+
+def _ngram_pairs_cte_body(src: str = "documents", max_shingle_df: int | None = None) -> str:
+    """CTE block (no ``WITH`` prefix, so composed oracles can prepend
+    their own CTEs — r13) ending in ``pairs(doc_a, doc_b, inter, na,
+    nb)`` — the inverted-index 3-shingle pair pipeline shared by the
+    jaccard and containment closes and the paired cross-modal matrix.
+    ``max_shingle_df`` replays the hot-shingle
     prune: shingles in more than that many docs are dropped BEFORE the
     per-doc set sizes are counted, so ``inter`` and ``na``/``nb`` are
     over the same surviving shingle space (operators/dedup, r7 advice
@@ -1499,7 +1507,7 @@ def ngram_pairs_ctes(src: str = "documents", max_shingle_df: int | None = None) 
                  ANTI JOIN hot h USING (s)),"""
         ex_src = "surv"
     return f"""
-    WITH sets_ AS ({shingles}),
+    sets_ AS ({shingles}),
     ex0 AS (SELECT doc_id, unnest(sh) s FROM sets_ WHERE len(sh) > 0),{prune}
     ex AS (SELECT doc_id, count(*) OVER (PARTITION BY doc_id) AS n, s
            FROM {ex_src}),
@@ -2305,6 +2313,215 @@ def langid_oracle(
                   ORDER BY distance ASC, lang ASC) AS _rn
               FROM scored)
         WHERE _rn = 1
+    """
+
+
+def langid_gate_oracle(
+    src: str = "documents",
+    ns: tuple[int, ...] = (2, 3),
+    top_k: int = 300,
+    train_mod: int = 2,
+) -> str:
+    """Streaming language-ID gate replay: the batch
+    :func:`langid_oracle` chain VERBATIM (profiles trained on the
+    even-id labeled slice, odd docs classified by the integer
+    out-of-place distance), with the stream facts per document —
+    ``n_deliveries`` 2 (the fixture replays the table twice),
+    ``n_distinct_calls`` 1 (bit-identical re-calls across
+    redeliveries: the mapside scorer is integer-exact, so a
+    nondeterministic model pull or cross-batch state breaks this), and
+    the batch-parity (lang_pred, distance) pair — the
+    classifier_gate_oracle convention applied to the rank-profile
+    classifier."""
+    lid = langid_oracle(src=src, ns=ns, top_k=top_k, train_mod=train_mod)
+    return f"""
+        WITH lid AS ({lid})
+        SELECT doc_id,
+               CAST(2 AS BIGINT) AS n_deliveries,
+               CAST(1 AS BIGINT) AS n_distinct_calls,
+               lang_pred, distance
+        FROM lid
+    """
+
+
+def url_fixture_sql(src: str = "documents") -> str:
+    """CTE body ``u(doc_id, url)`` — the deterministic URL-provenance
+    fixture: page key ``pk = doc_id % 100`` (re-crawls of the same
+    page land on the same pk), variant ``(doc_id // 100) % 5`` walks
+    the five crawl-noise classes the canonicalizer must merge (plain /
+    http+www / upper-host+utm / REAL-query — must NOT merge / trailing
+    slash+fragment).  Pure doc_id arithmetic, the synthesize
+    convention."""
+    pk = "CAST(doc_id % 100 % 7 AS VARCHAR) || '.com/a/' || CAST(doc_id % 100 AS VARCHAR)"
+    return f"""u AS (
+        SELECT doc_id,
+               CASE (doc_id // 100) % 5
+                 WHEN 0 THEN 'https://example' || {pk}
+                 WHEN 1 THEN 'http://www.example' || {pk}
+                 WHEN 2 THEN 'https://EXAMPLE' || {pk} || '?utm_source=x'
+                 WHEN 3 THEN 'https://example' || {pk} || '?b=2&a=1'
+                 ELSE 'https://example' || {pk} || '/#frag'
+               END AS url
+        FROM {src} WHERE doc_id IS NOT NULL)"""
+
+
+def url_dedup_oracle(src: str = "documents") -> str:
+    """DuckDB replay of operators/provenance.dedup_url_canonical over
+    the :func:`url_fixture_sql` fixture: fragment/scheme/www strip,
+    host lowercase, trailing-slash strip, utm_* drop + query sort —
+    then the min-id keeper per canonical string.  The REAL-query
+    variant (?b=2&a=1 -> ?a=1&b=2) stays a distinct group: a
+    canonicalizer that dropped ALL queries would over-merge it, which
+    the hash gate falsifies."""
+    return f"""
+        WITH {url_fixture_sql(src)},
+        n1 AS (SELECT doc_id,
+                      regexp_replace(
+                        regexp_replace(url, '#.*$', ''),
+                        '^[A-Za-z][A-Za-z0-9+.\\-]*://', '') AS r
+               FROM u),
+        sp AS (SELECT doc_id,
+                      CASE WHEN instr(r, '?') > 0
+                           THEN substr(r, 1, instr(r, '?') - 1)
+                           ELSE r END AS hostpath,
+                      CASE WHEN instr(r, '?') > 0
+                           THEN substr(r, instr(r, '?') + 1)
+                           ELSE '' END AS q
+               FROM n1),
+        cn AS (SELECT doc_id,
+                      regexp_replace(lower(split_part(hostpath, '/', 1)),
+                                     '^www\\.', '')
+                      || regexp_replace(
+                           substr(hostpath,
+                                  length(split_part(hostpath, '/', 1)) + 1),
+                           '/$', '')
+                      || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END
+                          AS url_canon
+               FROM (SELECT doc_id, hostpath,
+                            array_to_string(
+                              list_sort(
+                                list_filter(string_split(q, '&'),
+                                  x -> x <> ''
+                                       AND NOT starts_with(x, 'utm_'))),
+                              '&') AS qs
+                     FROM sp)),
+        g AS (SELECT url_canon, min(doc_id) AS keeper,
+                     CAST(count(*) AS BIGINT) AS n_same
+              FROM cn GROUP BY url_canon)
+        SELECT c.doc_id, c.url_canon,
+               ('0x' || substr(md5(c.url_canon), 1, 15))::BIGINT
+                   AS canon_key,
+               g.keeper, g.n_same,
+               (c.doc_id = g.keeper) AS kept
+        FROM cn c JOIN g USING (url_canon)
+    """
+
+
+#: paired-fixture twin offsets (the v4/v5/v6 convention at new,
+#: disjoint offsets) — one twin per LAION-rule quadrant so the matrix
+#: row is self-falsifying: DUP (same image key, same caption — the
+#: only quadrant that may collapse), RECAP (same image key, unrelated
+#: 2-token caption — an image-only dedup would wrongly flag it),
+#: REIMG (shifted image key, same caption — a caption-only dedup
+#: would wrongly flag it)
+PAIRED_DUP_OFFSET = 5_000_000
+PAIRED_RECAP_OFFSET = 6_000_000
+PAIRED_REIMG_OFFSET = 7_000_000
+
+
+def paired_src_sql(
+    src: str = "documents", n_classes: int = 50, twin_mod: int = 10
+) -> str:
+    """CTE body for ``psrc(doc_id, img_k, text)`` — the paired
+    (image-key, caption) fixture: every document is a pair whose image
+    key is ``doc_id % n_classes`` and whose caption is its text;
+    every ``doc_id % twin_mod == 0`` document additionally spawns the
+    three quadrant twins (module constants above).  The Spark catalog
+    row derives the identical frame (plans/extension.
+    dedup_paired_crossmodal)."""
+    k = int(n_classes)
+    base = f"FROM {src} WHERE doc_id IS NOT NULL"
+    twin = f"{base} AND doc_id % {int(twin_mod)} = 0"
+    return f"""psrc AS MATERIALIZED (
+        SELECT doc_id, doc_id % {k} AS img_k,
+               coalesce(text, '') AS text {base}
+        UNION ALL
+        SELECT doc_id + {PAIRED_DUP_OFFSET}, doc_id % {k},
+               coalesce(text, '') {twin}
+        UNION ALL
+        SELECT doc_id + {PAIRED_RECAP_OFFSET}, doc_id % {k},
+               'recap ' || CAST(doc_id AS VARCHAR) {twin}
+        UNION ALL
+        SELECT doc_id + {PAIRED_REIMG_OFFSET}, (doc_id + 1) % {k},
+               coalesce(text, '') {twin})"""
+
+
+def paired_crossmodal_oracle(
+    src: str = "documents",
+    n_classes: int = 50,
+    twin_mod: int = 10,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+) -> str:
+    """DuckDB replay of operators/paired.paired_crossmodal_matrix over
+    the quadrant-twin fixture (:func:`paired_src_sql`): the image side
+    re-derives each pair's aHash from its image key through the
+    ESTABLISHED :func:`video_frame_fp_oracle` arithmetic (the fixture
+    image is frame 0 of the 8x8 APNG keyed on ``img_k`` — genuinely
+    key-varied hash patterns, unlike the 2x2 PNG fixture's ~16-value
+    hash space); the caption side is the
+    shared inverted-index shingle body (:func:`_ngram_pairs_cte_body`)
+    on raw shingle strings; candidates come from either side and every
+    candidate carries both integer-exact criteria plus the LAION-rule
+    ``is_dup`` verdict.  A pair of empty-caption docs never
+    caption-matches (``cap_union > 0`` — a match needs evidence)."""
+    num, den = int(threshold_num), int(threshold_den)
+    keys = "(SELECT DISTINCT img_k AS doc_id FROM psrc) pk"
+    return f"""
+        WITH {paired_src_sql(src, n_classes, twin_mod)},
+        {_ngram_pairs_cte_body("psrc")},
+        psizes AS MATERIALIZED (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+            FROM ex0 GROUP BY doc_id),
+        ppairs AS MATERIALIZED (
+            SELECT doc_a, doc_b, inter FROM pairs),
+        kfp AS MATERIALIZED (
+            SELECT doc_id AS ik, fp_a
+            FROM ({video_frame_fp_oracle(keys)})
+            WHERE frame_idx = 0),
+        ifp AS MATERIALIZED (
+            SELECT p.doc_id, h.fp_a
+            FROM psrc p JOIN kfp h ON h.ik = p.img_k),
+        cand_img AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM ifp a JOIN ifp b
+              ON a.fp_a = b.fp_a AND a.doc_id < b.doc_id),
+        cand_cap AS (
+            SELECT p.doc_a, p.doc_b FROM ppairs p
+            JOIN psizes xa ON xa.doc_id = p.doc_a
+            JOIN psizes xb ON xb.doc_id = p.doc_b
+            WHERE p.inter * {den} >= (xa.n + xb.n - p.inter) * {num}),
+        cand AS (SELECT doc_a, doc_b FROM cand_img
+                 UNION SELECT doc_a, doc_b FROM cand_cap),
+        mx AS (
+            SELECT c.doc_a, c.doc_b,
+                   (fa.fp_a = fb.fp_a) AS same_image,
+                   CAST(coalesce(p.inter, 0) AS BIGINT) AS cap_inter,
+                   CAST(coalesce(xa.n, 0) + coalesce(xb.n, 0)
+                        - coalesce(p.inter, 0) AS BIGINT) AS cap_union
+            FROM cand c
+            JOIN ifp fa ON fa.doc_id = c.doc_a
+            JOIN ifp fb ON fb.doc_id = c.doc_b
+            LEFT JOIN ppairs p
+              ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b
+            LEFT JOIN psizes xa ON xa.doc_id = c.doc_a
+            LEFT JOIN psizes xb ON xb.doc_id = c.doc_b)
+        SELECT doc_a, doc_b, same_image, cap_inter, cap_union,
+               (cap_union > 0 AND cap_inter * {den} >= cap_union * {num})
+                   AS cap_match,
+               (same_image AND cap_union > 0
+                AND cap_inter * {den} >= cap_union * {num}) AS is_dup
+        FROM mx
     """
 
 

@@ -576,9 +576,9 @@ def setop_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.unionAll(early)
 
 
-@query(
-    "pivot_status",
-    oracle=f"""
+#: pivot_status's oracle, kept importable for the folded gate
+#: (tests/test_catalog_oracle.py::test_folded_pivot_status_oracle)
+_SQL_PIVOT_STATUS = """
         SELECT o_orderpriority,
                CAST(sum(CASE WHEN o_orderstatus = 'O'
                         THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS status_o,
@@ -588,13 +588,20 @@ def setop_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
                         THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS status_p
         FROM orders
         GROUP BY o_orderpriority
-    """,
-    tags=("pivot",),
-)
+    """
+
+
 def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT with explicit value list (avoids the extra distinct scan).
     Pivot columns are re-aliased to case-unambiguous names so the
-    column-sorted oracle compare is robust."""
+    column-sorted oracle compare is robust.
+
+    FOLDED out of the catalog in r13 (policy rule 4, funding the
+    dedup_url_canonical registration): the pivot is a conditional
+    aggregation whose shape stays in-window via q1_pricing_summary and
+    agg_distinct_count (the r8 demotion's own argument), and its
+    DuckDB hash gate moved verbatim to tests/test_catalog_oracle.py::
+    test_folded_pivot_status_oracle — no hash-level check was lost."""
     return (
         _t(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
@@ -631,7 +638,7 @@ def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays in-window via the streaming event-time rows
     (streaming_user_tracker's windowed state, streaming_xlsx_sink's ts
     round-trip) and sessionize_events, multi-granularity date_trunc
-    stays registered via the tail's date_math_functions, and its
+    stays pytest-gated via the (r13-folded) date_math_functions, and its
     DuckDB hash gate moved verbatim to tests/test_catalog_oracle.py::
     test_folded_events_time_rollup_oracle — no hash-level check was
     lost."""
@@ -835,9 +842,9 @@ def agg_percentiles_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_scale_plans.py::test_approx_sketches_within_error_bounds.
 
 
-@query(
-    "string_functions",
-    oracle="""
+#: string_functions' oracle, kept importable for the folded gate
+#: (tests/test_catalog_oracle.py::test_folded_string_functions_oracle)
+_SQL_STRING_FUNCTIONS = """
         SELECT p_partkey,
                upper(p_name)                                   AS name_upper,
                substring(p_name, 1, 4)                         AS name_prefix,
@@ -848,12 +855,21 @@ def agg_percentiles_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
                lpad(CAST(p_size AS VARCHAR), 3, '0')           AS size_padded
         FROM part
         WHERE p_name LIKE '%o%' AND regexp_matches(p_name, '^[a-z]')
-    """,
-    tags=("functions", "string"),
-)
+    """
+
+
 def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar string-function coverage incl. levenshtein — identical
-    classic-DP semantics in both engines."""
+    classic-DP semantics in both engines.
+
+    FOLDED out of the catalog in r13 (policy rule 4, funding the
+    dedup_paired_crossmodal promotion's tail arithmetic): the
+    scalar-string family keeps json_extract_props and
+    text_token_pieces in-window (the r7 demotion's own argument),
+    string expressions flow through every text/dedup oracle, and its
+    DuckDB hash gate moved verbatim to tests/test_catalog_oracle.py::
+    test_folded_string_functions_oracle — no hash-level check was
+    lost."""
     p = _t(spark, sf_dir, "part")
     return (
         p.filter(F.col("p_name").like("%o%") & F.col("p_name").rlike("^[a-z]"))
@@ -903,9 +919,9 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "date_math_functions",
-    oracle="""
+#: date_math_functions' oracle, kept importable for the folded gate
+#: (tests/test_catalog_oracle.py::test_folded_date_math_functions_oracle)
+_SQL_DATE_MATH_FUNCTIONS = """
         SELECT o_orderkey, yr, mo, dow, due_date, days_since_95, above_100k,
                metric, val
         FROM (
@@ -922,16 +938,24 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM orders
           WHERE o_orderkey % 7 = 0
         ) UNPIVOT (val FOR metric IN (price_sqrt, price_ln, price_qrt))
-    """,
-    tags=("functions", "date", "math", "reshape"),
-)
+    """
+
+
 def date_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date extraction/arithmetic + math scalar coverage (year/month/dow,
     interval add, datediff, sqrt/ln/pow/sign) — rounded to 6 decimals
     where transcendental libm implementations could differ in the last
     ulp — finished with a wide->long UNPIVOT (melt) of the price metrics
     (absorbs the former unpivot_metrics entry: one slot, both operator
-    families, one row per (order, metric))."""
+    families, one row per (order, metric)).
+
+    FOLDED out of the catalog in r13 (policy rule 4, funding the
+    streaming_langid_gate promotion's tail arithmetic): temporal
+    semantics keep excel_serial_dates, join_asof_forward_tolerance and
+    sessionize_events in-window (the r7 demotion's own argument), and
+    its DuckDB hash gate moved verbatim to
+    tests/test_catalog_oracle.py::test_folded_date_math_functions_oracle
+    — no hash-level check was lost."""
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
     day = F.to_date("o_orderdate")
     wide = o.select(

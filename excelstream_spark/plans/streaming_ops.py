@@ -412,3 +412,63 @@ def streaming_c4_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("c4_pass").alias("c4_pass"),
         )
     )
+
+
+@query(
+    "streaming_langid_gate",
+    oracle=_ORC.langid_gate_oracle(),
+    tags=("streaming", "langid", "classifier"),
+)
+def streaming_langid_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING language-ID gate under exact redelivery (r12 verdict
+    #3 — langid was the one model family without the serving/streaming
+    forms): the Cavnar-Trenkle rank profiles are trained in BATCH on
+    the even-doc_id labeled slice (the langid_ngram_rank recipe), then
+    applied to the odd-doc stream with ``langid_score_mapside`` —
+    stateless, shuffle-free (one Arrow-batched mapInPandas against the
+    collected n_langs x top_k profile dict, kilobytes; the
+    broadcast-the-model shape), so it needs no state store and every
+    delivery of a doc calls the same language.
+
+    The documents table is delivered TWICE across two micro-batches;
+    oracled facts per doc: ``n_deliveries`` = 2 (append mode, both
+    batches flowed), ``n_distinct_calls`` = 1 (bit-identical re-calls
+    — the scorer is INTEGER-exact, so this gate has no rounding band
+    at all), and the (lang_pred, distance) pair equal to the BATCH
+    langid oracle replayed by DuckDB — stream-vs-batch call parity
+    (the streaming_classifier_gate precedent applied to the
+    rank-profile classifier).  Docs with no n-grams are absent on both
+    engines (a language call needs evidence)."""
+    from pyspark.sql import functions as F
+
+    from excelstream_spark.operators.langid import (
+        langid_score_mapside,
+        train_language_profiles,
+    )
+    from excelstream_spark.streaming.pipelines import replayed_docs_stream
+    from excelstream_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    profiles = train_language_profiles(docs.where(F.col("doc_id") % 2 == 0))
+    stream = replayed_docs_stream(spark, table_path(sf_dir, "documents"))
+    called = langid_score_mapside(
+        stream.select("doc_id", "text").where(F.col("doc_id") % 2 != 0),
+        profiles,
+    )
+    result = run_available_now(
+        called, f"slg_{uuid.uuid4().hex[:8]}", output_mode="append"
+    )
+    return (
+        result.where(F.col("doc_id").isNotNull())
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_deliveries"),
+            F.countDistinct(
+                F.struct("lang_pred", "distance")
+            ).cast("long").alias("n_distinct_calls"),
+            F.max("lang_pred").alias("lang_pred"),
+            F.max("distance").alias("distance"),
+        )
+    )

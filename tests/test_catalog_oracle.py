@@ -315,3 +315,51 @@ def test_folded_corpus_shard_manifest_oracle(spark, duck):
         duck,
         ORC.shard_manifest_oracle(n_shards=16),
     )
+
+def test_folded_pivot_status_oracle(spark, duck):
+    """pivot_status's DuckDB hash gate, moved verbatim from the
+    folded-out catalog row (r13, policy rule 4 — funding the
+    dedup_url_canonical registration): the pivot is a conditional
+    aggregation whose shape stays in-window via q1_pricing_summary and
+    agg_distinct_count (the r8 demotion's own argument), and the
+    standalone operator keeps the same hash-level check it had as a
+    registered entry."""
+    from excelstream_spark.plans.relational import (
+        _SQL_PIVOT_STATUS,
+        pivot_status,
+    )
+
+    assert_matches_oracle(pivot_status(spark, SF_DIR), duck, _SQL_PIVOT_STATUS)
+
+
+def test_folded_string_functions_oracle(spark, duck):
+    """string_functions' DuckDB hash gate, moved verbatim from the
+    folded-out catalog row (r13, policy rule 4 — funding the
+    dedup_paired_crossmodal promotion's tail arithmetic): the
+    scalar-string family keeps json_extract_props and
+    text_token_pieces in-window (the r7 demotion's own argument) and
+    string expressions flow through every text/dedup oracle."""
+    from excelstream_spark.plans.relational import (
+        _SQL_STRING_FUNCTIONS,
+        string_functions,
+    )
+
+    assert_matches_oracle(
+        string_functions(spark, SF_DIR), duck, _SQL_STRING_FUNCTIONS
+    )
+
+
+def test_folded_date_math_functions_oracle(spark, duck):
+    """date_math_functions' DuckDB hash gate, moved verbatim from the
+    folded-out catalog row (r13, policy rule 4 — funding the
+    streaming_langid_gate promotion's tail arithmetic): temporal
+    semantics keep excel_serial_dates, join_asof_forward_tolerance and
+    sessionize_events in-window (the r7 demotion's own argument)."""
+    from excelstream_spark.plans.relational import (
+        _SQL_DATE_MATH_FUNCTIONS,
+        date_math_functions,
+    )
+
+    assert_matches_oracle(
+        date_math_functions(spark, SF_DIR), duck, _SQL_DATE_MATH_FUNCTIONS
+    )

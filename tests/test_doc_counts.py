@@ -110,6 +110,8 @@ def test_survey_pinned_pytest_count_matches_collection(request):
 
     text = (REPO / "SURVEY.md").read_text()
     heads = list(re.finditer(r"^## \d+\. Round-\d+ build status", text, re.M))
+    if not heads:  # r12 advice #1: no appendix -> nothing pinned, skip
+        pytest.skip("SURVEY.md has no round-status appendix to check")
     current = text[heads[-1].start():]
     m = re.search(r"pytest (\d+) passed / (\d+) skipped", current)
     if not m:
