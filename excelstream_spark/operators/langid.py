@@ -209,15 +209,37 @@ def langid_score_mapside(
         ]
     )
 
+    # gram -> 60-bit hash memo, shared across the worker's documents:
+    # the gram VOCABULARY (alphabet^n) is far smaller than gram
+    # occurrences (corpus-sized) for real text, so the md5 cost
+    # amortizes to once per distinct gram per worker.  HARD-CAPPED at
+    # 2^20 entries: a CJK-heavy or adversarial partition can have
+    # near-distinct trigrams everywhere, and an unbounded dict would
+    # grow with partition text volume — past the cap new grams hash
+    # uncached (correctness unchanged, the memo is an optimization)
+    _hmemo: dict[str, int] = {}
+    _MEMO_CAP = 1 << 20
+
+    def _gh(g: str) -> int:
+        h = _hmemo.get(g)
+        if h is None:
+            h = int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
+            if len(_hmemo) < _MEMO_CAP:
+                _hmemo[g] = h
+        return h
+
     def _call(text) -> tuple[str, int] | None:
-        t = ("" if text is None else str(text)).lower()
+        # None/NaN-safe: parquet nulls surface as None in object
+        # columns, but guard float NaN too (an all-null Arrow batch can
+        # coerce; str(nan) would otherwise classify as the literal
+        # "nan" — the synthesize_payloads convention)
+        if text is None or isinstance(text, float):
+            text = ""
+        t = str(text).lower()
         counts: dict[int, int] = {}
         for n in sizes:
             for i in range(len(t) - n + 1):
-                g = t[i : i + n]
-                h = int(
-                    hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16
-                )
+                h = _gh(t[i : i + n])
                 counts[h] = counts.get(h, 0) + 1
         if not counts:
             return None

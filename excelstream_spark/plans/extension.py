@@ -2437,7 +2437,7 @@ def dedup_paired_crossmodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     def frame(ids, keys, caption):
         return docs.where(F.col("doc_id") % twin_mod == 0).select(
             ids.alias("doc_id"), keys.alias("img_k"), caption.alias("caption")
-        ) if ids is not None else None
+        )
 
     base = docs.select(
         F.col("doc_id"),

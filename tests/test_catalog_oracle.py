@@ -167,7 +167,13 @@ def test_driver_window_arithmetic():
         "audio_dedup_containment",  # r12: the audio family's row
         "video_increment_containment",  # r11: the video SERVING row
         "cm_frequency_estimates",  # r11: the Count-Min family's row
-        "dedup_minhash_lsh",
+        # (dedup_minhash_lsh rotated to the tail in r13, funding the
+        # paired row — its LSH close is composed verbatim inside v2's
+        # in-window oracle, stage 5, and its headline/POST_LADDER
+        # bench treatment is unchanged)
+        "dedup_paired_crossmodal",  # r13: the paired-dedup row
+        "streaming_langid_gate",  # r13: the langid streaming row
+        "langid_ngram_rank",  # r12: the language-ID family's row
         "sort_topk",
     ):
         assert flagship in window, f"{flagship} fell out of the window"
