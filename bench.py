@@ -416,6 +416,11 @@ ROUND_SCOPE_NOTES = {
     "scorer flat at 10x corpus).  Rotation: streaming_c4_gate and "
     "dedup_minhash_lsh demoted to the tail (plans/catalog.py rule-3 "
     "annotations; both keep their bench legs unchanged), "
+    "New I/O legs (late r13): warc_write / warc_read (sources/"
+    "warc.py, the Common Crawl container; catalog row "
+    "warc_roundtrip_documents born past the window, funded by folding "
+    "streaming_classifier_gate) — excluded from the headline total to "
+    "keep it comparable to r1-r12.  "
     "pivot_status / string_functions / date_math_functions folded "
     "out (gates moved verbatim to tests/test_catalog_oracle.py).",
     "r12": "Measurement changes (r11 what's-wrong #1 + advice #2): "
@@ -788,6 +793,35 @@ def main() -> None:
         for label, rate_key in (("xlsx_write", "xlsx_write_rows_per_sec"),
                                 ("xlsx_read", "xlsx_read_rows_per_sec")):
             timings[rate_key] = round(n_rows / timings[label], 1)
+        shutil.rmtree(out, ignore_errors=True)
+
+        # WARC sink/source throughput (r13, sources/warc.py): the
+        # Common Crawl container — the ingest format a 100 TB
+        # web-corpus build reads first.  No reference baseline (the
+        # reference has no WARC surface); recorded for
+        # round-over-round comparability.  Per-record gzip members on
+        # write, length-delimited streaming parse on read.  NOT part
+        # of the headline total (keeps it comparable to r1-r12).
+        from excelstream_spark.sources.warc import register_warc
+
+        register_warc(spark)
+        docs = load_table(spark, SF_DIR, "documents")
+        n_docs = docs.count()
+        wsel = docs.selectExpr(
+            "CAST(doc_id AS STRING) AS record_id", "text AS payload"
+        ).repartition(cpus)
+        wout = os.path.join(scratch, "documents_warc")
+        wwarm = os.path.join(scratch, "documents_warc_warm")
+
+        def warc_write(path):
+            wsel.write.format("warc").mode("overwrite").save(path)
+
+        run("warc_write", lambda: warc_write(wout), warm_fn=lambda: warc_write(wwarm), n_timed=3)
+        shutil.rmtree(wwarm, ignore_errors=True)
+        run("warc_read", lambda: noop(spark.read.format("warc").load(wout)), n_timed=3)
+        for label, rate_key in (("warc_write", "warc_write_rows_per_sec"),
+                                ("warc_read", "warc_read_rows_per_sec")):
+            timings[rate_key] = round(n_docs / timings[label], 1)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
@@ -2448,7 +2482,8 @@ def main() -> None:
                     }
                     for leg, r in runs.items()
                     if leg in ("xlsx_write", "xlsx_read",
-                               "csv_write", "csv_read")
+                               "csv_write", "csv_read",
+                               "warc_write", "warc_read")
                 },
                 "leg_scopes": LEG_SCOPE,
                 "round_scope_notes": ROUND_SCOPE_NOTES,

@@ -401,9 +401,19 @@ DEMOTED: tuple[str, ...] = (
     # and the scalar-string family keeps json_extract_props +
     # text_token_pieces in-window.  It had sat here since late r7,
     # funding the multimodal_resize_sample promotion.)
-    "streaming_classifier_gate",  # r7: born past the window (the
-    # streaming_dsir_gate precedent) — fully DuckDB-oracled stream-vs-
-    # batch parity for the classifier family, swept by pytest
+    "warc_roundtrip_documents",  # r13: born past the window (the
+    # dedup_url_canonical precedent) — WARC (ISO 28500, the Common
+    # Crawl container) write->read round-trip, content_length gated
+    # against DuckDB's own UTF-8 byte count; the io-parity family
+    # keeps xlsx_roundtrip_lineitem and csv_roundtrip_orders in-window.
+    # Funded by FOLDING streaming_classifier_gate (policy rule 4 — it
+    # had sat here since r7): the stateless-gate contract (redelivery
+    # idempotence + stream-vs-batch score parity) keeps its in-window
+    # representative via the r13-promoted streaming_langid_gate, the
+    # classifier family keeps quality_classifier_filter in-window, and
+    # its hash gate moved verbatim to tests/test_catalog_oracle.py::
+    # test_folded_streaming_classifier_gate_oracle (the full
+    # availableNow replay, not a batch approximation)
     # (sim_topk_bruteforce left this tail in r9 by FOLDING: unregistered
     # entirely — policy rule 4; hash gate moved to
     # tests/test_quality_semantic.py, recall-oracle duty unchanged)

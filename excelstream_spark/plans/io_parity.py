@@ -155,3 +155,71 @@ def lenient_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
         C.lenient_long("s_int").alias("k_as_long"),
         C.lenient_bool("s_bool").cast("string").alias("flag_as_bool"),
     )
+
+
+@query(
+    "warc_roundtrip_documents",
+    oracle="""
+        SELECT CAST(doc_id AS VARCHAR) AS record_id,
+               'https://crawl' || CAST(doc_id % 7 AS VARCHAR)
+                 || '.example.com/doc/' || CAST(doc_id AS VARCHAR)
+                 AS target_uri,
+               coalesce(text, '') AS text,
+               octet_length(encode(coalesce(text, ''))) AS content_length
+        FROM documents
+        WHERE doc_id IS NOT NULL
+    """,
+    tags=("io", "warc", "provenance"),
+)
+def warc_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> WARC sink (4 part-archives, per-record gzip members,
+    ISO 28500 headers) -> WARC source (length-delimited streaming parse)
+    -> hash vs the parquet original.  WARC is the Common Crawl container
+    — the FIRST format a 100 TB web-corpus build reads — and this row
+    certifies the full write->read cycle is lossless at the byte level:
+    ``content_length`` is gated against DuckDB's own UTF-8 byte count
+    (``octet_length(encode(text))``), so a writer that counted
+    characters instead of bytes, or a parser that scanned for record
+    markers instead of honoring Content-Length, hash-fails (the
+    marker-in-payload falsifier is pinned in tests/test_warc.py).
+
+    100 TB shape (sources/warc.py): both directions are embarrassingly
+    parallel over files/partitions with zero shuffle; the reader
+    streams each archive record-by-record with O(batch) memory and the
+    per-record gzip-member convention keeps archives splittable at
+    member boundaries downstream."""
+    from excelstream_spark.sources.warc import register_warc
+
+    register_warc(spark)
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull()
+    )
+    uri = F.concat(
+        F.lit("https://crawl"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    out = _tmp("documents_warc")
+    (
+        docs.select(
+            F.col("doc_id").cast("string").alias("record_id"),
+            uri.alias("target_uri"),
+            # WARC cannot represent a null payload (every record has a
+            # Content-Length) — the sink writes null as an empty record,
+            # so the oracle coalesces symmetrically and the row count
+            # is preserved under the driver's null-injection rehearsals
+            F.coalesce(F.col("text"), F.lit("")).alias("payload"),
+        )
+        .repartition(4)
+        .write.format("warc")
+        .mode("overwrite")
+        .save(out)
+    )
+    back = spark.read.format("warc").load(out)
+    return back.select(
+        "record_id",
+        "target_uri",
+        F.decode("payload", "UTF-8").alias("text"),
+        "content_length",
+    )

@@ -307,13 +307,14 @@ def streaming_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "streaming_classifier_gate",
-    oracle=_ORC.classifier_gate_oracle(),
-    tags=("streaming", "classifier", "quality"),
-)
 def streaming_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STREAMING quality-classifier gate under exact redelivery: the
+    """[FOLDED r13 — policy rule 4, funding the warc_roundtrip_documents
+    registration: the stateless-gate contract keeps its in-window
+    representative via streaming_langid_gate and this gate's DuckDB
+    hash check moved verbatim to tests/test_catalog_oracle.py::
+    test_folded_streaming_classifier_gate_oracle.]
+
+    STREAMING quality-classifier gate under exact redelivery: the
     logistic-regression model is trained in BATCH (the
     quality_classifier_filter recipe — 4 GD steps against the Gopher
     length label), then applied to the document stream with

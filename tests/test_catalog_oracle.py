@@ -369,3 +369,25 @@ def test_folded_date_math_functions_oracle(spark, duck):
     assert_matches_oracle(
         date_math_functions(spark, SF_DIR), duck, _SQL_DATE_MATH_FUNCTIONS
     )
+
+
+def test_folded_streaming_classifier_gate_oracle(spark, duck):
+    """streaming_classifier_gate's DuckDB hash gate, moved verbatim from
+    the folded-out catalog row (r13, policy rule 4 — funding the
+    warc_roundtrip_documents registration): the stateless-gate contract
+    (redelivery idempotence + stream-vs-batch score parity) keeps its
+    in-window representative via the r13-promoted streaming_langid_gate,
+    and the classifier family keeps quality_classifier_filter in-window.
+    This is the FULL availableNow replay gate (train in batch, score the
+    twice-delivered stream mapside, oracle the unrolled-GD score), not a
+    batch approximation."""
+    from excelstream_spark.plans import oracles as ORC
+    from excelstream_spark.plans.streaming_ops import (
+        streaming_classifier_gate,
+    )
+
+    assert_matches_oracle(
+        streaming_classifier_gate(spark, SF_DIR),
+        duck,
+        ORC.classifier_gate_oracle(),
+    )

@@ -1,0 +1,210 @@
+"""WARC source/sink (sources/warc.py): round-trip losslessness, the
+length-delimited-parse falsifiers, and the format conventions.
+
+The load-bearing falsifier: a payload that CONTAINS a complete WARC
+record as text must round-trip byte-for-byte — a parser that scans for
+the ``WARC/1.0`` marker instead of honoring Content-Length splits it in
+half (and a writer that miscounts multi-byte UTF-8 desynchronizes every
+record after the first)."""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from excelstream_spark.sources.warc import (
+    parse_warc_stream,
+    register_warc,
+)
+
+
+def _tmpdir() -> str:
+    return tempfile.mkdtemp(prefix="esspark_warc_")
+
+
+ADVERSARIAL_ROWS = [
+    # (record_id, target_uri, payload) — payloads chosen to break
+    # marker-scanning or byte-miscounting implementations
+    ("r0", "https://example.com/a", "plain ascii payload"),
+    (
+        "r1",
+        "https://example.com/b",
+        "embedded record:\r\nWARC/1.0\r\nWARC-Type: resource\r\n"
+        "Content-Length: 3\r\n\r\nxyz\r\n\r\ntail",
+    ),
+    ("r2", "https://example.com/c", "unicode éü中文 \U0001f600"),
+    ("r3", "https://example.com/d", ""),  # empty payload
+    ("r4", "https://example.com/e", "trailing newlines\r\n\r\n\r\n"),
+]
+
+
+@pytest.fixture(scope="module")
+def roundtrip(spark):
+    register_warc(spark)
+    df = spark.createDataFrame(
+        ADVERSARIAL_ROWS, "record_id string, target_uri string, payload string"
+    )
+    out = _tmpdir()
+    df.repartition(2).write.format("warc").mode("overwrite").save(out)
+    back = spark.read.format("warc").load(out)
+    return out, back
+
+
+def test_roundtrip_payload_bytes_exact(roundtrip):
+    _, back = roundtrip
+    got = {
+        r["record_id"]: bytes(r["payload"]).decode("utf-8")
+        for r in back.collect()
+    }
+    assert got == {rid: p for rid, _, p in ADVERSARIAL_ROWS}
+
+
+def test_roundtrip_headers_and_length(roundtrip):
+    _, back = roundtrip
+    rows = {r["record_id"]: r for r in back.collect()}
+    for rid, uri, payload in ADVERSARIAL_ROWS:
+        r = rows[rid]
+        assert r["target_uri"] == uri
+        assert r["content_length"] == len(payload.encode("utf-8"))
+        assert r["warc_type"] == "resource"
+        assert r["warc_date"] == "1970-01-01T00:00:00Z"
+        assert r["content_type"] == "text/plain; charset=utf-8"
+
+
+def test_one_file_per_partition_and_success(roundtrip):
+    out, _ = roundtrip
+    files = glob.glob(os.path.join(out, "part-*.warc.gz"))
+    assert len(files) == 2
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+
+
+def test_per_record_gzip_members(roundtrip):
+    """The Common Crawl convention: each record its own gzip member, so
+    a downstream splitter can cut at member boundaries."""
+    out, _ = roundtrip
+    f = sorted(glob.glob(os.path.join(out, "part-*.warc.gz")))[0]
+    raw = open(f, "rb").read()
+    # count gzip member magics at member boundaries by decompressing
+    # one member at a time
+    members = 0
+    pos = 0
+    import zlib
+
+    while pos < len(raw):
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        d.decompress(raw[pos:])
+        consumed = len(raw) - pos - len(d.unused_data)
+        members += 1
+        pos += consumed
+    assert members >= 1
+    # every member must itself start with the WARC version line
+    with gzip.open(f, "rb") as s:
+        recs = list(parse_warc_stream(s, source=f))
+    assert members == len(recs)
+
+
+def test_deterministic_rewrite_bytes(spark):
+    """Same frame written twice -> identical bytes (mtime=0, epoch
+    WARC-Date): the house reproducibility rule for sinks."""
+    register_warc(spark)
+    df = spark.createDataFrame(
+        [("a", "x" * 10), ("b", "y" * 20)], "record_id string, payload string"
+    ).coalesce(1)
+    outs = []
+    for _ in range(2):
+        out = _tmpdir()
+        df.write.format("warc").mode("overwrite").save(out)
+        (f,) = glob.glob(os.path.join(out, "part-*.warc.gz"))
+        outs.append(open(f, "rb").read())
+    assert outs[0] == outs[1]
+
+
+def test_uncompressed_and_binary_payload(spark):
+    register_warc(spark)
+    payloads = [bytes([0, 1, 2, 255, 13, 10, 13, 10]), b"WARC/1.0\r\n\r\n"]
+    df = spark.createDataFrame(
+        [(f"b{i}", p) for i, p in enumerate(payloads)],
+        "record_id string, payload binary",
+    ).coalesce(1)
+    out = _tmpdir()
+    df.write.format("warc").option("compression", "none").mode(
+        "overwrite"
+    ).save(out)
+    (f,) = glob.glob(os.path.join(out, "part-*.warc"))
+    back = spark.read.format("warc").load(out)
+    got = {r["record_id"]: bytes(r["payload"]) for r in back.collect()}
+    assert got == {f"b{i}": p for i, p in enumerate(payloads)}
+
+
+def test_truncated_payload_fails_loudly(spark):
+    """A shard cut mid-payload must fail its task, not emit fewer
+    documents."""
+    register_warc(spark)
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: resource\r\n"
+        b"WARC-Record-ID: t\r\nContent-Length: 100\r\n\r\nshort"
+    )
+    out = _tmpdir()
+    with open(os.path.join(out, "bad.warc"), "wb") as f:
+        f.write(rec)
+    with pytest.raises(Exception, match="truncated|Content-Length"):
+        spark.read.format("warc").load(out).collect()
+
+
+def test_header_newline_rejected(spark):
+    register_warc(spark)
+    df = spark.createDataFrame(
+        [("bad\r\nid", "p")], "record_id string, payload string"
+    ).coalesce(1)
+    out = _tmpdir()
+    with pytest.raises(Exception, match="newline in WARC header"):
+        df.write.format("warc").mode("overwrite").save(out)
+
+
+def test_missing_payload_column_rejected(spark):
+    register_warc(spark)
+    df = spark.createDataFrame([("a",)], "record_id string")
+    out = _tmpdir()
+    with pytest.raises(Exception, match="payload"):
+        df.write.format("warc").mode("overwrite").save(out)
+
+
+def test_payload_col_option_and_defaults(spark):
+    """payloadCol renames the payload source; absent header columns get
+    the documented deterministic defaults."""
+    register_warc(spark)
+    df = spark.createDataFrame([("hello",)], "body string").coalesce(1)
+    out = _tmpdir()
+    df.write.format("warc").option("payloadCol", "body").mode(
+        "overwrite"
+    ).save(out)
+    (r,) = spark.read.format("warc").load(out).collect()
+    assert bytes(r["payload"]) == b"hello"
+    assert r["record_id"] == "urn:esspark:0:0"
+    assert r["target_uri"] is None  # no URI column -> header omitted
+
+
+def test_documents_roundtrip_sf(spark):
+    """The catalog leg's shape at the pytest fixture scale: documents ->
+    warc -> back, text and count exact."""
+    from excelstream_spark.plans.io_parity import warc_roundtrip_documents
+
+    res = warc_roundtrip_documents(spark, os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    ))
+    pdf = res.toPandas()
+    import duckdb
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    exp = duckdb.connect().execute(
+        f"SELECT CAST(doc_id AS VARCHAR) record_id, text "
+        f"FROM read_parquet('{sf}/documents.parquet') WHERE doc_id IS NOT NULL"
+    ).df()
+    got = dict(zip(pdf["record_id"], pdf["text"]))
+    want = dict(zip(exp["record_id"], exp["text"]))
+    assert got == want
