@@ -107,6 +107,28 @@ keep-best, manifest: the gate that falsifies set-only dedup) over
 v2's oracle).  ``dedup_ngram_jaccard``, ``events_time_rollup`` and
 ``subquery_thresholds`` FOLD out per rule 4, gates verbatim in
 tests/test_catalog_oracle.py.
+Round 13 (still 75 = 50 + 25): the language-ID family's
+streaming/serving form (``streaming_langid_gate`` — the stateless
+mapside scorer under exact redelivery, batch-parity oracled) rotates
+in over ``streaming_c4_gate`` (the C4 line rules composed verbatim
+inside the in-window v3/v4 oracles); the first PAIRED cross-modal
+dedup (``dedup_paired_crossmodal`` — the LAION rule: same image +
+near-dup caption collapses, image-only and caption-only twins must
+survive, the full decision matrix replayed in SQL) over
+``dedup_minhash_lsh`` (its LSH close composed verbatim inside v2's
+in-window oracle; headline bench leg unchanged); provenance/URL
+canonical dedup (``dedup_url_canonical``) born past the window,
+funded by FOLDING ``pivot_status`` / ``string_functions`` /
+``date_math_functions`` per rule 4.  Late-r13 the crawl-ingest
+surface lands: WARC source/sink (sources/warc.py — ISO 28500, the
+Common Crawl container; ``warc_roundtrip_documents`` gates
+content_length against DuckDB's own UTF-8 byte count) born past the
+window over the FOLDED ``streaming_classifier_gate`` (stateless-gate
+contract kept in-window by the langid gate), and HTML -> text
+extraction (functions/html.py — the regex chain handed VERBATIM to
+both Java regex and RE2; ``html_extract_text``) born past the window
+over the FOLDED ``window_analytics`` — all four folded gates
+verbatim in tests/test_catalog_oracle.py.
 """
 
 from __future__ import annotations

@@ -254,11 +254,15 @@ LEG_SCOPE = {
     "#6 — the ORDER-AWARE audio drift rung: candidates + sequence-"
     "shingle verify over the md5-diverse WAV fixture, the "
     "video_sequence_diverse pattern)",
-    "paired_crossmodal_diverse": "v1:r13 ladder-only entry (the "
-    "paired matrix's drift rung: images keyed on doc_id DIV 10 so "
-    "class size is constant under inflation — linear candidates by "
-    "construction; the catalog row's %50 fixture is for the hash "
-    "gate, not the ladder)",
+    "paired_crossmodal_diverse": "v2:r13 md5-diverse image synth "
+    "(the first r13 run measured drift 1.79 SUPER-LINEAR: the oracle "
+    "image fixture's aHash space is 64 values, so fingerprint "
+    "blocking at 5k-50k distinct keys was quadratic fixture noise — "
+    "282k colliding key-pairs at 5k keys, 28.4M at 50k; the rung now "
+    "injects video.synthesize_diverse_video_payloads, the video "
+    "ladder's rationale).  v1:r13 ladder-only entry: images keyed on "
+    "doc_id DIV 10 so class size is constant under inflation; the "
+    "catalog row's %50 fixture is for the hash gate, not the ladder",
     "langid_score_stored": "v1:r13 serving-ladder-only entry (r12 "
     "verdict #3 — stored-profile mapside scoring of a fixed odd-id "
     "increment vs cold profile refit at 1x/10x corpus)",
@@ -1705,14 +1709,25 @@ def main() -> None:
         from excelstream_spark.operators.paired import (
             paired_crossmodal_matrix as _pm,
         )
+        from excelstream_spark.operators.video import (
+            synthesize_diverse_video_payloads as _pm_synth,
+        )
 
+        # md5-diverse image synth (v2:r13): the oracle fixture's frame-0
+        # aHash space is 64 values, so at rung scale (5k-50k distinct
+        # keys) fingerprint blocking was QUADRATIC fixture noise — the
+        # first r13 run measured drift 1.79 before the swap; the diverse
+        # synth's md5 pixels make fingerprints collision-free and the
+        # planted key-twin classes (size exactly 2) keep same-image
+        # candidates linear by construction
         dd = d.where(F.col("doc_id").isNotNull())
         return _pm(
             dd.select(
                 "doc_id",
                 F.expr("doc_id DIV 10").alias("img_k"),
                 F.coalesce(F.col("text"), F.lit("")).alias("caption"),
-            )
+            ),
+            image_synth=_pm_synth,
         )
 
     def _clf_leg(d):

@@ -47,7 +47,10 @@ from excelstream_spark.operators.dedup import shingle_rows
 
 
 def paired_image_fingerprints(
-    pairs: DataFrame, img_key_col: str = "img_k", id_col: str = "doc_id"
+    pairs: DataFrame,
+    img_key_col: str = "img_k",
+    id_col: str = "doc_id",
+    image_synth=None,
 ) -> DataFrame:
     """(id_col, fp) — each pair's 64-bit image aHash, computed ONCE per
     distinct image key through the REAL chain (deterministic 8x8 APNG
@@ -61,7 +64,19 @@ def paired_image_fingerprints(
     collapses every image class into a handful of quadratic candidate
     buckets — the 115-way-collision lesson from the image family) and
     whose fingerprint the established ``video_frame_fp_oracle``
-    arithmetic replays from the key alone."""
+    arithmetic replays from the key alone.
+
+    ``image_synth`` swaps the key->image synthesizer (the _v6_core
+    convention).  The ORACLE fixture above is dense BY DESIGN — its
+    frame-0 aHash space is exactly 64 distinct values, which is right
+    for a SQL-replayable hash gate at the catalog row's 50-key scale
+    but makes fingerprint blocking QUADRATIC past ~10^2 distinct keys
+    (measured: 282k colliding key-pairs at 5k keys -> 28.4M at 50k) —
+    so the bench drift rung injects
+    ``video.synthesize_diverse_video_payloads`` (md5 pixels,
+    collision-free fingerprints; the video ladder's diverse-fixture
+    rationale, caught when the first r13 rung run read drift 1.79
+    SUPER-LINEAR)."""
     from excelstream_spark.operators.video import (
         synthesize_video_payloads,
         video_frame_fingerprints,
@@ -71,7 +86,9 @@ def paired_image_fingerprints(
         F.col(img_key_col).cast("long").alias("doc_id")
     ).distinct()
     fps = (
-        video_frame_fingerprints(synthesize_video_payloads(keys))
+        video_frame_fingerprints(
+            (image_synth or synthesize_video_payloads)(keys)
+        )
         .where(F.col("frame_idx") == 0)
         .select(
             F.col("doc_id").alias("_pifk"), F.col("fp_a").alias("fp")
@@ -92,6 +109,7 @@ def paired_crossmodal_matrix(
     threshold_den: int = 2,
     max_shingle_df: int | None = None,
     max_image_df: int | None = None,
+    image_synth=None,
 ) -> DataFrame:
     """The paired-dedup DECISION MATRIX over (id, image key, caption)
     rows: every candidate pair — candidates come from EITHER side
@@ -121,9 +139,9 @@ def paired_crossmodal_matrix(
     )
     num, den = int(threshold_num), int(threshold_den)
 
-    fps = paired_image_fingerprints(base, "_ik", "_pid").select(
-        F.col("_pid").alias("_fid"), "fp"
-    )
+    fps = paired_image_fingerprints(
+        base, "_ik", "_pid", image_synth=image_synth
+    ).select(F.col("_pid").alias("_fid"), "fp")
     img_src = fps
     if max_image_df is not None:
         hot = (

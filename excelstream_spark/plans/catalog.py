@@ -424,11 +424,16 @@ DEMOTED: tuple[str, ...] = (
     # q1_pricing_summary in-window, and the rollup/cube/grouping-sets
     # shapes stay hash-verified via the CUBE in corpus_curation's
     # oracle plus pytest's full-catalog sweep
-    "window_analytics",  # r7 late rotation: funds the
-    # quality_classifier_filter driver row (new operator family —
-    # distributed model training); the window family keeps
-    # window_topn_per_group and sessionize_events, and the analytics
-    # frame shapes stay SQL-oracled via pytest's full-catalog sweep
+    "html_extract_text",  # r13: born past the window (the
+    # dedup_url_canonical precedent) — HTML -> text extraction
+    # (functions/html.py), the stage between WARC ingest and the C4
+    # rules; the oracle replays the identical regex chain through
+    # DuckDB (shared pattern strings, shared fixture SQL).  Funded by
+    # FOLDING window_analytics (policy rule 4 — it had sat here since
+    # r7): the window family keeps window_topn_per_group and
+    # sessionize_events in-window (the r7 demotion's own argument),
+    # and its hash gate moved verbatim to tests/test_catalog_oracle.py
+    # ::test_folded_window_analytics_oracle
     "corpus_decontaminate",  # r7: born past the window (50 slots spoken
     # for); fully oracled, swept by pytest's whole-catalog test
     "streaming_dsir_gate",  # r7: born past the window; the

@@ -2505,3 +2505,36 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.concat(F.lit("https://example"), pk, F.lit("/#frag")))
     )
     return _op(docs.select("doc_id", url.alias("url")))
+
+
+@query(
+    "html_extract_text",
+    oracle=ORC.html_extract_oracle(),
+    tags=("html", "cleaning", "text", "warc"),
+)
+def html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction (functions/html.py) — the stage between
+    WARC ingest and the C4 cleaning rules in a web-corpus build: every
+    document is wrapped in the deterministic crawl-page fixture
+    (oracles.HTML_FIXTURE_SQL — script/style/comment bodies labeled
+    SCRIPTLEAK/STYLELEAK/COMMENTLEAK, an inline-tag mid-word join, the
+    entity set incl. a double-escape, an UPPERCASE <SCRIPT>) and run
+    through the extraction chain.  The oracle replays the IDENTICAL
+    pattern strings in identical order through DuckDB's regex engine
+    (functions/html.extract_text_sql), so the hash gate falsifies any
+    Java-vs-RE2 divergence over the chain, not just gross leaks; the
+    semantic falsifiers (a leaked script body, joined inline words,
+    entity ordering) are pinned per-case in tests/test_html.py.
+
+    100 TB shape: the whole chain is scan-stage whole-stage-codegen
+    JVM work — zero shuffles, zero Python — applied in the same stage
+    as the WARC payload decode it follows."""
+    from excelstream_spark.functions.html import extract_text
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id").isNotNull())
+    extracted = extract_text(F.expr(ORC.HTML_FIXTURE_SQL))
+    return docs.select(
+        "doc_id",
+        extracted.alias("text"),
+        F.length(extracted).cast("long").alias("n_chars"),
+    )

@@ -2646,3 +2646,47 @@ def training_pipeline_v6_oracle(
                    AS content_hash
         FROM survv6 GROUP BY shard
     """
+
+
+#: Deterministic crawl-page fixture for the HTML extraction row
+#: (functions/html.py): ONE SQL text both engines evaluate (the
+#: CLEANING_V3_AUG_SQL convention), wrapping each document's text in a
+#: page whose hostile parts are labeled — SCRIPTLEAK (a fake HTML
+#: fragment inside a JS string), STYLELEAK, COMMENTLEAK — so any
+#: extractor that lets them through hash-fails AND greps red in the
+#: pytest falsifiers; the inline-tag join (mid<b>dle</b>word ->
+#: middleword), the entity set incl. the double-escape
+#: (&amp;lt;keep&gt; -> &lt;keep&gt;) and an UPPERCASE <SCRIPT> are
+#: all exercised.
+HTML_FIXTURE_SQL = (
+    "concat('<html><head><title>d', cast(doc_id AS string), '</title>', "
+    "'<style type=\"text/css\">p { color: red; } /* STYLELEAK */</style>', "
+    "'</head><body>', "
+    "'<SCRIPT>var a = 1; /* SCRIPTLEAK */</SCRIPT>', "
+    "'<script type=\"text/javascript\">var leak', cast(doc_id AS string), "
+    "' = \"<p>SCRIPTLEAK</p>\";</script>', "
+    "'<h1 class=\"t\">Doc &amp; ', cast(doc_id AS string), '</h1>', "
+    "'<!-- crawl ', cast(doc_id AS string), ' COMMENTLEAK -->', "
+    "'<p>mid<b>dle</b>word A&nbsp;B &lt;raw&gt; &quot;q&quot; ', "
+    "'&#39;s&#39; &amp;lt;keep&gt;</p>', "
+    "'<p id=\"c\">', coalesce(text, ''), '</p></body></html>')"
+)
+
+
+def html_extract_oracle(src: str = "documents") -> str:
+    """DuckDB replay of the HTML extraction row: build the page with
+    the SHARED fixture SQL, run the SHARED regex/entity chain
+    (functions/html.extract_text_sql — identical pattern strings in
+    identical order), and emit the extracted text with its length.
+    The hash gate therefore falsifies ANY divergence between the two
+    regex engines over the chain, not just gross leaks."""
+    from excelstream_spark.functions.html import extract_text_sql
+
+    return f"""
+        SELECT doc_id,
+               {extract_text_sql(HTML_FIXTURE_SQL)} AS text,
+               length({extract_text_sql(HTML_FIXTURE_SQL)})::BIGINT
+                   AS n_chars
+        FROM {src}
+        WHERE doc_id IS NOT NULL
+    """

@@ -440,9 +440,11 @@ def sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "window_analytics",
-    oracle="""
+#: window_analytics' oracle, kept as a module constant after the r13
+#: rule-4 fold so the pytest gate (tests/test_catalog_oracle.py::
+#: test_folded_window_analytics_oracle) runs the identical SQL the
+#: registered row carried
+_SQL_WINDOW_ANALYTICS = """
         SELECT o_orderkey, o_custkey, o_totalprice,
                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER wt_run AS DOUBLE) AS running_spend,
                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER wt_3 AS DOUBLE)
@@ -462,11 +464,17 @@ def sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
           wp      AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey),
           wp_desc AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC)
-    """,
-    tags=("window",),
-)
+    """
+
+
 def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The window-function suite in one entry (round-1's
+    """[FOLDED r13 — policy rule 4, funding the html_extract_text
+    registration: the window family keeps window_topn_per_group and
+    sessionize_events in-window, and this suite's hash gate moved
+    verbatim to tests/test_catalog_oracle.py::
+    test_folded_window_analytics_oracle.]
+
+    The window-function suite in one entry (round-1's
     window_running_lag / window_rank_dense / window_frames_ntile
     consolidated): unbounded running sum, sliding 3-row average, lag/lead,
     rank/dense_rank, ntile, percent_rank.  One shuffle on the partition

@@ -42,8 +42,14 @@ wall-clock reads — a re-run writes identical bytes, the house
 reproducibility rule).  commit() writes _SUCCESS; abort() removes the
 task's file, so a failed job never leaves half-archives visible.
 
-Options (read):  none required; ``payloadText=true`` additionally
-  decodes nothing — decoding stays an explicit downstream expression.
+The source also implements a STREAM reader: ``spark.readStream
+.format("warc")`` watches a directory and processes each new archive
+exactly once (the incremental-crawl ingest form; offsets follow the
+xlsx stream source's exact-set / maxFileAgeSec-compacted convention —
+see WarcStreamReader).
+
+Options (read):  ``batchRows`` (Arrow batch size, default 1024);
+  stream adds ``maxFileAgeSec`` (compacted offsets).
 Options (write): ``compression`` (``gzip`` default | ``none``),
   ``payloadCol`` (default ``payload``), ``warcType`` (default
   ``resource`` — the spec's type for raw content not wrapped in HTTP
@@ -67,6 +73,7 @@ from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -207,6 +214,9 @@ class WarcDataSource(DataSource):
     def reader(self, schema: T.StructType) -> "WarcReader":
         return WarcReader(schema, self.options)
 
+    def streamReader(self, schema: T.StructType) -> "WarcStreamReader":
+        return WarcStreamReader(schema, self.options)
+
     def writer(self, schema: T.StructType, overwrite: bool) -> "WarcWriter":
         return WarcWriter(schema, self.options, overwrite)
 
@@ -262,6 +272,96 @@ class WarcReader(DataSourceReader):
                     yield flush()
         if cols["payload"]:
             yield flush()
+
+
+class WarcStreamReader(DataSourceStreamReader):
+    """Micro-batch WARC source: ``spark.readStream.format("warc")``
+    watches a directory and processes each NEW archive exactly once —
+    the incremental-crawl ingest form (a crawler keeps landing
+    segments; the pipeline picks each up once).  Archives must be
+    written atomically (rename into the watched directory) — the same
+    contract as Spark's built-in file sources.
+
+    Offset mechanics follow the xlsx stream source precedent
+    (sources/xlsx/datasource.XlsxStreamReader): exact offsets are
+    {"seen": sorted [file, ...]} — the full processed set, recovery
+    from any checkpointed pair exact regardless of listing order —
+    and ``option("maxFileAgeSec", N)`` switches to COMPACTED offsets
+    {"mark": max mtime, "recent": [...]} bounded by arrival rate x
+    window (files older than the window behind the newest are assumed
+    processed, the built-in source's purge semantics).  Enabling
+    compaction on an exact-mode checkpoint is safe; disabling it is
+    rejected at the first trigger — the bounded list cannot stand in
+    for the full processed set."""
+
+    def __init__(self, schema: T.StructType, options):
+        self.schema_ = schema
+        self.path = options.get("path")
+        if self.path is None:
+            raise ValueError("warc stream source requires a path")
+        self.batch_rows = int(options.get("batchrows", 1024))
+        age = options.get("maxfileagesec")
+        self.max_age = float(age) if age is not None else None
+
+    def _current_files(self) -> list[str]:
+        try:
+            return _list_warc_files(self.path)
+        except FileNotFoundError:
+            return []
+
+    def initialOffset(self) -> dict:
+        if self.max_age is not None:
+            return {"mark": 0.0, "recent": []}
+        return {"seen": []}
+
+    def latestOffset(self) -> dict:
+        files = self._current_files()
+        if self.max_age is None:
+            return {"seen": files}
+        pairs = []
+        for f in files:
+            try:
+                pairs.append((f, os.path.getmtime(f)))
+            except OSError:  # raced deletion between list and stat
+                pass
+        mark = max((m for _, m in pairs), default=0.0)
+        return {
+            "mark": mark,
+            "recent": sorted(f for f, m in pairs if m >= mark - self.max_age),
+        }
+
+    def partitions(self, start: dict, end: dict):
+        if "recent" in start and self.max_age is None:
+            raise ValueError(
+                "this checkpoint was written with maxFileAgeSec (compacted "
+                "offsets); running without the option would reprocess every "
+                "archive in the directory — keep the option or start a "
+                "fresh checkpoint"
+            )
+        processed = set(start.get("seen") or start.get("recent") or [])
+        new_files = sorted(
+            set(end.get("seen") or end.get("recent") or []) - processed
+        )
+        return [WarcPartition(f) for f in new_files]
+
+    def read(self, partition: WarcPartition):
+        # stream-reader contract: yield ROWS in WARC_SCHEMA order
+        with _open_stream(partition.file) as stream:
+            for headers, payload in parse_warc_stream(
+                stream, source=os.path.basename(partition.file)
+            ):
+                yield (
+                    headers.get("warc-record-id"),
+                    headers.get("warc-type"),
+                    headers.get("warc-target-uri"),
+                    headers.get("warc-date"),
+                    headers.get("content-type"),
+                    len(payload),
+                    payload,
+                )
+
+    def commit(self, end: dict) -> None:
+        pass  # progress is fully encoded in the checkpointed offset
 
 
 class WarcCommitMessage(WriterCommitMessage):

@@ -391,3 +391,22 @@ def test_folded_streaming_classifier_gate_oracle(spark, duck):
         duck,
         ORC.classifier_gate_oracle(),
     )
+
+
+def test_folded_window_analytics_oracle(spark, duck):
+    """window_analytics' DuckDB hash gate, moved verbatim from the
+    folded-out catalog row (r13, policy rule 4 — funding the
+    html_extract_text registration): the window family keeps
+    window_topn_per_group and sessionize_events in-window (the r7
+    demotion's own argument), and the consolidated frame suite
+    (running sum, sliding average, lag/lead, rank/dense_rank, ntile,
+    percent_rank) keeps the same hash-level check it had as a
+    registered entry."""
+    from excelstream_spark.plans.relational import (
+        _SQL_WINDOW_ANALYTICS,
+        window_analytics,
+    )
+
+    assert_matches_oracle(
+        window_analytics(spark, SF_DIR), duck, _SQL_WINDOW_ANALYTICS
+    )

@@ -189,6 +189,56 @@ def test_payload_col_option_and_defaults(spark):
     assert r["target_uri"] is None  # no URI column -> header omitted
 
 
+def test_stream_source_exactly_once_pickup(spark):
+    """The incremental-crawl form: a watched directory processed with
+    availableNow repeatedly against ONE checkpoint — each archive's
+    records are delivered exactly once (the xlsx stream source's
+    pickup contract, applied to crawl segments)."""
+    register_warc(spark)
+    watch, ckpt, out = _tmpdir(), _tmpdir(), os.path.join(_tmpdir(), "out")
+
+    def land(n, rid):
+        df = spark.createDataFrame(
+            [(f"{rid}-{i}", f"payload {rid} {i}") for i in range(n)],
+            "record_id string, payload string",
+        ).coalesce(1)
+        staging = _tmpdir()
+        df.write.format("warc").mode("overwrite").save(staging)
+        (f,) = glob.glob(os.path.join(staging, "part-*.warc.gz"))
+        # atomic appearance in the watched dir — the file-source contract
+        os.rename(f, os.path.join(watch, f"{rid}.warc.gz"))
+
+    def run_once():
+        st = spark.readStream.format("warc").load(watch)
+        q = (
+            st.select("record_id").writeStream.format("parquet")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt).option("path", out)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+        return sorted(
+            r["record_id"] for r in spark.read.parquet(out).collect()
+        )
+
+    land(3, "seg0")
+    land(2, "seg1")
+    assert run_once() == [
+        "seg0-0", "seg0-1", "seg0-2", "seg1-0", "seg1-1",
+    ]
+    land(2, "seg2")
+    assert run_once() == [
+        "seg0-0", "seg0-1", "seg0-2", "seg1-0", "seg1-1",
+        "seg2-0", "seg2-1",
+    ]
+    # no new arrivals: idempotent
+    assert run_once() == [
+        "seg0-0", "seg0-1", "seg0-2", "seg1-0", "seg1-1",
+        "seg2-0", "seg2-1",
+    ]
+
+
 def test_documents_roundtrip_sf(spark):
     """The catalog leg's shape at the pytest fixture scale: documents ->
     warc -> back, text and count exact."""
@@ -208,3 +258,44 @@ def test_documents_roundtrip_sf(spark):
     got = dict(zip(pdf["record_id"], pdf["text"]))
     want = dict(zip(exp["record_id"], exp["text"]))
     assert got == want
+
+
+def test_stream_offset_compaction_unit():
+    """maxFileAgeSec keeps offsets bounded by arrival-rate x window
+    (unit-level, no Spark query — the xlsx stream source's compaction
+    semantics applied to crawl segments)."""
+    import time
+
+    from excelstream_spark.sources.warc import WARC_SCHEMA, WarcStreamReader
+
+    watch = _tmpdir()
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: resource\r\nWARC-Record-ID: x\r\n"
+        b"Content-Length: 2\r\n\r\nhi\r\n\r\n"
+    )
+
+    def land(name, mtime):
+        p = os.path.join(watch, name)
+        with open(p, "wb") as f:
+            f.write(rec)
+        os.utime(p, (mtime, mtime))
+
+    now = time.time()
+    for i in range(30):
+        land(f"old{i:02d}.warc", now - 10_000 + i)
+    land("new1.warc", now - 10)
+    land("new2.warc", now)
+    rdr = WarcStreamReader(WARC_SCHEMA, {"path": watch, "maxfileagesec": "100"})
+    start, end = rdr.initialOffset(), rdr.latestOffset()
+    assert sorted(os.path.basename(f) for f in end["recent"]) == [
+        "new1.warc", "new2.warc"]
+    parts = rdr.partitions(start, end)
+    assert sorted(os.path.basename(p.file) for p in parts) == [
+        "new1.warc", "new2.warc"]
+    land("new3.warc", now + 1)
+    parts2 = rdr.partitions(end, rdr.latestOffset())
+    assert [os.path.basename(p.file) for p in parts2] == ["new3.warc"]
+    # disabling compaction against a compacted checkpoint fails fast
+    bare = WarcStreamReader(WARC_SCHEMA, {"path": watch})
+    with pytest.raises(ValueError, match="maxFileAgeSec"):
+        bare.partitions(end, bare.latestOffset())
