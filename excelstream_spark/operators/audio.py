@@ -52,6 +52,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+from excelstream_spark.partitioning import fan_out
+
 #: Oracle-fixture arithmetic (shared with plans/oracles.
 #: audio_window_fp_oracle — one definition each side, values pinned by
 #: the oracle test): sample i of window w of doc d =
@@ -94,7 +96,10 @@ def synthesize_audio_payloads(
                 rows.append((d, encode_wav(8000, samples)))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
-    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+    # fan_out BEFORE the Python stage (r13 optimization, the
+    # synthesize_video_payloads rationale): ids are cheap to move and a
+    # 1-partition upstream scan otherwise serializes the WAV encode.
+    return fan_out(docs.select("doc_id")).mapInPandas(gen, schema=schema)
 
 
 def audio_window_fingerprints(
@@ -210,4 +215,5 @@ def synthesize_diverse_audio_payloads(
                 rows.append((d, encode_wav(8000, samples)))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
-    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+    # fan_out: see synthesize_audio_payloads
+    return fan_out(docs.select("doc_id")).mapInPandas(gen, schema=schema)

@@ -505,7 +505,15 @@ def synthesize_payloads(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 rows.append((d, payload, {"content_type": ctype, "byte_len": len(payload)}))
             yield pd.DataFrame(rows, columns=["doc_id", "payload", "meta"])
 
-    return docs.select("doc_id", text_col).mapInPandas(gen, schema=schema)
+    # fan_out BEFORE the Python stage (r13 optimization): (id, text)
+    # rows are cheap to repartition, and a 1-partition upstream scan
+    # otherwise serializes the whole PNG/WAV/JPEG encode on one core.
+    # At scale fan_out is a no-op (never shrinks a parallel input).
+    from excelstream_spark.partitioning import fan_out
+
+    return fan_out(docs.select("doc_id", text_col)).mapInPandas(
+        gen, schema=schema
+    )
 
 
 def _decode_payload(payload: bytes) -> dict:

@@ -139,9 +139,17 @@ def paired_crossmodal_matrix(
     )
     num, den = int(threshold_num), int(threshold_den)
 
-    fps = paired_image_fingerprints(
-        base, "_ik", "_pid", image_synth=image_synth
-    ).select(F.col("_pid").alias("_fid"), "fp")
+    from excelstream_spark.operators.dedup import _scoped_persist as _sp
+
+    # persist the per-pair fingerprint table (r13 optimization): it
+    # feeds FOUR subtrees (the hot-fp DF prune, its anti-join side and
+    # both halves of the blocking self-join), and each broadcast build
+    # otherwise re-runs the image synth+decode chain end-to-end.
+    fps = _sp(
+        paired_image_fingerprints(
+            base, "_ik", "_pid", image_synth=image_synth
+        ).select(F.col("_pid").alias("_fid"), "fp")
+    )
     img_src = fps
     if max_image_df is not None:
         hot = (

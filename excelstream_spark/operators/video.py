@@ -86,6 +86,7 @@ from excelstream_spark.operators.multimodal import (
     _PNG_MAGIC,
     _png_unfilter,
 )
+from excelstream_spark.partitioning import fan_out
 
 #: fcTL body: seq, width, height, x_off, y_off, delay_num, delay_den,
 #: dispose_op, blend_op (APNG spec).
@@ -260,7 +261,13 @@ def synthesize_video_payloads(docs: DataFrame) -> DataFrame:
                 rows.append((d, encode_apng(8, 8, frames)))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
-    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+    # fan_out BEFORE the Python stage (r13 optimization): the id column
+    # is bytes-cheap to repartition, and without it a narrow upstream
+    # scan (one parquet file => one partition) runs the whole
+    # synth+encode serially on a single core — measured 2.4s single-task
+    # stages inside every video leg at sf0.1.  At scale fan_out is a
+    # no-op (never shrinks an already-parallel input).
+    return fan_out(docs.select("doc_id")).mapInPandas(gen, schema=schema)
 
 
 def synthesize_diverse_video_payloads(docs: DataFrame) -> DataFrame:
@@ -317,7 +324,9 @@ def synthesize_diverse_video_payloads(docs: DataFrame) -> DataFrame:
                 rows.append((d, encode_apng(8, 8, frames)))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
-    return docs.select("doc_id").mapInPandas(gen, schema=schema)
+    # fan_out: see synthesize_video_payloads (ids are cheap to move;
+    # a 1-partition scan otherwise serializes the Python encode)
+    return fan_out(docs.select("doc_id")).mapInPandas(gen, schema=schema)
 
 
 def video_frame_fingerprints(
@@ -399,6 +408,14 @@ def video_fp_sets(
     if quarantine_degenerate:
         sets = sets.where(~_is_degenerate(F.col("fp")))
     if max_fp_df is not None:
+        # NOTE (r13 optimization round): persisting the pre-prune sets
+        # here (the shingle_rows convention) removes a duplicated
+        # decode+distinct computation in the standalone containment leg,
+        # but nesting another InMemoryRelation under the composed v6
+        # plan made driver-side planning (CacheManager canonicalization
+        # over nested cached subtrees) explode from ~8s to ~37s —
+        # measured, so the persist stays OUT; the caller-level persist
+        # of this function's result is the supported shape.
         hot = (
             sets.groupBy("fp")
             .agg(F.count(F.lit(1)).alias("_df"))
@@ -768,6 +785,8 @@ def video_sequence_shingles(
     ).where(F.col("_last").isNotNull())
     sh = seq.select("vid", _h60(F.col("_sh_str")).alias("sh")).distinct()
     if max_sh_df is not None:
+        # no pre-prune persist here — see the video_fp_sets NOTE (nested
+        # InMemoryRelations made composed-plan planning quadratic)
         hot = (
             sh.groupBy("sh")
             .agg(F.count(F.lit(1)).alias("_df"))

@@ -18,6 +18,11 @@ from pyspark.sql import DataFrame
 def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
     """Repartition ``df`` up to the session's parallelism iff it has fewer
     partitions than that; never shrinks, never touches at-scale inputs."""
+    if df.isStreaming:
+        # a streaming DataFrame has no static partition count to inspect
+        # (.rdd raises AnalysisException); micro-batch parallelism is the
+        # source's concern, so fan_out is an identity there
+        return df
     spark = df.sparkSession
     if target is None:
         target = spark.sparkContext.defaultParallelism

@@ -170,15 +170,24 @@ def test_video_containment_vs_duckdb_oracle(spark, duck):
 
 
 def test_video_fingerprint_plan_is_scan_only(spark):
-    """Decode + hash is pure scan work: zero exchanges in the executed
-    plan (the payload bytes never shuffle)."""
+    """Decode + hash is scan work: the PAYLOAD bytes never shuffle.
+    The only exchange allowed in the executed plan is the id-only
+    round-robin fan-out BEFORE synthesis (r13 optimization: a
+    1-partition upstream scan would otherwise serialize the Python
+    encode+decode on one core) — it moves doc_id rows, never payloads
+    or fingerprints."""
     docs = load_table(spark, SF_DIR, "documents").where(
         F.col("doc_id").isNotNull()
     )
     fps = video_frame_fingerprints(synthesize_video_payloads(docs))
     fps.write.format("noop").mode("overwrite").save()
     plan = fps._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "RoundRobinPartitioning" in line, line
+    for node in plan.split("+-"):
+        if "Exchange" in node:
+            assert "payload" not in node and "fp_a" not in node, node
     assert plan.count("MapInPandas") >= 1
 
 
