@@ -222,7 +222,11 @@ LEG_SCOPE = {
     "— no ladder rung exists for the iterative trainer); v1:r7 new "
     "leg (12 BPE merge rounds on the vocabulary table; "
     "fixed-overhead-bound after the word-count scan)",
-    "audio_dedup_containment": "v1:r11 new leg (AUDIO windowed dedup: "
+    "audio_dedup_containment": "v2:r13-opt the synth stage fans out "
+    "doc ids before the Python WAV encode (id-only Repartition up to "
+    "session parallelism; a 1-partition upstream scan had serialized "
+    "the encode on one core — payload bytes still never shuffle); "
+    "v1:r11 new leg (AUDIO windowed dedup: "
     "synthesize int16 WAVs + per-window sign-of-delta fingerprints + "
     "the video family's containment close running unchanged over the "
     "(id, frame_idx, fp) contract); r12: hash-gated catalog row "
@@ -240,7 +244,11 @@ LEG_SCOPE = {
     "stream delivered twice and scored by the stateless INTEGER-exact "
     "mapside scorer; redelivery idempotence + batch parity "
     "hash-gated)",
-    "dedup_paired_crossmodal": "v1:r13 new leg (r12 verdict #4 — "
+    "dedup_paired_crossmodal": "v2:r13-opt the per-pair fingerprint "
+    "table is persisted (it feeds four subtrees that each re-ran the "
+    "image synth+decode chain end-to-end) and the synth stages fan "
+    "out doc ids before the Python encodes; v1:r13 new leg (r12 "
+    "verdict #4 — "
     "cross-modal PAIRED dedup: the LAION-rule (image, caption) "
     "decision matrix over quadrant twins; image side = real APNG "
     "frame-0 aHash per image key broadcast back, caption side = the "
@@ -271,7 +279,15 @@ LEG_SCOPE = {
     "char-n-gram rank profiles trained on the even-id labeled slice, "
     "odd docs classified by integer out-of-place distance; "
     "single-sourced from the catalog)",
-    "training_corpus_pipeline_v6": "v2:r13 scale-ladder rung added "
+    "training_corpus_pipeline_v6": "v3:r13-opt the per-modality "
+    "decoded base (with_twins) and the verified close's shared frame "
+    "table are now EAGER localCheckpoints instead of lazy persists — "
+    "same rows, same oracle; kills the broadcast-build race that "
+    "recomputed the decode chain 2-3x per action and the nested-"
+    "InMemoryRelation plan-canonicalization blowup (interleaved A/B: "
+    "steady ~29s -> ~20s, cold 110 -> 38s); the synth fan_out Exchange "
+    "(id-only, pre-decode) also lands in this fingerprint; "
+    "v2:r13 scale-ladder rung added "
     "(r12 verdict #1) via the refactored shared _v6_core the catalog "
     "row calls — headline plan UNCHANGED (same stage chain, same "
     "oracle fixtures); the RUNG runs the identical chain over the "
@@ -283,11 +299,18 @@ LEG_SCOPE = {
     "dedup over the shared (id, frame_idx, fp) contract, connected "
     "components, keep-best, shard manifest; hash-gated catalog row, "
     "single-sourced)",
-    "video_dedup_verified": "v1:r11 new leg (the ORDER-AWARE composed "
+    "video_dedup_verified": "v2:r13-opt the close's shared frame "
+    "table is an EAGER localCheckpoint instead of a lazy persist "
+    "(same rows; steady ~10s -> ~7.8s interleaved A/B, ambient-noise "
+    "spikes gone) and the synth stage fans out doc ids before the "
+    "Python encode (id-only Exchange, payloads never shuffle); "
+    "v1:r11 new leg (the ORDER-AWARE composed "
     "close: set-containment candidates + frame-sequence-shingle "
     "verify, shingle stage semi-restricted to candidate vids; "
     "pytest-oracled — tests/test_video.py DuckDB replays)",
-    "video_increment_containment": "v1:r11 new leg (the video "
+    "video_increment_containment": "v2:r13-opt synth fans out doc "
+    "ids before the Python APNG encode (id-only Repartition, payloads "
+    "never shuffle); v1:r11 new leg (the video "
     "family's hash-gated SERVING row: even-id clips form the pruned "
     "corpus fp sets + build-time sizes, odd-id clips decode+hash and "
     "join cross pairs only — single-sourced from the catalog row)",
@@ -310,7 +333,11 @@ LEG_SCOPE = {
     "fixture's 2x2 thumbnails mostly collide on one aHash value, so "
     "the pair/components stages carry a ~2x-corpus-size clique — the "
     "leg prices that honestly)",
-    "video_dedup_containment": "v1:r10 new leg (REAL APNG clips: "
+    "video_dedup_containment": "v2:r13-opt synth fans out doc ids "
+    "before the Python APNG encode (id-only Repartition up to session "
+    "parallelism; a 1-partition scan had serialized every encode on "
+    "one core — 6.99 -> 5.43s isolated, payloads never shuffle); "
+    "v1:r10 new leg (REAL APNG clips: "
     "synthesize + chunk-walk/inflate/unfilter decode + per-frame "
     "aHash/dHash + frame-set containment over distinct fingerprints "
     "with degenerate quarantine; the fixture's mod-256 frame classes "
@@ -342,7 +369,9 @@ LEG_SCOPE = {
     "1x rung (see quality_classifier_filter); v1:r7 new leg (BM25 "
     "top-10 for three fixed queries: broadcast term-set postings "
     "prune + idf + per-query window)",
-    "multimodal_resize_sample": "v2:r8 (v1:r7 new leg — synthesize "
+    "multimodal_resize_sample": "v3:r13-opt synth fans out (id, text) "
+    "before the Python payload encode (id-only Repartition, payloads "
+    "never shuffle); v2:r8 (v1:r7 new leg — synthesize "
     "PNG/JPEG/WAV payloads, nearest-neighbor 2x2 thumbnail "
     "resize/transcode + every-2nd-frame audio decimation, stats from "
     "re-decoded outputs; v2: the shared JPEG decoder's r8 speedup, "
@@ -352,7 +381,9 @@ LEG_SCOPE = {
     "4-step classifier train + ranked keep-half -> exact dedup -> "
     "shard manifest; the cleaned corpus and the feature table are "
     "scope-persisted and shared across train/score/dedup/manifest)",
-    "multimodal_fingerprints": "v1:r8 new leg (perceptual media "
+    "multimodal_fingerprints": "v2:r13-opt synth fans out (id, text) "
+    "before the Python payload encode (id-only Repartition, payloads "
+    "never shuffle); v1:r8 new leg (perceptual media "
     "fingerprints: synthesize + really-decode PNG/JPEG/WAV payloads + "
     "integer-exact 64-bit aHash/dHash/audio-sign hashes, zero-shuffle "
     "Arrow scan work; includes the late-r8 JPEG decoder speedup, "
@@ -384,7 +415,9 @@ LEG_SCOPE = {
     "join, unpersisted each subtree re-ran gates+PII+CDC end-to-end",
     "streaming_xlsx_sink": "v2:r6 ts column joined the sink round-trip "
     "(one more column written + read)",
-    "multimodal_features": "v3:r8 (v2:r6 fourth payload branch — real "
+    "multimodal_features": "v4:r13-opt synth fans out (id, text) "
+    "before the Python payload encode (id-only Repartition, payloads "
+    "never shuffle); v3:r8 (v2:r6 fourth payload branch — real "
     "baseline JPEG entropy decode, doc_id%4=2; v3: the decoder's "
     "entropy loop is locals-only and the IDCT batched — bit-identical "
     "output pinned by golden hashes, ~2x less Python time per JPEG "

@@ -62,6 +62,55 @@ def _scoped_release(fn) -> None:
     _SCOPED_PERSISTS.append(fn)
 
 
+def _scoped_local_checkpoint(df: DataFrame) -> DataFrame:
+    """Eager ``localCheckpoint`` with scope-bound cleanup (r13
+    optimization round) — the heavyweight sibling of
+    :func:`_scoped_persist` for subtrees that feed MANY downstream
+    consumers inside a very large composed plan.
+
+    Versus ``persist()`` it buys two things, both measured on the v6
+    capstone:
+
+    * the lineage is TRUNCATED to a ``LogicalRDD`` scan, so the
+      composed plan the driver must analyze/canonicalize no longer
+      contains the (deep, persist-nested) upstream subtree — nested
+      ``InMemoryRelation`` towers made CacheManager canonicalization
+      quadratic (~8s of pure driver time before v6's first stage, ~37s
+      with one more nesting level; see the video_fp_sets NOTE);
+    * materialization is EAGER and happens exactly once, up front —
+      a lazy persist that first gets pulled by several concurrent
+      broadcast-exchange build threads is raced and its subtree
+      recomputed per thread (observed: the decode chain executing 2-3x
+      per v6 action).
+
+    The blocks are NOT CacheManager entries, so they are registered
+    with :func:`_scoped_release` and freed at the standard scope
+    boundary exactly like components.py's final checkpoint.  Storage
+    is unreplicated executor memory/disk — the components.py trade,
+    fine for metadata-scale tables (ids + 64-bit fingerprints); do not
+    hand it payload-scale data.  Never call with a streaming frame
+    (checkpointing is a batch action)."""
+    sc = df.sparkSession.sparkContext
+    out = df.localCheckpoint(eager=True)
+    try:
+        rid = out._jdf.queryExecution().analyzed().rdd().id()
+    except Exception:
+        rid = None
+
+    def _free(rid=rid):
+        if rid is None:
+            return
+        try:
+            jrdd = sc._jsc.getPersistentRDDs().get(rid)
+            if jrdd is not None:
+                jrdd.unpersist(True)
+        except Exception:
+            pass  # degrade to GC-eventually, never to an error
+
+    _scoped_release(_free)
+    return out
+
+
 def release_persists() -> None:
     """Unpersist every DataFrame cached by dedup operators so far.  Safe
     to call between queries (a materialized result never needs its

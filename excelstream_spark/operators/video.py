@@ -709,6 +709,11 @@ def dedup_video_containment(
     decode-downstream prune executes three times per action."""
     from excelstream_spark.operators.dedup import _scoped_persist
 
+    # r13 optimization note: an eager localCheckpoint here (instead of
+    # the lazy persist) was A/B-tested and kept NEUTRAL on the video
+    # leg but REGRESSED the audio leg ~35% (the decode upstream is
+    # cheap there, so the checkpoint's blocking materialization costs
+    # more than the persist race it prevents) — the persist stays.
     sets = _scoped_persist(
         video_fp_sets(
             frame_fps,
@@ -889,9 +894,22 @@ def dedup_video_containment_verified(
 
     -> (vid_a, vid_b, inter, na, nb, containment, seq_inter,
     seq_containment, seq_verified)."""
-    from excelstream_spark.operators.dedup import _scoped_persist
+    from excelstream_spark.operators.dedup import (
+        _scoped_local_checkpoint,
+        _scoped_persist,
+    )
 
-    fps = _scoped_persist(frame_fps)
+    # r13 optimization: the shared frame table is eagerly
+    # local-checkpointed, not lazily persisted — it feeds both stages
+    # of the close (sets + candidate-restricted shingles), and as a
+    # persist it was both raced by concurrent subtree builds and a
+    # nested InMemoryRelation inflating driver plan canonicalization
+    # under the composed v6 plan.  Interleaved A/B at sf0.1
+    # (video_dedup_verified): steady ~10s -> ~7.8s, and the ambient
+    # noise spikes (24-75s outlier runs) disappear.  Batch-only: this
+    # operator never receives a streaming frame (the streaming gates
+    # consume STORED artifacts).
+    fps = _scoped_local_checkpoint(frame_fps)
     cands = _scoped_persist(
         dedup_video_containment(
             fps,

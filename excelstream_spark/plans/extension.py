@@ -2335,7 +2335,19 @@ def _v6_core(
     adocs = docs.where(F.col("doc_id") % 4 == 2)
 
     def with_twins(frame_fps: DataFrame) -> DataFrame:
-        base = _scoped_persist(
+        from excelstream_spark.operators.dedup import (
+            _scoped_local_checkpoint,
+        )
+
+        # r13 optimization: eager localCheckpoint, not persist.  The
+        # decoded base feeds SIX subtrees (original + both twins, each
+        # through both stages of the verified close) inside the round's
+        # largest composed plan; as a lazy persist it was (a) raced by
+        # concurrent broadcast-exchange builds (decode chain observed
+        # executing 2-3x per action) and (b) a nested InMemoryRelation
+        # whose canonicalization made driver planning quadratic.
+        # Interleaved A/B at sf0.1: steady ~29s -> ~20s, cold 110 -> 38s.
+        base = _scoped_local_checkpoint(
             frame_fps.select("doc_id", "frame_idx", "n_frames", "fp_a")
         )
         dup = base.select(
@@ -2351,11 +2363,9 @@ def _v6_core(
         )
         return base.unionByName(dup).unionByName(reo)
 
-    vframes = with_twins(video_frame_fingerprints(synth_video(vdocs)))
-    awindows = with_twins(audio_window_fingerprints(synth_audio(adocs)))
-    edges = None
-    for frames in (vframes, awindows):
-        verified = (
+    def _modality_edges(fingerprints, synth) -> DataFrame:
+        frames = with_twins(fingerprints(synth))
+        return (
             dedup_video_containment_verified(
                 frames, threshold=0.8, seq_threshold=0.8, n=2
             )
@@ -2365,7 +2375,17 @@ def _v6_core(
                 F.col("vid_b").alias("doc_b"),
             )
         )
-        edges = verified if edges is None else edges.unionByName(verified)
+
+    # NOTE (r13): overlapping the two modality chains' construction in
+    # a 2-thread pool (guide §2.6) was tried and REGRESSED (interleaved
+    # A/B: seq mins 17.8/19.7s vs par 82/102s) — the eager checkpoint
+    # jobs contend for the same local cores and the doubled Python
+    # daemon population thrashes; sequential construction stays.
+    edges = _modality_edges(
+        video_frame_fingerprints, synth_video(vdocs)
+    ).unionByName(
+        _modality_edges(audio_window_fingerprints, synth_audio(adocs))
+    )
     media = vdocs.unionByName(adocs)
     corpus = (
         media.select("doc_id", "text", F.col("n_chars").alias("q"))
