@@ -408,7 +408,11 @@ LEG_SCOPE = {
     "dsir_select_resample": "v2:r7 new leg (DSIR hashed-ngram importance "
     "resampling, Gumbel-top-k of 100 against the English-target model); "
     "v2 = the zip_with shingle rewrite landed mid-round (9.8 -> 3.3s)",
-    "training_corpus_pipeline_v2": "v2:r7 new leg (composed gopher-subset "
+    "training_corpus_pipeline_v2": "v3:r13-opt the CDC-rewritten corpus "
+    "is an EAGER localCheckpoint instead of a lazy persist (same rows, "
+    "same oracle; the LSH band stage's concurrent subtree builds raced "
+    "the persist and re-ran gates+PII+CDC per thread — interleaved A/B "
+    "12.51 -> 10.42s min); v2:r7 new leg (composed gopher-subset "
     "+ 13-rule repetition gate -> PII -> CDC substring dedup -> "
     "minhash-LSH + components keep-set); the CDC-rewritten corpus is "
     "scope-persisted — it feeds both the LSH pair stage and the keep "

@@ -1273,7 +1273,22 @@ def _v2_core(docs: DataFrame) -> DataFrame:
     # n-gram pass), the PII regexes and the CDC rewrite end-to-end
     # (measured: the leg halves).  Scoped like every dedup persist —
     # released at the next catalog query / bench-leg boundary.
-    rewritten = _scoped_persist(
+    from excelstream_spark.operators.dedup import _scoped_local_checkpoint
+
+    # r13 optimization: the rewritten corpus is an EAGER localCheckpoint
+    # (was a lazy persist).  It feeds the LSH pair stage — whose banded
+    # self-join builds several concurrent subtrees over it — and the
+    # keep-set join; as a persist the first action raced those builds
+    # (gates + PII + CDC re-ran per build thread) and nested one more
+    # InMemoryRelation under the composed plan.  Interleaved A/B at
+    # sf0.1: 12.51 -> 10.42s min, every run lower.  (The same swap was
+    # A/B-tested on v4 — persist kept, 13.34 vs 14.46: its classifier
+    # training loop materializes the feature table anyway, so the eager
+    # checkpoint only adds a barrier — and on v5 — persist kept, within
+    # noise at 8.56 vs 8.40 and the payload table is the class the
+    # checkpoint helper's contract says to keep off executor-local
+    # storage.)
+    rewritten = _scoped_local_checkpoint(
         DD.dedup_token_chunks_cdc(red, avg_tokens=16, min_df=2)
     )
     pairs = DD.dedup_minhash_lsh(rewritten, threshold=0.8)
@@ -2141,6 +2156,11 @@ def _v4_core(docs: DataFrame) -> DataFrame:
     ndf = TXT.nfc_normalize_df(inp, "text", "text_nfc").select(
         "doc_id", F.col("text_nfc").alias("text")
     )
+    # r13 optimization note: swapping these two persists for eager
+    # localCheckpoints was A/B-tested and REJECTED (13.34s persist vs
+    # 14.46s ckpt min, interleaved) — the classifier training loop's
+    # per-step collects materialize the feature table on first touch
+    # anyway, so the eager checkpoint only adds an up-front barrier.
     cleaned = _scoped_persist(
         QL.c4_quality_flags(ndf)
         .where(F.col("c4_pass"))
@@ -2234,6 +2254,11 @@ def training_corpus_pipeline_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.select(
         "doc_id", "text", F.col("n_chars").alias("q")
     ).unionByName(twins)
+    # r13 optimization note: an eager localCheckpoint here was
+    # A/B-tested and kept NEUTRAL (8.56 persist vs 8.40 ckpt min,
+    # inside the ambient band) — and the payload table is exactly the
+    # payload-scale class the checkpoint helper's contract keeps off
+    # executor-local storage, so the persist stays.
     pay = _scoped_persist(
         MM.synthesize_payloads(png).select("doc_id", "payload")
     )
