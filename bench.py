@@ -181,7 +181,12 @@ LEG_SCOPE = {
     "unigram_scores_stored_ladder": "v1:r9 serving-ladder-only entry "
     "(stored-vocab scoring vs cold vocab rebuild at 10x corpus)",
     "unigram_scores_stored": "v1:r6 new leg (stored-vocab reuse path)",
-    "dedup_token_blocks_twopass": "v1:r6 new leg (coprime two-pass)",
+    "dedup_token_blocks_twopass": "v2:r13-opt pass-1 output is scope-"
+    "persisted before pass 2 (pass 2 consumes it in ~4 subtrees — "
+    "block scan, hot-set groupBy, rebuild join, touched semi-join — "
+    "each of which re-ran the whole pass-1 chain; interleaved A/B "
+    "mins 3.3 vs 4.1s / 5.0 vs 5.9s in both orderings); "
+    "v1:r6 new leg (coprime two-pass)",
     "repetition_full_gate": "v1:r6 new leg (line/para + 9 n-gram Gopher rules)",
     "dedup_increment": "meas-v6:r13 convergence loops consolidated "
     "into converge() and the refold spread rule is trailing-window "
@@ -349,7 +354,11 @@ LEG_SCOPE = {
     "NOT comparable to sim_topk_pq_reranked (the r9 direct leg): that "
     "one serves k=256 trained-codebook queries against a PREBUILT "
     "code artifact",
-    "quality_classifier_filter": "meas-v4:r10 headline min includes "
+    "quality_classifier_filter": "v2:r13-opt the trainer's FIRST GD "
+    "step skips the feature-table scan + decimal margin aggregation "
+    "(no trained buckets yet, so the bucket join contributes exactly "
+    "0.0 to every margin either way — results bit-identical, one of "
+    "4 feat passes saved); meas-v4:r10 headline min includes "
     "the scale-ladder 1x rung (identical operator plan, same process "
     "— the r9 minhash/simhash/components treatment; this leg read "
     "9.71s in the r9 driver artifact vs 7.15s on its own ladder rung "
@@ -376,7 +385,10 @@ LEG_SCOPE = {
     "resize/transcode + every-2nd-frame audio decimation, stats from "
     "re-decoded outputs; v2: the shared JPEG decoder's r8 speedup, "
     "bit-identical output)",
-    "training_corpus_pipeline_v4": "v1:r8 new leg (the full composed "
+    "training_corpus_pipeline_v4": "v2:r13-opt the classifier "
+    "trainer's first GD step skips the feature-table scan (see "
+    "quality_classifier_filter — results bit-identical); "
+    "v1:r8 new leg (the full composed "
     "pretraining build: exact-twin injection -> NFC -> C4 -> PII -> "
     "4-step classifier train + ranked keep-half -> exact dedup -> "
     "shard manifest; the cleaned corpus and the feature table are "

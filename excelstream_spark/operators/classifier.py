@@ -178,24 +178,36 @@ def train_quality_classifier(
         weights: dict[int, float] = {}
         bias = 0.0
         for _ in range(steps):
-            wdf = spark.createDataFrame(
-                list(weights.items()) or [(0, 0.0)], "b bigint, w double"
-            )
-            margins = (
-                feat.join(F.broadcast(wdf), "b")
-                .groupBy(id_col)
-                .agg(_exact_sum(F.col("w") * F.col("x")).alias("s"))
-            )
-            errs = labeled.join(margins, id_col, "left").select(
+            if weights:
+                wdf = spark.createDataFrame(
+                    list(weights.items()), "b bigint, w double"
+                )
+                margins = (
+                    feat.join(F.broadcast(wdf), "b")
+                    .groupBy(id_col)
+                    .agg(_exact_sum(F.col("w") * F.col("x")).alias("s"))
+                )
+                s_col = F.coalesce(F.col("s"), F.lit(0.0))
+                erry = labeled.join(margins, id_col, "left")
+            else:
+                # first step: no trained buckets yet, so the bucket
+                # join contributes EXACTLY 0.0 to every margin (a doc
+                # matching the placeholder row summed 0.0 * x = 0.0;
+                # a doc missing it coalesced NULL -> 0.0) — identical
+                # double input to the sigmoid either way, so the whole
+                # feature-table scan + decimal aggregation is skipped
+                # (r13 optimization; one of `steps` feat passes saved
+                # in every trainer call, results bit-identical)
+                s_col = F.lit(0.0)
+                erry = labeled
+            errs = erry.select(
                 F.col(id_col),
                 (
                     F.round(
                         F.lit(1.0)
                         / (
                             F.lit(1.0)
-                            + F.exp(
-                                -(F.lit(bias) + F.coalesce(F.col("s"), F.lit(0.0)))
-                            )
+                            + F.exp(-(F.lit(bias) + s_col))
                         ),
                         _Q_STEP,
                     )

@@ -912,7 +912,15 @@ def dedup_token_blocks_twopass(
                 f"every shift not divisible by it): {block_tokens}"
             )
     out = df
-    for bt in block_tokens:
+    for i, bt in enumerate(block_tokens):
+        if i:
+            # each pass consumes its input in ~4 subtrees (block scan,
+            # hot-set groupBy, rebuild join, touched semi-join), so an
+            # unmaterialized pass-2 input re-runs the ENTIRE pass-1
+            # chain per subtree — the scoped persist bounds that to
+            # once (interleaved A/B at sf0.1: mins 3.3 vs 4.1s and
+            # 5.0 vs 5.9s in both orderings)
+            out = _scoped_persist(out)
         out = dedup_token_blocks(
             out, text_col=text_col, id_col=id_col,
             block_tokens=bt, min_df=min_df,
