@@ -75,9 +75,12 @@ sustained steady-state throughput, e.g. README.md:519-523's rows/s claims):
   (with per-run arrays + the ladder inlined) outgrew it, making
   BENCH_r05.json unparseable.  r12: the tail window is 2,000 chars
   and the r11 compact line overflowed it again (parsed: null), so the
-  line now HARD-FITS a 1,900-byte budget — 2-decimal seconds, rates
-  in the detail file only, cheapest legs dropped from the stdout copy
-  (queries_omitted counts them) if legs keep growing.  Everything
+  line now HARD-FITS the window — 2-decimal seconds, rates in the
+  detail file only; r14 (r13 verdict #2): compact JSON separators +
+  the optional "detail" key sheds first, so all 69 timed legs fit
+  (queries_omitted back to 0); cheapest legs dropped from the stdout
+  copy (queries_omitted counts them) only if legs outgrow even that.
+  Everything
   else (per-run arrays, the scale ladder, rows/s rates, per-leg scope
   tags) goes to bench_detail.json beside this script.
 * LEG SCOPE TAGS: each leg carries a scope tag in the detail file;
@@ -304,7 +307,13 @@ LEG_SCOPE = {
     "dedup over the shared (id, frame_idx, fp) contract, connected "
     "components, keep-best, shard manifest; hash-gated catalog row, "
     "single-sourced)",
-    "video_dedup_verified": "v2:r13-opt the close's shared frame "
+    "video_dedup_verified": "v3:r14-opt the close's frame-table "
+    "materialization is CALLER-SELECTED (r13 verdict #1 — the eager "
+    "checkpoint only pays under the composed v6 plan; the driver "
+    "measured the standalone leg regressing 4.92->6.75s): this "
+    "standalone leg is back on the lazy scoped persist, v6 keeps the "
+    "checkpoint via eager_frames=True — same rows either way; "
+    "v2:r13-opt the close's shared frame "
     "table is an EAGER localCheckpoint instead of a lazy persist "
     "(same rows; steady ~10s -> ~7.8s interleaved A/B, ambient-noise "
     "spikes gone) and the synth stage fans out doc ids before the "
@@ -323,7 +332,19 @@ LEG_SCOPE = {
     "family's hash-gated catalog row: 4x1024 build + broadcast point "
     "estimates for EVERY distinct corpus token; distinct from "
     "cm_sketch_estimate's fixed %97 query slice)",
-    "training_corpus_pipeline_v5": "meas-v4:r13 consolidated "
+    "training_corpus_pipeline_v5": "v3:r14-opt the pair stage's "
+    "fingerprint table is eagerly materialized (size-guarded "
+    "checkpoint at bench scale): its four banded-pair subtrees ran as "
+    "concurrent broadcast builds racing the lazy cache, re-running "
+    "synth+decode+hash 3-4x per evaluation (~17s executor time each; "
+    "stage profile committed) — executorRunTime 164->100s, "
+    "interleaved A/B min 6.36 vs 6.82s, same rows; "
+    "v2:r13-opt the payload synth "
+    "stage fans out doc ids before the Python PNG encode (v5 consumes "
+    "MM.synthesize_payloads, which gained the id-only Repartition in "
+    "r13 — this tag mention was omitted then and is recorded here per "
+    "r13 verdict what's-wrong #4; plan carries the extra Exchange "
+    "since r13); meas-v4:r13 consolidated "
     "converge() + trailing-window spread (see dedup_increment); "
     "meas-v3:r12 refold loop gains the "
     "spread guard + still-descending-at-cap warning (r11 advice #2); "
@@ -2489,7 +2510,18 @@ def main() -> None:
     # whose fingerprint moved while its LEG_SCOPE tag stayed identical
     # is an UNTAGGED plan change — recorded in the artifact and warned,
     # so the r6 dedup_token_blocks bookkeeping miss cannot recur
-    # silently.
+    # silently.  r14 (r13 verdict what's-wrong #4): the comparison is
+    # on the tag's PLAN-scope version component (the first `vN:`
+    # segment, `meas-vN:` measurement bumps excluded), not raw tag
+    # text — in r13 v5's plan gained the fan_out Exchange while its
+    # tag was bumped for a measurement-only reason, and text
+    # inequality let the plan change ride through unflagged.
+    def _plan_scope_version(tag) -> str:
+        if not tag:
+            return "v1"  # unlisted legs are implicitly v1
+        m = re.search(r"(?<!meas-)\bv(\d+):", tag)
+        return f"v{m.group(1)}" if m else "v1"
+
     untagged_drift: list[str] = []
     try:
         with open(detail_path) as fh:
@@ -2504,7 +2536,12 @@ def main() -> None:
         if prev.get("fingerprint_version") == _FINGERPRINT_VERSION:
             for name, fp in plan_fps.items():
                 old = prev_fps.get(name)
-                if old and old != fp and prev_scopes.get(name) == LEG_SCOPE.get(name):
+                if (
+                    old
+                    and old != fp
+                    and _plan_scope_version(prev_scopes.get(name))
+                    == _plan_scope_version(LEG_SCOPE.get(name))
+                ):
                     untagged_drift.append(name)
     except (OSError, ValueError):
         pass  # first fingerprinted round: establishes the baseline
@@ -2566,16 +2603,24 @@ def main() -> None:
     # after four new legs) overflowed it AGAIN — BENCH_r11.json records
     # parsed: null.  The line now guarantees fit: seconds rounded to 2
     # decimals, the *_rows_per_sec rates live in the detail file only
-    # (they are derivable from the seconds + fixed row counts), and if
-    # future legs outgrow even that, the CHEAPEST legs drop from the
-    # stdout copy (never from bench_detail.json) until the line fits a
-    # 1,900-byte budget, with queries_omitted recording how many.
+    # (they are derivable from the seconds + fixed row counts).  r14
+    # (r13 verdict #2: queries_omitted hit 8 and four legs lost driver
+    # round-over-round visibility): compact json separators — the
+    # default ", " / ": " separators wasted ~150 bytes against the
+    # budget — and the optional "detail" pointer is shed BEFORE any
+    # leg.  Budget 1,950 of the driver's measured 2,000-char tail
+    # window (BENCH_r11..r13 tails are exactly 2,000 chars and the
+    # line prints last): the full 69-leg line is ~1,934 bytes compact,
+    # so every timed leg fits; only if future legs outgrow even that
+    # do the CHEAPEST legs drop from the stdout copy (never from
+    # bench_detail.json), with queries_omitted recording how many.
     line_q = {
         k: round(v, 2)
         for k, v in timings.items()
         if not k.endswith("_rows_per_sec")
     }
     omitted = 0
+    with_detail = True
 
     def _line() -> str:
         payload = {
@@ -2584,13 +2629,17 @@ def main() -> None:
             "unit": "sec",
             "queries": line_q,
             "sf": sf,
-            "detail": "bench_detail.json",
         }
+        if with_detail:
+            payload["detail"] = "bench_detail.json"
         if omitted:
             payload["queries_omitted"] = omitted
-        return json.dumps(payload)
+        return json.dumps(payload, separators=(",", ":"))
 
-    while len(_line()) > 1900 and line_q:
+    BUDGET = 1950
+    if len(_line()) > BUDGET:
+        with_detail = False  # optional pointer sheds before any leg
+    while len(_line()) > BUDGET and line_q:
         cheapest = min(line_q, key=line_q.get)
         del line_q[cheapest]
         omitted += 1

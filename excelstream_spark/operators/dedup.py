@@ -30,6 +30,8 @@ north-star extension surface.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -95,6 +97,18 @@ def _scoped_local_checkpoint(df: DataFrame) -> DataFrame:
     try:
         rid = out._jdf.queryExecution().analyzed().rdd().id()
     except Exception:
+        # rid lookup rides private internals; on Spark API drift the
+        # blocks degrade to GC-eventually (bounded: session lifetime).
+        # Say so rather than leak silently (r13 ADVICE #4).
+        import warnings
+
+        warnings.warn(
+            "_scoped_local_checkpoint: checkpoint RDD id unresolved "
+            "(Spark internals drift?) — blocks will not be freed at "
+            "release_persists() and live until session end",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         rid = None
 
     def _free(rid=rid):
@@ -111,10 +125,74 @@ def _scoped_local_checkpoint(df: DataFrame) -> DataFrame:
     return out
 
 
+#: upper bound (bytes, plan-stats estimate) under which
+#: :func:`_scoped_materialize` may hand a table to the unreplicated
+#: ``localCheckpoint``; above it (or when the estimate is unavailable)
+#: the durable DISK_ONLY persist path is taken.  8 GiB default: far
+#: above any metadata-scale table and far below a payload-scale corpus
+#: slice at production SF.  Env-tunable for deployments.
+_CHECKPOINT_BOUND_BYTES = int(
+    os.environ.get("SPARK_GRAFT_CHECKPOINT_BOUND_BYTES", str(8 * 1024**3))
+)
+
+
+def _scoped_materialize(df: DataFrame) -> DataFrame:
+    """SIZE-GUARDED eager materialization (r14, r13 verdict #5 /
+    what's-wrong #2): the eager-once semantics of
+    :func:`_scoped_local_checkpoint` without its scale hazard.
+
+    ``localCheckpoint`` stores blocks on UNREPLICATED executor-local
+    storage with the lineage truncated — metadata-scale tables (ids +
+    64-bit fingerprints) accept that trade, but a payload-scale table
+    (document text, media bytes) held that way makes a lost executor
+    unrecoverable at cluster scale (guide §5) and competes with
+    execution memory.  This helper decides from the optimizer's size
+    estimate:
+
+    * estimate available and <= ``_CHECKPOINT_BOUND_BYTES`` -> the
+      r13 checkpoint (eager, lineage-truncating — keeps the v2
+      60->6-Exchange plan-canonicalization win at bench scale);
+    * estimate above the bound, or unavailable -> ``persist`` at
+      ``DISK_ONLY`` followed by an explicit materializing noop write:
+      still EAGER (so concurrent downstream subtree builds cannot
+      race an unmaterialized cache and recompute the upstream chain
+      per thread — the r13 pathology) and still released at the scope
+      boundary, but the lineage survives, so a lost executor
+      recomputes the lost blocks instead of failing the job.  On a
+      deployment with a fault-tolerant checkpoint dir configured, a
+      reliable ``df.checkpoint(eager=True)`` is the equivalent
+      durable+truncating option; the persist form needs no such dir.
+    """
+    try:
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        est = -1
+    if 0 <= est <= _CHECKPOINT_BOUND_BYTES:
+        return _scoped_local_checkpoint(df)
+    from pyspark import StorageLevel
+
+    out = df.persist(StorageLevel.DISK_ONLY)
+    _SCOPED_PERSISTS.append(out)
+    out.write.format("noop").mode("overwrite").save()
+    return out
+
+
 def release_persists() -> None:
     """Unpersist every DataFrame cached by dedup operators so far.  Safe
     to call between queries (a materialized result never needs its
     intermediate caches again); a subsequent rebuild re-persists.
+
+    HARD INVARIANT for checkpointed scopes (r13 ADVICE #1): a handle
+    produced by :func:`_scoped_local_checkpoint` reads truncated
+    lineage — after this release, re-executing such a retained handle
+    fails with "checkpoint block not found" instead of transparently
+    recomputing the way an unpersisted lazy cache would.  Callers must
+    treat scope boundaries as the end of those DataFrames' lives:
+    materialized RESULTS stay valid, retained INTERMEDIATE handles do
+    not.  Every in-tree caller already obeys this (the composed closes
+    fully consume their checkpoints inside one query evaluation).
 
     BLOCKING on purpose: with ``blocking=False`` the block deletion is
     queued while the next run immediately re-persists the SAME logical

@@ -866,6 +866,7 @@ def dedup_video_containment_verified(
     max_fp_df: int | None = 10_000,
     max_sh_df: int | None = 10_000,
     quarantine_degenerate: bool = True,
+    eager_frames: bool = False,
 ) -> DataFrame:
     """:func:`dedup_video_containment` candidates with an ORDER-AWARE
     verify stage (r10 verdict #4): the candidate semantics are
@@ -899,17 +900,27 @@ def dedup_video_containment_verified(
         _scoped_persist,
     )
 
-    # r13 optimization: the shared frame table is eagerly
-    # local-checkpointed, not lazily persisted — it feeds both stages
-    # of the close (sets + candidate-restricted shingles), and as a
-    # persist it was both raced by concurrent subtree builds and a
-    # nested InMemoryRelation inflating driver plan canonicalization
-    # under the composed v6 plan.  Interleaved A/B at sf0.1
-    # (video_dedup_verified): steady ~10s -> ~7.8s, and the ambient
-    # noise spikes (24-75s outlier runs) disappear.  Batch-only: this
-    # operator never receives a streaming frame (the streaming gates
-    # consume STORED artifacts).
-    fps = _scoped_local_checkpoint(frame_fps)
+    # Materialization of the shared frame table is CALLER-SELECTED
+    # (r14, r13 verdict #1 — the round's one driver-measured
+    # regression on touched code).  It feeds both stages of the close
+    # (sets + candidate-restricted shingles); under the COMPOSED v6
+    # plan a lazy persist was raced by concurrent subtree builds and
+    # its nested InMemoryRelation inflated driver plan
+    # canonicalization, so v6 passes ``eager_frames=True``
+    # (r13 interleaved A/B: B-mins 16.9/20.4 vs A-mins 21.5/24.5).
+    # On the STANDALONE leg the upstream is one cheap decode chain
+    # and the eager checkpoint's blocking materialization costs more
+    # than the persist race it prevents — the driver measured the
+    # unconditional checkpoint at 6.75s vs the r12 persist's 4.92s
+    # (BENCH_r13/PERF_r13), the same trade that kept the persist on
+    # the audio fp-sets (-35%).  Default is therefore the lazy
+    # persist.  Batch-only either way: this operator never receives a
+    # streaming frame (the streaming gates consume STORED artifacts).
+    fps = (
+        _scoped_local_checkpoint(frame_fps)
+        if eager_frames
+        else _scoped_persist(frame_fps)
+    )
     cands = _scoped_persist(
         dedup_video_containment(
             fps,

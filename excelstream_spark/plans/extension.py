@@ -1273,9 +1273,9 @@ def _v2_core(docs: DataFrame) -> DataFrame:
     # n-gram pass), the PII regexes and the CDC rewrite end-to-end
     # (measured: the leg halves).  Scoped like every dedup persist —
     # released at the next catalog query / bench-leg boundary.
-    from excelstream_spark.operators.dedup import _scoped_local_checkpoint
+    from excelstream_spark.operators.dedup import _scoped_materialize
 
-    # r13 optimization: the rewritten corpus is an EAGER localCheckpoint
+    # r13 optimization: the rewritten corpus is EAGERLY materialized
     # (was a lazy persist).  It feeds the LSH pair stage — whose banded
     # self-join builds several concurrent subtrees over it — and the
     # keep-set join; as a persist the first action raced those builds
@@ -1287,8 +1287,15 @@ def _v2_core(docs: DataFrame) -> DataFrame:
     # checkpoint only adds a barrier — and on v5 — persist kept, within
     # noise at 8.56 vs 8.40 and the payload table is the class the
     # checkpoint helper's contract says to keep off executor-local
-    # storage.)
-    rewritten = _scoped_local_checkpoint(
+    # storage.)  r14 (r13 verdict #5): the rewritten corpus is
+    # document TEXT — payload-scale at production SF — so the
+    # materialization is SIZE-GUARDED: the lineage-truncating
+    # localCheckpoint below the configured bound (keeps the r13
+    # 60->6-Exchange win at bench scale, where the corpus is ~MBs),
+    # a recoverable DISK_ONLY persist + explicit materialization
+    # above it (a lost executor recomputes instead of failing the
+    # job; see _scoped_materialize's contract).
+    rewritten = _scoped_materialize(
         DD.dedup_token_chunks_cdc(red, avg_tokens=16, min_df=2)
     )
     pairs = DD.dedup_minhash_lsh(rewritten, threshold=0.8)
@@ -2239,7 +2246,10 @@ def training_corpus_pipeline_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
     from excelstream_spark.operators import image_hash as IH
     from excelstream_spark.operators.components import dedup_keep_best
     from excelstream_spark.operators.curation import shard_manifest
-    from excelstream_spark.operators.dedup import _scoped_persist
+    from excelstream_spark.operators.dedup import (
+        _scoped_materialize,
+        _scoped_persist,
+    )
 
     off = F.lit(ORC.V5_TWIN_OFFSET)
     docs = _docs(spark, sf_dir).where(F.col("doc_id").isNotNull())
@@ -2265,7 +2275,17 @@ def training_corpus_pipeline_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
     pay_all = pay.unionByName(
         pay.select((F.col("doc_id") + off).alias("doc_id"), "payload")
     )
-    fps = IH.multimodal_fingerprints(pay_all)
+    # r14 (r13 verdict #4): the fingerprint table is metadata-scale
+    # (doc_id + two 64-bit hashes) and feeds FOUR subtrees of the
+    # banded pair stage (band sides a/b, dual-hash verify, degenerate
+    # quarantine) — the r13 fan_out left it lazy, and the stage
+    # profile shows those subtrees as CONCURRENT broadcast-exchange
+    # builds that race the unmaterialized cache and re-run the
+    # synth+decode+hash chain 3-4x per evaluation (~17s executor time
+    # each at sf0.1).  Eager size-guarded materialization runs the
+    # Python chain exactly once; the payload persist above stays (the
+    # decode reads it once while materializing).
+    fps = _scoped_materialize(IH.multimodal_fingerprints(pay_all))
     pairs = IH.dedup_image_ahash(
         fps,
         hash_col="fp_a",
@@ -2392,7 +2412,13 @@ def _v6_core(
         frames = with_twins(fingerprints(synth))
         return (
             dedup_video_containment_verified(
-                frames, threshold=0.8, seq_threshold=0.8, n=2
+                # eager_frames: under THIS composed plan the frame
+                # table's lazy persist was raced by concurrent subtree
+                # builds (r13 A/B: checkpoint wins 16.9/20.4 vs
+                # 21.5/24.5); standalone callers keep the lazy persist
+                # (r14, r13 verdict #1 — see the operator's note)
+                frames, threshold=0.8, seq_threshold=0.8, n=2,
+                eager_frames=True,
             )
             .where(F.col("seq_verified"))
             .select(

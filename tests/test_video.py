@@ -182,12 +182,28 @@ def test_video_fingerprint_plan_is_scan_only(spark):
     fps = video_frame_fingerprints(synthesize_video_payloads(docs))
     fps.write.format("noop").mode("overwrite").save()
     plan = fps._jdf.queryExecution().executedPlan().toString()
-    for line in plan.splitlines():
-        if "Exchange" in line:
-            assert "RoundRobinPartitioning" in line, line
-    for node in plan.split("+-"):
-        if "Exchange" in node:
-            assert "payload" not in node and "fp_a" not in node, node
+    # Per-LINE assertions (r13 ADVICE #3: the old plan.split("+-")
+    # merged ':-'-prefixed nodes into the preceding chunk, so an
+    # Exchange could be skipped or a neighbor's text false-positive).
+    # The bytes an exchange moves are its CHILD's output, so the line
+    # after each Exchange line (the feeding node — a Project/Scan,
+    # whose dump names its output columns) must carry no payload/fp
+    # column; a ReusedExchange is a leaf whose own line names its
+    # output, so it is checked directly.
+    lines = plan.splitlines()
+    n_exchanges = 0
+    for i, line in enumerate(lines):
+        if "Exchange" not in line:
+            continue
+        n_exchanges += 1
+        assert "RoundRobinPartitioning" in line.replace(
+            "roundrobinpartitioning", "RoundRobinPartitioning"
+        ), line
+        probe = line if "ReusedExchange" in line else (
+            lines[i + 1] if i + 1 < len(lines) else ""
+        )
+        assert "payload" not in probe and "fp_a" not in probe, probe
+    assert n_exchanges >= 1  # the id-only fan-out must be present
     assert plan.count("MapInPandas") >= 1
 
 
