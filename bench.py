@@ -146,6 +146,14 @@ POST_LADDER = {
 #: measurement methodology changes so same-named legs stay comparable
 #: across rounds.  Unlisted legs are implicitly "v1".
 LEG_SCOPE = {
+    "dedup_embedding": "meas-v2:r14 JIT_HEAVY double warmup (r13 "
+    "verdict #9 — the leg swung 0.43-1.89s across core counts on an "
+    "unchanged fingerprint in the driver session; timed runs now "
+    "start at execution 3+)",
+    "setop_intersect_except": "meas-v2:r14 JIT_HEAVY double warmup "
+    "(r13 verdict #9, see dedup_embedding)",
+    "agg_grouping_multi": "meas-v2:r14 JIT_HEAVY double warmup "
+    "(r13 verdict #9, see dedup_embedding)",
     "dedup_token_blocks": "v2:r6 touched-only rebuild (two extra joins: "
     "touched marker + semi-restricted rebuild so untouched docs keep text "
     "byte-for-byte — the r5 advisor's ordering hazard; this tag was the "
@@ -155,13 +163,13 @@ LEG_SCOPE = {
     "dedup_semantic": "v2:r7 mega-cell block tiling (cell-size window + "
     "task explode; same pair output, bounded per-task work)",
     "text_analysis": "v2:r5 catalog entry absorbed gopher quality metrics (+work vs r4)",
-    "dedup_minhash_lsh": "meas-v3:r9 headline min now includes the "
+    "dedup_minhash_lsh": "v2:r14-opt minhash signature/band expressions built as single parsed SQL strings instead of 128+32 py4j Column objects (declaration ~1s cheaper per call; values byte-identical, asserted in tests); meas-v3:r9 headline min now includes the "
     "scale-ladder 1x steady-state rung (identical operator plan, same "
     "process) so the headline stops absorbing ambient shuffle noise — "
     "these three legs drifted +45% on unchanged fingerprints in r7 AND "
     "r8 while their ladder rungs stayed flat (v2:r6 timed post-ladder "
     "at C2 steady state)",
-    "dedup_simhash": "meas-v3:r9 headline min includes the ladder 1x "
+    "dedup_simhash": "v2:r14-opt the 64 vote sums + signature assembly built as two parsed SQL expressions instead of ~190 Column objects (declaration ~1s cheaper; signatures byte-identical, asserted); meas-v3:r9 headline min includes the ladder 1x "
     "rung (see dedup_minhash_lsh; v2:r6 post-ladder)",
     "components_dedup_clusters": "meas-v4:r9 headline min includes the "
     "ladder 1x rung (see dedup_minhash_lsh; v3:r6 post-ladder steady "
@@ -191,7 +199,7 @@ LEG_SCOPE = {
     "mins 3.3 vs 4.1s / 5.0 vs 5.9s in both orderings); "
     "v1:r6 new leg (coprime two-pass)",
     "repetition_full_gate": "v1:r6 new leg (line/para + 9 n-gram Gopher rules)",
-    "dedup_increment": "meas-v6:r13 convergence loops consolidated "
+    "dedup_increment": "v2:r14-opt minhash/band single-parse expression construction (two trainer-side declarations per evaluation; declare 3.0->1.4s measured, values byte-identical); meas-v6:r13 convergence loops consolidated "
     "into converge() and the refold spread rule is trailing-window "
     "(see ROUND_SCOPE_NOTES r13); meas-v5:r12 the increment-ladder 1x rung no "
     "longer folds into the headline min (r11 advice #2 — the rung "
@@ -214,7 +222,7 @@ LEG_SCOPE = {
     "(r5 and earlier runs were flattered by lingering caches from "
     "prior runs — the 'already cached' warning spam; numbers are now "
     "honest and higher)",
-    "dedup_increment_stored": "meas-v5:r13 consolidated converge() + "
+    "dedup_increment_stored": "v2:r14-opt minhash/band single-parse expression construction (see dedup_increment); meas-v5:r13 consolidated converge() + "
     "trailing-window spread (see dedup_increment); "
     "meas-v4:r12 ladder rung un-folded from "
     "the headline min + spread-guarded refold (see dedup_increment); "
@@ -246,7 +254,7 @@ LEG_SCOPE = {
     "bpe_train_merges amortizes: distinct-word encode via 12 chained "
     "merge folds + join-back + per-doc piece counts; merges trained "
     "untimed)",
-    "streaming_langid_gate": "v1:r13 new leg (r12 verdict #3 — the "
+    "streaming_langid_gate": "v2:r14-opt the batch trainer inherits hash-after-count + fan_out (its gram explode ran 4.5s on ONE task — stage profile committed); the streaming scorer is untouched (zero-Exchange contract); 6.10->5.07s; v1:r13 new leg (r12 verdict #3 — the "
     "language-ID family's streaming/serving form: rank profiles "
     "trained in batch on the even-id labeled slice, the odd-doc "
     "stream delivered twice and scored by the stateless INTEGER-exact "
@@ -279,15 +287,23 @@ LEG_SCOPE = {
     "ladder's rationale).  v1:r13 ladder-only entry: images keyed on "
     "doc_id DIV 10 so class size is constant under inflation; the "
     "catalog row's %50 fixture is for the hash gate, not the ladder",
-    "langid_score_stored": "v1:r13 serving-ladder-only entry (r12 "
+    "langid_score_stored": "v2:r14-opt cold arm inherits the trainer hash-after-count + fan_out; v1:r13 serving-ladder-only entry (r12 "
     "verdict #3 — stored-profile mapside scoring of a fixed odd-id "
     "increment vs cold profile refit at 1x/10x corpus)",
-    "langid_ngram_rank": "v1:r12 new leg (r11 verdict #2 — the "
+    "langid_ngram_rank": "v2:r14-opt hash-after-count + trainer fan_out: the 60-bit md5 gram hash now runs once per DISTINCT (key, gram) row after the count instead of once per occurrence (same counts, same ranks — the oracle hashes the same grams), and the gram explode fans out from the 1-split scan; 4.49->3.35s; v1:r12 new leg (r11 verdict #2 — the "
     "language-ID family's hash-gated catalog row: Cavnar-Trenkle "
     "char-n-gram rank profiles trained on the even-id labeled slice, "
     "odd docs classified by integer out-of-place distance; "
     "single-sourced from the catalog)",
-    "training_corpus_pipeline_v6": "v3:r13-opt the per-modality "
+    "training_corpus_pipeline_v6": "v4:r14-opt the verified close's "
+    "cands/sh tables (and v5-style eager materialization generally) "
+    "are eagerly materialized — each fed several CONCURRENT broadcast "
+    "builds that recomputed the lazily-persisted subtree per thread "
+    "at 32 task slots (stage profile: 161s executor CPU at 32c vs "
+    "41s at 8c for identical work); interleaved A/B wall-neutral at "
+    "both core counts (32c: 16.17 vs 15.77 min; 8c: 12.29 vs 12.49), "
+    "kept for the duplicated-CPU removal; same rows, same oracle; "
+    "v3:r13-opt the per-modality "
     "decoded base (with_twins) and the verified close's shared frame "
     "table are now EAGER localCheckpoints instead of lazy persists — "
     "same rows, same oracle; kills the broadcast-build race that "
@@ -308,11 +324,15 @@ LEG_SCOPE = {
     "components, keep-best, shard manifest; hash-gated catalog row, "
     "single-sourced)",
     "video_dedup_verified": "v3:r14-opt the close's frame-table "
-    "materialization is CALLER-SELECTED (r13 verdict #1 — the eager "
-    "checkpoint only pays under the composed v6 plan; the driver "
-    "measured the standalone leg regressing 4.92->6.75s): this "
-    "standalone leg is back on the lazy scoped persist, v6 keeps the "
-    "checkpoint via eager_frames=True — same rows either way; "
+    "materialization is CALLER-SELECTED (r13 verdict #1: the "
+    "unconditional eager checkpoint regressed this standalone leg "
+    "4.92->6.75s in the driver run): standalone callers now take the "
+    "size-guarded eager materialization and the close's cands/sh "
+    "tables materialize eagerly too — the 32-core stage profile "
+    "showed every lazily-persisted table here recomputed per "
+    "concurrent broadcast build (~150s duplicated executor CPU per "
+    "evaluation); interleaved A/Bs wall-neutral at 32 AND 8 cores, "
+    "same rows; v6 keeps the checkpoint via eager_frames=True; "
     "v2:r13-opt the close's shared frame "
     "table is an EAGER localCheckpoint instead of a lazy persist "
     "(same rows; steady ~10s -> ~7.8s interleaved A/B, ambient-noise "
@@ -441,7 +461,7 @@ LEG_SCOPE = {
     "dsir_select_resample": "v2:r7 new leg (DSIR hashed-ngram importance "
     "resampling, Gumbel-top-k of 100 against the English-target model); "
     "v2 = the zip_with shingle rewrite landed mid-round (9.8 -> 3.3s)",
-    "training_corpus_pipeline_v2": "v3:r13-opt the CDC-rewritten corpus "
+    "training_corpus_pipeline_v2": "v4:r14-opt the composed dedup_minhash_lsh stage inherits the minhash/band single-parse expression construction (values byte-identical), and the corpus materialization is size-guarded (checkpoint at bench scale, durable DISK_ONLY persist above the bound — r13 verdict #5); v3:r13-opt the CDC-rewritten corpus "
     "is an EAGER localCheckpoint instead of a lazy persist (same rows, "
     "same oracle; the LSH band stage's concurrent subtree builds raced "
     "the persist and re-ran gates+PII+CDC per thread — interleaved A/B "
@@ -909,8 +929,21 @@ def main() -> None:
     # ~4 executions to C2-compile them (measured: 9.6/11.4/6.1/1.7s on
     # identical runs), and the drop is a cliff the >10% descent rule
     # can't see coming — give them a SECOND untimed warmup so the timed
-    # runs start at executions 3-4, where steady state begins
-    JIT_HEAVY = {"dedup_minhash_lsh", "dedup_simhash", "dedup_increment"}
+    # runs start at executions 3-4, where steady state begins.
+    # r14 (r13 verdict #9): dedup_embedding / setop_intersect_except /
+    # agg_grouping_multi join the set — in the r13 driver run those
+    # three swung >=2x at 32 cores on unchanged fingerprints
+    # (dedup_embedding 1.89s at 32c vs 0.43s at 8c in the same
+    # session); the double warmup gives their generated aggregates the
+    # same C2 runway so driver runs grade code, not compilation
+    JIT_HEAVY = {
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_increment",
+        "dedup_embedding",
+        "setop_intersect_except",
+        "agg_grouping_multi",
+    }
 
     # folded-out baselines (r9, catalog policy rule 4): dedup_embedding
     # and sim_topk_bruteforce left the catalog but keep their bench legs

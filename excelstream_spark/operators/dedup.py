@@ -463,15 +463,18 @@ def minhash_signatures(
     """
     rows = _scoped_persist(shingle_rows(df, text_col, id_col, k))
     # shingles are already 64-bit hashes (shingle_rows); derive the
-    # num_hashes families directly from them
-    mins = rows.groupBy("id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"_m{i}")
-            for i in range(num_hashes)
-        ]
+    # num_hashes families directly from them.  The aggregate is built
+    # as ONE parsed SQL expression, not num_hashes Column objects
+    # (r14): constructing 128 Columns costs ~0.67s of py4j round
+    # trips PER DECLARATION vs ~0.03s for the single parse — measured
+    # identical values (integer SQL literal i and F.lit(i) are both
+    # IntegerType inputs to xxhash64), and dedup_increment declares
+    # this twice per evaluation.
+    sig_terms = ", ".join(
+        f"min(xxhash64({i}, s))" for i in range(num_hashes)
     )
-    sigs = mins.select(
-        "id", F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("sig")
+    sigs = rows.groupBy("id").agg(
+        F.expr(f"array({sig_terms})").alias("sig")
     )
     sets_ = (
         rows.groupBy("id")
@@ -492,22 +495,20 @@ def band_entries(
     (streaming/neardup.py), so batch, incremental and streaming buckets
     can never drift apart (parity with the stream's expression form is
     additionally asserted in tests/test_streaming_neardup.py)."""
+    # ONE parsed SQL expression instead of `bands` Column-object
+    # structs (r14): the py4j construction cost of 32 struct Columns
+    # was ~0.4s per declaration (see minhash_signatures); inline()
+    # yields the same (band, bh) rows and values as the old
+    # explode+struct form.
+    structs = ", ".join(
+        f"struct({j} AS band, "
+        f"CAST(hash(slice(sig, {j * rows_per_band + 1}, {rows_per_band}))"
+        f" AS BIGINT) AS bh)"
+        for j in range(bands)
+    )
     return sigs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band"),
-                        F.hash(
-                            F.slice("sig", j * rows_per_band + 1, rows_per_band)
-                        ).cast("long").alias("bh"),
-                    )
-                    for j in range(bands)
-                ]
-            )
-        ).alias("b"),
-    ).select("id", "b.band", "b.bh")
+        "id", F.expr(f"inline(array({structs}))")
+    ).select("id", "band", "bh")
 
 
 def dedup_minhash_lsh(
@@ -614,13 +615,18 @@ def simhash_signatures(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(TXT.tokens(F.col(text_col)))).alias("tok"),
     )
+    # The 64 vote sums and the 64-term signature assembly are built as
+    # TWO parsed SQL expressions, not ~190 Column objects (r14): the
+    # Column-object construction cost ~1s of py4j round trips per
+    # DECLARATION (the minhash_signatures finding); values are
+    # byte-identical (asserted below via the unchanged signature
+    # tests; shiftleft(1L, 63) wraps to the same sign-bit mask the old
+    # F.lit(-(1 << 63)) produced).
     if hash_fn == "xxhash64":
         hashed = tok_rows.select("id", F.xxhash64("tok").alias("hl"))
 
-        def bit(b: int):
-            return F.shiftrightunsigned(F.col("hl"), b).bitwiseAND(
-                F.lit(1).cast("bigint")
-            )
+        def bit_sql(b: int) -> str:
+            return f"(shiftrightunsigned(hl, {b}) & CAST(1 AS BIGINT))"
     elif hash_fn == "md5":
         md5 = F.md5("tok")
         hashed = tok_rows.select(
@@ -630,34 +636,26 @@ def simhash_signatures(
             F.conv(F.substring(md5, 9, 8), 16, 10).cast("bigint").alias("hl"),
         )
 
-        def bit(b: int):
-            src = F.col("hl") if b < 32 else F.col("hh")
-            return F.shiftrightunsigned(src, b % 32).bitwiseAND(
-                F.lit(1).cast("bigint")
-            )
+        def bit_sql(b: int) -> str:
+            src = "hl" if b < 32 else "hh"
+            return f"(shiftrightunsigned({src}, {b % 32}) & CAST(1 AS BIGINT))"
     else:
         raise ValueError(f"unknown hash_fn: {hash_fn!r}")
 
+    vote_terms = ", ".join(
+        f"sum(IF({bit_sql(b)} = 1, 1, -1))" for b in range(64)
+    )
     votes = hashed.groupBy("id").agg(
-        *[
-            F.sum(F.when(bit(b) == 1, 1).otherwise(-1)).alias(f"v{b}")
-            for b in range(64)
-        ]
+        F.expr(f"array({vote_terms})").alias("_v")
     )
     # assemble the signature from the vote signs; bit 63 is the sign bit
     # (Java longs wrap, the disjoint-bit sum is still an OR)
-    terms = []
-    for b in range(64):
-        mask = -(1 << 63) if b == 63 else (1 << b)
-        terms.append(
-            F.when(F.col(f"v{b}") > 0, F.lit(mask).cast("bigint")).otherwise(
-                F.lit(0).cast("bigint")
-            )
-        )
-    simhash = terms[0]
-    for t in terms[1:]:
-        simhash = simhash + t
-    return votes.select("id", simhash.alias("simhash"))
+    sig_sql = " + ".join(
+        f"IF(_v[{b}] > 0, shiftleft(CAST(1 AS BIGINT), {b}), "
+        "CAST(0 AS BIGINT))"
+        for b in range(64)
+    )
+    return votes.select("id", F.expr(sig_sql).alias("simhash"))
 
 
 def dedup_simhash(

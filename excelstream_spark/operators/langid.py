@@ -87,6 +87,55 @@ def char_ngram_hashes(
     return grams.select(key_col, _gram_hash(F.col("_g")).alias("gram_h"))
 
 
+def char_ngram_counts(
+    df: DataFrame,
+    key_col: str,
+    ns: tuple[int, ...] = DEFAULT_NS,
+    text_col: str = "text",
+) -> DataFrame:
+    """(key_col, gram_h, cnt) — per-key n-gram occurrence counts.
+
+    Counting groups on the gram STRING and only the DISTINCT
+    (key, gram) rows are md5-hashed AFTERWARDS (r14): the house
+    ``_h60`` md5+conv is by far the most expensive per-row expression
+    in this family, and hashing per OCCURRENCE paid it
+    corpus-size times; hashing per distinct (key, gram) row pays it
+    vocabulary-size times.  Identical output to hash-then-count up to
+    md5-60-bit collisions between distinct grams (~2^-60 — and the
+    DuckDB oracle replays the same hash of the same grams, so both
+    engines would merge identically even then).  The groupBy shuffles
+    the 2-3-char gram string instead of the 8-byte hash — the same
+    fixed-width class.
+
+    The input fans out to session parallelism first (the shingle_rows
+    precedent): a small parquet input arrives as ONE split and the
+    per-row-expensive gram explode+count would otherwise run
+    single-threaded (measured: 4.5s on one task inside
+    streaming_langid_gate's trainer at sf0.1); no-op at scale.  Batch
+    inputs only — both callers train/classify batch tables."""
+    from excelstream_spark.partitioning import fan_out
+
+    t = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    base = fan_out(df).select(F.col(key_col), t.alias("_t"))
+    arrays = [
+        F.expr(
+            f"CASE WHEN length(_t) >= {int(n)} THEN "
+            f"transform(sequence(1, length(_t) - {int(n)} + 1), "
+            f"i -> substring(_t, i, {int(n)})) "
+            "ELSE array() END"
+        )
+        for n in ns
+    ]
+    counts = (
+        base.select(key_col, F.explode(F.concat(*arrays)).alias("_g"))
+        .groupBy(key_col, "_g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return counts.select(
+        key_col, _gram_hash(F.col("_g")).alias("gram_h"), "cnt"
+    )
+
+
 def _rank_top_k(
     counts: DataFrame, part_col: str, top_k: int, rank_col: str
 ) -> DataFrame:
@@ -121,16 +170,16 @@ def train_language_profiles(
     (alphabet^n, ~1e4-1e6 rows/language), not by the corpus; the
     corpus-sized work (gram explode + count) is map-side partial
     aggregation ahead of it."""
-    grams = char_ngram_hashes(
+    # hash-after-count (r14, see char_ngram_counts): the per-language
+    # count table is vocabulary-bounded, so the md5 hash runs
+    # n_langs x vocab times instead of once per corpus gram occurrence
+    counts = char_ngram_counts(
         labeled.where(F.col(lang_col).isNotNull()).select(
             F.col(lang_col).alias("lang"), F.col(text_col).alias("text")
         ),
         key_col="lang",
         ns=ns,
         text_col="text",
-    )
-    counts = grams.groupBy("lang", "gram_h").agg(
-        F.count(F.lit(1)).alias("cnt")
     )
     return _rank_top_k(counts, "lang", top_k, "rank")
 
@@ -288,10 +337,9 @@ def language_id(
     language's profile are charged ``top_k``.  Arg-min language wins,
     ties to the smallest language code; documents with no grams are
     absent (see module docstring)."""
-    grams = char_ngram_hashes(docs, key_col=id_col, ns=ns, text_col=text_col)
-    dcounts = grams.groupBy(id_col, "gram_h").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
+    # hash-after-count (r14, see char_ngram_counts): md5 runs once per
+    # distinct (doc, gram) instead of once per gram occurrence
+    dcounts = char_ngram_counts(docs, key_col=id_col, ns=ns, text_col=text_col)
     dprofile = _rank_top_k(dcounts, id_col, top_k, "drank")
     langs = profiles.select("lang").distinct()
     scored = (

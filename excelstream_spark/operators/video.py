@@ -897,7 +897,7 @@ def dedup_video_containment_verified(
     seq_containment, seq_verified)."""
     from excelstream_spark.operators.dedup import (
         _scoped_local_checkpoint,
-        _scoped_persist,
+        _scoped_materialize,
     )
 
     # Materialization of the shared frame table is CALLER-SELECTED
@@ -908,20 +908,25 @@ def dedup_video_containment_verified(
     # its nested InMemoryRelation inflated driver plan
     # canonicalization, so v6 passes ``eager_frames=True``
     # (r13 interleaved A/B: B-mins 16.9/20.4 vs A-mins 21.5/24.5).
-    # On the STANDALONE leg the upstream is one cheap decode chain
-    # and the eager checkpoint's blocking materialization costs more
-    # than the persist race it prevents — the driver measured the
-    # unconditional checkpoint at 6.75s vs the r12 persist's 4.92s
-    # (BENCH_r13/PERF_r13), the same trade that kept the persist on
-    # the audio fp-sets (-35%).  Default is therefore the lazy
-    # persist.  Batch-only either way: this operator never receives a
-    # streaming frame (the streaming gates consume STORED artifacts).
+    # Standalone callers get the size-guarded eager materialization:
+    # the r14 32-vs-8-core stage profile showed EVERY lazily-persisted
+    # table in this close being recomputed per concurrent broadcast-
+    # exchange build (at 32 task slots all builds run simultaneously,
+    # none finds a populated cache; at 8 cores scarcity serializes
+    # them — v6's executor CPU read 161s at 32c vs 41s at 8c for the
+    # same work).  Batch-only either way: this operator never receives
+    # a streaming frame (the streaming gates consume STORED
+    # artifacts).
     fps = (
         _scoped_local_checkpoint(frame_fps)
         if eager_frames
-        else _scoped_persist(frame_fps)
+        else _scoped_materialize(frame_fps)
     )
-    cands = _scoped_persist(
+    # cands and sh are metadata-scale (id pairs / id+shingle hashes)
+    # and each feeds SEVERAL concurrent broadcast builds (cand_vids'
+    # semi-join side, the two sizes lookups, the seq self-join) — the
+    # r14 race finding above; materialize each exactly once, eagerly.
+    cands = _scoped_materialize(
         dedup_video_containment(
             fps,
             threshold=threshold,
@@ -936,7 +941,7 @@ def dedup_video_containment_verified(
         .unionAll(cands.select(F.col("vid_b").alias("vid")))
         .distinct()
     )
-    sh = _scoped_persist(
+    sh = _scoped_materialize(
         video_sequence_shingles(
             fps.join(
                 cand_vids.select(F.col("vid").alias(id_col)),
