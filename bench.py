@@ -232,7 +232,7 @@ LEG_SCOPE = {
     "(see dedup_increment)",
     "unigram_scores": "meas-v2:r6 scoped persists released per run",
     "dedup_winnowing": "v1:r6 new leg (winnowing fingerprint overlap)",
-    "streaming_dsir_gate": "v1:r7 new leg (batch-fit model, two streamed "
+    "streaming_dsir_gate": "v2:r14-opt the batch-side model fit inherits the _grams fan_out (streamed scorer mapside, unchanged); v1:r7 new leg (batch-fit model, two streamed "
     "Arrow scoring micro-batches under exact redelivery)",
     "bpe_train_merges": "meas-v2:r10 3 base timed runs (r9 verdict #4 "
     "— no ladder rung exists for the iterative trainer); v1:r7 new "
@@ -395,7 +395,7 @@ LEG_SCOPE = {
     "NOT comparable to sim_topk_pq_reranked (the r9 direct leg): that "
     "one serves k=256 trained-codebook queries against a PREBUILT "
     "code artifact",
-    "quality_classifier_filter": "v2:r13-opt the trainer's FIRST GD "
+    "quality_classifier_filter": "v3:r14-opt _grams fan_out before the feature build (see training_corpus_pipeline_v4); v2:r13-opt the trainer's FIRST GD "
     "step skips the feature-table scan + decimal margin aggregation "
     "(no trained buckets yet, so the bucket join contributes exactly "
     "0.0 to every margin either way — results bit-identical, one of "
@@ -426,7 +426,7 @@ LEG_SCOPE = {
     "resize/transcode + every-2nd-frame audio decimation, stats from "
     "re-decoded outputs; v2: the shared JPEG decoder's r8 speedup, "
     "bit-identical output)",
-    "training_corpus_pipeline_v4": "v2:r13-opt the classifier "
+    "training_corpus_pipeline_v4": "v3:r14-opt the shared _grams builder fans out from the 1-split scan before the tokenize+shingle+bucket explode (the classifier feature build ran as a 2-task 1.7s stage — v4 stage profile; interleaved A/B min 10.86 vs 11.51); v2:r13-opt the classifier "
     "trainer's first GD step skips the feature-table scan (see "
     "quality_classifier_filter — results bit-identical); "
     "v1:r8 new leg (the full composed "
@@ -449,16 +449,16 @@ LEG_SCOPE = {
     "sentence proxy includes the end quote and 'javascript' is a "
     "token-level rule, so the keep predicate gained an array_contains "
     "and the oracle moved in step)",
-    "quality_classifier_stored": "v2:r8 (v1:r7 new leg — stored-model "
+    "quality_classifier_stored": "v3:r14-opt _grams fan_out in the untimed trainer (timed mapside scorer unchanged; fingerprint moves via the shared builder); v2:r8 (v1:r7 new leg — stored-model "
     "serving path: shuffle-free Arrow mapside scoring only, the 4-step "
     "GD train runs untimed; v2: the margin arithmetic is vectorized "
     "int64 fixed-point with an ulp-bounded Decimal fallback band — "
     "bit-parity with the Spark decimal path proven, same plan, "
     "measured ~2.4x faster at sf0.1)",
-    "embedding_kmeans_clusters": "v1:r7 new leg (engine-exact k-means: "
+    "embedding_kmeans_clusters": "v2:r14-opt the dim-rows explode fans out from the 1-split embeddings scan — each Lloyd assignment pass ran as a single 1.4s task (stage profile); leg 5.41->~3.0s, same rows; v1:r7 new leg (engine-exact k-means: "
     "md5-seeded Lloyd, k=8, 2 decimal-exact iterations + final "
     "assignment over the embeddings table)",
-    "dsir_select_resample": "v2:r7 new leg (DSIR hashed-ngram importance "
+    "dsir_select_resample": "v3:r14-opt _grams fan_out before the gram explode in both model passes and the weight pass (interleaved A/B min 2.53 vs 3.27, every pair lower); v2:r7 new leg (DSIR hashed-ngram importance "
     "resampling, Gumbel-top-k of 100 against the English-target model); "
     "v2 = the zip_with shingle rewrite landed mid-round (9.8 -> 3.3s)",
     "training_corpus_pipeline_v2": "v4:r14-opt the composed dedup_minhash_lsh stage inherits the minhash/band single-parse expression construction (values byte-identical), and the corpus materialization is size-guarded (checkpoint at bench scale, durable DISK_ONLY persist above the bound — r13 verdict #5); v3:r13-opt the CDC-rewritten corpus "

@@ -60,8 +60,16 @@ _DEC = "decimal(38,15)"
 
 
 def _dim_rows(corpus: DataFrame, vec_col: str, id_col: str) -> DataFrame:
-    """(id, dim, x) — one row per vector component, doubles."""
-    return corpus.where(F.col(id_col).isNotNull()).select(
+    """(id, dim, x) — one row per vector component, doubles.
+
+    Fans out to session parallelism first (r14): the embeddings
+    parquet arrives as ONE split at bench scale, so each Lloyd
+    iteration's assignment pass (the k x d broadcast join + exact
+    decimal distance aggregation chained onto this explode) ran as a
+    single 1.4s task; no-op at scale, batch-only consumers."""
+    from excelstream_spark.partitioning import fan_out
+
+    return fan_out(corpus.where(F.col(id_col).isNotNull())).select(
         F.col(id_col).alias("id"),
         F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"),
     )

@@ -43,6 +43,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from excelstream_spark.functions import text as TXT
+from excelstream_spark.partitioning import fan_out
 
 #: DSIR paper default: 10k hash buckets over unigrams + bigrams.
 DEFAULT_BUCKETS = 10_000
@@ -67,8 +68,15 @@ def _bucket(gram: Column, n_buckets: int, seed: int) -> Column:
 def _grams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, gram) — one row per unigram AND bigram occurrence, shared
     tokenization convention (functions/text.tokens).  Bigrams are built
-    from the materialized token array (no window, no extra shuffle)."""
-    tk = df.select(
+    from the materialized token array (no window, no extra shuffle).
+
+    Fans out to session parallelism first (r14, the shingle_rows
+    precedent): a small parquet input arrives as one split, and the
+    tokenize+shingle+explode is the per-row-expensive stage of every
+    consumer (classifier feature build ran as a 2-task 1.7s stage in
+    the v4 profile; DSIR gram passes likewise); no-op at scale, and
+    every consumer is batch (the streaming scorers are mapside)."""
+    tk = fan_out(df).select(
         F.col(id_col),
         TXT.tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("tk"),
     )
