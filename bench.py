@@ -154,11 +154,11 @@ LEG_SCOPE = {
     "(r13 verdict #9, see dedup_embedding)",
     "agg_grouping_multi": "meas-v2:r14 JIT_HEAVY double warmup "
     "(r13 verdict #9, see dedup_embedding)",
-    "dedup_token_blocks": "v2:r6 touched-only rebuild (two extra joins: "
+    "dedup_token_blocks": "v3:r14-opt the block chunker fans out from the 1-split scan before the tokenize+chunk build (no-op at scale); v2:r6 touched-only rebuild (two extra joins: "
     "touched marker + semi-restricted rebuild so untouched docs keep text "
     "byte-for-byte — the r5 advisor's ordering hazard; this tag was the "
     "one leg the r6 bookkeeping missed, flagged by the r6 verdict)",
-    "dedup_token_chunks_cdc": "v2:r7 max_tokens hard cap (one extra "
+    "dedup_token_chunks_cdc": "v3:r14-opt the CDC token posexplode fans out from the 1-split scan (1-task 0.5s stages in the r14 profile; no-op at scale); v2:r7 max_tokens hard cap (one extra "
     "running-max window over the same per-doc partition)",
     "dedup_semantic": "v2:r7 mega-cell block tiling (cell-size window + "
     "task explode; same pair output, bounded per-task work)",
@@ -181,7 +181,7 @@ LEG_SCOPE = {
     "frequent_tokens": "v1:r9 new leg (Misra-Gries candidate sketches "
     "per partition + one broadcast-pruned exact recount, support "
     "1/1000 over documents)",
-    "neardup_increment_winnow": "v1:r9 serving-ladder-only entry "
+    "neardup_increment_winnow": "v2:r14-opt winnow sketch fan_out (see dedup_winnowing); v1:r9 serving-ladder-only entry "
     "(winnowing increment gate vs stored corpus_fingerprint_table)",
     "sim_topk_pq_reranked": "v1:r9 new leg (product quantization: ADC "
     "top-40 candidates from the stored 8-byte codes + exact JVM-cosine "
@@ -192,7 +192,7 @@ LEG_SCOPE = {
     "unigram_scores_stored_ladder": "v1:r9 serving-ladder-only entry "
     "(stored-vocab scoring vs cold vocab rebuild at 10x corpus)",
     "unigram_scores_stored": "v1:r6 new leg (stored-vocab reuse path)",
-    "dedup_token_blocks_twopass": "v2:r13-opt pass-1 output is scope-"
+    "dedup_token_blocks_twopass": "v3:r14-opt the block chunker fans out (see dedup_token_blocks); v2:r13-opt pass-1 output is scope-"
     "persisted before pass 2 (pass 2 consumes it in ~4 subtrees — "
     "block scan, hot-set groupBy, rebuild join, touched semi-join — "
     "each of which re-ran the whole pass-1 chain; interleaved A/B "
@@ -231,7 +231,7 @@ LEG_SCOPE = {
     "meas-v2:r6 scoped persists released per run "
     "(see dedup_increment)",
     "unigram_scores": "meas-v2:r6 scoped persists released per run",
-    "dedup_winnowing": "v1:r6 new leg (winnowing fingerprint overlap)",
+    "dedup_winnowing": "v2:r14-opt the Python sketch mapInPandas fans out from the 1-split scan (single-task before; no-op at scale, streaming passthrough); v1:r6 new leg (winnowing fingerprint overlap)",
     "streaming_dsir_gate": "v2:r14-opt the batch-side model fit inherits the _grams fan_out (streamed scorer mapside, unchanged); v1:r7 new leg (batch-fit model, two streamed "
     "Arrow scoring micro-batches under exact redelivery)",
     "bpe_train_merges": "meas-v2:r10 3 base timed runs (r9 verdict #4 "
@@ -461,7 +461,7 @@ LEG_SCOPE = {
     "dsir_select_resample": "v3:r14-opt _grams fan_out before the gram explode in both model passes and the weight pass (interleaved A/B min 2.53 vs 3.27, every pair lower); v2:r7 new leg (DSIR hashed-ngram importance "
     "resampling, Gumbel-top-k of 100 against the English-target model); "
     "v2 = the zip_with shingle rewrite landed mid-round (9.8 -> 3.3s)",
-    "training_corpus_pipeline_v2": "v4:r14-opt the composed dedup_minhash_lsh stage inherits the minhash/band single-parse expression construction (values byte-identical), and the corpus materialization is size-guarded (checkpoint at bench scale, durable DISK_ONLY persist above the bound — r13 verdict #5); v3:r13-opt the CDC-rewritten corpus "
+    "training_corpus_pipeline_v2": "v4:r14-opt the composed CDC chunker fans out its token posexplode, the composed dedup_minhash_lsh stage inherits the minhash/band single-parse expression construction (values byte-identical), and the corpus materialization is size-guarded (checkpoint at bench scale, durable DISK_ONLY persist above the bound — r13 verdict #5); v3:r13-opt the CDC-rewritten corpus "
     "is an EAGER localCheckpoint instead of a lazy persist (same rows, "
     "same oracle; the LSH band stage's concurrent subtree builds raced "
     "the persist and re-ran gates+PII+CDC per thread — interleaved A/B "

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from excelstream_spark.functions import text as TXT
+from excelstream_spark.partitioning import fan_out
 
 
 def chunk_documents(
@@ -51,8 +52,11 @@ def chunk_documents(
     # NULL text tokenizes to a null array, which would otherwise produce
     # a phantom full-size chunk (least(max_tokens, null) = max_tokens);
     # treat it as empty text: one empty chunk with n_tokens = 0 (the
-    # shared tokenizer yields [] for empty/whitespace-only text)
-    toks = df.select(
+    # shared tokenizer yields [] for empty/whitespace-only text).
+    # fan_out (r14): the tokenize+chunk-build is per-row-expensive and
+    # a small parquet input arrives as one split (the shingle_rows
+    # precedent); no-op at scale, batch-only consumers.
+    toks = fan_out(df).select(
         F.col(id_col).alias("doc_id"),
         TXT.tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("tk"),
     )
@@ -133,7 +137,10 @@ def chunk_documents_cdc(
         raise ValueError(f"need max_tokens >= 2, got {max_tokens}")
     from pyspark.sql import Window
 
-    toks = df.select(
+    # fan_out (r14): see chunk_documents — the token posexplode on a
+    # one-split scan otherwise serializes (observed: 1-task 0.5s
+    # stages in the CDC leg profile); no-op at scale
+    toks = fan_out(df).select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(
             TXT.tokens(F.coalesce(F.col(text_col), F.lit("")))

@@ -118,7 +118,13 @@ def winnow_fingerprints(
             # type; pos/fp are always computed ints
             yield out.astype({"pos": "int32", "fp": "int64"})
 
-    return df.select(F.col(icol), F.col(tcol)).mapInPandas(
+    # fan_out (r14, the media-synth precedent): the Python sketch is
+    # the per-row-expensive stage and a small parquet input arrives as
+    # one split, serializing it on one core; no-op at scale, and
+    # fan_out passes streaming frames through untouched
+    from excelstream_spark.partitioning import fan_out
+
+    return fan_out(df.select(F.col(icol), F.col(tcol))).mapInPandas(
         compute, schema=f"`{icol}` {id_type}, pos int, fp bigint"
     )
 

@@ -711,9 +711,15 @@ def dedup_video_containment(
 
     # r13 optimization note: an eager localCheckpoint here (instead of
     # the lazy persist) was A/B-tested and kept NEUTRAL on the video
-    # leg but REGRESSED the audio leg ~35% (the decode upstream is
-    # cheap there, so the checkpoint's blocking materialization costs
-    # more than the persist race it prevents) — the persist stays.
+    # leg but REGRESSED the audio leg ~35%.  RE-TESTED r14 with the
+    # eager size-guarded materializer: still regresses — interleaved
+    # A/B audio 3.88 vs 2.44 min (every pair), video 2.83 vs 2.49.
+    # Mechanism: on an idle box the lazy persist's duplicated
+    # broadcast-build recompute overlaps on free cores, while eager
+    # materialization is a serial barrier ahead of everything — the
+    # persist stays on wall-clock grounds; the duplicated CPU is the
+    # price (see the verified close, where the shared tables are
+    # eager because their consumers are the expensive stages).
     sets = _scoped_persist(
         video_fp_sets(
             frame_fps,
