@@ -146,6 +146,7 @@ POST_LADDER = {
 #: measurement methodology changes so same-named legs stay comparable
 #: across rounds.  Unlisted legs are implicitly "v1".
 LEG_SCOPE = {
+    "chunk_documents": "v2:r14-opt the fixed-grid chunker fans out from the 1-split scan before the tokenize+chunk build (no-op at scale; see dedup_token_blocks)",
     "dedup_embedding": "meas-v2:r14 JIT_HEAVY double warmup (r13 "
     "verdict #9 — the leg swung 0.43-1.89s across core counts on an "
     "unchanged fingerprint in the driver session; timed runs now "
@@ -163,13 +164,13 @@ LEG_SCOPE = {
     "dedup_semantic": "v2:r7 mega-cell block tiling (cell-size window + "
     "task explode; same pair output, bounded per-task work)",
     "text_analysis": "v2:r5 catalog entry absorbed gopher quality metrics (+work vs r4)",
-    "dedup_minhash_lsh": "v2:r14-opt minhash signature/band expressions built as single parsed SQL strings instead of 128+32 py4j Column objects (declaration ~1s cheaper per call; values byte-identical, asserted in tests); meas-v3:r9 headline min now includes the "
+    "dedup_minhash_lsh": "v3:r14-opt minhash signature/band expressions built as single parsed SQL strings instead of 128+32 py4j Column objects (declaration ~1s cheaper per call; values byte-identical, asserted in tests); meas-v3:r9 headline min now includes the "
     "scale-ladder 1x steady-state rung (identical operator plan, same "
     "process) so the headline stops absorbing ambient shuffle noise — "
     "these three legs drifted +45% on unchanged fingerprints in r7 AND "
     "r8 while their ladder rungs stayed flat (v2:r6 timed post-ladder "
     "at C2 steady state)",
-    "dedup_simhash": "v2:r14-opt the 64 vote sums + signature assembly built as two parsed SQL expressions instead of ~190 Column objects (declaration ~1s cheaper; signatures byte-identical, asserted); meas-v3:r9 headline min includes the ladder 1x "
+    "dedup_simhash": "v3:r14-opt the 64 vote sums + signature assembly built as two parsed SQL expressions instead of ~190 Column objects (declaration ~1s cheaper; signatures byte-identical, asserted); meas-v3:r9 headline min includes the ladder 1x "
     "rung (see dedup_minhash_lsh; v2:r6 post-ladder)",
     "components_dedup_clusters": "meas-v4:r9 headline min includes the "
     "ladder 1x rung (see dedup_minhash_lsh; v3:r6 post-ladder steady "
@@ -486,6 +487,21 @@ LEG_SCOPE = {
 #: per-leg LEG_SCOPE stays the authoritative cross-round comparability
 #: signal; these document repo-wide changes that move MANY fingerprints)
 ROUND_SCOPE_NOTES = {
+    "r14": "The committed r14 artifact's untagged_plan_drift reads "
+    "[chunk_documents, dedup_minhash_lsh, dedup_simhash] — all three "
+    "ARE tagged changes (the single-parse expression rewrite and the "
+    "chunker fan_out, sections in OPTIMIZATION_r14.md): the artifact "
+    "ran with the minhash/simhash bumps numbered v2, which collided "
+    "with a historical v2 segment EMBEDDED in those legs' r6-era tag "
+    "text under the new first-vN: plan-version comparison, and "
+    "chunk_documents' tag landed one run later.  The tags committed "
+    "with the artifact carry the corrected numbering (v3 / v2), so "
+    "the next run over this artifact compares clean.  Also r14: the "
+    "stdout line uses compact JSON separators and sheds the optional "
+    "detail pointer before any leg (r13 verdict #2) — "
+    "queries_omitted back to 0 at 69 legs; drift check compares the "
+    "tag's plan-version component, not raw text (verdict "
+    "what's-wrong #4).",
     "r13": "Measurement consolidation (r12 verdict #2, done at round "
     "START so this round's artifact comes from the consolidated code): "
     "the four convergence-loop variants (run/_rung/_inc_rung/refold) "
