@@ -107,6 +107,88 @@ def test_simhash_vectorized_byte_equal(spark):
     assert got == want and len(got) == 100
 
 
+def test_minhash_band_single_parse_byte_equal(spark):
+    """r14: minhash_signatures / band_entries build their wide
+    expression lists as ONE parsed SQL string (the Column-object form
+    cost ~1s of py4j round trips per declaration).  The values must
+    stay bit-identical to the per-Column reference formulation."""
+    from excelstream_spark.operators.dedup import (
+        band_entries,
+        minhash_signatures,
+        release_persists,
+        shingle_rows,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").limit(100)
+    sigs = minhash_signatures(docs)
+    got_sig = {r["id"]: r["sig"] for r in sigs.select("id", "sig").collect()}
+
+    # reference: the pre-r14 Column-object construction
+    rows = shingle_rows(docs)
+    ref_mins = rows.groupBy("id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"_m{i}")
+            for i in range(128)
+        ]
+    )
+    ref_sigs = ref_mins.select(
+        "id", F.array(*[f"_m{i}" for i in range(128)]).alias("sig")
+    )
+    want_sig = {r["id"]: r["sig"] for r in ref_sigs.collect()}
+    assert got_sig == want_sig and len(got_sig) > 0
+
+    got_bands = sorted(
+        map(tuple, band_entries(sigs, 32, 4).select("id", "band", "bh").collect())
+    )
+    ref_bands = ref_sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.hash(F.slice("sig", j * 4 + 1, 4))
+                        .cast("long")
+                        .alias("bh"),
+                    )
+                    for j in range(32)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "b.band", "b.bh")
+    want_bands = sorted(map(tuple, ref_bands.collect()))
+    assert got_bands == want_bands
+    release_persists()
+
+
+def test_langid_hash_after_count_matches_hash_then_count(spark):
+    """r14: char_ngram_counts groups on the gram STRING and hashes the
+    distinct (key, gram) rows after the count; the (key, gram_h, cnt)
+    table must equal the hash-then-count formulation exactly."""
+    from excelstream_spark.operators.langid import (
+        char_ngram_counts,
+        char_ngram_hashes,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").limit(100)
+    got = sorted(
+        map(
+            tuple,
+            char_ngram_counts(docs, key_col="doc_id").collect(),
+        )
+    )
+    ref = sorted(
+        map(
+            tuple,
+            char_ngram_hashes(docs, key_col="doc_id")
+            .groupBy("doc_id", "gram_h")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect(),
+        )
+    )
+    assert got == ref and len(got) > 0
+
+
 def test_simhash_md5_mode_matches_python(spark):
     """md5-mode signatures match an independent pure-Python recomputation
     (the same construction the DuckDB oracle uses)."""
